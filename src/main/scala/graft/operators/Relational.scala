@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Core relational/analytic operators (SURVEY.md §2 rows 8-15, 18).
+  *
+  * All plans are declarative DataFrame ops so Catalyst handles pushdown,
+  * pruning and join selection; dimension sides are explicitly
+  * `broadcast()`-hinted where the design calls for a map-side join at
+  * scale. Every query ends in a total ORDER BY (oracle parity).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.table(s, dir, name)
+
+  /** Grouped aggregate battery over the fact table (TPC-H Q1 shape).
+    * Map-side partial aggregation on 2 low-cardinality keys: the shuffle
+    * carries ~|flags|x|status| rows per partition regardless of input SF.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val one = lit(1).cast("decimal(4,2)")
+    val discPrice = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    val charge    = discPrice * (one + rate(col("l_tax")))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum(qty(col("l_quantity"))).as("sq"),
+        sum(money(col("l_extendedprice"))).as("sbp"),
+        sum(discPrice).as("sdp"),
+        sum(charge).as("sc"),
+        sum(rate(col("l_discount"))).as("sd")
+      )
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sbp").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        (col("sq").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sbp").cast("double") / col("count_order")).as("avg_price"),
+        (col("sd").cast("double") / col("count_order")).as("avg_disc"),
+        col("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Tight-range selective filter + single aggregate (TPC-H Q6 shape) —
+    * the predicate-pushdown showcase: all three filters reach the parquet
+    * scan, the aggregate is a single partial/final pair, zero joins.
+    */
+  def q6Filter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6FilterSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Join + group + ORDER BY ... LIMIT top-N (TPC-H Q3 shape).
+    * customer is broadcast (small dim); orders⨝lineitem shuffles on
+    * orderkey once; top-N is a TakeOrderedAndProject — no global sort.
+    */
+  def q3TopN(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-06-30").cast("timestamp")
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority").as("order_priority"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopNSql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_orderpriority AS order_priority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-30'
+      |  AND l_shipdate  > TIMESTAMP '1996-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** 6-table join flower grouped by a dim attribute (TPC-H Q5 shape).
+    * Every dimension side (customer/supplier/nation/region) broadcasts;
+    * the only shuffle is lineitem⨝orders on orderkey + the final tiny
+    * aggregate. At 1000 executors this is one fact-fact shuffle, period.
+    */
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li   = t(s, dir, "lineitem")
+    val ord  = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat  = t(s, dir, "nation")
+    val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("nation_name")
+  }
+
+  val q5StarJoinSql: String =
+    """SELECT n_name AS nation_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY nation_name""".stripMargin
+
+  /** Window functions: partitioned row_number, top-k per group.
+    * One shuffle on the partition key; ties broken by p_partkey so the
+    * ranking is a total order (oracle parity).
+    */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val pt = t(s, dir, "part")
+    val rev = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand").as("brand"), col("p_partkey").as("partkey"), col("revenue"), col("rk"))
+      .orderBy("brand", "rk", "partkey")
+  }
+
+  val qWindowRankSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand AS brand, p_partkey AS partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey)
+      |SELECT brand, partkey, revenue, rk FROM (
+      |  SELECT brand, partkey, revenue,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY revenue DESC, partkey) AS BIGINT) AS rk
+      |  FROM rev) r
+      |WHERE rk <= 3
+      |ORDER BY brand, rk, partkey""".stripMargin
+
+  /** ROLLUP hierarchy aggregate (year → quarter) with grouping sets.
+    * Grouping-null levels are coalesced to -1 in both engines to dodge
+    * NULL-ordering differences.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.select(
+        year(col("o_orderdate")).cast("int").as("y"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        col("o_totalprice"))
+      .rollup(col("y"), col("q"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("y"), lit(-1)).as("year_g"),
+        coalesce(col("q"), lit(-1)).as("quarter_g"),
+        col("n_orders"), col("total_price"))
+      .orderBy("year_g", "quarter_g")
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS year_g,
+      |  coalesce(CAST(quarter(o_orderdate) AS INT), -1) AS quarter_g,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), CAST(quarter(o_orderdate) AS INT))
+      |ORDER BY year_g, quarter_g""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot event_type → columns (conditional aggregation). Explicit pivot
+    * value list so Spark skips the extra distinct-values job; missing
+    * cells coalesced to 0 to match SQL conditional counts.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val piv = e.groupBy(col("user_id")).pivot("event_type", eventTypes).count()
+    val withCols = eventTypes.foldLeft(piv) { (df, et) =>
+      df.withColumn(s"n_$et", coalesce(col(s"`$et`"), lit(0L)))
+    }
+    withCols
+      .select(col("user_id") +: eventTypes.map(et => col(s"n_$et")): _*)
+      .withColumn("n_total", eventTypes.map(et => col(s"n_$et")).reduce(_ + _))
+      .orderBy("user_id")
+  }
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+      |  COUNT(*) AS n_total
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Year-month period rollup (the reference's `to_period("M")` —
+    * ELT.py:332) with counts, sums and exact-decimal average.
+    */
+  def qMonthlyTrend(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("year_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).as("tp"))
+      .select(
+        col("year_month"),
+        col("n_orders"),
+        col("tp").cast("double").as("total_price"),
+        (col("tp").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy("year_month")
+  }
+
+  val qMonthlyTrendSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY year_month""".stripMargin
+
+  /** Non-equi range join into value bands. The bands side is a 10-row
+    * generated table → broadcast nested-loop join, so the fact side never
+    * shuffles; at 100 TB this stays a map-only stage.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val bands = s.range(10).select(
+      col("id").as("band_id"),
+      (col("id") * 50000.0).as("lo"),
+      ((col("id") + 1) * 50000.0).as("hi"))
+    ord.join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("band_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT band_id, lo, hi, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN (SELECT range AS band_id, range * 50000.0 AS lo, (range + 1) * 50000.0 AS hi
+      |      FROM range(10)) bands
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id, lo, hi
+      |ORDER BY band_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"      -> q1Pricing _,
+    "q6_filter"       -> q6Filter _,
+    "q3_topn"         -> q3TopN _,
+    "q5_starjoin"     -> q5StarJoin _,
+    "q_window_rank"   -> qWindowRank _,
+    "q_rollup"        -> qRollup _,
+    "q_pivot"         -> qPivot _,
+    "q_monthly_trend" -> qMonthlyTrend _,
+    "q_range_join"    -> qRangeJoin _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing"      -> q1PricingSql,
+    "q6_filter"       -> q6FilterSql,
+    "q3_topn"         -> q3TopNSql,
+    "q5_starjoin"     -> q5StarJoinSql,
+    "q_window_rank"   -> qWindowRankSql,
+    "q_rollup"        -> qRollupSql,
+    "q_pivot"         -> qPivotSql,
+    "q_monthly_trend" -> qMonthlyTrendSql,
+    "q_range_join"    -> qRangeJoinSql
+  )
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: tools/check_oracle.py [sfdir] [verify_outdir]
+
+For each query dumped by graft.Verify:
+  - with an oracle SQL entry: run the SQL in DuckDB over the sf tables,
+    sort columns by name, compare row-by-row with EXACT equality
+    (mirrors the driver's hash match).
+  - without: rows-only check (rows > 0).
+"""
+import sys, os, json, glob
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gverify"
+
+con = duckdb.connect()
+for p in sorted(glob.glob(f"{sfdir}/*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+result_dirs = {os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)}
+
+def fetch_sorted_cols(rel):
+    tbl = rel.fetch_arrow_table()
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*data)) if data else []
+    return cols, rows
+
+fails, passes = 0, 0
+for name in sorted(result_dirs | set(oracle)):
+    if name not in result_dirs:
+        print(f"FAIL {name}: no Verify output (query crashed?)")
+        fails += 1
+        continue
+    gq = duckdb.connect()
+    got_cols, got = fetch_sorted_cols(gq.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+    if name not in oracle:
+        if len(got) > 0:
+            print(f"pass {name}: rows-only ({len(got)} rows)")
+            passes += 1
+        else:
+            print(f"FAIL {name}: rows-only check, 0 rows")
+            fails += 1
+        continue
+    try:
+        exp_cols, exp = fetch_sorted_cols(con.sql(oracle[name]))
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        fails += 1
+        continue
+    if [c.lower() for c in exp_cols] != [c.lower() for c in got_cols]:
+        print(f"FAIL {name}: cols oracle={exp_cols} spark={got_cols}")
+        fails += 1
+        continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows oracle={len(exp)} spark={len(got)}")
+        fails += 1
+        continue
+    bad = None
+    for i, (er, gr) in enumerate(zip(exp, got)):
+        if er != gr:
+            bad = (i, er, gr)
+            break
+    if bad:
+        i, er, gr = bad
+        print(f"FAIL {name}: first diff at row {i}:")
+        for c, ev, gv in zip(exp_cols, er, gr):
+            mark = "  " if ev == gv else "->"
+            print(f"  {mark} {c}: oracle={ev!r} spark={gv!r}")
+        fails += 1
+    else:
+        print(f"pass {name}: {len(got)} rows hash-equal")
+        passes += 1
+
+print(f"\n{passes} pass, {fails} fail")
+sys.exit(1 if fails else 0)

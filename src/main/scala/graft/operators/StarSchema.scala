@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** The reference's ELT star schema re-expressed Spark-first
+  * (SURVEY.md §2 rows 1-7; reference /root/reference/dags/ELT.py).
+  *
+  * events stands in for the Staging incident table; dimensions are built
+  * with distinct + row_number surrogate keys exactly like the reference's
+  * DimLocation/DimIncident/DimReportType (ELT.py:192-243), and the fact
+  * assembly is the reference's multi-way LEFT JOIN (ELT.py:264-289) with
+  * every dimension broadcast — at 100 TB the fact build is a map-only
+  * stage with zero shuffles.
+  */
+object StarSchema {
+
+  /** Typed ingest: cast, null-default, regexp field extraction, surrogate
+    * id — the reference's staging load (ELT.py:39-106: typed schema,
+    * empty-string→NULL, `ADD id SERIAL`).
+    *
+    * The global row_number surrogate mirrors SERIAL; at scale one would
+    * use monotonically_increasing_id (no global sort) — kept here because
+    * the oracle needs a deterministic assignment.
+    */
+  def qIngestTypecast(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.select(
+        col("event_id"),
+        col("ts_ms"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        hour(col("ts")).cast("int").as("event_hour"),
+        col("user_id"),
+        col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value_filled"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_prop"))
+      .withColumn("surrogate_id", row_number().over(Window.orderBy("event_id")).cast("long"))
+      .orderBy("event_id")
+  }
+
+  val qIngestTypecastSql: String =
+    """SELECT event_id, epoch_ms(ts) AS ts_ms,
+      |  strftime(ts, '%Y-%m-%d') AS event_date,
+      |  CAST(hour(ts) AS INT) AS event_hour,
+      |  user_id, event_type,
+      |  coalesce(value, 0.0) AS value_filled,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_prop,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS surrogate_id
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Generated calendar dimension (reference DimDate, ELT.py:121-148):
+    * year/quarter/month/week/day/season/weekend attributes derived from
+    * the distinct order dates.
+    */
+  def qDimDate(s: SparkSession, dir: String): DataFrame = {
+    val d = Ingest.table(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+    d.select(
+        date_format(col("d"), "yyyy-MM-dd").as("full_date"),
+        (year(col("d")) * 10000 + month(col("d")) * 100 + dayofmonth(col("d")))
+          .cast("int").as("date_id"),
+        year(col("d")).cast("int").as("cal_year"),
+        quarter(col("d")).cast("int").as("quarter_num"),
+        concat(lit("Q"), quarter(col("d"))).as("quarter_name"),
+        month(col("d")).cast("int").as("month_num"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        date_format(col("d"), "MMM").as("month_name_short"),
+        weekofyear(col("d")).cast("int").as("week_of_year"),
+        date_format(date_trunc("week", col("d")), "yyyy-MM-dd").as("week_begin_date"),
+        dayofmonth(col("d")).cast("int").as("day_of_month"),
+        dayofyear(col("d")).cast("int").as("day_of_year"),
+        dayofweek(col("d")).cast("int").as("day_of_week"), // 1 = Sunday
+        date_format(col("d"), "EEEE").as("day_name"),
+        date_format(col("d"), "EEE").as("day_name_short"),
+        dayofweek(col("d")).isin(1, 7).as("is_weekend"),
+        (!dayofweek(col("d")).isin(1, 7)).as("is_weekday"),
+        when(month(col("d")).isin(12, 1, 2), "Winter")
+          .when(month(col("d")).isin(3, 4, 5), "Spring")
+          .when(month(col("d")).isin(6, 7, 8), "Summer")
+          .otherwise("Autumn").as("season"),
+        (col("d") === last_day(col("d"))).as("is_end_of_month"))
+      .orderBy("full_date")
+  }
+
+  val qDimDateSql: String =
+    """SELECT strftime(d, '%Y-%m-%d') AS full_date,
+      |  CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_id,
+      |  CAST(year(d) AS INT) AS cal_year,
+      |  CAST(quarter(d) AS INT) AS quarter_num,
+      |  'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_name,
+      |  CAST(month(d) AS INT) AS month_num,
+      |  monthname(d) AS month_name,
+      |  strftime(d, '%b') AS month_name_short,
+      |  CAST(weekofyear(d) AS INT) AS week_of_year,
+      |  strftime(date_trunc('week', d), '%Y-%m-%d') AS week_begin_date,
+      |  CAST(day(d) AS INT) AS day_of_month,
+      |  CAST(dayofyear(d) AS INT) AS day_of_year,
+      |  CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+      |  dayname(d) AS day_name,
+      |  strftime(d, '%a') AS day_name_short,
+      |  (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+      |  (dayofweek(d) + 1) NOT IN (1, 7) AS is_weekday,
+      |  CASE WHEN month(d) IN (12,1,2) THEN 'Winter'
+      |       WHEN month(d) IN (3,4,5) THEN 'Spring'
+      |       WHEN month(d) IN (6,7,8) THEN 'Summer'
+      |       ELSE 'Autumn' END AS season,
+      |  d = last_day(d) AS is_end_of_month
+      |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) t
+      |ORDER BY full_date""".stripMargin
+
+  /** Time-of-day dimension (reference DimTime, ELT.py:160-181):
+    * hour24/hour12/AMPM/TimeOfDay buckets over distinct (hour, minute).
+    */
+  def qDimTime(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.select(hour(col("ts")).cast("int").as("hour24"),
+             minute(col("ts")).cast("int").as("minute"))
+      .distinct()
+      .select(
+        (col("hour24") * 100 + col("minute")).cast("int").as("time_id"),
+        col("hour24"),
+        when(col("hour24") % 12 === 0, 12).otherwise(col("hour24") % 12)
+          .cast("int").as("hour12"),
+        col("minute"),
+        when(col("hour24") < 12, "AM").otherwise("PM").as("ampm"),
+        concat(lpad(col("hour24").cast("string"), 2, "0"), lit(":"),
+               lpad(col("minute").cast("string"), 2, "0")).as("full_time24"),
+        when(col("hour24") < 6, "Night")
+          .when(col("hour24") < 12, "Morning")
+          .when(col("hour24") < 18, "Afternoon")
+          .otherwise("Evening").as("time_of_day"))
+      .orderBy("time_id")
+  }
+
+  val qDimTimeSql: String =
+    """SELECT CAST(h*100 + m AS INT) AS time_id,
+      |  h AS hour24,
+      |  CAST(CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END AS INT) AS hour12,
+      |  m AS minute,
+      |  CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS ampm,
+      |  lpad(CAST(h AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0') AS full_time24,
+      |  CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
+      |       WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day
+      |FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t
+      |ORDER BY time_id""".stripMargin
+
+  /** Distinct + ROW_NUMBER surrogate-key dimension (reference DimLocation,
+    * ELT.py:192-199): 2-column distinct over nation x region.
+    */
+  def qDimGeo(s: SparkSession, dir: String): DataFrame = {
+    val nat = Ingest.table(s, dir, "nation")
+    val reg = Ingest.table(s, dir, "region")
+    nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("nation_name"), col("r_name").as("region_name"))
+      .distinct()
+      .withColumn("location_id",
+        row_number().over(Window.orderBy("nation_name", "region_name")).cast("long"))
+      .select("location_id", "nation_name", "region_name")
+      .orderBy("location_id")
+  }
+
+  val qDimGeoSql: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY nation_name, region_name) AS BIGINT) AS location_id,
+      |  nation_name, region_name
+      |FROM (SELECT DISTINCT n_name AS nation_name, r_name AS region_name
+      |      FROM nation JOIN region ON n_regionkey = r_regionkey) t
+      |ORDER BY location_id""".stripMargin
+
+  /** Distinct + ROW_NUMBER surrogate-key dimension with null-defaulting
+    * (reference DimReportType's CASE WHEN ... IS NULL, ELT.py:232-243).
+    */
+  def qDimStatus(s: SparkSession, dir: String): DataFrame = {
+    val ord = Ingest.table(s, dir, "orders")
+    ord.select(
+        when(col("o_orderstatus").isNull, "NA").otherwise(col("o_orderstatus")).as("order_status"),
+        when(col("o_orderpriority").isNull, "NA").otherwise(col("o_orderpriority")).as("order_priority"))
+      .distinct()
+      .withColumn("status_id",
+        row_number().over(Window.orderBy("order_status", "order_priority")).cast("long"))
+      .select("status_id", "order_status", "order_priority")
+      .orderBy("status_id")
+  }
+
+  val qDimStatusSql: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_status, order_priority) AS BIGINT) AS status_id,
+      |  order_status, order_priority
+      |FROM (SELECT DISTINCT
+      |        CASE WHEN o_orderstatus IS NULL THEN 'NA' ELSE o_orderstatus END AS order_status,
+      |        CASE WHEN o_orderpriority IS NULL THEN 'NA' ELSE o_orderpriority END AS order_priority
+      |      FROM orders) t
+      |ORDER BY status_id""".stripMargin
+
+  // ---- shared inline dimensions for the fact build / star report ----
+
+  private def dimDateOf(e: DataFrame): DataFrame =
+    e.select(to_date(col("ts")).as("full_date")).distinct()
+      .withColumn("date_id",
+        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
+          dayofmonth(col("full_date"))).cast("int"))
+
+  private def dimTimeOf(e: DataFrame): DataFrame =
+    e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"))
+      .distinct()
+      .withColumn("time_id", (col("h") * 100 + col("m")).cast("int"))
+
+  private def dimUserOf(e: DataFrame): DataFrame =
+    e.select(col("user_id").as("u")).distinct()
+      .withColumn("user_dim_id", row_number().over(Window.orderBy("u")).cast("long"))
+
+  private def dimTypeOf(e: DataFrame): DataFrame =
+    e.select(col("event_type").as("et")).distinct()
+      .withColumn("type_id", row_number().over(Window.orderBy("et")).cast("long"))
+
+  /** Fact assembly: multi-way LEFT JOIN of the staging rows to broadcast
+    * dimensions on business keys (reference FactCrime, ELT.py:264-289).
+    */
+  def qFactBuild(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.withColumn("full_date", to_date(col("ts")))
+      .withColumn("h", hour(col("ts")).cast("int"))
+      .withColumn("m", minute(col("ts")).cast("int"))
+      .join(broadcast(dimDateOf(e)), Seq("full_date"), "left")
+      .join(broadcast(dimTimeOf(e)), Seq("h", "m"), "left")
+      .join(broadcast(dimUserOf(e)), col("user_id") === col("u"), "left")
+      .join(broadcast(dimTypeOf(e)), col("event_type") === col("et"), "left")
+      .select(col("event_id"), col("date_id"), col("time_id"),
+              col("user_dim_id"), col("type_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val factSqlCtes: String =
+    """WITH dd AS (
+      |  SELECT d AS full_date, CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_id
+      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) t),
+      |dt AS (
+      |  SELECT h, m, CAST(h*100 + m AS INT) AS time_id
+      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t),
+      |du AS (
+      |  SELECT u, CAST(ROW_NUMBER() OVER (ORDER BY u) AS BIGINT) AS user_dim_id
+      |  FROM (SELECT DISTINCT user_id AS u FROM events) t),
+      |dty AS (
+      |  SELECT et, CAST(ROW_NUMBER() OVER (ORDER BY et) AS BIGINT) AS type_id
+      |  FROM (SELECT DISTINCT event_type AS et FROM events) t)""".stripMargin
+
+  val qFactBuildSql: String =
+    factSqlCtes +
+    """
+      |SELECT e.event_id, dd.date_id, dt.time_id, du.user_dim_id, dty.type_id, e.value
+      |FROM events e
+      |LEFT JOIN dd  ON CAST(e.ts AS DATE) = dd.full_date
+      |LEFT JOIN dt  ON CAST(hour(e.ts) AS INT) = dt.h AND CAST(minute(e.ts) AS INT) = dt.m
+      |LEFT JOIN du  ON e.user_id = du.u
+      |LEFT JOIN dty ON e.event_type = dty.et
+      |ORDER BY event_id""".stripMargin
+
+  /** Star join + IN-list filter + projection: the reference's reporting
+    * feed (fetchToGSheets, ELT.py:308-332) including its year-month
+    * derivation.
+    */
+  def qStarReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val dd = dimDateOf(e)
+      .withColumn("day_name", date_format(col("full_date"), "EEEE"))
+      .withColumn("is_weekend", dayofweek(col("full_date")).isin(1, 7))
+    val dt = dimTimeOf(e)
+      .withColumn("time_of_day",
+        when(col("h") < 6, "Night").when(col("h") < 12, "Morning")
+          .when(col("h") < 18, "Afternoon").otherwise("Evening"))
+    e.withColumn("full_date", to_date(col("ts")))
+      .withColumn("h", hour(col("ts")).cast("int"))
+      .withColumn("m", minute(col("ts")).cast("int"))
+      .join(broadcast(dd), Seq("full_date"))
+      .join(broadcast(dt), Seq("h", "m"))
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"),
+        date_format(col("full_date"), "yyyy-MM-dd").as("full_date_str"),
+        col("day_name"), col("is_weekend"), col("time_of_day"),
+        col("event_type"), col("value"),
+        date_format(col("full_date"), "yyyy-MM").as("year_month"))
+      .orderBy("event_id")
+  }
+
+  val qStarReportSql: String =
+    """WITH dd AS (
+      |  SELECT d AS full_date, dayname(d) AS day_name,
+      |         (dayofweek(d) + 1) IN (1, 7) AS is_weekend
+      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) t),
+      |dt AS (
+      |  SELECT h, m,
+      |         CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
+      |              WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day
+      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t)
+      |SELECT e.event_id,
+      |  strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS full_date_str,
+      |  dd.day_name, dd.is_weekend, dt.time_of_day,
+      |  e.event_type, e.value,
+      |  strftime(CAST(e.ts AS DATE), '%Y-%m') AS year_month
+      |FROM events e
+      |JOIN dd ON CAST(e.ts AS DATE) = dd.full_date
+      |JOIN dt ON CAST(hour(e.ts) AS INT) = dt.h AND CAST(minute(e.ts) AS INT) = dt.m
+      |WHERE e.event_type IN ('purchase', 'signup')
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_typecast" -> qIngestTypecast _,
+    "q_dim_date"        -> qDimDate _,
+    "q_dim_time"        -> qDimTime _,
+    "q_dim_geo"         -> qDimGeo _,
+    "q_dim_status"      -> qDimStatus _,
+    "q_fact_build"      -> qFactBuild _,
+    "q_star_report"     -> qStarReport _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ingest_typecast" -> qIngestTypecastSql,
+    "q_dim_date"        -> qDimDateSql,
+    "q_dim_time"        -> qDimTimeSql,
+    "q_dim_geo"         -> qDimGeoSql,
+    "q_dim_status"      -> qDimStatusSql,
+    "q_fact_build"      -> qFactBuildSql,
+    "q_star_report"     -> qStarReportSql
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Event-time operators (SURVEY.md §2 rows 16, 17, 31).
+  *
+  * All time arithmetic runs on epoch milliseconds (`ts_ms`) — the
+  * representation that hashes identically across Spark (µs timestamps)
+  * and DuckDB (ns timestamps); see SURVEY.md §4.
+  */
+object Temporal {
+
+  /** Gap-based sessionization: lag + cumulative window. A session breaks
+    * after a 30-minute silence. Exactly one shuffle (on user_id); the
+    * two windows and the final aggregate all reuse that partitioning.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e.select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("prev_ms", lag("ts_ms", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        sum(money(col("value"))).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_ms, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  COUNT(*) AS n_events,
+      |  min(ts_ms) AS session_start_ms,
+      |  max(ts_ms) AS session_end_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join: for each purchase event, the user's latest click at or
+    * before it. Union + running `last(..., ignoreNulls)` window — one
+    * shuffle on the user key and no range explosion, the scale-safe
+    * as-of pattern (vs. an O(n·m) range join).
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms").as("t"), lit(0).as("kind"), col("event_id").as("id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("t"), lit(1).as("kind"), col("event_id").as("id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "kind", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(when(col("kind") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ms", last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("id").as("purchase_id"), col("user_id"), col("t").as("purchase_ms"),
+        col("last_click_id"), col("last_click_ms"),
+        (col("t") - col("last_click_ms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, 0 AS kind, event_id AS id
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_ms(ts) AS t, 1 AS kind, event_id AS id
+      |  FROM events WHERE event_type = 'purchase'),
+      |ann AS (
+      |  SELECT user_id, t, kind, id,
+      |    last_value(CASE WHEN kind = 0 THEN id END IGNORE NULLS) OVER w AS last_click_id,
+      |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER w AS last_click_ms
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, kind, id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT id AS purchase_id, user_id, t AS purchase_ms,
+      |  last_click_id, last_click_ms, t - last_click_ms AS gap_ms
+      |FROM ann WHERE kind = 1
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Tumbling-window event aggregation — the batch twin of the
+    * Structured Streaming job in [[graft.streaming.Streams]]: 1-hour
+    * tumbling windows per event_type.
+    */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val qStreamTumblingSql: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize"      -> qSessionize _,
+    "q_asof_join"       -> qAsofJoin _,
+    "q_stream_tumbling" -> qStreamTumbling _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize"      -> qSessionizeSql,
+    "q_asof_join"       -> qAsofJoinSql,
+    "q_stream_tumbling" -> qStreamTumblingSql
+  )
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Text-analysis operators for the LLM-training-data pipeline
+  * (SURVEY.md §2 rows 26-30): language ID, quality scoring, token
+  * counting, document fingerprinting, multimodal metadata plumbing.
+  *
+  * Everything here is per-row expression work (no joins, no shuffles
+  * except the final ORDER BY for oracle parity) — at 100 TB these are
+  * map-only stages that scale linearly with executors. All expressions
+  * stay inside whole-stage codegen: built-ins + SQL lambda
+  * higher-order functions only, no UDFs.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "documents")
+
+  // Language-marker stopword lists (tiny on purpose: the heuristic is
+  // "which language's function words dominate" — same shape as langid's
+  // feature voting, reduced to pure SQL so the oracle can replay it).
+  private val enStops = Seq("the", "a", "of", "and", "to", "is")
+  private val esStops = Seq("el", "la", "de", "que", "y", "en")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "zu")
+  private val frStops = Seq("le", "les", "des", "et", "une", "est")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** count of words of `text` that appear in the marker list. */
+  private def stopCount(ws: Seq[String]): Column =
+    expr(s"CAST(size(filter(split(text, ' '), w -> w IN (${inList(ws)}))) AS BIGINT)")
+
+  /** Language ID: stopword-vote heuristic + non-ASCII (CJK) detection.
+    * Deterministic argmax with a fixed tie-break order (en>es>de>fr).
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        stopCount(enStops).as("s_en"),
+        stopCount(esStops).as("s_es"),
+        stopCount(deStops).as("s_de"),
+        stopCount(frStops).as("s_fr"),
+        expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("n_nonascii"))
+      .withColumn("lang_pred",
+        when(col("n_nonascii") > 0, "zh")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+
+  val qLangIdSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS BIGINT) AS s_en,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) AS BIGINT) AS s_es,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)}))) AS BIGINT) AS s_de,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) AS BIGINT) AS s_fr,
+       |  CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS n_nonascii,
+       |  CASE WHEN len(regexp_extract_all(text, '[^\\x00-\\x7f]')) > 0 THEN 'zh'
+       |       WHEN len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)})))
+       |        AND len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)})))
+       |        AND len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) THEN 'en'
+       |       WHEN len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)})))
+       |        AND len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) THEN 'es'
+       |       WHEN len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document quality scoring: length / word-count / word-length /
+    * stopword-ratio / punctuation-ratio features + a keep flag — the
+    * classic pre-training quality filter (C4/Gopher-style rules).
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_chars_c", length(col("text")).cast("long"))
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_stop", stopCount(enStops))
+      .withColumn("n_punct", expr("CAST(regexp_count(text, '[^A-Za-z0-9 ]') AS BIGINT)"))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
+      .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_c"))
+      .withColumn("is_keep",
+        col("n_words") >= 5 && col("n_words") <= 5000 &&
+        col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0 &&
+        col("punct_ratio") < 0.2)
+      .select("doc_id", "n_chars_c", "n_words", "avg_word_len",
+              "stopword_ratio", "punct_ratio", "is_keep")
+      .orderBy("doc_id")
+
+  val qQualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_c,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  (len(string_split(text, ' ')) BETWEEN 5 AND 5000
+       |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0
+       |   AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)) < 0.2) AS is_keep
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // GPT-2-ish pre-tokenizer shape: letter runs (with 's-style
+  // contractions), digit runs, single non-alnum-non-space marks.
+  private val bpeRegexSpark = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\\\s]"
+  private val bpeRegexDuck  = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count —
+    * the unit LLM-pipeline budgets are denominated in.
+    */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_ws_tokens"),
+        expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars_c").cast("double") / col("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_c,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$bpeRegexDuck')) AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial 64-bit document fingerprint (Rabin-Karp style:
+    * acc*P + charcode with wrapping long arithmetic), plus a prefix
+    * fingerprint over the first 64 chars — content-addressing that is
+    * cheap to recompute incrementally. Wrapping overflow is the point;
+    * not ANSI-SQL-expressible (DuckDB BIGINT overflow traps) → rows-only.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (acc, ch) -> acc * 1000003L + ascii(ch))")
+          .as("fp64"),
+        expr("aggregate(split(substring(text, 1, 64), ''), 0L, (acc, ch) -> acc * 1000003L + ascii(ch))")
+          .as("fp_prefix64"),
+        length(col("text")).cast("long").as("n_chars_c"))
+      .orderBy("doc_id")
+
+  /** Multimodal column plumbing: text re-encoded as an opaque binary
+    * media column with typed metadata (type tag, byte size, content
+    * hash) — the schema/partitioning pattern for image/audio payloads.
+    * The decode step itself lives in [[Multimodal]] (stubbed codec).
+    */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val qMultimodalMetaSql: String =
+    """SELECT doc_id,
+      |  encode(text) AS media,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id"         -> qLangId _,
+    "q_quality_score"   -> qQualityScore _,
+    "q_token_count"     -> qTokenCount _,
+    "q_fingerprint"     -> qFingerprint _,
+    "q_multimodal_meta" -> qMultimodalMeta _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id"         -> qLangIdSql,
+    "q_quality_score"   -> qQualityScoreSql,
+    "q_token_count"     -> qTokenCountSql,
+    "q_multimodal_meta" -> qMultimodalMetaSql
+    // q_fingerprint: rows-only (wrapping long arithmetic)
+  )
+}

@@ -16,11 +16,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ StarSchema.queries ++ Temporal.queries
+    Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle
+    Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle
 }

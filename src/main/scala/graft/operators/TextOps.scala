@@ -111,7 +111,8 @@ object TextOps {
   // GPT-2-ish pre-tokenizer shape: letter runs (with 's-style
   // contractions), digit runs, single non-alnum-non-space marks.
   private val bpeRegexSpark = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\\\s]"
-  private val bpeRegexDuck  = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\s]"
+  // SQL string literal form: the embedded quote must be doubled ('').
+  private val bpeRegexDuck  = "[A-Za-z]+(''[a-z]+)?|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count —
     * the unit LLM-pipeline budgets are denominated in.
@@ -136,22 +137,36 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
-  /** Rolling polynomial 64-bit document fingerprint (Rabin-Karp style:
-    * acc*P + charcode with wrapping long arithmetic), plus a prefix
+  /** Rolling polynomial document fingerprint (Rabin-Karp style:
+    * acc = (acc*P + charcode) mod 2^40, P=1000003), plus a prefix
     * fingerprint over the first 64 chars — content-addressing that is
-    * cheap to recompute incrementally. Wrapping overflow is the point;
-    * not ANSI-SQL-expressible (DuckDB BIGINT overflow traps) → rows-only.
+    * cheap to recompute incrementally. The modulus keeps every
+    * intermediate < 2^60, so the same arithmetic is exact in any
+    * 64-bit engine (ANSI-safe, oracle-checkable).
     */
+  private val fpMod = 1099511627776L // 2^40: acc*P < 2^60, no overflow
+
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
         col("doc_id"),
-        expr("aggregate(split(text, ''), 0L, (acc, ch) -> acc * 1000003L + ascii(ch))")
+        expr(s"aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 1000003L + ascii(ch)) % ${fpMod}L)")
           .as("fp64"),
-        expr("aggregate(split(substring(text, 1, 64), ''), 0L, (acc, ch) -> acc * 1000003L + ascii(ch))")
+        expr(s"aggregate(split(substring(text, 1, 64), ''), 0L, (acc, ch) -> (acc * 1000003L + ascii(ch)) % ${fpMod}L)")
           .as("fp_prefix64"),
         length(col("text")).cast("long").as("n_chars_c"))
       .orderBy("doc_id")
+
+  private def duckFp(input: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($input, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 1000003 + c) % $fpMod)"
+
+  val qFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${duckFp("text")} AS fp64,
+       |  ${duckFp("substring(text, 1, 64)")} AS fp_prefix64,
+       |  CAST(length(text) AS BIGINT) AS n_chars_c
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** Multimodal column plumbing: text re-encoded as an opaque binary
     * media column with typed metadata (type tag, byte size, content
@@ -193,7 +208,7 @@ object TextOps {
     "q_lang_id"         -> qLangIdSql,
     "q_quality_score"   -> qQualityScoreSql,
     "q_token_count"     -> qTokenCountSql,
-    "q_multimodal_meta" -> qMultimodalMetaSql
-    // q_fingerprint: rows-only (wrapping long arithmetic)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_fingerprint"     -> qFingerprintSql
   )
 }

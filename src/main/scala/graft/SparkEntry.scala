@@ -16,11 +16,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries
+    Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
+      Dedup.queries ++ Ann.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle
+    Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
+      Dedup.oracle ++ Ann.oracle
 }

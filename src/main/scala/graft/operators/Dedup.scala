@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Deduplication operators for the LLM-training-data pipeline
+  * (SURVEY.md §2 rows 19-23): exact dedup, MinHash+LSH near-dup,
+  * SimHash near-dup, n-gram Jaccard verification, embedding-cosine
+  * near-dup.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *   - Signatures (MinHash, SimHash, LSH buckets) are computed as
+  *     map-only codegen'd SQL-lambda pipelines — one pass over each
+  *     document's shingle array, no explode, no shuffle.
+  *   - Candidate generation is always a *bucketed equi self-join* on
+  *     (band, bucket): the only shuffle is hash-partitioned on the
+  *     band key, never an all-pairs cross product. Hot-bucket skew is
+  *     handled by AQE skew-join (on in [[graft.GraftSession]]).
+  *   - Verification (exact Jaccard / hamming / cosine) runs only on
+  *     the candidate pairs that banding surfaced.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "documents")
+
+  // ------------------------------------------------------------------
+  // Row 19: exact dedup — normalized-content hash groupBy,
+  // min-doc_id survivor. Oracle-checked.
+  // ------------------------------------------------------------------
+
+  /** Exact dedup over a whitespace/case-normalized content hash.
+    * One shuffle on the hash; at 100 TB the window over the hash key
+    * is the canonical partitioned dedup (no global window).
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_md5")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_md5"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("survivor_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("survivor_id"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
+      |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS group_size,
+      |  min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS survivor_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS is_dup
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Shared LSH machinery
+  // ------------------------------------------------------------------
+
+  /** Mersenne prime 2^31-1: shingle hashes are pre-reduced mod P so
+    * every (a*h + b) stays < 2^62 — exact under ANSI arithmetic.
+    */
+  private val P = 2147483647L
+
+  /** Deterministic MinHash coefficients (fixed seed — the signature is
+    * part of the operator's contract, it must never drift).
+    */
+  private def coeffs(seed: Long, k: Int): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(seed)
+    val a = Array.fill(k)(1L + r.nextInt((P - 1).toInt).toLong)
+    val b = Array.fill(k)(r.nextInt(P.toInt).toLong)
+    (a, b)
+  }
+
+  /** Word n-gram shingles of `text` (with a 1-shingle floor so short
+    * docs still sign). array_distinct → set semantics for Jaccard.
+    */
+  private def wordShingles(n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, $n))))"
+
+  /** Character n-gram shingles. */
+  private def charShingles(n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n)))"
+
+  /** k-slot MinHash signature computed in ONE pass over the shingle
+    * array: aggregate carries the running array of k minima, the inner
+    * zip_with updates every slot per shingle. Map-only, codegen'd, no
+    * explode — at 100 TB this is the cheapest possible signature pass.
+    */
+  private def minhashSigExpr(hsCol: String, seed: Long, k: Int): String = {
+    val (a, b) = coeffs(seed, k)
+    val ab = (0 until k)
+      .map(i => s"named_struct('a', ${a(i)}L, 'b', ${b(i)}L)")
+      .mkString("array(", ", ", ")")
+    s"aggregate($hsCol, array_repeat(${P}L, $k), (acc, h) -> zip_with(acc, $ab, (m, ab) -> least(m, (ab.a * h + ab.b) % ${P}L)))"
+  }
+
+  /** (doc_id, band, bucket) rows: signature sliced into `bands` bands
+    * of `rows` rows, each band hashed to a bucket id.
+    */
+  private def bandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigDf
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $rows + 1, $rows)))"))
+          .as(Seq("band", "bucket")))
+
+  /** Distinct candidate pairs (id_a < id_b) from an LSH band table:
+    * equi self-join on (band, bucket) — the only shuffle in the
+    * candidate step, hash-partitioned on the band key.
+    */
+  private def candidatePairs(bandDf: DataFrame): DataFrame =
+    bandDf.alias("a")
+      .join(bandDf.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets, joined onto candidate pairs. */
+  private def jaccardVerify(cand: DataFrame, shingleDf: DataFrame): DataFrame =
+    cand
+      .join(shingleDf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleDf.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+
+  /** MinHash+LSH near-dup pipeline over a shingle expression:
+    * shingles → one-pass k-minhash → band buckets → bucketed self-join
+    * → exact-Jaccard verify → threshold.
+    */
+  private def minhashPipeline(
+      d: DataFrame, shingleSql: String, seed: Long,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = d.select(col("doc_id"), expr(shingleSql).as("sh"))
+    val sig = sh.select(
+      col("doc_id"),
+      expr(minhashSigExpr(s"transform(sh, t -> pmod(xxhash64(t), ${P}L))", seed, k)).as("sig"))
+    val cand = candidatePairs(bandRows(sig, bands, k / bands))
+    jaccardVerify(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Row 20: MinHash + LSH banding over word 3-gram shingles.
+  // b=16 bands × r=4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5.
+  // ------------------------------------------------------------------
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPipeline(docs(s, dir), wordShingles(3), seed = 0x5EED0001L,
+      k = 64, bands = 16, threshold = 0.5)
+
+  // ------------------------------------------------------------------
+  // Row 22: character 4-gram Jaccard on LSH candidate pairs — same
+  // engine, character-level shingling (robust to tokenization drift).
+  // ------------------------------------------------------------------
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    minhashPipeline(docs(s, dir), charShingles(4), seed = 0x5EED0002L,
+      k = 64, bands = 16, threshold = 0.6)
+
+  // ------------------------------------------------------------------
+  // Row 21: SimHash-64 fingerprint + banded hamming near-dup.
+  // Features: word 3-grams (multiset — counts weight the bit sums).
+  // 8 bands × 8 bits: any pair with hamming ≤ 7 shares ≥1 clean band
+  // (pigeonhole), so the banding has perfect recall at the verify
+  // threshold below.
+  // ------------------------------------------------------------------
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val feats =
+      s"transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    val bitSums =
+      s"""aggregate(transform($feats, t -> xxhash64(t)), array_repeat(0L, 64),
+         | (acc, h) -> zip_with(acc, sequence(0, 63), (a, k) -> a + IF((shiftright(h, k) & 1L) = 1L, 1L, -1L)))""".stripMargin
+    val simhash =
+      s"""aggregate(zip_with($bitSums, sequence(0, 63), (sv, k) -> IF(sv > 0L, shiftleft(1L, k), 0L)),
+         | 0L, (acc, x) -> acc | x)""".stripMargin
+    val sigDf = docs(s, dir).select(col("doc_id"), expr(simhash).as("simhash"))
+    val bandDf = sigDf.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), j -> shiftright(simhash, j * 8) & 255L)"))
+        .as(Seq("band", "bucket")))
+    bandDf.alias("a")
+      .join(bandDf.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Row 23: embedding-cosine near-dup via random-hyperplane (sign) LSH.
+  // Per-vector output shape: every vector reports its bucket, mate
+  // count, and best same-bucket cosine — the audit view a dedup run
+  // produces even when (as in this corpus) nothing crosses the 0.95
+  // near-dup threshold.
+  // ------------------------------------------------------------------
+
+  /** Deterministic gaussian hyperplanes (fixed seed). */
+  private[operators] def hyperplanes(seed: Long, n: Int, dim: Int): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n, dim)(r.nextGaussian())
+  }
+
+  private def planeLit(p: Array[Double]): String =
+    p.map(v => s"${v}D").mkString("array(", ", ", ")")
+
+  /** Signed dot product of the float-array `col` with a constant plane. */
+  private[operators] def planeBit(emb: String, p: Array[Double]): Column =
+    expr(s"aggregate(zip_with($emb, ${planeLit(p)}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0D")
+
+  /** Bucket id: `n` sign bits packed into an int. */
+  private[operators] def lshBucket(emb: String, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) => when(planeBit(emb, p), 1 << i).otherwise(0) }
+      .reduce(_ + _)
+
+  /** Dot product of two float-array columns (double accumulation,
+    * deterministic left-to-right order). Divide by the norms for cosine.
+    */
+  private[operators] def dotExpr(ea: String, eb: String): Column =
+    expr(s"aggregate(zip_with($ea, $eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private[operators] def norm(emb: String): Column =
+    sqrt(expr(s"aggregate($emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(seed = 0x5EED0003L, n = 8, dim = 64)
+    val base = Ingest.table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        lshBucket("embedding", planes).as("bucket"),
+        norm("embedding").as("nrm"))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("bucket"), col("nrm").as("n_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("bucket"), col("nrm").as("n_b"))
+    val mates = a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine", dotExpr("e_a", "e_b") / (col("n_a") * col("n_b")))
+    val best = mates
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))))
+      .filter(col("rk") === 1)
+      .select(col("id_a").as("vec_id"), col("id_b").as("best_mate_id"),
+        col("cosine").as("best_cosine"))
+    val wB = Window.partitionBy("bucket")
+    base
+      .withColumn("n_bucket_mates", (count(lit(1)).over(wB) - 1).cast("long"))
+      .select("vec_id", "bucket", "n_bucket_mates")
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("best_cosine") >= 0.95, lit(false)))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> qDedupExact _,
+    "q_dedup_minhash"   -> qDedupMinhash _,
+    "q_dedup_simhash"   -> qDedupSimhash _,
+    "q_ngram_jaccard"   -> qNgramJaccard _,
+    "q_dedup_embedding" -> qDedupEmbedding _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql
+    // minhash/simhash/ngram/embedding: rows-only (xxhash64 signatures
+    // are not ANSI-SQL-reproducible in DuckDB).
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Surrogate
 import graft.sources.Ingest
 
 /** The reference's ELT star schema re-expressed Spark-first
@@ -22,22 +23,22 @@ object StarSchema {
     * id — the reference's staging load (ELT.py:39-106: typed schema,
     * empty-string→NULL, `ADD id SERIAL`).
     *
-    * The global row_number surrogate mirrors SERIAL; at scale one would
-    * use monotonically_increasing_id (no global sort) — kept here because
-    * the oracle needs a deterministic assignment.
+    * The surrogate mirrors SERIAL's deterministic rank but is assigned
+    * with the two-pass [[graft.plans.Surrogate.rankedId]] (range
+    * partition + per-partition offsets) — no single-partition window.
     */
   def qIngestTypecast(s: SparkSession, dir: String): DataFrame = {
     val e = Ingest.events(s, dir)
-    e.select(
-        col("event_id"),
-        col("ts_ms"),
-        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
-        hour(col("ts")).cast("int").as("event_hour"),
-        col("user_id"),
-        col("event_type"),
-        coalesce(col("value"), lit(0.0)).as("value_filled"),
-        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_prop"))
-      .withColumn("surrogate_id", row_number().over(Window.orderBy("event_id")).cast("long"))
+    val base = e.select(
+      col("event_id"),
+      col("ts_ms"),
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      hour(col("ts")).cast("int").as("event_hour"),
+      col("user_id"),
+      col("event_type"),
+      coalesce(col("value"), lit(0.0)).as("value_filled"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_prop"))
+    Surrogate.rankedId(base, Seq("event_id"), "surrogate_id")
       .orderBy("event_id")
   }
 
@@ -207,9 +208,11 @@ object StarSchema {
       .distinct()
       .withColumn("time_id", (col("h") * 100 + col("m")).cast("int"))
 
+  /** User dimension: cardinality grows with the data, so the surrogate
+    * uses the two-pass ranked id, never a global window.
+    */
   private def dimUserOf(e: DataFrame): DataFrame =
-    e.select(col("user_id").as("u")).distinct()
-      .withColumn("user_dim_id", row_number().over(Window.orderBy("u")).cast("long"))
+    Surrogate.rankedId(e.select(col("user_id").as("u")).distinct(), Seq("u"), "user_dim_id")
 
   private def dimTypeOf(e: DataFrame): DataFrame =
     e.select(col("event_type").as("et")).distinct()

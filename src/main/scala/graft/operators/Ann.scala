@@ -56,27 +56,40 @@ object Ann {
   }
 
   // ------------------------------------------------------------------
-  // Row 25: LSH-bucketed ANN — sign-random-projection buckets with
-  // 1-bit multi-probe (query probes its own bucket plus each
-  // single-bit flip: 9 buckets for 8 planes).
+  // Row 25: LSH-bucketed ANN — L independent sign-random-projection
+  // tables, each with 1-bit multi-probe (query probes its bucket plus
+  // each single-bit flip: 9 buckets/table for 8 planes). Multi-table
+  // union is the standard recall lever: one 8-bit table recalls ~0.15
+  // on unclustered vectors, four tables ~0.5, while candidates stay a
+  // small fraction of the corpus (bucketed equi-join, never a scan).
   // ------------------------------------------------------------------
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val nBits = 8
-    val planes = Dedup.hyperplanes(seed = 0x5EEDA117L, n = nBits, dim = 64)
+    val nTables = 4
+    val tables = (0 until nTables)
+      .map(t => Dedup.hyperplanes(seed = 0x5EEDA117L + t, n = nBits, dim = 64))
     val (corpus, queries) = split(s, dir)
-    val bucketed = corpus.withColumn("bucket", Dedup.lshBucket("embedding", planes))
+
+    def tableBuckets(emb: String): org.apache.spark.sql.Column =
+      array(tables.map(p => Dedup.lshBucket(emb, p)): _*)
+
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(tableBuckets("embedding")).as(Seq("tbl", "bucket")))
     val probed = queries
-      .withColumn("q_bucket", Dedup.lshBucket("q_emb", planes))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        posexplode(tableBuckets("q_emb")).as(Seq("tbl", "q_bucket")))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("tbl"),
         explode(expr(
           s"array_union(array(q_bucket), transform(sequence(0, ${nBits - 1}), j -> CAST(q_bucket ^ shiftleft(1, j) AS INT)))"))
           .as("bucket"))
-    val scored = bucketed.join(broadcast(probed), Seq("bucket"))
+    val scored = bucketed.join(broadcast(probed), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .distinct() // a pair may collide in several tables/probes
     topK(scored)
   }
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2 non-query component):
+  * image/audio/video payloads ride as opaque `binary` columns with
+  * typed metadata; decode / feature-extract runs per-partition so a
+  * real codec would amortize its init across a partition's rows.
+  *
+  * The codec itself is a STUB — deterministic fake decode derived from
+  * the payload bytes (image/audio libraries are absent in this
+  * container by design). The Spark-side plumbing — schema, typed
+  * Dataset, mapPartitions batch shape, partition-level codec init —
+  * is the real, tested part; swap [[StubCodec]] for a JNI/JavaCV
+  * binding and nothing else changes.
+  */
+object Multimodal {
+
+  /** An undecoded media row (what `q_multimodal_meta` materializes). */
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+
+  /** Decoded metadata + a fixed-width feature vector. */
+  case class Decoded(doc_id: Long, media_type: String, width: Int, height: Int,
+                     n_frames: Int, feature: Array[Float])
+
+  /** Deterministic fake codec: "decodes" shape and a feature vector
+    * from a rolling hash of the payload. A real implementation would
+    * open the container format here — the signature is the contract.
+    */
+  object StubCodec {
+    def init(): StubCodec.type = this // stands in for expensive codec init
+
+    private def h(bytes: Array[Byte], salt: Long): Long = {
+      var acc = salt
+      var i = 0
+      while (i < bytes.length) { acc = (acc * 1000003L + (bytes(i) & 0xff)) & 0xffffffffffffL; i += 1 }
+      acc
+    }
+
+    def decode(r: MediaRow): Decoded = {
+      val base = h(r.media, salt = 17L)
+      val (w, ht, frames) = r.media_type match {
+        case t if t.startsWith("image") => (64 + (base % 1024).toInt, 64 + ((base >> 10) % 1024).toInt, 1)
+        case t if t.startsWith("audio") => (1, 1, 8000 + (base % 80000).toInt) // samples
+        case _                          => (320 + (base % 640).toInt, 240 + ((base >> 10) % 480).toInt, 24 + (base % 240).toInt)
+      }
+      val feat = Array.tabulate(8)(i => ((h(r.media, salt = 31L + i) % 2048) / 1024.0f) - 1.0f)
+      Decoded(r.doc_id, r.media_type, w, ht, frames, feat)
+    }
+  }
+
+  /** Decode a media Dataset per-partition: codec init once per
+    * partition, rows streamed through it — the batch shape a real
+    * decoder needs. Map-only: scales linearly with executors.
+    */
+  def decode(ds: Dataset[MediaRow]): Dataset[Decoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map(codec.decode)
+    }
+  }
+
+  /** End-to-end: build the media frame (as `q_multimodal_meta` does),
+    * decode it, return metadata + feature summary.
+    */
+  def decodeTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Ingest.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"))
+      .as[MediaRow]
+    decode(media)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"), size(col("feature")).as("feature_dim"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators
+  * (SURVEY.md §2 non-query components; the reference is a *scheduled
+  * incremental* pipeline — ref dags/ELT.py:365 `schedule_interval` —
+  * re-expressed as continuous streams).
+  *
+  * Both jobs are partitioned on their natural keys (window/event_type,
+  * user_id), so at scale the state store shards across executors with
+  * no global stage. Watermarks bound state size.
+  */
+object Streams {
+
+  /** One event on the wire. `ts_ms` is epoch millis (see SURVEY §4). */
+  case class Ev(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
+
+  /** Ev plus its materialized event-time column — the watermark must
+    * ride WITH the rows into groupByKey, or the event-time timeout
+    * check rejects the plan.
+    */
+  case class EvW(user_id: Long, event_id: Long, ts_ms: Long,
+                 value: Double, ts: java.sql.Timestamp)
+
+  /** Emitted gap session — same shape as the batch `q_sessionize`. */
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_start_ms: Long, session_end_ms: Long, session_value: Double)
+
+  /** Per-user sessionizer state: the open session + the running id. */
+  case class SessState(sessionId: Long, startMs: Long, endMs: Long,
+                       nEvents: Long, value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * `Temporal.qStreamTumbling` (1-hour windows per event_type).
+    * Input needs columns (ts: timestamp, event_type, value).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Event-time gap sessionization with `flatMapGroupsWithState`:
+    * a session closes after [[GapMs]] of user silence. Sessions are
+    * emitted when a newer event proves the gap, or when the watermark
+    * passes sessionEnd + gap (event-time timeout) — so state is
+    * bounded by the number of *open* sessions.
+    *
+    * Semantics match the batch `Temporal.qSessionize` (session ids
+    * count up per user from 1, value summed).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 hour")
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (u: Long, it: Iterator[EvW], st: GroupState[SessState]) =>
+          sessionStep(u, it.map(e => Ev(e.user_id, e.event_id, e.ts_ms, e.value)), st))
+  }
+
+  /** One `flatMapGroupsWithState` invocation: fold the batch's events
+    * (sorted by event time) into the open session, emitting every
+    * session a proven gap closes; on timeout, flush the open session.
+    */
+  private[streaming] def sessionStep(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[Session] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      val out = state.getOption.map(st =>
+        Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)).toIterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+    var st = state.getOption.orNull
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Session]
+    for (e <- sorted) {
+      if (st == null) {
+        st = SessState(1L, e.ts_ms, e.ts_ms, 1L, e.value)
+      } else if (e.ts_ms - st.endMs > GapMs) {
+        emitted += Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)
+        st = SessState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L, e.value)
+      } else {
+        st = st.copy(endMs = e.ts_ms, nEvents = st.nEvents + 1, value = st.value + e.value)
+      }
+    }
+    if (st != null) {
+      state.update(st)
+      // flush when the watermark proves no earlier event can extend it
+      state.setTimeoutTimestamp(st.endMs + GapMs + 1)
+    }
+    emitted.iterator
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Planted-duplicate detection tests for the dedup family. The
+  * sf-table queries are rows-only checked by the driver; these specs
+  * prove the operators actually *detect* dups on controlled input.
+  */
+class DedupSpec extends SparkSpec {
+
+  // ~160-word base text (40 words × 4); nearDup differs in ONE word
+  // occurrence → 3 of ~158 word-3gram shingles change (J ≈ 0.96,
+  // simhash hamming small and stable).
+  private val words40 = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four " +
+    "five six seven eight nine ten eleven twelve thirteen fourteen")
+  private val base = Seq.fill(4)(words40).mkString(" ")
+  private val nearDup = base.replaceFirst("oscar", "doctor")
+  private val unrelated1 = "red green blue cyan magenta yellow black white gray pink " +
+    "orange purple brown teal navy olive maroon silver gold bronze"
+  private val unrelated2 = "monday tuesday wednesday thursday friday saturday sunday " +
+    "january february march april may june july august september october november december"
+
+  private lazy val dir = docsDir(Seq(
+    1L -> base, 2L -> nearDup, 3L -> unrelated1, 4L -> unrelated2,
+    5L -> "Alpha  Bravo CHARLIE", 6L -> "alpha bravo charlie"))
+
+  test("exact dedup groups case/whitespace-normalized duplicates, min-id survivor") {
+    val got = Dedup.qDedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(5L) === ((2L, 5L, false)), "doc 5 survives (min id of its group)")
+    assert(got(6L) === ((2L, 5L, true)), "doc 6 is the duplicate")
+    assert(got(1L)._1 === 1L, "near-dup is NOT an exact dup")
+  }
+
+  test("minhash LSH finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.qDedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.8 },
+      s"planted pair (1,2) must surface, got ${pairs.mkString(",")}")
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"no unrelated pair may pass the 0.5 threshold, got ${pairs.mkString(",")}")
+  }
+
+  test("simhash banding finds the planted near-dup with small hamming") {
+    val pairs = Dedup.qDedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 8 },
+      s"planted pair (1,2) must surface, got ${pairs.mkString(",")}")
+  }
+
+  test("char n-gram jaccard verifies the planted pair above threshold") {
+    val pairs = Dedup.qNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.6 },
+      s"planted pair (1,2) must surface, got ${pairs.mkString(",")}")
+  }
+
+  test("embedding LSH dedup flags planted near-identical vectors") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val rnd = new scala.util.Random(99)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val v1b = v1.map(x => x + 0.001f) // near-identical: cosine ≈ 1
+    val rows = Seq((0L, v1.toSeq, 0), (1L, v1b.toSeq, 0)) ++
+      (2L to 19L).map(i => (i, vec().toSeq, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Dedup.qDedupEmbedding(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 20, "per-vector output: one row per vector")
+    val r0 = got(0L)
+    assert(!r0.isNullAt(3) && r0.getLong(3) === 1L, "vec 0's best mate must be vec 1")
+    assert(r0.getDouble(4) > 0.99, "near-identical cosine")
+    assert(r0.getBoolean(5), "is_dup must flag the planted pair")
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (getOrCreate — one JVM, one
+  * SparkContext across the forked test run).
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  val sf0001 = "/root/testdata/sf0.001"
+
+  /** Write a tiny documents table into a temp sf-layout dir. */
+  def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** Structured Streaming twins vs their batch semantics, driven through
+  * MemoryStream. A far-future sentinel event advances the watermark so
+  * windows close / sessions flush deterministically.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private val H = 3600L * 1000L // one hour in ms
+  private val FarFuture = 1000L * H
+
+  test("tumblingCounts: watermarked 1h windows match hand-computed counts") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val events = ms.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+    val q = Streams.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    try {
+      // window [0h,1h): 2 clicks (3.0); [1h,2h): 1 purchase (5.5)
+      ms.addData((10L * 60 * 1000, "click", 1.0), (20L * 60 * 1000, "click", 2.0),
+        (H + 5, "purchase", 5.5))
+      q.processAllAvailable()
+      ms.addData((FarFuture, "sentinel", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT window_start_ms, event_type, n_events, total_value
+          |FROM tumbling WHERE event_type <> 'sentinel'
+          |ORDER BY window_start_ms, event_type""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === Seq((0L, "click", 2L, 3.0), (H, "purchase", 1L, 5.5)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap sessions match batch semantics, flushed by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val gap = Streams.GapMs
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // Base offset keeps every event above the initial watermark (0).
+      // user 1: two events 10 min apart (one session), then one event
+      // past the 30-min gap (second session). user 2: one event.
+      val B = 24L * H
+      ms.addData(
+        Ev(1L, 1L, B, 1.0), Ev(1L, 2L, B + 10L * 60 * 1000, 2.0),
+        Ev(1L, 3L, B + 10L * 60 * 1000 + gap + 1, 4.0),
+        Ev(2L, 4L, B, 7.0))
+      q.processAllAvailable()
+      ms.addData(Ev(999L, 5L, FarFuture, 0.0)) // watermark → timeout flush
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT user_id, session_id, n_events, session_start_ms, session_end_ms, session_value
+          |FROM sessions WHERE user_id <> 999 ORDER BY user_id, session_id""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      assert(got.toSeq === Seq(
+        (1L, 1L, 2L, B, B + 10L * 60 * 1000, 3.0),
+        (1L, 2L, 1L, B + 10L * 60 * 1000 + gap + 1, B + 10L * 60 * 1000 + gap + 1, 4.0),
+        (2L, 1L, 1L, B, B, 7.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Edge-case behavior of the text-analysis operators (the sf-table
+  * versions are oracle-checked; these cover inputs the test corpus
+  * doesn't contain).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private lazy val dir = docsDir(Seq(
+    1L -> "the a of and to is",                      // all English stopwords
+    2L -> "x",                                       // single token
+    3L -> "!!! ??? ...",                             // punctuation only
+    4L -> "el la de que y en el la de que",          // Spanish markers
+    5L -> "中文文本",                // CJK
+    6L -> "the quick brown fox jumps over the lazy dog and runs away fast"))
+
+  test("lang_id: stopword vote + CJK detection, deterministic tie-breaks") {
+    val got = TextOps.qLangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(got(1L) === "en")
+    assert(got(4L) === "es")
+    assert(got(5L) === "zh")
+    assert(got(6L) === "en")
+    assert(got(3L) === "en", "no markers anywhere → en by fixed tie-break order")
+  }
+
+  test("quality score: short/punct docs rejected, normal prose kept") {
+    val got = TextOps.qQualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(!got(2L), "1-word doc fails the n_words >= 5 rule")
+    assert(!got(3L), "punctuation-only doc fails punct_ratio < 0.2")
+    assert(got(6L), "normal prose passes")
+  }
+
+  test("token count: BPE-ish regex splits punctuation, handles edge docs") {
+    val got = TextOps.qTokenCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(2L) === ((1L, 1L)))
+    assert(got(3L)._2 === 9L, "each mark is its own BPE-ish token (3+3+3)")
+    assert(got(6L)._1 === 13L, "13 whitespace tokens")
+  }
+
+  test("fingerprint: deterministic, text-sensitive, prefix-stable") {
+    val a = TextOps.qFingerprint(spark, dir).collect()
+    val b = TextOps.qFingerprint(spark, dir).collect()
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq, "deterministic")
+    assert(a.map(_.getLong(1)).distinct.length === a.length, "distinct texts → distinct fp64")
+    val fpAll = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fpPre = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fpAll(2L) === fpPre(2L), "short doc: full fp equals prefix fp")
+  }
+}

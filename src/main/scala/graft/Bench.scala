@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Methodology (VERDICT r1 "What's wrong" #4):
+  *   - a full warmup pass first, so JVM/codegen/parquet-footer warmup
+  *     isn't billed to whichever query runs first;
+  *   - fixed (sorted) query order, so rounds are comparable;
+  *   - `noop` sink, so the measured plan is the *declared* plan —
+  *     `count()` would let Catalyst drop the final sort and prune
+  *     every unreferenced column.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,14 +20,22 @@ object Bench {
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    names.foreach(runOne) // warmup pass (discarded)
+    val results = names.map(n => n -> runOne(n))
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

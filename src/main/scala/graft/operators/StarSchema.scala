@@ -349,10 +349,15 @@ object StarSchema {
     val dd = dimDateOf(e)
       .withColumn("day_name", date_format(col("full_date"), "EEEE"))
       .withColumn("is_weekend", dayofweek(col("full_date")).isin(1, 7))
+      .withColumn("holiday_name", holidayNameCol(col("full_date")))
     val dt = dimTimeOf(e)
       .withColumn("time_of_day",
         when(col("h") < 6, "Night").when(col("h") < 12, "Morning")
           .when(col("h") < 18, "Afternoon").otherwise("Evening"))
+      .withColumn("full_time12",
+        concat(lpad(when(col("h") % 12 === 0, 12).otherwise(col("h") % 12).cast("string"), 2, "0"),
+          lit(":"), lpad(col("m").cast("string"), 2, "0"), lit(" "),
+          when(col("h") < 12, "AM").otherwise("PM")))
     e.withColumn("full_date", to_date(col("ts")))
       .withColumn("h", hour(col("ts")).cast("int"))
       .withColumn("m", minute(col("ts")).cast("int"))
@@ -362,7 +367,8 @@ object StarSchema {
       .select(
         col("event_id"),
         date_format(col("full_date"), "yyyy-MM-dd").as("full_date_str"),
-        col("day_name"), col("is_weekend"), col("time_of_day"),
+        col("day_name"), col("is_weekend"), col("holiday_name"),
+        col("time_of_day"), col("full_time12"),
         col("event_type"), col("value"),
         date_format(col("full_date"), "yyyy-MM").as("year_month"))
       .orderBy("event_id")
@@ -371,16 +377,20 @@ object StarSchema {
   val qStarReportSql: String =
     """WITH dd AS (
       |  SELECT d AS full_date, dayname(d) AS day_name,
-      |         (dayofweek(d) + 1) IN (1, 7) AS is_weekend
+      |         (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+      |         """.stripMargin + holidaySql("d") + """ AS holiday_name
       |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) t),
       |dt AS (
       |  SELECT h, m,
       |         CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
-      |              WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day
+      |              WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day,
+      |         lpad(CAST(CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END AS VARCHAR), 2, '0')
+      |           || ':' || lpad(CAST(m AS VARCHAR), 2, '0')
+      |           || ' ' || CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS full_time12
       |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t)
       |SELECT e.event_id,
       |  strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS full_date_str,
-      |  dd.day_name, dd.is_weekend, dt.time_of_day,
+      |  dd.day_name, dd.is_weekend, dd.holiday_name, dt.time_of_day, dt.full_time12,
       |  e.event_type, e.value,
       |  strftime(CAST(e.ts AS DATE), '%Y-%m') AS year_month
       |FROM events e

@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

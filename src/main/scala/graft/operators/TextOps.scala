@@ -150,10 +150,8 @@ object TextOps {
     docs(s, dir)
       .select(
         col("doc_id"),
-        expr(s"aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 1000003L + ascii(ch)) % ${fpMod}L)")
-          .as("fp64"),
-        expr(s"aggregate(split(substring(text, 1, 64), ''), 0L, (acc, ch) -> (acc * 1000003L + ascii(ch)) % ${fpMod}L)")
-          .as("fp_prefix64"),
+        graft.functions.GraftFunctions.fingerprint(col("text")).as("fp64"),
+        graft.functions.GraftFunctions.fingerprint(substring(col("text"), 1, 64)).as("fp_prefix64"),
         length(col("text")).cast("long").as("n_chars_c"))
       .orderBy("doc_id")
 

@@ -1,12 +1,16 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each operator module contributes a `queries` map (Spark plan) and an
-  * `oracle` map (equivalent DuckDB SQL); this object is just the union.
+  * `oracle` map (equivalent DuckDB SQL); this object is the union, plus
+  * the presentation layer (VERDICT r1 #5: production plans must not
+  * carry the oracle's global ORDER BY — a total sort of a per-row
+  * output is pure harness overhead at 100 TB).
   */
 object SparkEntry {
 
@@ -14,10 +18,63 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q5StarJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
       Dedup.queries ++ Ann.queries
+
+  /** Presentation row order per query — the deterministic ORDER BY the
+    * DuckDB oracle compare needs. Queries absent here either return
+    * intrinsically ordered results (q3_topn's TakeOrderedAndProject)
+    * or a single row (q6_filter).
+    */
+  val presentationSort: Map[String, Seq[String]] = Map(
+    "q1_pricing"        -> Seq("l_returnflag", "l_linestatus"),
+    "q5_starjoin"       -> Seq("nation_name"),
+    "q_window_rank"     -> Seq("brand", "rk", "partkey"),
+    "q_rollup"          -> Seq("year_g", "quarter_g"),
+    "q_pivot"           -> Seq("user_id"),
+    "q_monthly_trend"   -> Seq("year_month"),
+    "q_range_join"      -> Seq("band_id"),
+    "q_ingest_typecast" -> Seq("event_id"),
+    "q_dim_date"        -> Seq("full_date"),
+    "q_dim_time"        -> Seq("time_id"),
+    "q_dim_geo"         -> Seq("location_id"),
+    "q_dim_status"      -> Seq("status_id"),
+    "q_fact_build"      -> Seq("event_id"),
+    "q_star_report"     -> Seq("event_id"),
+    "q_sessionize"      -> Seq("user_id", "session_id"),
+    "q_asof_join"       -> Seq("purchase_id"),
+    "q_stream_tumbling" -> Seq("window_start_ms", "event_type"),
+    "q_lang_id"         -> Seq("doc_id"),
+    "q_quality_score"   -> Seq("doc_id"),
+    "q_token_count"     -> Seq("doc_id"),
+    "q_fingerprint"     -> Seq("doc_id"),
+    "q_multimodal_meta" -> Seq("doc_id"),
+    "q_dedup_exact"     -> Seq("doc_id"),
+    "q_dedup_minhash"   -> Seq("id_a", "id_b"),
+    "q_dedup_simhash"   -> Seq("id_a", "id_b"),
+    "q_ngram_jaccard"   -> Seq("id_a", "id_b"),
+    "q_dedup_embedding" -> Seq("vec_id"),
+    "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
+    "q_ann_lsh"         -> Seq("query_id", "rnk")
+  )
+
+  /** Production plans — the library API. No presentation sort. */
+  def plans: Map[String, (SparkSession, String) => DataFrame] = registry
+
+  /** One entry per implemented operator from SURVEY.md §2: the
+    * production plan plus the oracle's presentation ORDER BY.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, fn) =>
+      n -> { (s: SparkSession, d: String) =>
+        val df = fn(s, d)
+        presentationSort.get(n) match {
+          case Some(ks) if ks.nonEmpty => df.orderBy(ks.map(col): _*)
+          case _                       => df
+        }
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.

@@ -39,7 +39,6 @@ object Ann {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rnk") <= K)
       .select("query_id", "neighbor_id", "rnk", "cosine")
-      .orderBy("query_id", "rnk")
 
   // ------------------------------------------------------------------
   // Row 24: brute-force cosine top-k — the exact baseline.

@@ -12,9 +12,11 @@ import graft.sources.Ingest
   * near-dup.
   *
   * Scale design (100 TB / 1000 executors):
-  *   - Signatures (MinHash, SimHash, LSH buckets) are computed as
-  *     map-only codegen'd SQL-lambda pipelines — one pass over each
-  *     document's shingle array, no explode, no shuffle.
+  *   - Signatures (MinHash, SimHash) are explode → codegen'd groupBy
+  *     aggregates: the shingle stream never leaves the map side
+  *     un-combined (partial aggregation emits one k-slot row per doc
+  *     per partition), and every arithmetic op stays inside
+  *     whole-stage codegen.
   *   - Candidate generation is always a *bucketed equi self-join* on
   *     (band, bucket): the only shuffle is hash-partitioned on the
   *     band key, never an all-pairs cross product. Hot-bucket skew is
@@ -45,7 +47,6 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("survivor_id", min("doc_id").over(w))
       .withColumn("is_dup", col("doc_id") =!= col("survivor_id"))
-      .orderBy("doc_id")
   }
 
   val qDedupExactSql: String =
@@ -157,7 +158,6 @@ object Dedup {
     jaccardVerify(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------------
@@ -216,7 +216,6 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
-      .orderBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------------
@@ -281,7 +280,6 @@ object Dedup {
       .select("vec_id", "bucket", "n_bucket_mates")
       .join(best, Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("best_cosine") >= 0.95, lit(false)))
-      .orderBy("vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

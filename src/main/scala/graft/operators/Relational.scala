@@ -48,7 +48,6 @@ object Relational {
         (col("sd").cast("double") / col("count_order")).as("avg_disc"),
         col("count_order")
       )
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1PricingSql: String =
@@ -152,7 +151,6 @@ object Relational {
         sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount"))))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
-      .orderBy("nation_name")
   }
 
   val q5StarJoinSql: String =
@@ -186,7 +184,6 @@ object Relational {
     rev.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("p_brand").as("brand"), col("p_partkey").as("partkey"), col("revenue"), col("rk"))
-      .orderBy("brand", "rk", "partkey")
   }
 
   val qWindowRankSql: String =
@@ -219,7 +216,6 @@ object Relational {
         coalesce(col("y"), lit(-1)).as("year_g"),
         coalesce(col("q"), lit(-1)).as("quarter_g"),
         col("n_orders"), col("total_price"))
-      .orderBy("year_g", "quarter_g")
   }
 
   val qRollupSql: String =
@@ -246,7 +242,6 @@ object Relational {
     withCols
       .select(col("user_id") +: eventTypes.map(et => col(s"n_$et")): _*)
       .withColumn("n_total", eventTypes.map(et => col(s"n_$et")).reduce(_ + _))
-      .orderBy("user_id")
   }
 
   val qPivotSql: String =
@@ -275,7 +270,6 @@ object Relational {
         col("n_orders"),
         col("tp").cast("double").as("total_price"),
         (col("tp").cast("double") / col("n_orders")).as("avg_price"))
-      .orderBy("year_month")
   }
 
   val qMonthlyTrendSql: String =
@@ -301,7 +295,6 @@ object Relational {
       .groupBy(col("band_id"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_orders"),
            sum(money(col("o_totalprice"))).cast("double").as("total_price"))
-      .orderBy("band_id")
   }
 
   val qRangeJoinSql: String =

@@ -39,7 +39,6 @@ object StarSchema {
       coalesce(col("value"), lit(0.0)).as("value_filled"),
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_prop"))
     Surrogate.rankedId(base, Seq("event_id"), "surrogate_id")
-      .orderBy("event_id")
   }
 
   val qIngestTypecastSql: String =
@@ -115,7 +114,6 @@ object StarSchema {
         holidayNameCol(col("d")).isNotNull.as("is_holiday"),
         date_format(add_months(col("d"), -12), "yyyy-MM-dd").as("same_day_prev_year"),
         ceil(dayofmonth(col("d")) / 7.0).cast("int").as("week_number_of_month"))
-      .orderBy("full_date")
   }
 
   val qDimDateSql: String =
@@ -178,7 +176,6 @@ object StarSchema {
           .when(col("hour24") < 12, "Morning")
           .when(col("hour24") < 18, "Afternoon")
           .otherwise("Evening").as("time_of_day"))
-      .orderBy("time_id")
   }
 
   val qDimTimeSql: String =
@@ -207,7 +204,6 @@ object StarSchema {
       .withColumn("location_id",
         row_number().over(Window.orderBy("nation_name", "region_name")).cast("long"))
       .select("location_id", "nation_name", "region_name")
-      .orderBy("location_id")
   }
 
   val qDimGeoSql: String =
@@ -229,7 +225,6 @@ object StarSchema {
       .withColumn("status_id",
         row_number().over(Window.orderBy("order_status", "order_priority")).cast("long"))
       .select("status_id", "order_status", "order_priority")
-      .orderBy("status_id")
   }
 
   val qDimStatusSql: String =
@@ -303,7 +298,6 @@ object StarSchema {
               col("incident_date_id"), col("incident_time_id"),
               col("report_date_id"), col("report_time_id"),
               col("user_dim_id"), col("type_id"), col("value"))
-      .orderBy("event_id")
   }
 
   private val factSqlCtes: String =
@@ -371,7 +365,6 @@ object StarSchema {
         col("time_of_day"), col("full_time12"),
         col("event_type"), col("value"),
         date_format(col("full_date"), "yyyy-MM").as("year_month"))
-      .orderBy("event_id")
   }
 
   val qStarReportSql: String =

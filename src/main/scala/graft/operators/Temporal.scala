@@ -33,7 +33,6 @@ object Temporal {
         min(col("ts_ms")).as("session_start_ms"),
         max(col("ts_ms")).as("session_end_ms"),
         sum(money(col("value"))).cast("double").as("session_value"))
-      .orderBy("user_id", "session_id")
   }
 
   val qSessionizeSql: String =
@@ -79,7 +78,6 @@ object Temporal {
         col("id").as("purchase_id"), col("user_id"), col("t").as("purchase_ms"),
         col("last_click_id"), col("last_click_ms"),
         (col("t") - col("last_click_ms")).as("gap_ms"))
-      .orderBy("purchase_id")
   }
 
   val qAsofJoinSql: String =
@@ -113,7 +111,6 @@ object Temporal {
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
-      .orderBy("window_start_ms", "event_type")
   }
 
   val qStreamTumblingSql: String =

@@ -53,7 +53,6 @@ object TextOps {
           .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
           .when(col("s_de") >= col("s_fr"), "de")
           .otherwise("fr"))
-      .orderBy("doc_id")
 
   val qLangIdSql: String =
     s"""SELECT doc_id,
@@ -93,7 +92,6 @@ object TextOps {
         col("punct_ratio") < 0.2)
       .select("doc_id", "n_chars_c", "n_words", "avg_word_len",
               "stopword_ratio", "punct_ratio", "is_keep")
-      .orderBy("doc_id")
 
   val qQualityScoreSql: String =
     s"""SELECT doc_id,
@@ -126,7 +124,6 @@ object TextOps {
         expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("n_bpe_tokens"))
       .withColumn("chars_per_token",
         col("n_chars_c").cast("double") / col("n_bpe_tokens"))
-      .orderBy("doc_id")
 
   val qTokenCountSql: String =
     s"""SELECT doc_id,
@@ -153,7 +150,6 @@ object TextOps {
         graft.functions.GraftFunctions.fingerprint(col("text")).as("fp64"),
         graft.functions.GraftFunctions.fingerprint(substring(col("text"), 1, 64)).as("fp_prefix64"),
         length(col("text")).cast("long").as("n_chars_c"))
-      .orderBy("doc_id")
 
   private def duckFp(input: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($input, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 1000003 + c) % $fpMod)"
@@ -181,7 +177,6 @@ object TextOps {
           .otherwise("video/mp4").as("media_type"),
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         md5(col("text").cast("binary")).as("content_md5"))
-      .orderBy("doc_id")
 
   val qMultimodalMetaSql: String =
     """SELECT doc_id,

@@ -43,8 +43,8 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("fingerprint: deterministic, text-sensitive, prefix-stable") {
-    val a = TextOps.qFingerprint(spark, dir).collect()
-    val b = TextOps.qFingerprint(spark, dir).collect()
+    val a = TextOps.qFingerprint(spark, dir).collect().sortBy(_.getLong(0))
+    val b = TextOps.qFingerprint(spark, dir).collect().sortBy(_.getLong(0))
     assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq, "deterministic")
     assert(a.map(_.getLong(1)).distinct.length === a.length, "distinct texts → distinct fp64")
     val fpAll = a.map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -58,4 +58,15 @@ object Ingest {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed (and bucket-sorted) parquet table writer: pre-shuffles on
+    * the bucket key once at write time so every later equi-join or
+    * aggregation on that key reads co-located buckets and skips its
+    * shuffle — the standing answer to "this fact table is joined on
+    * orderkey every day" at 100 TB. Bucketed tables require the
+    * catalog, hence `saveAsTable`.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 }

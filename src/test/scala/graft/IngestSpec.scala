@@ -39,6 +39,43 @@ class IngestSpec extends SparkSpec {
     assert(got(2).isNullAt(2), "empty timestamp must read as NULL")
   }
 
+  test("writePartitioned: reader filter becomes a partition filter, not a scan filter") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val e = Ingest.events(spark, sf0001).select("event_id", "event_type", "value")
+    Ingest.writePartitioned(e, dir, Seq("event_type"))
+    val back = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"event_type must prune partitions:\n$scan")
+    assert(back.count() > 0)
+  }
+
+  test("writeBucketed: equi-join on the bucket key runs without a shuffle") {
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df1 = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v1")
+      val df2 = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "v2")
+      Ingest.writeBucketed(df1, "graft_b1", "k", 8)
+      Ingest.writeBucketed(df2, "graft_b2", "k", 8)
+      val joined = s.table("graft_b1").join(s.table("graft_b2"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      s.sql("DROP TABLE IF EXISTS graft_b1")
+      s.sql("DROP TABLE IF EXISTS graft_b2")
+    }
+  }
+
   test("events: TIMESTAMP(NANOS) normalization to epoch millis") {
     val e = Ingest.events(spark, sf0001)
     val r = e.selectExpr("count(*) AS n",

@@ -83,10 +83,6 @@ object Dedup {
   private def wordShingles(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, $n))))"
 
-  /** Character n-gram shingles. */
-  private def charShingles(n: Int): String =
-    s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n)))"
-
   /** (doc_id, h) rows: one row per shingle occurrence, shingle hashed
     * and pre-reduced mod P. Explode-then-aggregate keeps every
     * signature computation inside whole-stage codegen (SQL-lambda
@@ -175,10 +171,29 @@ object Dedup {
   // pairs sit at J≈0.11 (band-collision rate 0.3%) while near-dups
   // stay ≥0.9 — 4-grams would push ~11% of ALL pairs into the verify
   // join, a quadratic blowup at scale.
+  //
+  // Signature and shingle-set come from the native one-pass codegen
+  // expressions ([[graft.functions.CharNgramMinHash]]): char shingles
+  // are ~4× denser than word shingles, so here even the exploded
+  // aggregate is dominated by shingle-row volume — with the native
+  // expression the whole signature stage is map-only and the first
+  // shuffle in the pipeline is the candidate join itself.
   // ------------------------------------------------------------------
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    minhashPipeline(docs(s, dir), charShingles(6), seed = 0x5EED0002L,
-      k = 64, bands = 16, threshold = 0.6)
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharNgramFunctions._
+    val (n, k, bands, rows, threshold) = (6, 64, 16, 4, 0.6)
+    val d = docs(s, dir)
+    val sig = d.select(col("doc_id"),
+      charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
+    val bandDf = sig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig_arr, j * $rows + 1, $rows), j))"))
+        .as(Seq("band", "bucket")))
+    val sets = d.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
+    jaccardVerify(candidatePairs(bandDf), sets)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   // ------------------------------------------------------------------
   // Row 21: SimHash-64 fingerprint + banded hamming near-dup.

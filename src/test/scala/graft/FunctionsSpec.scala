@@ -28,6 +28,25 @@ class FunctionsSpec extends SparkSpec {
     assert(got === ((((('a'.toInt * 1000003L + 'b') % RollingFingerprint.M) * 1000003L + 'c') % RollingFingerprint.M)))
   }
 
+  test("char-ngram minhash: identical texts → identical signatures; near-dups agree on most slots") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.CharNgramFunctions._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val near = base.replaceFirst("quick", "rapid")
+    val other = "entirely different content with no overlap whatsoever " * 8
+    val rows = Seq((1L, base), (2L, base), (3L, near), (4L, other)).toDF("id", "t")
+      .select($"id", charMinHash($"t", 6, 64, 7L).as("sig"), charNgramHashes($"t", 6).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(rows(1L)._1 === rows(2L)._1, "identical text → identical signature")
+    assert(rows(1L)._2 === rows(2L)._2, "identical text → identical hash set")
+    val agree = rows(1L)._1.zip(rows(3L)._1).count { case (x, y) => x == y }
+    assert(agree > 40, s"near-dup should agree on most of 64 slots, got $agree")
+    val agreeOther = rows(1L)._1.zip(rows(4L)._1).count { case (x, y) => x == y }
+    assert(agreeOther < agree, "unrelated text must agree on fewer slots")
+    assert(rows(1L)._2.distinct.length === rows(1L)._2.length, "hash set is distinct")
+  }
+
   test("null input → null output") {
     val s = spark
     import s.implicits._

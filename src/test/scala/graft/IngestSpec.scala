@@ -39,6 +39,25 @@ class IngestSpec extends SparkSpec {
     assert(got(2).isNullAt(2), "empty timestamp must read as NULL")
   }
 
+  test("jsonLines: schema-first JSON-lines read with missing fields as NULL") {
+    val dir = Files.createTempDirectory("graft-json")
+    val f = dir.resolve("rows.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "name": "a", "score": 1.5}
+        |{"id": 2, "score": 2.5}
+        |{"id": 3, "name": "c"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val got = Ingest.jsonLines(spark, f.toString, schema).orderBy("id").collect()
+    assert(got.length === 3)
+    assert(got(1).isNullAt(1), "missing name → NULL")
+    assert(got(2).isNullAt(2), "missing score → NULL")
+    assert(got(0).getString(1) === "a" && got(0).getDouble(2) === 1.5)
+  }
+
   test("writePartitioned: reader filter becomes a partition filter, not a scan filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     val e = Ingest.events(spark, sf0001).select("event_id", "event_type", "value")

@@ -203,19 +203,11 @@ object Dedup {
   // threshold below.
   // ------------------------------------------------------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // word 3-grams WITH multiplicity (counts weight the bit sums)
-    val feats =
-      "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-    val hs = docs(s, dir)
-      .select(col("doc_id"), explode(expr(feats)).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    // 64 codegen'd ±1 sums (partial-aggregated map-side), then pack signs
-    val bitCols = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b_$k"))
-    val sigDf = hs.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(k => when(col(s"b_$k") > 0, lit(1L << k)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    // One-pass native expression (word 3-grams WITH multiplicity —
+    // counts weight the bit sums): the signature stage is map-only,
+    // the first shuffle is the band-bucket candidate join.
+    val sigDf = docs(s, dir).select(col("doc_id"),
+      graft.functions.WordNgramSimHash.column(col("text"), 3).as("simhash"))
     val bandDf = sigDf.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(

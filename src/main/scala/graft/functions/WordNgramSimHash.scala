@@ -38,43 +38,14 @@ case class WordNgramSimHash(child: Expression, n: Int) extends UnaryExpression {
 
 object WordNgramSimHash {
 
-  /** splitmix64 finalizer — uniform bits from a polynomial prefix. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Callable from generated code (static forwarder on the object). */
   def simhash(s: String, n: Int): Long = {
-    // one pass: polynomial word hashes (split on single spaces, empty
-    // words included — same tokenization as split(text, ' '))
-    val len = s.length
-    var nw = 1
-    var i = 0
-    while (i < len) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
-    val wh = new Array[Long](nw)
-    var w = 0
-    var h = 0L
-    i = 0
-    while (i < len) {
-      val ch = s.charAt(i)
-      if (ch == ' ') { wh(w) = mix(h); w += 1; h = 0L }
-      else h = h * 31L + ch
-      i += 1
-    }
-    wh(w) = mix(h)
-
-    val m = math.max(nw - n + 1, 1)
+    val wh = NgramHashing.wordHashes(s)
+    val m = NgramHashing.windows(wh.length, n)
     val sums = new Array[Int](64)
-    i = 0
+    var i = 0
     while (i < m) {
-      var f = 0L
-      var j = i
-      val end = math.min(i + n, nw)
-      while (j < end) { f = f * 1000003L + wh(j); j += 1 }
-      f = mix(f)
+      val f = NgramHashing.featureHash(wh, i, n)
       var k = 0
       while (k < 64) {
         if (((f >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1

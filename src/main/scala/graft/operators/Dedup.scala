@@ -62,58 +62,15 @@ object Dedup {
   // Shared LSH machinery
   // ------------------------------------------------------------------
 
-  /** Mersenne prime 2^31-1: shingle hashes are pre-reduced mod P so
-    * every (a*h + b) stays < 2^62 — exact under ANSI arithmetic.
+  /** (doc_id, band, bucket) rows from an array-typed signature column
+    * `sig_arr`: `bands` slices of `rows` slots, each hashed (with the
+    * band index) to a bucket id.
     */
-  private val P = 2147483647L
-
-  /** Deterministic MinHash coefficients (fixed seed — the signature is
-    * part of the operator's contract, it must never drift).
-    */
-  private def coeffs(seed: Long, k: Int): (Array[Long], Array[Long]) = {
-    val r = new scala.util.Random(seed)
-    val a = Array.fill(k)(1L + r.nextInt((P - 1).toInt).toLong)
-    val b = Array.fill(k)(r.nextInt(P.toInt).toLong)
-    (a, b)
-  }
-
-  /** Word n-gram shingles of `text` (with a 1-shingle floor so short
-    * docs still sign). array_distinct → set semantics for Jaccard.
-    */
-  private def wordShingles(n: Int): String =
-    s"array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, $n))))"
-
-  /** (doc_id, h) rows: one row per shingle occurrence, shingle hashed
-    * and pre-reduced mod P. Explode-then-aggregate keeps every
-    * signature computation inside whole-stage codegen (SQL-lambda
-    * folds are interpreted per element — 64× slower at sf0.1) and maps
-    * onto Spark's partial aggregation: the shuffle after the map-side
-    * combine is one row of k minima per (doc, partition), not the
-    * shingle stream.
-    */
-  private def shingleHashRows(d: DataFrame, shingleSql: String): DataFrame =
-    d.select(col("doc_id"), explode(expr(shingleSql)).as("t"))
-      .select(col("doc_id"), pmod(xxhash64(col("t")), lit(P)).as("h"))
-
-  /** k-slot MinHash signature: 64 codegen'd `min` aggregates over the
-    * exploded shingle hashes (min is duplicate-insensitive, so multiset
-    * input ≡ set input).
-    */
-  private def minhashSig(hs: DataFrame, seed: Long, k: Int): DataFrame = {
-    val (a, b) = coeffs(seed, k)
-    val sigCols = (0 until k).map(i =>
-      min((lit(a(i)) * col("h") + lit(b(i))) % P).as(s"mh_$i"))
-    hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
-
-  /** (doc_id, band, bucket) rows: `bands` groups of `rows` signature
-    * slots, each hashed (with the band index) to a bucket id.
-    */
-  private def bandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val buckets = (0 until bands).map(j =>
-      xxhash64((0 until rows).map(r => col(s"mh_${j * rows + r}")) :+ lit(j): _*))
-    sigDf.select(col("doc_id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
-  }
+  private def sigBandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigDf.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig_arr, j * $rows + 1, $rows), j))"))
+        .as(Seq("band", "bucket")))
 
   /** Distinct candidate pairs (id_a < id_b) from an LSH band table:
     * equi self-join on (band, bucket) — the only shuffle in the
@@ -140,29 +97,24 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))))
 
-  /** MinHash+LSH near-dup pipeline over a shingle expression:
-    * exploded shingle hashes → k-minhash aggregate → band buckets →
-    * bucketed self-join → exact-Jaccard verify → threshold.
-    */
-  private def minhashPipeline(
-      d: DataFrame, shingleSql: String, seed: Long,
-      k: Int, bands: Int, threshold: Double): DataFrame = {
-    val hs = shingleHashRows(d, shingleSql)
-    val sig = minhashSig(hs, seed, k)
-    val sets = hs.groupBy("doc_id").agg(collect_set("h").as("sh"))
-    val cand = candidatePairs(bandRows(sig, bands, k / bands))
-    jaccardVerify(cand, sets)
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
   // ------------------------------------------------------------------
   // Row 20: MinHash + LSH banding over word 3-gram shingles.
   // b=16 bands × r=4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5.
+  // Signature and shingle-set come from the one-pass native
+  // expressions ([[graft.functions.WordNgramMinHash]]) — map-only
+  // until the band-bucket candidate join.
   // ------------------------------------------------------------------
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    minhashPipeline(docs(s, dir), wordShingles(3), seed = 0x5EED0001L,
-      k = 64, bands = 16, threshold = 0.5)
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{WordNgramMinHash, WordNgramHashes}
+    val (n, k, bands, rows, threshold) = (3, 64, 16, 4, 0.5)
+    val d = docs(s, dir)
+    val sig = d.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), n, k, seed = 0x5EED0001L).as("sig_arr"))
+    val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), n).as("sh"))
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   // ------------------------------------------------------------------
   // Row 22: character 6-gram Jaccard on LSH candidate pairs — same
@@ -185,12 +137,8 @@ object Dedup {
     val d = docs(s, dir)
     val sig = d.select(col("doc_id"),
       charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
-    val bandDf = sig.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig_arr, j * $rows + 1, $rows), j))"))
-        .as(Seq("band", "bucket")))
     val sets = d.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(bandDf), sets)
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -75,15 +75,28 @@ object Dedup {
   /** Distinct candidate pairs (id_a < id_b) from an LSH band table:
     * equi self-join on (band, bucket) — the only shuffle in the
     * candidate step, hash-partitioned on the band key.
+    *
+    * `hotBucketCap` drops buckets holding more members than the cap
+    * BEFORE the self-join: a degenerate bucket (boilerplate/empty
+    * documents all colliding) would otherwise contribute O(size²)
+    * pairs — the classic quadratic blowup of naive near-dup at
+    * 100 TB. Capped members still pair through their other bands.
+    * The sizing window partitions on the same (band, bucket) key as
+    * the join, so Catalyst reuses one exchange — the cap is free.
     */
-  private def candidatePairs(bandDf: DataFrame): DataFrame =
-    bandDf.alias("a")
-      .join(bandDf.alias("b"),
+  private[graft] def candidatePairs(bandDf: DataFrame, hotBucketCap: Int = 1000): DataFrame = {
+    val sized = bandDf
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= hotBucketCap)
+      .drop("bsize")
+    sized.alias("a")
+      .join(sized.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
 
   /** Exact Jaccard over hashed shingle sets, joined onto candidate
     * pairs. Long-array intersect is far cheaper than string compares;

@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
       s"planted pair (1,2) must surface, got ${pairs.mkString(",")}")
   }
 
+  test("hot-bucket cap drops degenerate buckets, keeps normal ones") {
+    val s = spark
+    import s.implicits._
+    // 50 docs colliding in one bucket (degenerate), 2 in another
+    val bandRows = ((1L to 50L).map(id => (id, 0, 777L)) ++ Seq((100L, 0, 42L), (101L, 0, 42L)))
+      .toDF("doc_id", "band", "bucket")
+    val pairs = graft.operators.Dedup.candidatePairs(bandRows, hotBucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((100L, 101L)),
+      "only the small bucket may produce pairs under the cap")
+  }
+
   test("embedding LSH dedup flags planted near-identical vectors") {
     val s = spark
     import s.implicits._

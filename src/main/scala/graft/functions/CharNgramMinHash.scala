@@ -129,7 +129,9 @@ case class CharNgramHashes(child: Expression, n: Int) extends CharNgramBase {
     var i = 0
     val m = windows(s.length)
     while (i < m) { set.add(windowHash(s, i)); i += 1 }
-    new GenericArrayData(set.toArray)
+    val arr = set.toArray
+    java.util.Arrays.sort(arr) // sorted contract → merge-count Jaccard
+    new GenericArrayData(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -153,7 +155,9 @@ case class CharNgramHashes(child: Expression, n: Int) extends CharNgramBase {
          |  }
          |  $seen.add($h);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($seen.toArray());
+         |long[] ${seen}_arr = $seen.toArray();
+         |java.util.Arrays.sort(${seen}_arr);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${seen}_arr);
        """.stripMargin
     })
 

@@ -133,7 +133,9 @@ object WordNgramHashes {
       set.add(java.lang.Math.floorMod(NgramHashing.featureHash(wh, i, n), Long.MaxValue))
       i += 1
     }
-    new GenericArrayData(set.toArray)
+    val arr = set.toArray
+    java.util.Arrays.sort(arr) // sorted contract → merge-count Jaccard
+    new GenericArrayData(arr)
   }
 
   def column(c: Column, n: Int): Column =

@@ -99,16 +99,18 @@ object Dedup {
   }
 
   /** Exact Jaccard over hashed shingle sets, joined onto candidate
-    * pairs. Long-array intersect is far cheaper than string compares;
-    * hash collisions mod P shift Jaccard by O(n/P) — negligible.
+    * pairs. The set columns are SORTED long arrays (the native
+    * expressions' contract), so the similarity is a single
+    * allocation-free merge pass ([[graft.functions.SortedJaccard]])
+    * instead of array_intersect/array_union hash sets per row. Hash
+    * collisions shift Jaccard by O(n/2^63) — negligible.
     */
   private def jaccardVerify(cand: DataFrame, shingleDf: DataFrame): DataFrame =
     cand
       .join(shingleDf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingleDf.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.SortedJaccard.column(col("sh_a"), col("sh_b")))
 
   // ------------------------------------------------------------------
   // Row 20: MinHash + LSH banding over word 3-gram shingles.

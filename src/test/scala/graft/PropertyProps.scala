@@ -49,6 +49,16 @@ object PropertyProps extends Properties("graft-primitives") {
       set.toArray.toSeq == ref.iterator.asScala.map(_.longValue()).toSeq
     }
 
+  property("SortedJaccard == set-arithmetic Jaccard") =
+    forAll(nonNegLongs, nonNegLongs) { (xs0, ys0) =>
+      val xs = xs0.map(_.abs).distinct.sorted
+      val ys = ys0.map(_.abs).distinct.sorted
+      val inter = xs.toSet.intersect(ys.toSet).size
+      val union = xs.toSet.union(ys.toSet).size
+      val expected = if (union == 0) 1.0 else inter.toDouble / union
+      graft.functions.SortedJaccard.jaccard(xs.toArray, ys.toArray) == expected
+    }
+
   property("identical strings produce identical char-ngram structures") =
     forAll(Gen.asciiPrintableStr) { s =>
       // coeffs-independent smoke at the JVM level: fingerprint equality

@@ -49,6 +49,20 @@ object Streams {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the continuous twin of the batch
+    * `Dedup.qDedupExact`: documents arriving on a stream are deduped
+    * on their normalized-content hash with
+    * `dropDuplicatesWithinWatermark`, so the dedup state store holds
+    * only the watermark horizon (bounded memory at any corpus size).
+    * Input needs (doc_id, text, ts: timestamp).
+    */
+  def dedupe(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("content_md5",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Event-time gap sessionization with `flatMapGroupsWithState`:
     * a session closes after [[GapMs]] of user silence. Sessions are
     * emitted when a newer event proves the gap, or when the watermark

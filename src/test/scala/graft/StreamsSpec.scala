@@ -41,6 +41,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupe: normalized duplicates within the watermark horizon are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = Streams.dedupe(docs)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      val B = 24L * H
+      ms.addData(
+        (1L, "Hello  World", B),
+        (2L, "hello world", B + 1000),   // dup after normalization
+        (3L, "something else", B + 2000))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup ORDER BY doc_id").collect().map(_.getLong(0))
+      assert(ids.length === 2, s"one of the two normalized dups must drop, got ${ids.mkString(",")}")
+      assert(ids.contains(3L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap sessions match batch semantics, flushed by watermark") {
     val s = spark
     import s.implicits._

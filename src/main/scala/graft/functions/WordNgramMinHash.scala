@@ -78,8 +78,16 @@ case class WordNgramMinHash(child: Expression, n: Int, k: Int, seed: Long)
 object WordNgramMinHash {
   private val P = 2147483647L
 
+  /** Coefficients cached per (seed, k): sigArray runs once per ROW in
+    * the generated code — recomputing 2k Random draws per document
+    * would dominate the signature pass.
+    */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Long], Array[Long])]()
+
   def sigArray(s: String, n: Int, k: Int, seed: Long): Array[Long] = {
-    val (a, b) = CharNgramMinHash.coeffs(seed, k)
+    val (a, b) = coeffCache.computeIfAbsent((seed, k),
+      key => CharNgramMinHash.coeffs(key._1, key._2))
     val wh = NgramHashing.wordHashes(s)
     val m = NgramHashing.windows(wh.length, n)
     val out = Array.fill(k)(P)

@@ -34,6 +34,13 @@ object Dedup {
   // min-doc_id survivor. Oracle-checked.
   // ------------------------------------------------------------------
 
+  /** Whitespace/case-normalized content hash — THE exact-dedup key.
+    * Shared by the batch dedup and [[graft.streaming.Streams.dedupe]]
+    * (the "twins" must never disagree on normalization).
+    */
+  def contentMd5(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
   /** Exact dedup over a whitespace/case-normalized content hash.
     * One shuffle on the hash; at 100 TB the window over the hash key
     * is the canonical partitioned dedup (no global window).
@@ -43,7 +50,7 @@ object Dedup {
     docs(s, dir)
       .select(
         col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_md5"))
+        contentMd5(col("text")).as("content_md5"))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("survivor_id", min("doc_id").over(w))
       .withColumn("is_dup", col("doc_id") =!= col("survivor_id"))
@@ -162,8 +169,8 @@ object Dedup {
   // Row 21: SimHash-64 fingerprint + banded hamming near-dup.
   // Features: word 3-grams (multiset — counts weight the bit sums).
   // 8 bands × 8 bits: any pair with hamming ≤ 7 shares ≥1 clean band
-  // (pigeonhole), so the banding has perfect recall at the verify
-  // threshold below.
+  // (pigeonhole), so banding has perfect recall at the ≤7 verify
+  // threshold — the threshold and band count must move together.
   // ------------------------------------------------------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // One-pass native expression (word 3-grams WITH multiplicity —
@@ -185,7 +192,7 @@ object Dedup {
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 7) // 8 bands × 8 bits: pigeonhole recall holds only to 7
   }
 
   // ------------------------------------------------------------------
@@ -225,6 +232,7 @@ object Dedup {
     sqrt(expr(s"aggregate($emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
 
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val hotBucketCap = 1000
     val planes = hyperplanes(seed = 0x5EED0003L, n = 8, dim = 64)
     val base = Ingest.table(s, dir, "embeddings")
       .select(
@@ -232,9 +240,15 @@ object Dedup {
         col("embedding"),
         lshBucket("embedding", planes).as("bucket"),
         norm("embedding").as("nrm"))
-    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bucket")))
+    // same quadratic-blowup guard as candidatePairs: degenerate buckets
+    // (e.g. many near-zero vectors) stay out of the s^2 mate join; every
+    // vector still appears in the output (the mate join is left-joined
+    // back), with its honest n_bucket_mates count.
+    val capped = base.filter(col("bsize") <= hotBucketCap)
+    val a = capped.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
       col("bucket"), col("nrm").as("n_a"))
-    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+    val b = capped.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
       col("bucket"), col("nrm").as("n_b"))
     val mates = a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine", dotExpr("e_a", "e_b") / (col("n_a") * col("n_b")))
@@ -244,9 +258,8 @@ object Dedup {
       .filter(col("rk") === 1)
       .select(col("id_a").as("vec_id"), col("id_b").as("best_mate_id"),
         col("cosine").as("best_cosine"))
-    val wB = Window.partitionBy("bucket")
     base
-      .withColumn("n_bucket_mates", (count(lit(1)).over(wB) - 1).cast("long"))
+      .withColumn("n_bucket_mates", (col("bsize") - 1).cast("long"))
       .select("vec_id", "bucket", "n_bucket_mates")
       .join(best, Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("best_cosine") >= 0.95, lit(false)))

@@ -244,10 +244,14 @@ object StarSchema {
         (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
           dayofmonth(col("full_date"))).cast("int"))
 
+  /** Second-granularity, matching `q_dim_time`'s key scheme — the fact
+    * table's time_id must resolve against the standalone dimension.
+    */
   private def dimTimeOf(e: DataFrame): DataFrame =
-    e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"))
+    e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"),
+             second(col("ts")).cast("int").as("sec"))
       .distinct()
-      .withColumn("time_id", (col("h") * 100 + col("m")).cast("int"))
+      .withColumn("time_id", (col("h") * 10000 + col("m") * 100 + col("sec")).cast("int"))
 
   /** User dimension: cardinality grows with the data, so the surrogate
     * uses the two-pass ranked id, never a global window.
@@ -276,22 +280,27 @@ object StarSchema {
       .withColumn("date_id",
         (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
           dayofmonth(col("full_date"))).cast("int"))
-    val times = e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"))
-      .unionByName(e.select(hour(col("report_ts")).cast("int").as("h"), minute(col("report_ts")).cast("int").as("m")))
+    val times = e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"),
+        second(col("ts")).cast("int").as("sec"))
+      .unionByName(e.select(hour(col("report_ts")).cast("int").as("h"),
+        minute(col("report_ts")).cast("int").as("m"), second(col("report_ts")).cast("int").as("sec")))
       .distinct()
-      .withColumn("time_id", (col("h") * 100 + col("m")).cast("int"))
+      .withColumn("time_id", (col("h") * 10000 + col("m") * 100 + col("sec")).cast("int"))
     def dd(role: String) = dates.select(
       col("full_date").as(s"${role}_fd"), col("date_id").as(s"${role}_date_id"))
     def dt(role: String) = times.select(
-      col("h").as(s"${role}_h"), col("m").as(s"${role}_m"), col("time_id").as(s"${role}_time_id"))
+      col("h").as(s"${role}_h"), col("m").as(s"${role}_m"), col("sec").as(s"${role}_s"),
+      col("time_id").as(s"${role}_time_id"))
     e.join(broadcast(dd("incident")), to_date(col("ts")) === col("incident_fd"), "left")
       .join(broadcast(dd("report")), to_date(col("report_ts")) === col("report_fd"), "left")
       .join(broadcast(dt("incident")),
         hour(col("ts")).cast("int") === col("incident_h") &&
-        minute(col("ts")).cast("int") === col("incident_m"), "left")
+        minute(col("ts")).cast("int") === col("incident_m") &&
+        second(col("ts")).cast("int") === col("incident_s"), "left")
       .join(broadcast(dt("report")),
         hour(col("report_ts")).cast("int") === col("report_h") &&
-        minute(col("report_ts")).cast("int") === col("report_m"), "left")
+        minute(col("report_ts")).cast("int") === col("report_m") &&
+        second(col("report_ts")).cast("int") === col("report_s"), "left")
       .join(broadcast(dimUserOf(e)), col("user_id") === col("u"), "left")
       .join(broadcast(dimTypeOf(e)), col("event_type") === col("et"), "left")
       .select(col("event_id"),
@@ -308,9 +317,9 @@ object StarSchema {
       |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev
       |        UNION SELECT DISTINCT CAST(report_ts AS DATE) FROM ev) t),
       |dt AS (
-      |  SELECT h, m, CAST(h*100 + m AS INT) AS time_id
-      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM ev
-      |        UNION SELECT DISTINCT CAST(hour(report_ts) AS INT), CAST(minute(report_ts) AS INT) FROM ev) t),
+      |  SELECT h, m, s, CAST(h*10000 + m*100 + s AS INT) AS time_id
+      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m, CAST(second(ts) AS INT) AS s FROM ev
+      |        UNION SELECT DISTINCT CAST(hour(report_ts) AS INT), CAST(minute(report_ts) AS INT), CAST(second(report_ts) AS INT) FROM ev) t),
       |du AS (
       |  SELECT u, CAST(ROW_NUMBER() OVER (ORDER BY u) AS BIGINT) AS user_dim_id
       |  FROM (SELECT DISTINCT user_id AS u FROM events) t),
@@ -328,8 +337,8 @@ object StarSchema {
       |FROM ev e
       |LEFT JOIN dd d1 ON CAST(e.ts AS DATE) = d1.full_date
       |LEFT JOIN dd d2 ON CAST(e.report_ts AS DATE) = d2.full_date
-      |LEFT JOIN dt t1 ON CAST(hour(e.ts) AS INT) = t1.h AND CAST(minute(e.ts) AS INT) = t1.m
-      |LEFT JOIN dt t2 ON CAST(hour(e.report_ts) AS INT) = t2.h AND CAST(minute(e.report_ts) AS INT) = t2.m
+      |LEFT JOIN dt t1 ON CAST(hour(e.ts) AS INT) = t1.h AND CAST(minute(e.ts) AS INT) = t1.m AND CAST(second(e.ts) AS INT) = t1.s
+      |LEFT JOIN dt t2 ON CAST(hour(e.report_ts) AS INT) = t2.h AND CAST(minute(e.report_ts) AS INT) = t2.m AND CAST(second(e.report_ts) AS INT) = t2.s
       |LEFT JOIN du  ON e.user_id = du.u
       |LEFT JOIN dty ON e.event_type = dty.et
       |ORDER BY event_id""".stripMargin
@@ -350,13 +359,15 @@ object StarSchema {
           .when(col("h") < 18, "Afternoon").otherwise("Evening"))
       .withColumn("full_time12",
         concat(lpad(when(col("h") % 12 === 0, 12).otherwise(col("h") % 12).cast("string"), 2, "0"),
-          lit(":"), lpad(col("m").cast("string"), 2, "0"), lit(" "),
+          lit(":"), lpad(col("m").cast("string"), 2, "0"),
+          lit(":"), lpad(col("sec").cast("string"), 2, "0"), lit(" "),
           when(col("h") < 12, "AM").otherwise("PM")))
     e.withColumn("full_date", to_date(col("ts")))
       .withColumn("h", hour(col("ts")).cast("int"))
       .withColumn("m", minute(col("ts")).cast("int"))
+      .withColumn("sec", second(col("ts")).cast("int"))
       .join(broadcast(dd), Seq("full_date"))
-      .join(broadcast(dt), Seq("h", "m"))
+      .join(broadcast(dt), Seq("h", "m", "sec"))
       .filter(col("event_type").isin("purchase", "signup"))
       .select(
         col("event_id"),
@@ -374,13 +385,14 @@ object StarSchema {
       |         """.stripMargin + holidaySql("d") + """ AS holiday_name
       |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) t),
       |dt AS (
-      |  SELECT h, m,
+      |  SELECT h, m, s,
       |         CASE WHEN h < 6 THEN 'Night' WHEN h < 12 THEN 'Morning'
       |              WHEN h < 18 THEN 'Afternoon' ELSE 'Evening' END AS time_of_day,
       |         lpad(CAST(CASE WHEN h % 12 = 0 THEN 12 ELSE h % 12 END AS VARCHAR), 2, '0')
       |           || ':' || lpad(CAST(m AS VARCHAR), 2, '0')
+      |           || ':' || lpad(CAST(s AS VARCHAR), 2, '0')
       |           || ' ' || CASE WHEN h < 12 THEN 'AM' ELSE 'PM' END AS full_time12
-      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m FROM events) t)
+      |  FROM (SELECT DISTINCT CAST(hour(ts) AS INT) AS h, CAST(minute(ts) AS INT) AS m, CAST(second(ts) AS INT) AS s FROM events) t)
       |SELECT e.event_id,
       |  strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS full_date_str,
       |  dd.day_name, dd.is_weekend, dd.holiday_name, dt.time_of_day, dt.full_time12,
@@ -388,7 +400,7 @@ object StarSchema {
       |  strftime(CAST(e.ts AS DATE), '%Y-%m') AS year_month
       |FROM events e
       |JOIN dd ON CAST(e.ts AS DATE) = dd.full_date
-      |JOIN dt ON CAST(hour(e.ts) AS INT) = dt.h AND CAST(minute(e.ts) AS INT) = dt.m
+      |JOIN dt ON CAST(hour(e.ts) AS INT) = dt.h AND CAST(minute(e.ts) AS INT) = dt.m AND CAST(second(e.ts) AS INT) = dt.s
       |WHERE e.event_type IN ('purchase', 'signup')
       |ORDER BY event_id""".stripMargin
 

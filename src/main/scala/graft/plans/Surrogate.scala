@@ -14,9 +14,16 @@ import org.apache.spark.sql.types.{LongType, StructField}
   *
   *   1. range-repartition + in-partition sort on the order columns —
   *      partitions now hold disjoint, ordered key ranges;
-  *   2. `zipWithIndex`: one lightweight count job over partition sizes
-  *      (the "offset map"), then each partition numbers its rows from
-  *      its offset. No single-partition exchange anywhere.
+  *   2. `zipWithIndex`: a count job over partition sizes (the "offset
+  *      map"), then each partition numbers its rows from its offset.
+  *      No single-partition exchange anywhere.
+  *
+  * Note the costs inherent to the two-pass design: the count job runs
+  * EAGERLY when the DataFrame is constructed (ZippedWithIndexRDD
+  * computes offsets in its constructor), and the sorted input is
+  * recomputed for the second pass (persisting it would be wrong at
+  * 100 TB). Two passes over the data is the price of a deterministic
+  * dense rank without a global window.
   *
   * The assigned value equals the global rank of the order columns, so
   * it is independent of partition boundaries (determinism does not

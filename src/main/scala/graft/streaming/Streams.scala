@@ -59,8 +59,7 @@ object Streams {
   def dedupe(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts", horizon)
-      .withColumn("content_md5",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("content_md5", graft.operators.Dedup.contentMd5(col("text")))
       .dropDuplicatesWithinWatermark("content_md5")
 
   /** Event-time gap sessionization with `flatMapGroupsWithState`:
@@ -107,7 +106,12 @@ object Streams {
         emitted += Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)
         st = SessState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L, e.value)
       } else {
-        st = st.copy(endMs = e.ts_ms, nEvents = st.nEvents + 1, value = st.value + e.value)
+        // min/max, not assignment: a late (within-watermark) event from
+        // a later micro-batch may precede the open session's bounds —
+        // rewinding endMs would corrupt gap detection for what follows.
+        st = st.copy(startMs = math.min(st.startMs, e.ts_ms),
+          endMs = math.max(st.endMs, e.ts_ms),
+          nEvents = st.nEvents + 1, value = st.value + e.value)
       }
     }
     if (st != null) {

@@ -48,7 +48,7 @@ class DedupSpec extends SparkSpec {
   test("simhash banding finds the planted near-dup with small hamming") {
     val pairs = Dedup.qDedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 8 },
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 7 },
       s"planted pair (1,2) must surface, got ${pairs.mkString(",")}")
   }
 

@@ -4,13 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Methodology (VERDICT r1 "What's wrong" #4):
+  * Methodology (VERDICT r1 #4, VERDICT r3 #6):
   *   - a full warmup pass first, so JVM/codegen/parquet-footer warmup
   *     isn't billed to whichever query runs first;
   *   - fixed (sorted) query order, so rounds are comparable;
   *   - `noop` sink, so the measured plan is the *declared* plan —
   *     `count()` would let Catalyst drop the final sort and prune
-  *     every unreferenced column.
+  *     every unreferenced column;
+  *   - per-query MEDIAN over 3 measured passes, so a GC pause or
+  *     position artifact in one pass (r3: q1_pricing billed 3.4× its
+  *     own plan cost for running first) doesn't pollute the round
+  *     comparison.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,7 +35,14 @@ object Bench {
     }
 
     names.foreach(runOne) // warmup pass (discarded)
-    val results = names.map(n => n -> runOne(n))
+    val passes = Seq.fill(3)(names.map(n => n -> runOne(n)).toMap)
+    // median of 3: a query counts as failed only if it failed in EVERY
+    // pass (a transient flake shouldn't zero an otherwise-working query,
+    // but it must not silently shrink the median population either).
+    val results = names.map { n =>
+      val ok = passes.map(_(n)).filter(_ >= 0).sorted
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+    }
     val failed = results.collect { case (n, v) if v < 0 => n }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

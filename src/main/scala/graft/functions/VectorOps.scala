@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native codegen vector arithmetic for the embedding operators
+  * (VERDICT r3 #3: the SQL-lambda `aggregate(zip_with(...))` folds are
+  * interpreted per element — measured 7-60× slower than codegen on the
+  * text signatures; the embedding/ANN hot path pays that constant on
+  * EVERY vector and every candidate pair, which at 10⁸+ vectors is the
+  * pipeline).
+  *
+  * Contract: inputs are `array<float>` columns (the `embeddings` table
+  * schema). Accumulation is double, left-to-right — bit-identical to
+  * the previous `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) *
+  * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)` formulation, so
+  * swapping the implementation changes no output values.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float-array column (double accumulation). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vector_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    java.lang.Math.sqrt(VectorOps.dot(a, a))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Math.sqrt(graft.functions.VectorOps.dot($c, $c));")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+/** All `nTables` sign-random-projection bucket ids of a vector in ONE
+  * pass: bucket(t) packs `nBits` hyperplane sign bits (`dot > 0` → bit
+  * set, bit b = plane b — same packing as the previous per-plane
+  * `when(planeBit, 1 << i)` reduce). Table t's planes are the
+  * deterministic gaussian matrix seeded `seed + t` (row-major fill,
+  * identical to `Dedup.hyperplanes(seed + t, nBits, dim)`), so bucket
+  * values are unchanged from the lambda formulation.
+  *
+  * One expression for all tables: the plane matrix is materialized once
+  * per operator (a codegen reference object, not a per-row literal) and
+  * the generated loop touches each vector element nTables×nBits times
+  * with no boxing, no lambda dispatch, no intermediate arrays.
+  */
+case class SignBuckets(child: Expression, seed: Long, nTables: Int, nBits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sign_buckets"
+
+  /** planes(t)(b) flattened row-major: slot (t*nBits + b)*dim + i. */
+  @transient private lazy val planesFlat: Array[Double] = {
+    val flat = new Array[Double](nTables * nBits * dim)
+    var t = 0
+    while (t < nTables) {
+      val r = new scala.util.Random(seed + t)
+      var j = 0
+      while (j < nBits * dim) { flat(t * nBits * dim + j) = r.nextGaussian(); j += 1 }
+      t += 1
+    }
+    flat
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      VectorOps.signBuckets(input.asInstanceOf[ArrayData], planesFlat, nTables, nBits, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("planesFlat", planesFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorOps.signBuckets($c, $planes, $nTables, $nBits, $dim));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+    copy(child = newChild)
+}
+
+/** Fraction of positionally-equal slots of two equal-length MinHash
+  * signatures — the unbiased estimate of the underlying Jaccard
+  * (E[agreement] = J per slot). Used as the cheap pre-filter before
+  * the exact-Jaccard verify join ships full shingle sets.
+  */
+case class SlotAgreement(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_slot_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.slotAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.slotAgreement($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SlotAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared primitive kernels — called from both the interpreted and the
+  * generated paths (same single implementation → no eval/codegen drift).
+  */
+object VectorOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val m = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def signBuckets(v: ArrayData, planes: Array[Double], nTables: Int, nBits: Int, dim: Int): Array[Int] = {
+    val m = math.min(dim, v.numElements())
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0
+      var b = 0
+      while (b < nBits) {
+        val off = (t * nBits + b) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < m) { acc += planes(off + i) * v.getFloat(i).toDouble; i += 1 }
+        if (acc > 0.0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  def slotAgreement(a: ArrayData, b: ArrayData): Double = {
+    val m = math.min(a.numElements(), b.numElements())
+    if (m == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < m) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / m
+  }
+}
+
+object VectorFunctions {
+  def vectorDot(a: Column, b: Column): Column =
+    GraftBridge.column(VectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def vectorNorm(c: Column): Column =
+    GraftBridge.column(VectorNorm(GraftBridge.expression(c)))
+
+  def signBuckets(c: Column, seed: Long, nTables: Int, nBits: Int, dim: Int): Column =
+    GraftBridge.column(SignBuckets(GraftBridge.expression(c), seed, nTables, nBits, dim))
+
+  def slotAgreement(a: Column, b: Column): Column =
+    GraftBridge.column(SlotAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -56,41 +56,64 @@ object Ann {
 
   // ------------------------------------------------------------------
   // Row 25: LSH-bucketed ANN — L independent sign-random-projection
-  // tables, each with 1-bit multi-probe (query probes its bucket plus
-  // each single-bit flip: 9 buckets/table for 8 planes). Multi-table
-  // union is the standard recall lever: one 8-bit table recalls ~0.15
-  // on unclustered vectors, four tables ~0.5, while candidates stay a
-  // small fraction of the corpus (bucketed equi-join, never a scan).
+  // tables with multi-probe (the query probes its own bucket plus every
+  // bucket within `probeBits` bit flips). Multi-table union + probe
+  // depth are the recall levers; the cost lever is candidates/query,
+  // which stays a bucketed equi-join, never a scan. All table buckets
+  // for a vector come from ONE native codegen pass
+  // ([[graft.functions.SignBuckets]]) — the interpreted per-plane
+  // lambda dots were the r3 hot-path finding (VERDICT #3).
   // ------------------------------------------------------------------
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val nBits = 8
-    val nTables = 4
-    val tables = (0 until nTables)
-      .map(t => Dedup.hyperplanes(seed = 0x5EEDA117L + t, n = nBits, dim = 64))
-    val (corpus, queries) = split(s, dir)
 
-    def tableBuckets(emb: String): org.apache.spark.sql.Column =
-      array(tables.map(p => Dedup.lshBucket(emb, p)): _*)
+  private[operators] val LshBits = 8
+  private[operators] val LshTables = 4
+  private[operators] val LshProbeBits = 1
+  private[operators] val LshSeed = 0x5EEDA117L
+
+  /** XOR masks of the probe neighborhood: hamming-ball of radius
+    * `probeBits` around the query's own bucket (mask 0).
+    */
+  private[operators] def probeMasks(nBits: Int, probeBits: Int): Seq[Int] = {
+    val single = (0 until nBits).map(1 << _)
+    val double = for (i <- 0 until nBits; j <- i + 1 until nBits) yield (1 << i) | (1 << j)
+    Seq(0) ++ (if (probeBits >= 1) single else Nil) ++ (if (probeBits >= 2) double else Nil)
+  }
+
+  /** Candidate (query, neighbor, cosine) rows for a given LSH config —
+    * the tunable core of [[qAnnLsh]], exposed so the spec can measure
+    * the recall/candidate-fraction trade explicitly.
+    */
+  private[operators] def lshScored(
+      s: SparkSession, dir: String,
+      nTables: Int, nBits: Int, probeBits: Int): DataFrame = {
+    val (corpus, queries) = split(s, dir)
+    def buckets(emb: String) = graft.functions.VectorFunctions
+      .signBuckets(col(emb), LshSeed, nTables, nBits, dim = 64)
+    val masks = probeMasks(nBits, probeBits)
 
     val bucketed = corpus
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(tableBuckets("embedding")).as(Seq("tbl", "bucket")))
+        posexplode(buckets("embedding")).as(Seq("tbl", "bucket")))
     val probed = queries
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        posexplode(tableBuckets("q_emb")).as(Seq("tbl", "q_bucket")))
+        posexplode(buckets("q_emb")).as(Seq("tbl", "q_bucket")))
+      // XOR against distinct masks is bijective → probe buckets are
+      // already distinct, no array_union dedup pass needed.
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("tbl"),
         explode(expr(
-          s"array_union(array(q_bucket), transform(sequence(0, ${nBits - 1}), j -> CAST(q_bucket ^ shiftleft(1, j) AS INT)))"))
+          s"transform(array(${masks.mkString(",")}), m -> CAST(q_bucket ^ m AS INT))"))
           .as("bucket"))
-    val scored = bucketed.join(broadcast(probed), Seq("tbl", "bucket"))
+    bucketed.join(broadcast(probed), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
       .distinct() // a pair may collide in several tables/probes
-    topK(scored)
   }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    topK(lshScored(s, dir, LshTables, LshBits, LshProbeBits))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> qAnnBruteforce _,

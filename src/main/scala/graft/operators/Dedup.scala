@@ -83,57 +83,115 @@ object Dedup {
     * equi self-join on (band, bucket) — the only shuffle in the
     * candidate step, hash-partitioned on the band key.
     *
-    * `hotBucketCap` drops buckets holding more members than the cap
-    * BEFORE the self-join: a degenerate bucket (boilerplate/empty
-    * documents all colliding) would otherwise contribute O(size²)
-    * pairs — the classic quadratic blowup of naive near-dup at
-    * 100 TB. Capped members still pair through their other bands.
+    * Hot buckets are SALT-SPLIT, not dropped (VERDICT r3 #7-8): a
+    * bucket holding more members than `hotBucketCap` would contribute
+    * O(size²) pairs — the classic quadratic blowup of naive near-dup
+    * at 100 TB. Round-3 dropped such buckets outright, silently losing
+    * any pair whose only collision was there. Now each member of a
+    * bucket of size s hashes into one of ceil(s/cap) sub-buckets and
+    * pairs only within its sub-bucket: pair work stays O(cap·s)
+    * instead of O(s²) — the quadratic guard holds — while intra-bucket
+    * pairs are SAMPLED (each surviving with ≈ cap/s probability per
+    * band) rather than zeroed, and every pair still gets its full
+    * chance through the other bands it collides in. Normal buckets
+    * have one sub-bucket, so behavior below the cap is unchanged.
     * The sizing window partitions on the same (band, bucket) key as
-    * the join, so Catalyst reuses one exchange — the cap is free.
+    * the join, and HashPartitioning(band, bucket) co-locates the
+    * 3-key (band, bucket, salt) join, so Catalyst still reuses one
+    * exchange — the guard is free.
+    *
+    * What the cap costs is observable, not silent:
+    * [[cappedBucketStats]] reports the affected buckets/members.
     */
   private[graft] def candidatePairs(bandDf: DataFrame, hotBucketCap: Int = 1000): DataFrame = {
-    val sized = bandDf
+    val salted = bandDf
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= hotBucketCap)
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id"), col("band"), col("bucket")),
+          ceil(col("bsize") / lit(hotBucketCap)).cast("int")).cast("int"))
       .drop("bsize")
-    sized.alias("a")
-      .join(sized.alias("b"),
+    salted.alias("a")
+      .join(salted.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** One-row audit of what the hot-bucket guard touched: buckets over
+    * the cap, members in them, and the pair-sampling rate they got
+    * (sub-bucket pairs / full-bucket pairs). A 100 TB run logs this
+    * next to its pair counts so capped recall is never invisible.
+    */
+  private[graft] def cappedBucketStats(bandDf: DataFrame, hotBucketCap: Int = 1000): DataFrame =
+    bandDf
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > hotBucketCap)
+      .agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_capped_buckets"),
+        coalesce(sum("bsize"), lit(0L)).as("n_capped_members"),
+        // within-bucket sampling rate ≈ 1/nsplit, averaged over buckets
+        coalesce(avg(lit(1.0) / ceil(col("bsize") / lit(hotBucketCap))), lit(1.0))
+          .as("avg_pair_sample_rate"))
 
   /** Exact Jaccard over hashed shingle sets, joined onto candidate
     * pairs. The set columns are SORTED long arrays (the native
     * expressions' contract), so the similarity is a single
     * allocation-free merge pass ([[graft.functions.SortedJaccard]])
     * instead of array_intersect/array_union hash sets per row. Hash
-    * collisions shift Jaccard by O(n/2^63) — negligible.
+    * collisions shift Jaccard by O(n/|domain|): the word-level hashes
+    * span the full 64-bit domain (~n/2^63), the char-ngram hashes live
+    * mod P=2^31-1 (~n/2^31) — both negligible at ~1.4k-element sets.
+    *
+    * MinHash pre-filter (VERDICT r3 #4): before the full shingle sets
+    * (~8 bytes/char of document) ship through the two verify joins,
+    * candidate pairs join the ALREADY-COMPUTED k-slot signatures
+    * (64 longs, ~2 orders of magnitude narrower) and pairs whose
+    * slot-agreement estimate sits ≥0.25 below the verify threshold are
+    * dropped. Slot agreement is an unbiased J estimator with
+    * sd = sqrt(J(1-J)/k) ≤ 0.0625 at k=64, so the 0.25 margin is ≥4σ:
+    * P(drop a true ≥-threshold pair) ≈ 3e-5 per pair — and banding
+    * conditions the estimate upward for true pairs, never down.
     */
-  private def jaccardVerify(cand: DataFrame, shingleDf: DataFrame): DataFrame =
-    cand
+  private def jaccardVerify(
+      cand: DataFrame, sigDf: DataFrame, shingleDf: DataFrame,
+      threshold: Double): DataFrame = {
+    val estFloor = threshold - 0.25
+    val prefiltered = cand
+      .join(sigDf.select(col("doc_id").as("id_a"), col("sig_arr").as("sig_a")), "id_a")
+      .join(sigDf.select(col("doc_id").as("id_b"), col("sig_arr").as("sig_b")), "id_b")
+      .filter(graft.functions.VectorFunctions
+        .slotAgreement(col("sig_a"), col("sig_b")) >= estFloor)
+      .select("id_a", "id_b")
+    prefiltered
       .join(shingleDf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingleDf.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.SortedJaccard.column(col("sh_a"), col("sh_b")))
+  }
 
   // ------------------------------------------------------------------
   // Row 20: MinHash + LSH banding over word 3-gram shingles.
-  // b=16 bands × r=4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5.
+  // b=16 bands × r=4 rows ⇒ candidate S-curve midpoint ≈ (1/16)^(1/4)
+  // ≈ 0.5. The VERIFY threshold sits ABOVE the midpoint (0.6, where
+  // banding recall is 1-(1-0.6^4)^16 ≈ 0.89, vs only ~0.64 at 0.5):
+  // reporting pairs at the midpoint would present ~64% recall as
+  // exhaustive (ADVICE r3). Recall at the reported threshold rises
+  // steeply: ≈0.99 at J=0.7, ≈1.0 at J≥0.8.
   // Signature and shingle-set come from the one-pass native
   // expressions ([[graft.functions.WordNgramMinHash]]) — map-only
   // until the band-bucket candidate join.
   // ------------------------------------------------------------------
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{WordNgramMinHash, WordNgramHashes}
-    val (n, k, bands, rows, threshold) = (3, 64, 16, 4, 0.5)
+    val (n, k, bands, rows, threshold) = (3, 64, 16, 4, 0.6)
     val d = docs(s, dir)
     val sig = d.select(col("doc_id"),
       WordNgramMinHash.column(col("text"), n, k, seed = 0x5EED0001L).as("sig_arr"))
     val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets)
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sig, sets, threshold)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -160,7 +218,7 @@ object Dedup {
     val sig = d.select(col("doc_id"),
       charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
     val sets = d.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets)
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sig, sets, threshold)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -203,42 +261,30 @@ object Dedup {
   // near-dup threshold.
   // ------------------------------------------------------------------
 
-  /** Deterministic gaussian hyperplanes (fixed seed). */
-  private[operators] def hyperplanes(seed: Long, n: Int, dim: Int): Array[Array[Double]] = {
-    val r = new scala.util.Random(seed)
-    Array.fill(n, dim)(r.nextGaussian())
-  }
-
-  private def planeLit(p: Array[Double]): String =
-    p.map(v => s"${v}D").mkString("array(", ", ", ")")
-
-  /** Signed dot product of the float-array `col` with a constant plane. */
-  private[operators] def planeBit(emb: String, p: Array[Double]): Column =
-    expr(s"aggregate(zip_with($emb, ${planeLit(p)}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0D")
-
-  /** Bucket id: `n` sign bits packed into an int. */
-  private[operators] def lshBucket(emb: String, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, i) => when(planeBit(emb, p), 1 << i).otherwise(0) }
-      .reduce(_ + _)
-
-  /** Dot product of two float-array columns (double accumulation,
-    * deterministic left-to-right order). Divide by the norms for cosine.
+  /** Dot product of two float-array columns — native codegen
+    * ([[graft.functions.VectorDot]]; VERDICT r3 #3: the interpreted
+    * `aggregate(zip_with(...))` lambda paid a per-element dispatch on
+    * every vector and candidate pair). Double accumulation,
+    * left-to-right — same values as the lambda. Divide by norms for
+    * cosine.
     */
   private[operators] def dotExpr(ea: String, eb: String): Column =
-    expr(s"aggregate(zip_with($ea, $eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    graft.functions.VectorFunctions.vectorDot(col(ea), col(eb))
 
   private[operators] def norm(emb: String): Column =
-    sqrt(expr(s"aggregate($emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    graft.functions.VectorFunctions.vectorNorm(col(emb))
 
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val hotBucketCap = 1000
-    val planes = hyperplanes(seed = 0x5EED0003L, n = 8, dim = 64)
+    // 8 sign bits, one table: bucket values identical to the previous
+    // per-plane lambda formulation (same seeded gaussians, same packing).
     val base = Ingest.table(s, dir, "embeddings")
       .select(
         col("vec_id"),
         col("embedding"),
-        lshBucket("embedding", planes).as("bucket"),
+        graft.functions.VectorFunctions
+          .signBuckets(col("embedding"), seed = 0x5EED0003L, nTables = 1, nBits = 8, dim = 64)
+          .getItem(0).as("bucket"),
         norm("embedding").as("nrm"))
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bucket")))
     // same quadratic-blowup guard as candidatePairs: degenerate buckets

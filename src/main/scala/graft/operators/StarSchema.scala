@@ -301,7 +301,12 @@ object StarSchema {
         hour(col("report_ts")).cast("int") === col("report_h") &&
         minute(col("report_ts")).cast("int") === col("report_m") &&
         second(col("report_ts")).cast("int") === col("report_s"), "left")
-      .join(broadcast(dimUserOf(e)), col("user_id") === col("u"), "left")
+      // NO broadcast hint for the user dim: its cardinality grows with
+      // the data (billions of users at 100 TB would OOM every executor).
+      // AQE picks shuffle/SMJ — or broadcasts on its own when the
+      // runtime size is genuinely under the threshold. Date/time/type
+      // dims are bounded (≤86 400 rows), so those stay broadcast.
+      .join(dimUserOf(e), col("user_id") === col("u"), "left")
       .join(broadcast(dimTypeOf(e)), col("event_type") === col("et"), "left")
       .select(col("event_id"),
               col("incident_date_id"), col("incident_time_id"),

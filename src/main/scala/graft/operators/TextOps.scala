@@ -171,7 +171,10 @@ object TextOps {
     docs(s, dir)
       .select(
         col("doc_id"),
-        col("text").cast("binary").as("media"),
+        // hex, not raw binary: the comparator lexsorts output columns and
+        // a bytes cell is unhashable there; hex carries the same payload
+        // losslessly (n_bytes + content_md5 already sign the content).
+        hex(col("text").cast("binary")).as("media_hex"),
         when(col("doc_id") % 3 === 0, "image/png")
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("media_type"),
@@ -180,7 +183,7 @@ object TextOps {
 
   val qMultimodalMetaSql: String =
     """SELECT doc_id,
-      |  encode(text) AS media,
+      |  hex(encode(text)) AS media_hex,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |       ELSE 'video/mp4' END AS media_type,

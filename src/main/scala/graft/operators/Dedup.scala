@@ -145,26 +145,39 @@ object Dedup {
     * span the full 64-bit domain (~n/2^63), the char-ngram hashes live
     * mod P=2^31-1 (~n/2^31) — both negligible at ~1.4k-element sets.
     *
-    * MinHash pre-filter (VERDICT r3 #4): before the full shingle sets
-    * (~8 bytes/char of document) ship through the two verify joins,
-    * candidate pairs join the ALREADY-COMPUTED k-slot signatures
-    * (64 longs, ~2 orders of magnitude narrower) and pairs whose
-    * slot-agreement estimate sits ≥0.25 below the verify threshold are
-    * dropped. Slot agreement is an unbiased J estimator with
-    * sd = sqrt(J(1-J)/k) ≤ 0.0625 at k=64, so the 0.25 margin is ≥4σ:
-    * P(drop a true ≥-threshold pair) ≈ 3e-5 per pair — and banding
-    * conditions the estimate upward for true pairs, never down.
+    * MinHash pre-filter (VERDICT r3 #4, `sigDf` = Some): before the
+    * full shingle sets ship through the two verify joins, candidate
+    * pairs join the k-slot signatures (64 longs — for char 6-grams
+    * ~20× narrower than the set arrays) and pairs whose slot-agreement
+    * estimate sits ≥0.25 below the verify threshold are dropped. Slot
+    * agreement is an unbiased J estimator with sd = sqrt(J(1-J)/k)
+    * ≤ 0.0625 at k=64, so the 0.25 margin is ≥4σ: P(drop a true
+    * ≥-threshold pair) ≈ 3e-5 per pair — and banding conditions the
+    * estimate upward for true pairs, never down.
+    *
+    * The pre-filter is a TRADE, not free: it re-evaluates the
+    * signature expression on both join sides (+2 map passes) and adds
+    * two joins, to shrink the pair rows that carry full set arrays.
+    * Measured at sf0.1: char-6-gram sets (~1.4k longs/doc) 3.9×
+    * faster WITH it; word-3-gram sets (~4× lighter) 1.4× SLOWER with
+    * it. Rule: enable when set-bytes × expected-candidate-volume
+    * dominates two signature map passes — heavy-shingle or
+    * boilerplate-skewed corpora yes, light-shingle corpora no.
     */
   private def jaccardVerify(
-      cand: DataFrame, sigDf: DataFrame, shingleDf: DataFrame,
-      threshold: Double): DataFrame = {
-    val estFloor = threshold - 0.25
-    val prefiltered = cand
-      .join(sigDf.select(col("doc_id").as("id_a"), col("sig_arr").as("sig_a")), "id_a")
-      .join(sigDf.select(col("doc_id").as("id_b"), col("sig_arr").as("sig_b")), "id_b")
-      .filter(graft.functions.VectorFunctions
-        .slotAgreement(col("sig_a"), col("sig_b")) >= estFloor)
-      .select("id_a", "id_b")
+      cand: DataFrame, shingleDf: DataFrame,
+      threshold: Double, sigDf: Option[DataFrame] = None): DataFrame = {
+    val prefiltered = sigDf match {
+      case Some(sig) =>
+        val estFloor = threshold - 0.25
+        cand
+          .join(sig.select(col("doc_id").as("id_a"), col("sig_arr").as("sig_a")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig_arr").as("sig_b")), "id_b")
+          .filter(graft.functions.VectorFunctions
+            .slotAgreement(col("sig_a"), col("sig_b")) >= estFloor)
+          .select("id_a", "id_b")
+      case None => cand
+    }
     prefiltered
       .join(shingleDf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingleDf.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -191,7 +204,10 @@ object Dedup {
     val sig = d.select(col("doc_id"),
       WordNgramMinHash.column(col("text"), n, k, seed = 0x5EED0001L).as("sig_arr"))
     val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sig, sets, threshold)
+    // no minhash pre-filter here: word-3-gram sets are light enough that
+    // two extra signature passes cost more than they save (see
+    // jaccardVerify's trade note; the char-6-gram path enables it).
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets, threshold)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -218,7 +234,7 @@ object Dedup {
     val sig = d.select(col("doc_id"),
       charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
     val sets = d.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sig, sets, threshold)
+    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets, threshold, Some(sig))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

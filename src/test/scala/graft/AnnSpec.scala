@@ -24,14 +24,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN recall@5 vs brute force is useful (> 0.3) and reported") {
+  /** Recall AND candidate cost, asserted together — a recall number
+    * without its candidate fraction is half a measurement.
+    *
+    * Context for the thresholds (measured, see Ann.scala's frontier
+    * note): this corpus's true top-5 neighbors sit at cosine
+    * 0.27-0.43, barely above random for dim=64, which caps what ANY
+    * LSH family can do — recall ≥0.7 under 10% candidates is not
+    * attainable here (best measured ≤13%: ~0.5). The chosen
+    * cross-polytope config buys recall 0.82 at ~35% candidates; both
+    * sides of that trade are asserted so a config change can't
+    * silently buy recall with a corpus scan (candFrac → 1.0 would
+    * "recall" 1.0).
+    */
+  test("LSH ANN recall@5 ≥ 0.7 with bounded, reported candidate fraction") {
     val brute = topSets(Ann.qAnnBruteforce(spark, sf0001).collect())
-    val lsh = topSets(Ann.qAnnLsh(spark, sf0001).collect())
-    val recalls = brute.map { case (q, bs) =>
-      lsh.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
-    }
-    val recall = recalls.sum / recalls.size
-    info(f"LSH recall@5 over ${brute.size} queries: $recall%.3f")
-    assert(recall > 0.3, f"multi-probe 8-bit LSH should recall > 0.3, got $recall%.3f")
+    val scored = Ann.lshScored(spark, sf0001, Ann.LshTables, Ann.LshProbes).cache()
+    try {
+      val corpusN = graft.sources.Ingest.table(spark, sf0001, "embeddings").count()
+      val candFrac = scored.count().toDouble / brute.size / corpusN
+      val lsh = topSets(
+        Ann.qAnnLsh(spark, sf0001).collect())
+      val recalls = brute.map { case (q, bs) =>
+        lsh.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+      }
+      val recall = recalls.sum / recalls.size
+      info(f"LSH recall@5 over ${brute.size} queries: $recall%.3f, candidate fraction: $candFrac%.3f")
+      assert(recall >= 0.7, f"cross-polytope 16×3-probe LSH should recall ≥ 0.7, got $recall%.3f")
+      assert(candFrac < 0.5, f"candidates must stay a bounded corpus fraction, got $candFrac%.3f")
+    } finally scored.unpersist()
   }
 }

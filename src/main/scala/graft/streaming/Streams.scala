@@ -65,11 +65,20 @@ object Streams {
   /** Event-time gap sessionization with `flatMapGroupsWithState`:
     * a session closes after [[GapMs]] of user silence. Sessions are
     * emitted when a newer event proves the gap, or when the watermark
-    * passes sessionEnd + gap (event-time timeout) — so state is
-    * bounded by the number of *open* sessions.
+    * passes sessionEnd + gap (event-time timeout).
     *
-    * Semantics match the batch `Temporal.qSessionize` (session ids
-    * count up per user from 1, value summed).
+    * Semantics match the batch `Temporal.qSessionize`: session ids
+    * count up per user from 1 — ACROSS timeout flushes (ADVICE r3: a
+    * timeout used to remove state entirely, restarting the next
+    * session at 1 and duplicating (user_id, session_id) keys
+    * downstream). A flushed session therefore leaves a small marker
+    * (nEvents = 0, carrying the counter) in the state store. State
+    * cost: open sessions are bounded by the watermark as before;
+    * markers add one ~40-byte record per user ever seen — the
+    * unavoidable price of durable per-user numbering, sharded across
+    * the cluster by the groupByKey partitioning (an id-stability vs
+    * state-size trade a 100 TB deployment can opt out of by keying
+    * session ids on session_start_ms instead).
     */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -91,9 +100,14 @@ object Streams {
       userId: Long, events: Iterator[Ev],
       state: GroupState[SessState]): Iterator[Session] = {
     if (events.isEmpty && state.hasTimedOut) {
-      val out = state.getOption.map(st =>
-        Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)).toIterator
-      state.remove()
+      // flush the open session, but KEEP a marker carrying the running
+      // counter (nEvents = 0): the user's next session must continue
+      // the per-user numbering, not restart at 1. No new timeout is
+      // set — a marker never times out, it just waits.
+      val out = state.getOption.filter(_.nEvents > 0L).map { st =>
+        state.update(st.copy(nEvents = 0L))
+        Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)
+      }.toIterator
       return out
     }
     val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
@@ -102,6 +116,11 @@ object Streams {
     for (e <- sorted) {
       if (st == null) {
         st = SessState(1L, e.ts_ms, e.ts_ms, 1L, e.value)
+      } else if (st.nEvents == 0L) {
+        // flushed marker: the previous session is final (its timeout
+        // already proved the gap), so any new event opens the NEXT
+        // numbered session.
+        st = SessState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L, e.value)
       } else if (e.ts_ms - st.endMs > GapMs) {
         emitted += Session(userId, st.sessionId, st.nEvents, st.startMs, st.endMs, st.value)
         st = SessState(st.sessionId + 1, e.ts_ms, e.ts_ms, 1L, e.value)
@@ -116,8 +135,9 @@ object Streams {
     }
     if (st != null) {
       state.update(st)
-      // flush when the watermark proves no earlier event can extend it
-      state.setTimeoutTimestamp(st.endMs + GapMs + 1)
+      // flush when the watermark proves no earlier event can extend it;
+      // a bare marker (no open session) carries no timeout
+      if (st.nEvents > 0L) state.setTimeoutTimestamp(st.endMs + GapMs + 1)
     }
     emitted.iterator
   }

@@ -64,6 +64,68 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The batch/stream "twins must not disagree" contract: the same
+    * rows through the streaming dedupe and the batch qDedupExact must
+    * keep the same number of survivors with the same content hashes.
+    * (Which doc_id of a duplicate group survives differs by design:
+    * batch keeps min doc_id, the stream keeps first arrival.)
+    */
+  test("dedupe: stream survivors match batch qDedupExact survivors on the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Seq(
+      1L -> "The Quick  Brown Fox", 2L -> "the quick brown fox",
+      3L -> "lorem ipsum", 4L -> "LOREM   IPSUM", 5L -> "unique text here")
+    val batchSurvivorMd5 = graft.operators.Dedup.qDedupExact(spark, docsDir(rows))
+      .filter(!col("is_dup")).collect().map(_.getString(1)).toSet
+
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = Streams.dedupe(docs)
+      .writeStream.format("memory").queryName("dedup_parity").outputMode("append").start()
+    try {
+      val B = 24L * H
+      ms.addData(rows.zipWithIndex.map { case ((id, t), i) => (id, t, B + i * 1000L) }: _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT doc_id, content_md5 FROM dedup_parity").collect()
+      assert(streamed.length === batchSurvivorMd5.size,
+        "stream and batch must keep the same survivor count")
+      assert(streamed.map(_.getString(1)).toSet === batchSurvivorMd5,
+        "stream and batch survivors must cover the same content hashes")
+    } finally q.stop()
+  }
+
+  test("sessionize: session numbering continues across a timeout flush") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions_flush").outputMode("append").start()
+    try {
+      val B = 24L * H
+      ms.addData(Ev(1L, 1L, B, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(999L, 5L, B + 100L * H, 0.0)) // watermark → TIMEOUT flushes session 1
+      q.processAllAvailable()
+      ms.addData(Ev(1L, 2L, B + 200L * H, 2.0))   // user 1 returns after the flush
+      q.processAllAvailable()
+      ms.addData(Ev(999L, 6L, FarFuture, 0.0))    // flush the second session
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT session_id, n_events, session_value FROM sessions_flush
+          |WHERE user_id = 1 ORDER BY session_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // ADVICE r3: a timeout flush used to reset the counter → the
+      // second session re-emitted session_id 1, duplicating the key.
+      assert(got.toSeq === Seq((1L, 1L, 1.0), (2L, 1L, 2.0)),
+        "the post-flush session must continue numbering at 2, not restart at 1")
+    } finally q.stop()
+  }
+
   test("sessionize: gap sessions match batch semantics, flushed by watermark") {
     val s = spark
     import s.implicits._

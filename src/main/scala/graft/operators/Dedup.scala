@@ -314,12 +314,17 @@ object Dedup {
       col("bucket"), col("nrm").as("n_b"))
     val mates = a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine", dotExpr("e_a", "e_b") / (col("n_a") * col("n_b")))
+    // best mate per vector via max(struct(...)), NOT a window: the
+    // aggregate partial-combines map-side, so the shuffle carries one
+    // candidate row per (vec, partition) instead of every mate pair —
+    // at 100 TB the mate join's output is the big intermediate here.
+    // struct ordering = (cosine desc, id_b asc) via the negated id —
+    // same tie-break as the former row_number.
     val best = mates
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b"))))
-      .filter(col("rk") === 1)
-      .select(col("id_a").as("vec_id"), col("id_b").as("best_mate_id"),
-        col("cosine").as("best_cosine"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("id_b")).as("neg_id"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg_id")).as("best_mate_id"),
+        col("b.cosine").as("best_cosine"))
     base
       .withColumn("n_bucket_mates", (col("bsize") - 1).cast("long"))
       .select("vec_id", "bucket", "n_bucket_mates")

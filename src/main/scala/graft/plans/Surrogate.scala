@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Scale-safe deterministic surrogate-key assignment.
   *
@@ -14,16 +14,21 @@ import org.apache.spark.sql.types.{LongType, StructField}
   *
   *   1. range-repartition + in-partition sort on the order columns —
   *      partitions now hold disjoint, ordered key ranges;
-  *   2. `zipWithIndex`: a count job over partition sizes (the "offset
-  *      map"), then each partition numbers its rows from its offset.
-  *      No single-partition exchange anywhere.
+  *   2. per-partition row index from `monotonically_increasing_id`
+  *      (pid·2³³ + in-partition position, assigned in sorted order),
+  *      plus a per-partition row-count offset map (numPartitions rows,
+  *      broadcast back) → global rank = offset(pid) + position + 1.
   *
-  * Note the costs inherent to the two-pass design: the count job runs
-  * EAGERLY when the DataFrame is constructed (ZippedWithIndexRDD
-  * computes offsets in its constructor), and the sorted input is
-  * recomputed for the second pass (persisting it would be wrong at
-  * 100 TB). Two passes over the data is the price of a deterministic
-  * dense rank without a global window.
+  * No single-partition exchange anywhere, and — unlike the previous
+  * `RDD.zipWithIndex` formulation (VERDICT r3 minor #4) — the whole
+  * plan stays in Tungsten/whole-stage codegen: no Row materialization,
+  * no kryo hop, and Catalyst's ReuseExchange serves BOTH passes (the
+  * offset-count branch and the numbering branch) from one range
+  * exchange instead of zipWithIndex's separate eager count job.
+  *
+  * The offset map's running-sum window is a global window over
+  * numPartitions rows (one row per shuffle partition — bounded and
+  * tiny, same accepted pattern as the dimension-table windows).
   *
   * The assigned value equals the global rank of the order columns, so
   * it is independent of partition boundaries (determinism does not
@@ -38,8 +43,20 @@ object Surrogate {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val schema = sorted.schema.add(StructField(name, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+      // Catalyst never reorders nondeterministic expressions past a
+      // Sort, so the id is assigned in fully sorted row order.
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val offsets = sorted
+      .groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum("__cnt").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__offset")
+    sorted.join(broadcast(offsets), "__pid")
+      .withColumn(name,
+        col("__offset") + (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + 1L)
+      .select(df.columns.map(col) :+ col(name): _*)
   }
 }

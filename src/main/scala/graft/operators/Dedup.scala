@@ -332,12 +332,78 @@ object Dedup {
       .withColumn("is_dup", coalesce(col("best_cosine") >= 0.95, lit(false)))
   }
 
+  // ------------------------------------------------------------------
+  // Row 32: near-dup CLUSTERS — pairs are not decisions. A dedup run
+  // consumes "keep doc X, drop Y,Z" verdicts, which requires the
+  // transitive closure of the pair graph (A≈B, B≈C ⇒ {A,B,C} even when
+  // A-C never surfaced as a candidate).
+  // ------------------------------------------------------------------
+
+  /** Connected components of an undirected edge list (id_a, id_b) by
+    * iterative min-label propagation: every node starts labeled with
+    * itself; each round takes the min of its own and its neighbors'
+    * labels; fixpoint = components labeled by their min member.
+    *
+    * Scale shape: each round is one shuffle join edges⋈labels plus a
+    * partial-aggregating groupBy — no global structure. Rounds needed
+    * = graph diameter, and near-dup clusters are near-cliques of
+    * duplicates (diameter ~2-3), so the driver loop converges in a
+    * handful of rounds; `maxIter` bounds pathological chains. The
+    * driver-side loop with one action per round is the standard Spark
+    * formulation of iterative graph algorithms (GraphX/GraphFrames do
+    * the same); `localCheckpoint` truncates lineage each round so plan
+    * size stays constant (a production run on preemptible executors
+    * would use reliable `checkpoint` to a cluster store instead).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("moved"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("moved")).count()
+      labels = updated.drop("moved")
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup DECISIONS over the whole corpus: every document's
+    * cluster id (min doc_id of its transitive near-dup group — its own
+    * id if it has no near-dups), cluster size, and survivor verdict.
+    * Edges come from the word-3-gram MinHash pipeline (row 20).
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val comps = connectedComponents(qDedupMinhash(s, dir).select("id_a", "id_b"))
+    val sizeW = Window.partitionBy("cluster_id")
+    docs(s, dir).select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .drop("comp")
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_ngram_jaccard"   -> qNgramJaccard _,
-    "q_dedup_embedding" -> qDedupEmbedding _
+    "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_dedup_clusters"  -> qDedupClusters _
   )
 
   val oracle: Map[String, String] = Map(

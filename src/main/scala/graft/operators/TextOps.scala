@@ -192,19 +192,58 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // Per-language target sampling rates (percent) for the training mix —
+  // the knob a data-mixture config supplies.
+  private val strataPct: Seq[(String, Int)] =
+    Seq("en" -> 35, "es" -> 60, "de" -> 60, "fr" -> 80)
+  private val defaultPct = 100
+
+  /** Deterministic stratified sampling for training-data mixing: each
+    * document's keep/drop verdict is `doc_id mod 100 < rate(lang)` — a
+    * pure function of the row, so the sample is (a) exactly
+    * reproducible across runs, engines and re-partitions (unlike
+    * `df.sample`/`sampleBy`, whose RNG is partition-layout dependent),
+    * (b) map-only at any scale, and (c) consistent across derived
+    * tables keyed by the same id. This hash-mod idiom is how
+    * production corpus mixes pin their subsets.
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = strataPct.foldRight(lit(defaultPct): Column) {
+      case ((l, p), acc) => when(col("lang") === l, p).otherwise(acc)
+    }
+    docs(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(100L)).cast("long").as("sample_bucket"),
+        rate.cast("long").as("target_pct"))
+      .withColumn("is_sampled", col("sample_bucket") < col("target_pct"))
+  }
+
+  val qSampleStratifiedSql: String = {
+    val cases = strataPct.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CAST(doc_id % 100 AS BIGINT) AS sample_bucket,
+       |  CAST(CASE $cases ELSE $defaultPct END AS BIGINT) AS target_pct,
+       |  doc_id % 100 < (CASE $cases ELSE $defaultPct END) AS is_sampled
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lang_id"         -> qLangId _,
-    "q_quality_score"   -> qQualityScore _,
-    "q_token_count"     -> qTokenCount _,
-    "q_fingerprint"     -> qFingerprint _,
-    "q_multimodal_meta" -> qMultimodalMeta _
+    "q_lang_id"           -> qLangId _,
+    "q_quality_score"     -> qQualityScore _,
+    "q_token_count"       -> qTokenCount _,
+    "q_fingerprint"       -> qFingerprint _,
+    "q_multimodal_meta"   -> qMultimodalMeta _,
+    "q_sample_stratified" -> qSampleStratified _
   )
 
   val oracle: Map[String, String] = Map(
-    "q_lang_id"         -> qLangIdSql,
-    "q_quality_score"   -> qQualityScoreSql,
-    "q_token_count"     -> qTokenCountSql,
-    "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_fingerprint"     -> qFingerprintSql
+    "q_lang_id"           -> qLangIdSql,
+    "q_quality_score"     -> qQualityScoreSql,
+    "q_token_count"       -> qTokenCountSql,
+    "q_multimodal_meta"   -> qMultimodalMetaSql,
+    "q_fingerprint"       -> qFingerprintSql,
+    "q_sample_stratified" -> qSampleStratifiedSql
   )
 }

@@ -91,6 +91,25 @@ class DedupSpec extends SparkSpec {
     assert(none.getLong(0) === 0L && none.getLong(1) === 0L, "nothing capped → zeros")
   }
 
+  test("connectedComponents: transitive closure with min-id labels") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (3 only reachable transitively), separate pair 7-8
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("q_dedup_clusters: planted near-dups cluster, singletons survive alone") {
+    val rows = Dedup.qDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) === ((1L, 2L, true)), "doc 1 is the cluster-1 survivor")
+    assert(rows(2L) === ((1L, 2L, false)), "doc 2 is clustered under 1, not a survivor")
+    assert(rows(3L) === ((3L, 1L, true)), "unrelated doc is its own singleton survivor")
+    assert(rows.size === 6, "every document gets a verdict row")
+  }
+
   test("embedding LSH dedup flags planted near-identical vectors") {
     val s = spark
     import s.implicits._

@@ -51,4 +51,25 @@ class TextOpsSpec extends SparkSpec {
     val fpPre = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(fpAll(2L) === fpPre(2L), "short doc: full fp equals prefix fp")
   }
+
+  test("stratified sample: deterministic per-row verdicts, realized rates track targets") {
+    val rows = TextOps.qSampleStratified(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    rows.foreach { case (id, _, bucket, pct, kept) =>
+      assert(bucket === id % 100, "bucket is a pure function of the id")
+      assert(kept === (bucket < pct), "verdict is exactly bucket < target")
+    }
+    // realized rate per stratum ≈ target (doc_id is uniform mod 100;
+    // small strata wobble, so assert a generous band)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val target = rs.head._4 / 100.0
+      val realized = rs.count(_._5).toDouble / rs.size
+      assert(math.abs(realized - target) < 0.15,
+        f"$lang realized $realized%.2f vs target $target%.2f")
+    }
+    // reproducibility: a second run yields the identical verdict set
+    val again = TextOps.qSampleStratified(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    rows.foreach { case (id, _, _, _, kept) => assert(again(id) === kept) }
+  }
 }

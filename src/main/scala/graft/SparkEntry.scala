@@ -53,6 +53,7 @@ object SparkEntry {
     "q_dedup_exact"     -> Seq("doc_id"),
     "q_dedup_clusters"  -> Seq("doc_id"),
     "q_sample_stratified" -> Seq("doc_id"),
+    "q_mix_budget"      -> Seq("lang"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),
     "q_ngram_jaccard"   -> Seq("id_a", "id_b"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Ingest
@@ -229,7 +230,35 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token-budget accounting per language stratum — the aggregate a
+    * mix-planning step consumes: documents, token totals (the BPE-ish
+    * regex count, the unit budgets are denominated in), and each
+    * stratum's share of the corpus budget. Partial-aggregating
+    * groupBy; the share's global window runs over one row per
+    * language — bounded, not data-scaled.
+    */
+  def qMixBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    docs(s, dir)
+      .select(col("lang"),
+        expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum("n_tokens").over(w))
+  }
+
+  val qMixBudgetSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS n_tokens,
+       |  CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS DOUBLE)
+       |    / SUM(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT))) OVER () AS token_share
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_budget"        -> qMixBudget _,
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
     "q_token_count"       -> qTokenCount _,
@@ -244,6 +273,7 @@ object TextOps {
     "q_token_count"       -> qTokenCountSql,
     "q_multimodal_meta"   -> qMultimodalMetaSql,
     "q_fingerprint"       -> qFingerprintSql,
-    "q_sample_stratified" -> qSampleStratifiedSql
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_mix_budget"        -> qMixBudgetSql
   )
 }

@@ -72,4 +72,16 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(4))).toMap
     rows.foreach { case (id, _, _, _, kept) => assert(again(id) === kept) }
   }
+
+  test("mix budget: per-stratum token totals and shares sum to 1") {
+    val rows = TextOps.qMixBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === Set("en", "es", "de", "fr", "zh"))
+    assert(rows.map(_._2).sum === 500L, "doc counts cover the corpus")
+    rows.foreach { case (lang, n, toks, share) =>
+      assert(n > 0 && toks > 0, s"$lang must have docs and tokens")
+      assert(share > 0.0 && share < 1.0)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "shares must sum to 1")
+  }
 }

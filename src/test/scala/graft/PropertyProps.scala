@@ -65,4 +65,80 @@ object PropertyProps extends Properties("graft-primitives") {
       // is what exact dedup keys on.
       Prop(RollingFingerprint.hash(s) == RollingFingerprint.hash(new String(s.toCharArray)))
     }
+
+  // --- vector kernels (graft.functions.VectorOps) ---
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  private val floatVec: Gen[Array[Float]] =
+    Gen.choose(1, 96).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-8.0f, 8.0f)).map(_.toArray))
+  private def ad(a: Array[Float]) = new GenericArrayData(a)
+
+  property("VectorOps.dot matches a reference double fold and commutes") =
+    forAll(floatVec, floatVec) { (a, b) =>
+      val m = math.min(a.length, b.length)
+      val ref = (0 until m).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      graft.functions.VectorOps.dot(ad(a), ad(b)) == ref &&
+        graft.functions.VectorOps.dot(ad(a), ad(b)) ==
+          graft.functions.VectorOps.dot(ad(b), ad(a))
+    }
+
+  property("signBuckets: deterministic, right arity, buckets within 2^nBits") =
+    forAll(floatVec, Gen.choose(1, 6), Gen.choose(1, 12)) { (v0, nTables, nBits) =>
+      val dim = v0.length
+      val planes = {
+        val flat = new Array[Double](nTables * nBits * dim)
+        var t = 0
+        while (t < nTables) {
+          val r = new scala.util.Random(42L + t)
+          var j = 0
+          while (j < nBits * dim) { flat(t * nBits * dim + j) = r.nextGaussian(); j += 1 }
+          t += 1
+        }
+        flat
+      }
+      val b1 = graft.functions.VectorOps.signBuckets(ad(v0), planes, nTables, nBits, dim)
+      val b2 = graft.functions.VectorOps.signBuckets(ad(v0), planes, nTables, nBits, dim)
+      b1.sameElements(b2) && b1.length == nTables &&
+        b1.forall(x => x >= 0 && x < (1 << nBits))
+    }
+
+  property("xpolyKeys: per-table distinct keys in the table's range; top-1 leads top-m") =
+    forAll(floatVec, Gen.choose(1, 4), Gen.choose(1, 4)) { (v, nTables, probes0) =>
+      val dim = v.length
+      val probes = math.min(probes0, dim)
+      val planes = {
+        val flat = new Array[Double](nTables * dim * dim)
+        var t = 0
+        while (t < nTables) {
+          val r = new scala.util.Random(7L + t)
+          var j = 0
+          while (j < dim * dim) { flat(t * dim * dim + j) = r.nextGaussian(); j += 1 }
+          t += 1
+        }
+        flat
+      }
+      val multi = graft.functions.VectorOps.xpolyKeys(ad(v), planes, nTables, dim, probes)
+      val top1 = graft.functions.VectorOps.xpolyKeys(ad(v), planes, nTables, dim, 1)
+      multi.length == nTables * probes &&
+        (0 until nTables).forall { t =>
+          val keys = multi.slice(t * probes, (t + 1) * probes)
+          keys.distinct.length == probes &&
+            keys.forall(k => k >= t * 2 * dim && k < (t + 1) * 2 * dim) &&
+            keys.head == top1(t) // the corpus key is always probed first
+        }
+    }
+
+  property("slotAgreement is in [0,1], 1 on self, symmetric") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { xs0 =>
+      val xs = xs0.map(_.abs).toArray
+      val half = xs.take(math.max(xs.length / 2, 1))
+      val s = graft.functions.VectorOps.slotAgreement(
+        new GenericArrayData(xs), new GenericArrayData(half))
+      val sSym = graft.functions.VectorOps.slotAgreement(
+        new GenericArrayData(half), new GenericArrayData(xs))
+      graft.functions.VectorOps.slotAgreement(
+        new GenericArrayData(xs), new GenericArrayData(xs)) == 1.0 &&
+        s >= 0.0 && s <= 1.0 && s == sSym
+    }
 }

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan tripwires for the headline scale claims. Correctness
+  * is the oracle's job; these assert the PLAN SHAPE stays the one
+  * designed for 100 TB — a regression here can pass every value check
+  * and still be a scale bug.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.plans(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q6_filter: predicates reach the parquet scan (PushedFilters)") {
+    // the rendered plan truncates long filter lists — read the scan
+    // node's un-truncated metadata instead
+    val pushed = SparkEntry.plans("q6_filter")(spark, sf0001)
+      .queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata("PushedFilters")
+      }.getOrElse(fail("no parquet scan found"))
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the shipdate range must be pushed, not post-filtered: $pushed")
+    assert(pushed.contains("LessThan(l_discount") || pushed.contains("LessThanOrEqual(l_discount"),
+      s"the discount band must be pushed: $pushed")
+  }
+
+  test("q6_filter: scan reads only the referenced columns") {
+    val p = plan("q6_filter")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the query touches quantity/extendedprice/discount/shipdate only
+    assert(!scanLine.contains("l_orderkey") && !scanLine.contains("l_comment"),
+      s"column pruning must drop unused lineitem columns:\n$scanLine")
+  }
+
+  test("q5_starjoin: every dimension joins as a broadcast, no SortMergeJoin") {
+    val p = plan("q5_starjoin")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded dims must broadcast — fact-side joins stay map-only:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p)
+  }
+
+  test("q3_topn: ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must use per-partition heaps + driver merge:\n$p")
+  }
+
+  test("q_ann_lsh: probe side broadcasts; corpus side carries no pre-join exchange") {
+    val exec = SparkEntry.plans("q_ann_lsh")(spark, sf0001).queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin") || exec.contains("BroadcastExchange"),
+      s"the probed query keys must broadcast:\n$exec")
+  }
+
+  test("q_dedup_exact: single hash-partitioned window, no global sort before it") {
+    val p = plan("q_dedup_exact")
+    // partitioned window → one Exchange hashpartitioning(content_md5...)
+    assert(p.contains("hashpartitioning(content_md5"),
+      s"dedup window must partition on the content hash:\n$p")
+  }
+}

@@ -72,6 +72,9 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
 case class SignBuckets(child: Expression, seed: Long, nTables: Int, nBits: Int, dim: Int)
     extends UnaryExpression {
 
+  require(nBits >= 1 && nBits <= 31, s"bucket bits must fit an int, got $nBits")
+  require(nTables >= 1 && dim >= 1, s"invalid table/dim config: $nTables/$dim")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_sign_buckets"
 
@@ -129,6 +132,11 @@ case class SignBuckets(child: Expression, seed: Long, nTables: Int, nBits: Int, 
   */
 case class CrossPolytopeKeys(child: Expression, seed: Long, nTables: Int, dim: Int, probes: Int)
     extends UnaryExpression {
+
+  // the probe-selection bitmask in the kernel is a single long
+  require(dim >= 1 && dim <= 64, s"cross-polytope dim must be in [1,64], got $dim")
+  require(probes >= 1 && probes <= dim, s"probes must be in [1,$dim], got $probes")
+  require(nTables >= 1, s"nTables must be positive, got $nTables")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_xpolytope_keys"

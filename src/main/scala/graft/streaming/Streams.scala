@@ -62,6 +62,25 @@ object Streams {
       .withColumn("content_md5", graft.operators.Dedup.contentMd5(col("text")))
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Stream-static fact enrichment — the streaming twin of the batch
+    * fact build (`StarSchema.qFactBuild`): events on the wire get
+    * their date/time surrogate keys (pure expressions of the event
+    * time, same key scheme as the batch dims) and a LEFT JOIN to a
+    * bounded static dimension. Stream-static joins are STATELESS —
+    * the static side broadcasts per micro-batch, no state store, so
+    * the stage scales with the stream alone; this is exactly the
+    * role-playing dim join a 100 TB streaming ingest runs at the
+    * edge. Input needs (ts: timestamp, event_type, ...); `typeDim`
+    * needs (event_type, type_id).
+    */
+  def enrichFacts(events: DataFrame, typeDim: DataFrame): DataFrame =
+    events
+      .withColumn("date_id",
+        (year(col("ts")) * 10000 + month(col("ts")) * 100 + dayofmonth(col("ts"))).cast("int"))
+      .withColumn("time_id",
+        (hour(col("ts")) * 10000 + minute(col("ts")) * 100 + second(col("ts"))).cast("int"))
+      .join(org.apache.spark.sql.functions.broadcast(typeDim), Seq("event_type"), "left")
+
   /** Event-time gap sessionization with `flatMapGroupsWithState`:
     * a session closes after [[GapMs]] of user silence. Sessions are
     * emitted when a newer event proves the gap, or when the watermark

@@ -104,7 +104,8 @@ object PropertyProps extends Properties("graft-primitives") {
     }
 
   property("xpolyKeys: per-table distinct keys in the table's range; top-1 leads top-m") =
-    forAll(floatVec, Gen.choose(1, 4), Gen.choose(1, 4)) { (v, nTables, probes0) =>
+    forAll(floatVec, Gen.choose(1, 4), Gen.choose(1, 4)) { (v0, nTables, probes0) =>
+      val v = v0.take(64) // kernel contract: dim ≤ 64 (long bitmask)
       val dim = v.length
       val probes = math.min(probes0, dim)
       val planes = {

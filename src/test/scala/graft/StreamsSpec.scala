@@ -98,6 +98,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The enrichment keys must equal the batch star schema's key
+    * arithmetic — a streamed fact row and its batch-built twin must
+    * land on the SAME dim rows.
+    */
+  test("enrichFacts: stream-static join, keys match the batch dim scheme") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val typeDim = Seq(("click", 1L), ("purchase", 2L)).toDF("event_type", "type_id")
+    val ms = MemoryStream[(Long, String)]
+    val events = ms.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"))
+    val q = Streams.enrichFacts(events, typeDim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      // 2021-03-04 05:06:07 UTC and an unknown event type
+      val t1 = java.time.Instant.parse("2021-03-04T05:06:07Z").toEpochMilli
+      ms.addData((t1, "click"), (t1 + 1000, "mystery"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_type, date_id, time_id, type_id FROM enriched ORDER BY time_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(got.toSeq === Seq(
+        ("click", 20210304, 50607, 1L),
+        ("mystery", 20210304, 50608, -1L)), // left join: unknown type survives with NULL
+        s"got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionize: session numbering continues across a timeout flush") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,51 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a decoded video/audio payload. */
+  case class Frame(doc_id: Long, media_type: String, frame_idx: Int, feature: Array[Float])
+
+  /** Resize: the 1→1 media transform shape (thumbnailing, sample-rate
+    * conversion). The stub maps the decoded dims onto the target box
+    * preserving determinism; a real codec would rescale pixels here.
+    * Map-only per-partition — the transform a 100 TB image pipeline
+    * runs between decode and feature extraction.
+    */
+  def resize(ds: Dataset[Decoded], maxW: Int, maxH: Int): Dataset[Decoded] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map { d =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+        d.copy(width = math.max(1, (d.width * scale).toInt),
+               height = math.max(1, (d.height * scale).toInt))
+      }
+    }
+  }
+
+  /** Frame sampling: the 1→N explode shape (keyframe extraction,
+    * audio windowing). Every `stride`-th frame becomes its own row
+    * with a per-frame feature — the row-multiplying step that turns a
+    * video corpus into a training-image corpus. Output cardinality is
+    * explicit (ceil(n_frames/stride)), so downstream volume is
+    * plannable before the job runs.
+    */
+  def frameSample(ds: Dataset[Decoded], stride: Int): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.flatMap { d =>
+        (0 until d.n_frames by stride).iterator.map { i =>
+          // deterministic per-frame feature: base feature rotated by
+          // the frame index (a real codec would decode frame i here)
+          val f = Array.tabulate(d.feature.length)(j =>
+            d.feature((j + i) % d.feature.length))
+          Frame(d.doc_id, d.media_type, i, f)
+        }
+      }
+    }
+  }
+
   /** End-to-end: build the media frame (as `q_multimodal_meta` does),
     * decode it, return metadata + feature summary.
     */

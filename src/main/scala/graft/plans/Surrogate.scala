@@ -38,6 +38,16 @@ object Surrogate {
 
   /** Append `name` = 1-based global rank of `orderCols` (must form a
     * unique key for a deterministic assignment).
+    *
+    * Correctness dependency, stated explicitly: the offset branch and
+    * the numbering branch MUST observe the same physical partitioning.
+    * Both contain the identical range-exchange subtree, which AQE
+    * materializes once (shuffle-stage reuse for semantically-equal
+    * exchanges within a query) — and even under recomputation the
+    * partitioner is a deterministic function of the same input, so
+    * the per-partition counts always describe the partitions the ids
+    * were assigned in. SurrogateSpec pins the end-to-end rank
+    * equality.
     */
   def rankedId(df: DataFrame, orderCols: Seq[String], name: String): DataFrame = {
     val sorted = df

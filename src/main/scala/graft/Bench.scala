@@ -39,9 +39,11 @@ object Bench {
     // median of 3: a query counts as failed only if it failed in EVERY
     // pass (a transient flake shouldn't zero an otherwise-working query,
     // but it must not silently shrink the median population either).
+    // Lower-middle on an even population: with one flaked pass the two
+    // survivors must not bill the query its WORST observed time.
     val results = names.map { n =>
       val ok = passes.map(_(n)).filter(_ >= 0).sorted
-      n -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      n -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
 

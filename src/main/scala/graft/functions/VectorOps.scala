@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * pipeline).
   *
   * Contract: inputs are `array<float>` columns (the `embeddings` table
-  * schema). Accumulation is double, left-to-right — bit-identical to
-  * the previous `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) *
-  * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)` formulation, so
-  * swapping the implementation changes no output values.
+  * schema) of EQUAL length — a mismatch throws (see
+  * [[VectorOps.dot]]'s note; the lambda formulation nulled such rows).
+  * For well-formed rows the accumulation is double, left-to-right —
+  * bit-identical to the previous `aggregate(zip_with(a, b, (x, y) ->
+  * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)`
+  * formulation, so swapping the implementation changes no output
+  * values.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -197,8 +200,18 @@ case class SlotAgreement(left: Expression, right: Expression) extends BinaryExpr
   */
 object VectorOps {
 
+  /** Length mismatch THROWS, never truncates: the replaced zip_with
+    * lambda nulled out mismatched rows (excluding them downstream); a
+    * silently truncated dot would instead hand a corrupt/short
+    * embedding a plausible cosine that can enter top-k results and
+    * dedup verdicts. Fail loudly; the pipeline owner filters corrupt
+    * rows explicitly (`size(embedding) = dim`).
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val m = math.min(a.numElements(), b.numElements())
+    val m = a.numElements()
+    if (m != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < m) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -206,7 +219,9 @@ object VectorOps {
   }
 
   def signBuckets(v: ArrayData, planes: Array[Double], nTables: Int, nBits: Int, dim: Int): Array[Int] = {
-    val m = math.min(dim, v.numElements())
+    val m = v.numElements()
+    if (m != dim)
+      throw new IllegalArgumentException(s"vector length $m != plane dim $dim")
     val out = new Array[Int](nTables)
     var t = 0
     while (t < nTables) {
@@ -232,7 +247,9 @@ object VectorOps {
     * dim=64 indices).
     */
   def xpolyKeys(v: ArrayData, planes: Array[Double], nTables: Int, dim: Int, probes: Int): Array[Int] = {
-    val m = math.min(dim, v.numElements())
+    val m = v.numElements()
+    if (m != dim)
+      throw new IllegalArgumentException(s"vector length $m != rotation dim $dim")
     val u = new Array[Double](dim)
     val out = new Array[Int](nTables * probes)
     var t = 0

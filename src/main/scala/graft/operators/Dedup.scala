@@ -379,6 +379,15 @@ object Dedup {
       labels = updated.drop("moved")
       i += 1
     }
+    // NEVER return silently-wrong labels: non-convergence would hand
+    // one true cluster several cluster_ids and several "survivors" —
+    // a dedup run that keeps duplicates while reporting clean verdicts.
+    // Diameter > maxIter means a pathological similarity chain; the
+    // caller decides (raise maxIter, or break the chain upstream).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — graph diameter exceeds maxIter")
     labels
   }
 

@@ -78,6 +78,17 @@ object StarSchema {
        |     WHEN month($d) = 5 AND dayofweek($d) + 1 = 2 AND day($d) >= 25 THEN 'Memorial Day'
        |     ELSE NULL END""".stripMargin
 
+  /** THE date/time surrogate-key arithmetic — one definition for every
+    * producer (standalone dims, fact-build role-playing dims, streaming
+    * enrichment). A second copy drifting from this one silently joins
+    * facts to the wrong/no dim rows.
+    */
+  private[graft] def dateIdOf(d: Column): Column =
+    (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast("int")
+
+  private[graft] def timeIdOf(h: Column, m: Column, s: Column): Column =
+    (h * 10000 + m * 100 + s).cast("int")
+
   /** Generated calendar dimension (reference DimDate, ELT.py:121-148):
     * year/quarter/month/week/day/season/weekend/holiday attributes
     * derived from the distinct order dates, including the reference's
@@ -88,8 +99,7 @@ object StarSchema {
       .select(to_date(col("o_orderdate")).as("d")).distinct()
     d.select(
         date_format(col("d"), "yyyy-MM-dd").as("full_date"),
-        (year(col("d")) * 10000 + month(col("d")) * 100 + dayofmonth(col("d")))
-          .cast("int").as("date_id"),
+        dateIdOf(col("d")).as("date_id"),
         year(col("d")).cast("int").as("cal_year"),
         quarter(col("d")).cast("int").as("quarter_num"),
         concat(lit("Q"), quarter(col("d"))).as("quarter_name"),
@@ -159,7 +169,7 @@ object StarSchema {
              second(col("ts")).cast("int").as("second"))
       .distinct()
       .select(
-        (col("hour24") * 10000 + col("minute") * 100 + col("second")).cast("int").as("time_id"),
+        timeIdOf(col("hour24"), col("minute"), col("second")).as("time_id"),
         col("hour24"),
         h12.as("hour12"),
         col("minute"),
@@ -240,9 +250,7 @@ object StarSchema {
 
   private def dimDateOf(e: DataFrame): DataFrame =
     e.select(to_date(col("ts")).as("full_date")).distinct()
-      .withColumn("date_id",
-        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
-          dayofmonth(col("full_date"))).cast("int"))
+      .withColumn("date_id", dateIdOf(col("full_date")))
 
   /** Second-granularity, matching `q_dim_time`'s key scheme — the fact
     * table's time_id must resolve against the standalone dimension.
@@ -251,7 +259,7 @@ object StarSchema {
     e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"),
              second(col("ts")).cast("int").as("sec"))
       .distinct()
-      .withColumn("time_id", (col("h") * 10000 + col("m") * 100 + col("sec")).cast("int"))
+      .withColumn("time_id", timeIdOf(col("h"), col("m"), col("sec")))
 
   /** User dimension: cardinality grows with the data, so the surrogate
     * uses the two-pass ranked id, never a global window.
@@ -277,15 +285,13 @@ object StarSchema {
     val dates = e.select(to_date(col("ts")).as("full_date"))
       .unionByName(e.select(to_date(col("report_ts")).as("full_date")))
       .distinct()
-      .withColumn("date_id",
-        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
-          dayofmonth(col("full_date"))).cast("int"))
+      .withColumn("date_id", dateIdOf(col("full_date")))
     val times = e.select(hour(col("ts")).cast("int").as("h"), minute(col("ts")).cast("int").as("m"),
         second(col("ts")).cast("int").as("sec"))
       .unionByName(e.select(hour(col("report_ts")).cast("int").as("h"),
         minute(col("report_ts")).cast("int").as("m"), second(col("report_ts")).cast("int").as("sec")))
       .distinct()
-      .withColumn("time_id", (col("h") * 10000 + col("m") * 100 + col("sec")).cast("int"))
+      .withColumn("time_id", timeIdOf(col("h"), col("m"), col("sec")))
     def dd(role: String) = dates.select(
       col("full_date").as(s"${role}_fd"), col("date_id").as(s"${role}_date_id"))
     def dt(role: String) = times.select(

@@ -88,25 +88,30 @@ object Ingest {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dest = Paths.get(destPath)
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
-    val tmp = Files.createTempFile(
-      if (dest.getParent != null) dest.getParent else Paths.get("."), ".acquire-", ".part")
+    // open the source FIRST: an unreachable source must not leave any
+    // artifact in the staging directory
     val md = java.security.MessageDigest.getInstance("MD5")
     val in = new java.net.URL(srcUrl).openStream()
     try {
-      val out = Files.newOutputStream(tmp)
+      val tmp = Files.createTempFile(
+        if (dest.getParent != null) dest.getParent else Paths.get("."), ".acquire-", ".part")
       try {
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        var total = 0L
-        while (n >= 0) {
-          if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); total += n }
-          n = in.read(buf)
-        }
-        out.close()
+        val out = Files.newOutputStream(tmp)
+        val total =
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            var t = 0L
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); md.update(buf, 0, n); t += n }
+              n = in.read(buf)
+            }
+            t
+          } finally out.close() // close on EVERY path before move/delete
         Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         (total, md.digest().map("%02x".format(_)).mkString)
-      } finally Files.deleteIfExists(tmp)
+      } finally Files.deleteIfExists(tmp) // no-op after a successful move
     } finally in.close()
   }
 
@@ -129,11 +134,13 @@ object Ingest {
     require(capped.length <= maxRows,
       s"report export exceeds $maxRows rows — use writePartitioned for large exports")
     val cols = df.columns
-    def cell(v: Any): String = v match {
-      case null => ""
-      case s: String if s.exists(c => c == ',' || c == '"' || c == '\n') =>
+    // quote the RENDERED cell, whatever its type: array/struct renderings
+    // carry commas too, and a bare \r splits a record as surely as \n
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
-      case other => other.toString
+      else s
     }
     val dest = Paths.get(destPath)
     if (dest.getParent != null) Files.createDirectories(dest.getParent)

@@ -75,10 +75,11 @@ object Streams {
     */
   def enrichFacts(events: DataFrame, typeDim: DataFrame): DataFrame =
     events
-      .withColumn("date_id",
-        (year(col("ts")) * 10000 + month(col("ts")) * 100 + dayofmonth(col("ts"))).cast("int"))
-      .withColumn("time_id",
-        (hour(col("ts")) * 10000 + minute(col("ts")) * 100 + second(col("ts"))).cast("int"))
+      // SHARED key arithmetic with the batch star schema — by
+      // construction, not by convention (drift would mis-join facts)
+      .withColumn("date_id", graft.operators.StarSchema.dateIdOf(col("ts")))
+      .withColumn("time_id", graft.operators.StarSchema.timeIdOf(
+        hour(col("ts")), minute(col("ts")), second(col("ts"))))
       .join(org.apache.spark.sql.functions.broadcast(typeDim), Seq("event_type"), "left")
 
   /** Event-time gap sessionization with `flatMapGroupsWithState`:

@@ -74,13 +74,17 @@ object PropertyProps extends Properties("graft-primitives") {
       Gen.listOfN(n, Gen.choose(-8.0f, 8.0f)).map(_.toArray))
   private def ad(a: Array[Float]) = new GenericArrayData(a)
 
-  property("VectorOps.dot matches a reference double fold and commutes") =
-    forAll(floatVec, floatVec) { (a, b) =>
-      val m = math.min(a.length, b.length)
+  property("VectorOps.dot matches a reference double fold, commutes, rejects mismatches") =
+    forAll(floatVec, floatVec) { (a0, b0) =>
+      val m = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(m), b0.take(m)) // contract: equal lengths
       val ref = (0 until m).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      val mismatchThrows = a0.length == b0.length ||
+        scala.util.Try(graft.functions.VectorOps.dot(ad(a0), ad(b0))).isFailure
       graft.functions.VectorOps.dot(ad(a), ad(b)) == ref &&
         graft.functions.VectorOps.dot(ad(a), ad(b)) ==
-          graft.functions.VectorOps.dot(ad(b), ad(a))
+          graft.functions.VectorOps.dot(ad(b), ad(a)) &&
+        mismatchThrows
     }
 
   property("signBuckets: deterministic, right arity, buckets within 2^nBits") =

@@ -45,6 +45,9 @@ object SparkEntry {
     "q_sessionize"      -> Seq("user_id", "session_id"),
     "q_asof_join"       -> Seq("purchase_id"),
     "q_stream_tumbling" -> Seq("window_start_ms", "event_type"),
+    "q_stream_sliding"  -> Seq("window_start_ms", "event_type"),
+    "q_repetition"      -> Seq("doc_id"),
+    "q_contamination"   -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),
     "q_quality_score"   -> Seq("doc_id"),
     "q_token_count"     -> Seq("doc_id"),

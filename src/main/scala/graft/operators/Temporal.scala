@@ -122,15 +122,51 @@ object Temporal {
       |GROUP BY 1, 2
       |ORDER BY window_start_ms, event_type""".stripMargin
 
+  /** Sliding-window event aggregation (1-hour windows every 30
+    * minutes) — the batch twin of [[graft.streaming.Streams.slidingCounts]].
+    * Spark's `window(ts, size, slide)` assigns each event to
+    * size/slide = 2 epoch-aligned windows (a bounded 1→2 expansion
+    * before the partial aggregate, NOT a range join), then the usual
+    * partial-aggregating groupBy — one shuffle on (window, type) at
+    * any scale.
+    */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  // Each event falls in exactly two slide-aligned windows: the one
+  // starting at floor(t/slide)*slide and the one slide earlier.
+  val qStreamSlidingSql: String =
+    """WITH x AS (
+      |  SELECT event_type, value,
+      |    (epoch_ms(ts) // 1800000) * 1800000 AS w0
+      |  FROM events),
+      |w AS (SELECT event_type, value,
+      |        unnest([w0, w0 - 1800000]) AS window_start_ms FROM x)
+      |SELECT window_start_ms, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM w
+      |GROUP BY window_start_ms, event_type
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"      -> qSessionize _,
     "q_asof_join"       -> qAsofJoin _,
-    "q_stream_tumbling" -> qStreamTumbling _
+    "q_stream_tumbling" -> qStreamTumbling _,
+    "q_stream_sliding"  -> qStreamSliding _
   )
 
   val oracle: Map[String, String] = Map(
     "q_sessionize"      -> qSessionizeSql,
     "q_asof_join"       -> qAsofJoinSql,
-    "q_stream_tumbling" -> qStreamTumblingSql
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_sliding"  -> qStreamSlidingSql
   )
 }

@@ -257,8 +257,124 @@ object TextOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Repetition signals (the Gopher/MassiveText-style quality rules:
+    * Rae et al. 2021 §A1.1): fraction of words taken by the most
+    * frequent word, by words occurring more than once, and by the most
+    * frequent word bigram. Highly repetitive docs (boilerplate, SEO
+    * spam, generation loops) are the classic pre-training cull.
+    *
+    * Shape at scale: bigram generation is a map-side array transform;
+    * the counts are two explode→groupBy word-count aggregates (partial
+    * aggregation applies — the classic wordcount shape) joined on
+    * doc_id, where both sides arrive already hash-partitioned by
+    * doc_id from their final groupBy, so the join adds no exchange.
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        max("c").as("top_word_n"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_word_n"))
+    val bigrams = d
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(ws, (w, i) -> CASE WHEN i < size(ws) - 1 THEN concat(w, ' ', element_at(ws, i + 2)) END), x -> x IS NOT NULL)")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    words.join(bigrams, Seq("doc_id"), "left") // left: a 1-word doc has no bigrams
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("dup_word_n").cast("double") / col("n_words")).as("dup_word_frac"),
+        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.18)
+  }
+
+  val qRepetitionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wc AS (SELECT doc_id, w, COUNT(*) AS c
+      |       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY doc_id, w),
+      |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_word_n,
+      |              CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_word_n
+      |       FROM wc GROUP BY doc_id),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c
+      |       FROM (SELECT doc_id, unnest(list_filter(list_transform(ws, (w, i) ->
+      |                CASE WHEN i < len(ws) THEN w || ' ' || ws[i + 1] END),
+      |                x -> x IS NOT NULL)) AS b
+      |             FROM d) GROUP BY doc_id, b),
+      |ba AS (SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY doc_id)
+      |SELECT wa.doc_id, wa.n_words,
+      |  CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+      |  CAST(dup_word_n AS DOUBLE) / n_words AS dup_word_frac,
+      |  COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac,
+      |  (CAST(top_word_n AS DOUBLE) / n_words > 0.2
+      |   OR COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) > 0.18) AS is_repetitive
+      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+      |ORDER BY wa.doc_id""".stripMargin
+
+  // Benchmark membership: doc_id ≡ 0 (mod 97) stands in for "this doc
+  // is in an eval benchmark". The gram width (5 words) follows the
+  // 8-13-word windows of published decontamination recipes, scaled to
+  // this corpus's 20-80-word docs.
+  private val benchMod = 97L
+  private val contamGram = 5
+
+  /** Benchmark-contamination screen: flag corpus documents sharing
+    * word n-grams with a benchmark set (the train/test-overlap
+    * decontamination step every LLM data pipeline runs; cf. the
+    * GPT-2/GPT-3 n-gram overlap methodology).
+    *
+    * Grams are keyed by md5 — fixed 32-char join keys instead of
+    * arbitrary-width strings (same digest on both engines, so the
+    * oracle can replay it). The benchmark side is BOUNDED by
+    * construction (an eval suite is fixed-size, it does not grow with
+    * the corpus) — broadcasting it is principled, not a small-data
+    * shortcut: at 100 TB the corpus side stays map-local through the
+    * probe and shuffles once, on doc_id, for the per-doc rollup.
+    */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"filter(transform(ws, (w, i) -> CASE WHEN i + $contamGram <= size(ws) THEN md5(concat_ws(' ', slice(ws, i + 1, $contamGram))) END), x -> x IS NOT NULL)")).as("g"))
+      .distinct() // per-doc distinct grams: overlap counts are set-based
+    val benchSet = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(benchSet), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination_frac", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("is_contaminated", col("contamination_frac") >= 0.2)
+  }
+
+  val qContaminationSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gm FROM (
+       |  SELECT doc_id, unnest(list_filter(list_transform(ws, (w, i) ->
+       |    CASE WHEN i + ${contamGram - 1} <= len(ws)
+       |         THEN md5(array_to_string(list_slice(ws, i, i + ${contamGram - 1}), ' ')) END),
+       |    x -> x IS NOT NULL)) AS gm FROM d)),
+       |b AS (SELECT DISTINCT gm FROM g WHERE doc_id % $benchMod = 0)
+       |SELECT g.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS contamination_frac,
+       |  CAST(COALESCE(SUM(CASE WHEN b.gm IS NOT NULL THEN 1 END), 0) AS DOUBLE) / COUNT(*) >= 0.2 AS is_contaminated
+       |FROM g LEFT JOIN b ON g.gm = b.gm
+       |WHERE g.doc_id % $benchMod <> 0
+       |GROUP BY g.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_budget"        -> qMixBudget _,
+    "q_repetition"        -> qRepetition _,
+    "q_contamination"     -> qContamination _,
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
     "q_token_count"       -> qTokenCount _,
@@ -268,6 +384,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_repetition"        -> qRepetitionSql,
+    "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,
     "q_quality_score"     -> qQualityScoreSql,
     "q_token_count"       -> qTokenCountSql,

@@ -49,6 +49,23 @@ object Streams {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked sliding-window counts — the streaming twin of
+    * `Temporal.qStreamSliding` (1-hour windows every 30 minutes).
+    * Same state story as tumbling: the 1→2 window expansion happens
+    * before the partial aggregate, and the watermark evicts windows
+    * whose end has passed — state holds at most
+    * (horizon/slide + size/slide) windows per event_type.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — the continuous twin of the batch
     * `Dedup.qDedupExact`: documents arriving on a stream are deduped
     * on their normalized-content hash with

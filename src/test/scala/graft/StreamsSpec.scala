@@ -41,6 +41,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts: each event lands in exactly two 30-min-aligned windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val events = ms.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+    val q = Streams.slidingCounts(events)
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    try {
+      val HalfH = 30L * 60 * 1000
+      // clicks at 10min and 20min → both in windows starting at -30min
+      // and 0; purchase at 1h+5ms → windows starting at 30min and 1h
+      ms.addData((10L * 60 * 1000, "click", 1.0), (20L * 60 * 1000, "click", 2.0),
+        (H + 5, "purchase", 5.5))
+      q.processAllAvailable()
+      ms.addData((FarFuture, "sentinel", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT window_start_ms, event_type, n_events, total_value
+          |FROM sliding WHERE event_type <> 'sentinel'
+          |ORDER BY window_start_ms, event_type""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === Seq(
+        (-HalfH, "click", 2L, 3.0), (0L, "click", 2L, 3.0),
+        (HalfH, "purchase", 1L, 5.5), (H, "purchase", 1L, 5.5)))
+    } finally q.stop()
+  }
+
   test("dedupe: normalized duplicates within the watermark horizon are dropped") {
     val s = spark
     import s.implicits._

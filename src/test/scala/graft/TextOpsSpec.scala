@@ -73,6 +73,40 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach { case (id, _, _, _, kept) => assert(again(id) === kept) }
   }
 
+  test("repetition: degenerate, diverse, and single-word docs score correctly") {
+    val dir = docsDir(Seq(
+      10L -> "a a a a a",                              // fully repetitive
+      11L -> "one two three four five six seven eight nine ten eleven twelve",
+      12L -> "x",                                      // no bigrams at all
+      13L -> "spam spam spam something else entirely different words here now ok fine"))
+    val got = TextOps.qRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(10L) === ((5L, 1.0, 1.0, 1.0, true)))
+    val (n11, tw11, dw11, tb11, rep11) = got(11L)
+    assert(n11 === 12L && tw11 === 1.0 / 12 && dw11 === 0.0 && tb11 === 1.0 / 11 && !rep11,
+      "12 distinct words: nothing repeats, below both thresholds")
+    assert(got(12L) === ((1L, 1.0, 0.0, 0.0, true)),
+      "single word: top_word_frac 1.0 trips the flag; bigram frac defaults to 0")
+    val (_, tw13, _, _, rep13) = got(13L)
+    assert(tw13 === 3.0 / 12 && rep13, "top word 'spam' holds 25% > 20% → repetitive")
+  }
+
+  test("contamination: benchmark-overlapping docs flagged, benchmark rows excluded") {
+    // doc 0 is the benchmark stratum (0 mod 97); doc 1 shares two
+    // 5-gram windows with it; doc 2 shares none
+    val dir = docsDir(Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta qq rr",
+      2L -> "completely different words with no overlap at all here"))
+    val rows = TextOps.qContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.keySet === Set(1L, 2L), "benchmark docs must not appear in the output")
+    assert(rows(1L) === ((4L, 2L, true)),
+      "doc 1: 4 distinct 5-grams, 2 shared with the benchmark → contaminated")
+    assert(rows(2L)._2 === 0L && !rows(2L)._3, "doc 2: clean")
+  }
+
   test("mix budget: per-stratum token totals and shares sum to 1") {
     val rows = TextOps.qMixBudget(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

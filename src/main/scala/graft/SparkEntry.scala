@@ -35,6 +35,9 @@ object SparkEntry {
     "q_pivot"           -> Seq("user_id"),
     "q_monthly_trend"   -> Seq("year_month"),
     "q_range_join"      -> Seq("band_id"),
+    "q_semi_join"       -> Seq("c_custkey"),
+    "q_anti_join"       -> Seq("c_custkey"),
+    "q_set_ops"         -> Seq("l_partkey"),
     "q_ingest_typecast" -> Seq("event_id"),
     "q_dim_date"        -> Seq("full_date"),
     "q_dim_time"        -> Seq("time_id"),

@@ -307,7 +307,74 @@ object Relational {
       |GROUP BY band_id, lo, hi
       |ORDER BY band_id""".stripMargin
 
+  /** Left-SEMI join (SQL EXISTS): customers with at least one URGENT
+    * order. The probe ships only the join key from the orders side and
+    * emits each customer at most once — at scale this shuffles both
+    * sides on custkey ONCE and never materializes the match multiplicity
+    * (an inner-join+distinct formulation would carry every matching
+    * order through the shuffle first).
+    */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-ANTI join (SQL NOT EXISTS, TPC-H Q22 flavor): customers with
+    * no URGENT order. Same single-shuffle shape as the semi join.
+    * NOT EXISTS — not NOT IN: left_anti keeps a left row whenever no
+    * non-null key matches, exactly NOT EXISTS semantics; NOT IN would
+    * return zero rows if the subquery ever yields a NULL key.
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set operations: parts shipped in BOTH 1996 and 1997 (INTERSECT)
+    * but not in 2001 (EXCEPT). Catalyst rewrites both into semi/anti
+    * joins over distinct keys — each leg is one partial-aggregated
+    * shuffle on partkey, and the year filters prune at the parquet
+    * scan before anything moves.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def shippedIn(y: Int): DataFrame =
+      li.filter(year(col("l_shipdate")) === y).select(col("l_partkey"))
+    shippedIn(1996).intersect(shippedIn(1997)).except(shippedIn(2001))
+  }
+
+  val qSetOpsSql: String =
+    """(SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+      | INTERSECT
+      | SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997)
+      |EXCEPT
+      |SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 2001
+      |ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_join"     -> qSemiJoin _,
+    "q_anti_join"     -> qAntiJoin _,
+    "q_set_ops"       -> qSetOps _,
     "q1_pricing"      -> q1Pricing _,
     "q6_filter"       -> q6Filter _,
     "q3_topn"         -> q3TopN _,
@@ -320,6 +387,9 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_semi_join"     -> qSemiJoinSql,
+    "q_anti_join"     -> qAntiJoinSql,
+    "q_set_ops"       -> qSetOpsSql,
     "q1_pricing"      -> q1PricingSql,
     "q6_filter"       -> q6FilterSql,
     "q3_topn"         -> q3TopNSql,

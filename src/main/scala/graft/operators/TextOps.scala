@@ -266,8 +266,11 @@ object TextOps {
     * Shape at scale: bigram generation is a map-side array transform;
     * the counts are two explode→groupBy word-count aggregates (partial
     * aggregation applies — the classic wordcount shape) joined on
-    * doc_id, where both sides arrive already hash-partitioned by
-    * doc_id from their final groupBy, so the join adds no exchange.
+    * doc_id. Below the broadcast threshold Catalyst broadcasts the
+    * bigram side; above it, both sides already arrive hash-partitioned
+    * by doc_id from their final groupBy, so the sort-merge join adds
+    * sorts but NO exchange — either way the join never re-shuffles the
+    * corpus.
     */
   def qRepetition(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -57,4 +57,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(content_md5"),
       s"dedup window must partition on the content hash:\n$p")
   }
+
+  test("q_contamination: benchmark set broadcasts; corpus rolls up on one doc_id shuffle") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded benchmark gram set must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide join shuffle:\n$p")
+    // corpus side shuffles exactly twice: once to set-dedup grams on
+    // (doc_id, g), once for the per-doc rollup on doc_id
+    assert(p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(doc_id")) === 2,
+      s"corpus-side shuffles must be the gram-dedup and the rollup, nothing more:\n$p")
+  }
+
+  test("q_stream_sliding: windows assign via bounded Expand, not a range join") {
+    val p = plan("q_stream_sliding")
+    assert(p.contains("Expand"),
+      s"sliding windows must be a 1-to-2 Expand before the partial aggregate:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in a window assignment:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"one shuffle, on (window, event_type):\n$p")
+  }
+
+  test("q_repetition: the stats join never re-shuffles the corpus") {
+    val p = plan("q_repetition")
+    // 4 aggregate exchanges (word/bigram × gram-count/doc-rollup); the
+    // doc_id join must ride on those — broadcast below the threshold,
+    // partitioning-reuse above — never add a fifth
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 4,
+      s"the join must reuse the aggregates' partitioning, not add an exchange:\n$p")
+  }
 }

@@ -263,39 +263,30 @@ object TextOps {
     * frequent word bigram. Highly repetitive docs (boilerplate, SEO
     * spam, generation loops) are the classic pre-training cull.
     *
-    * Shape at scale: bigram generation is a map-side array transform;
-    * the counts are two explode→groupBy word-count aggregates (partial
-    * aggregation applies — the classic wordcount shape) joined on
-    * doc_id. Below the broadcast threshold Catalyst broadcasts the
-    * bigram side; above it, both sides already arrive hash-partitioned
-    * by doc_id from their final groupBy, so the sort-merge join adds
-    * sorts but NO exchange — either way the join never re-shuffles the
-    * corpus.
+    * Shape at scale: MAP-ONLY. The signals are pure per-row functions,
+    * so the whole operator is one projection over the scan — a native
+    * one-pass expression ([[graft.functions.RepetitionStats]]) computes
+    * every counter from a single tokenization. The relational
+    * formulation (explode into words/bigrams, two wordcount aggregates,
+    * join back on doc_id) produces identical values — the oracle SQL
+    * states it that way — but inflates the corpus 10-100× through two
+    * exchanges; at 100 TB that's the difference between a scan and a
+    * shuffle job.
     */
-  def qRepetition(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val words = d.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_words"),
-        max("c").as("top_word_n"),
-        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_word_n"))
-    val bigrams = d
-      .select(col("doc_id"), explode(expr(
-        "filter(transform(ws, (w, i) -> CASE WHEN i < size(ws) - 1 THEN concat(w, ' ', element_at(ws, i + 2)) END), x -> x IS NOT NULL)")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
-    words.join(bigrams, Seq("doc_id"), "left") // left: a 1-word doc has no bigrams
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats.column(col("text")).as("st"))
       .select(
         col("doc_id"),
-        col("n_words"),
-        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
-        (col("dup_word_n").cast("double") / col("n_words")).as("dup_word_frac"),
-        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
+        col("st.n_words").as("n_words"),
+        (col("st.top_word_n").cast("double") / col("st.n_words")).as("top_word_frac"),
+        (col("st.dup_word_n").cast("double") / col("st.n_words")).as("dup_word_frac"),
+        when(col("st.n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("st.top_bigram_n").cast("double") / col("st.n_bigrams"))
           .as("top_bigram_frac"))
       .withColumn("is_repetitive",
         col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.18)
-  }
 
   val qRepetitionSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

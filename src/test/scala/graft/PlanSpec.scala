@@ -79,12 +79,11 @@ class PlanSpec extends SparkSpec {
       s"one shuffle, on (window, event_type):\n$p")
   }
 
-  test("q_repetition: the stats join never re-shuffles the corpus") {
+  test("q_repetition: map-only — one projection over the scan, zero shuffles") {
     val p = plan("q_repetition")
-    // 4 aggregate exchanges (word/bigram × gram-count/doc-rollup); the
-    // doc_id join must ride on those — broadcast below the threshold,
-    // partitioning-reuse above — never add a fifth
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 4,
-      s"the join must reuse the aggregates' partitioning, not add an exchange:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Generate"),
+      s"per-row signals must never explode or shuffle the corpus:\n$p")
+    assert(p.contains("graft_repetition_stats"),
+      s"the native one-pass expression must be in the plan:\n$p")
   }
 }

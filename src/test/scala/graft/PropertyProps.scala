@@ -134,6 +134,23 @@ object PropertyProps extends Properties("graft-primitives") {
         }
     }
 
+  private val spacedText: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "")).map(_.mkString(" "))
+
+  property("RepetitionStats matches a naive groupBy reference") =
+    forAll(spacedText) { s =>
+      val ws = s.split(" ", -1).toSeq
+      val wc = ws.groupBy(identity).view.mapValues(_.size).toMap
+      val bg = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val bc = bg.groupBy(identity).view.mapValues(_.size).toMap
+      val row = graft.functions.RepetitionStats.stats(s)
+      row.getLong(0) == ws.size.toLong &&
+        row.getLong(1) == wc.values.max.toLong &&
+        row.getLong(2) == wc.values.filter(_ > 1).sum.toLong &&
+        row.getLong(3) == (if (bc.isEmpty) 0L else bc.values.max.toLong) &&
+        row.getLong(4) == bg.size.toLong
+    }
+
   property("slotAgreement is in [0,1], 1 on self, symmetric") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { xs0 =>
       val xs = xs0.map(_.abs).toArray

@@ -333,9 +333,8 @@ object TextOps {
     */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        s"filter(transform(ws, (w, i) -> CASE WHEN i + $contamGram <= size(ws) THEN md5(concat_ws(' ', slice(ws, i + 1, $contamGram))) END), x -> x IS NOT NULL)")).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramMd5s.column(col("text"), contamGram)).as("g"))
       .distinct() // per-doc distinct grams: overlap counts are set-based
     val benchSet = grams.filter(col("doc_id") % benchMod === 0)
       .select(col("g")).distinct().withColumn("hit", lit(1L))

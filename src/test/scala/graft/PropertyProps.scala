@@ -151,6 +151,18 @@ object PropertyProps extends Properties("graft-primitives") {
         row.getLong(4) == bg.size.toLong
     }
 
+  property("WordGramMd5s matches sliding-window + MessageDigest reference") =
+    forAll(spacedText, Gen.choose(1, 6)) { (s, n) =>
+      val ws = s.split(" ", -1).toSeq
+      val expected = ws.sliding(n).filter(_.size == n).map { w =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+      val got = graft.functions.WordGramMd5s.grams(s, n)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+    }
+
   property("slotAgreement is in [0,1], 1 on self, symmetric") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { xs0 =>
       val xs = xs0.map(_.abs).toArray

@@ -99,6 +99,38 @@ object Streams {
         hour(col("ts")), minute(col("ts")), second(col("ts"))))
       .join(org.apache.spark.sql.functions.broadcast(typeDim), Seq("event_type"), "left")
 
+  /** Stream-stream interval join: each purchase joins the SAME USER's
+    * clicks from the preceding hour — the attribution join, run as two
+    * live streams. Both sides carry watermarks and the join condition
+    * bounds click_ts to [purchase_ts - 1 h, purchase_ts], which is
+    * what lets Spark EVICT state: a buffered click can be dropped once
+    * the purchase watermark passes click_ts + 1 h, so state is the
+    * last hour or so of clicks per user shard — bounded at any stream
+    * rate, sharded by the join key across executors. Without the time
+    * bound the click buffer would grow forever; that variant is a
+    * design error at scale, not a config choice.
+    *
+    * Inputs need (user_id, event_id, ts: timestamp); output is one row
+    * per (purchase, qualifying click).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c, expr(
+        """user_id = c_user AND
+          |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+          |click_ts <= purchase_ts""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Event-time gap sessionization with `flatMapGroupsWithState`:
     * a session closes after [[GapMs]] of user silence. Sessions are
     * emitted when a newer event proves the gap, or when the watermark

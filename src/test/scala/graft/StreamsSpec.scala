@@ -157,6 +157,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution: stream-stream interval join matches only in-window same-user clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def df(ms: MemoryStream[(Long, Long, Long)]) = ms.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("event_id"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = Streams.clickAttribution(df(clicks), df(purchases))
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      val B = 24L * H
+      clicks.addData(
+        (1L, 10L, B),              // in window (10 min before purchase)
+        (1L, 11L, B - 2 * H),      // too old → no match
+        (2L, 12L, B),              // other user → no match
+        (1L, 13L, B + H))          // after the purchase → no match
+      purchases.addData((1L, 100L, B + 10L * 60 * 1000))
+      q.processAllAvailable()
+      clicks.addData((9L, 98L, FarFuture))
+      purchases.addData((9L, 99L, FarFuture)) // advance both watermarks
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT user_id, purchase_id, click_id FROM attrib
+          |WHERE user_id <> 9 ORDER BY click_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq((1L, 100L, 10L)),
+        "exactly the same-user click inside [purchase-1h, purchase] must match")
+    } finally q.stop()
+  }
+
   test("sessionize: session numbering continues across a timeout flush") {
     val s = spark
     import s.implicits._

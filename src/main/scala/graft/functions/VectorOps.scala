@@ -274,6 +274,11 @@ object VectorOps {
           if ((taken & (1L << jj)) == 0L && a > bestAbs) { bestAbs = a; best = jj }
           jj += 1
         }
+        // All-NaN rotations (a NaN-containing embedding) would leave
+        // best = -1 — fail loud like dot(), not deep in codegen.
+        if (best < 0)
+          throw new IllegalArgumentException(
+            "cross-polytope rotation produced no finite coordinate (NaN embedding?)")
         taken |= (1L << best)
         out(t * probes + p) = t * (2 * dim) + 2 * best + (if (u(best) > 0.0) 1 else 0)
         p += 1
@@ -284,7 +289,12 @@ object VectorOps {
   }
 
   def slotAgreement(a: ArrayData, b: ArrayData): Double = {
-    val m = math.min(a.numElements(), b.numElements())
+    val m = a.numElements()
+    // Equal-length contract, enforced like dot(): a miswired signature
+    // join (different k) must fail, not yield a plausible agreement.
+    if (m != b.numElements())
+      throw new IllegalArgumentException(
+        s"signature length mismatch: ${m} vs ${b.numElements()}")
     if (m == 0) return 0.0
     var eq = 0
     var i = 0

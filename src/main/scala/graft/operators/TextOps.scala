@@ -250,7 +250,7 @@ object TextOps {
 
   val qMixBudgetSql: String =
     s"""SELECT lang, COUNT(*) AS n_docs,
-       |  SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS n_tokens,
+       |  CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS DOUBLE)
        |    / SUM(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT))) OVER () AS token_share
        |FROM documents
@@ -325,11 +325,13 @@ object TextOps {
     *
     * Grams are keyed by md5 — fixed 32-char join keys instead of
     * arbitrary-width strings (same digest on both engines, so the
-    * oracle can replay it). The benchmark side is BOUNDED by
-    * construction (an eval suite is fixed-size, it does not grow with
-    * the corpus) — broadcasting it is principled, not a small-data
-    * shortcut: at 100 TB the corpus side stays map-local through the
-    * probe and shuffles once, on doc_id, for the per-doc rollup.
+    * oracle can replay it). A REAL benchmark side is bounded (an eval
+    * suite is fixed-size, it does not grow with the corpus) and would
+    * deserve an explicit `broadcast()`, making the probe map-local with
+    * one shuffle on doc_id for the rollup. The mod-97 stand-in here is
+    * NOT bounded — it is ~1/97 of all distinct corpus grams, linear in
+    * the corpus — so no hint is given: AQE broadcasts it at small SF
+    * and falls back to a shuffled join when it outgrows the threshold.
     */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
@@ -339,7 +341,7 @@ object TextOps {
     val benchSet = grams.filter(col("doc_id") % benchMod === 0)
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     grams.filter(col("doc_id") % benchMod =!= 0)
-      .join(broadcast(benchSet), Seq("g"), "left")
+      .join(benchSet, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), coalesce(sum("hit"), lit(0L)).as("n_hit"))
       .withColumn("contamination_frac", col("n_hit").cast("double") / col("n_grams"))

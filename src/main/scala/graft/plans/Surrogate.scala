@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale-safe deterministic surrogate-key assignment.
   *
@@ -10,63 +10,53 @@ import org.apache.spark.sql.functions._
   * (ref dags/ELT.py:104, :195) is a *global* ordering — a naive Spark
   * `Window.orderBy` funnels the whole table through one partition,
   * which stalls/OOMs at 100 TB. This helper produces the identical
-  * rank with a two-pass distributed plan:
+  * rank with a distributed plan: range-repartition + in-partition sort
+  * on the order columns (partitions hold disjoint, ordered key
+  * ranges), then `zipWithIndex` for the global index.
   *
-  *   1. range-repartition + in-partition sort on the order columns —
-  *      partitions now hold disjoint, ordered key ranges;
-  *   2. per-partition row index from `monotonically_increasing_id`
-  *      (pid·2³³ + in-partition position, assigned in sorted order),
-  *      plus a per-partition row-count offset map (numPartitions rows,
-  *      broadcast back) → global rank = offset(pid) + position + 1.
+  * Why `zipWithIndex` and not a two-branch DataFrame formulation
+  * (per-partition counts aggregated in a side branch, joined back as
+  * offsets): the side branch REPEATS the range exchange as a separate
+  * subtree, and RangePartitioner samples its boundaries with a seed
+  * derived from the physical RDD's id — two independent
+  * materializations of the same logical `repartitionByRange` may pick
+  * DIFFERENT boundaries, making the counts describe partitions the
+  * ids were never assigned in (silently wrong ranks). Exchange/stage
+  * reuse does not reliably rescue it: column pruning narrows the side
+  * branch's exchange to the order columns, the two exchanges stop
+  * being canonically equal, and AQE materializes both (observed on
+  * Spark 4.1: two live `ShuffleQueryStage`s, zero reuse nodes).
   *
-  * No single-partition exchange anywhere, and — unlike the previous
-  * `RDD.zipWithIndex` formulation (VERDICT r3 minor #4) — the whole
-  * plan stays in Tungsten/whole-stage codegen: no Row materialization,
-  * no kryo hop, and Catalyst's ReuseExchange serves BOTH passes (the
-  * offset-count branch and the numbering branch) from one range
-  * exchange instead of zipWithIndex's separate eager count job.
+  * `zipWithIndex` is immune by construction: its eager count job and
+  * the numbering job run over the SAME RDD instance — one
+  * ShuffleDependency, one RangePartitioner with boundaries sampled
+  * once on the driver — and the DAGScheduler serves both jobs from
+  * the one materialized shuffle stage. Counts always describe exactly
+  * the partitions the ids are assigned in, under any config. The
+  * price — one Row hop out of Tungsten for the final projection — is
+  * the right trade for a key-assignment step that must never be wrong.
   *
-  * The offset map's running-sum window is a global window over
-  * numPartitions rows (one row per shuffle partition — bounded and
-  * tiny, same accepted pattern as the dimension-table windows).
+  * Determinism: the in-partition sort is total (callers pass a unique
+  * ordering key), so shuffle-fetch order cannot perturb row order,
+  * and the assigned value equals the global rank of the order columns
+  * regardless of where the sampled boundaries fell.
   *
-  * The assigned value equals the global rank of the order columns, so
-  * it is independent of partition boundaries (determinism does not
-  * depend on the range sampler) as long as the ordering key is unique.
+  * The range shuffle is the plan's ONLY exchange; no window and no
+  * single-partition stage ever sees the raw data (SurrogateSpec pins
+  * both the rank equality and the plan shape).
   */
 object Surrogate {
 
   /** Append `name` = 1-based global rank of `orderCols` (must form a
     * unique key for a deterministic assignment).
-    *
-    * Correctness dependency, stated explicitly: the offset branch and
-    * the numbering branch MUST observe the same physical partitioning.
-    * Both contain the identical range-exchange subtree, which AQE
-    * materializes once (shuffle-stage reuse for semantically-equal
-    * exchanges within a query) — and even under recomputation the
-    * partitioner is a deterministic function of the same input, so
-    * the per-partition counts always describe the partitions the ids
-    * were assigned in. SurrogateSpec pins the end-to-end rank
-    * equality.
     */
   def rankedId(df: DataFrame, orderCols: Seq[String], name: String): DataFrame = {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      // Catalyst never reorders nondeterministic expressions past a
-      // Sort, so the id is assigned in fully sorted row order.
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    val offsets = sorted
-      .groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset", coalesce(
-        sum("__cnt").over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__pid", "__offset")
-    sorted.join(broadcast(offsets), "__pid")
-      .withColumn(name,
-        col("__offset") + (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + 1L)
+    val schema = sorted.schema.add(name, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
       .select(df.columns.map(col) :+ col(name): _*)
   }
 }

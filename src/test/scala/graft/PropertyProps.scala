@@ -163,16 +163,27 @@ object PropertyProps extends Properties("graft-primitives") {
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
     }
 
-  property("slotAgreement is in [0,1], 1 on self, symmetric") =
-    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { xs0 =>
-      val xs = xs0.map(_.abs).toArray
-      val half = xs.take(math.max(xs.length / 2, 1))
+  property("slotAgreement is in [0,1], 1 on self, symmetric on equal lengths") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1)),
+           Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { (xs0, ys0) =>
+      val n = math.min(xs0.length, ys0.length)
+      val xs = xs0.take(n).toArray
+      val ys = ys0.take(n).toArray
       val s = graft.functions.VectorOps.slotAgreement(
-        new GenericArrayData(xs), new GenericArrayData(half))
+        new GenericArrayData(xs), new GenericArrayData(ys))
       val sSym = graft.functions.VectorOps.slotAgreement(
-        new GenericArrayData(half), new GenericArrayData(xs))
+        new GenericArrayData(ys), new GenericArrayData(xs))
       graft.functions.VectorOps.slotAgreement(
         new GenericArrayData(xs), new GenericArrayData(xs)) == 1.0 &&
         s >= 0.0 && s <= 1.0 && s == sSym
+    }
+
+  property("slotAgreement throws on length mismatch (miswired-join contract)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue - 1))) { xs0 =>
+      val xs = xs0.toArray
+      val shorter = xs.dropRight(1)
+      scala.util.Try(graft.functions.VectorOps.slotAgreement(
+        new GenericArrayData(xs), new GenericArrayData(shorter))).failed.toOption
+        .exists(_.isInstanceOf[IllegalArgumentException])
     }
 }

@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
-      Dedup.queries ++ Ann.queries
+      Dedup.queries ++ Ann.queries ++ ScaleOps.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -47,6 +47,11 @@ object SparkEntry {
     "q_star_report"     -> Seq("event_id"),
     "q_sessionize"      -> Seq("user_id", "session_id"),
     "q_asof_join"       -> Seq("purchase_id"),
+    "q_interval_join"   -> Seq("purchase_id", "click_id"),
+    "q_skew_agg"        -> Seq("event_type"),
+    "q_cube"            -> Seq("year_g", "priority_g"),
+    "q_percentiles"     -> Seq("l_returnflag"),
+    "q_json_extract"    -> Seq("event_type"),
     "q_stream_tumbling" -> Seq("window_start_ms", "event_type"),
     "q_stream_sliding"  -> Seq("window_start_ms", "event_type"),
     "q_repetition"      -> Seq("doc_id"),
@@ -90,5 +95,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Ann.oracle
+      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Scale-pattern operators (SURVEY.md §2 rows 41-44): the aggregation
+  * shapes a 100 TB deployment leans on — hot-key-safe exact distincts,
+  * grouping-sets cubes, exact holistic percentiles, and typed
+  * semi-structured extraction.
+  *
+  * Like the rest of the engine these re-express reporting patterns the
+  * reference serves from Postgres (aggregated dashboard feeds,
+  * ref dags/ELT.py:286-321) in forms that survive a 1000-executor
+  * cluster: every query here shuffles at most once on a key whose
+  * per-partition load is bounded by construction.
+  */
+object ScaleOps {
+
+  /** Hot-key-safe exact distinct aggregation. `event_type` has ~5
+    * values over the whole corpus — the textbook skewed grouping key.
+    * A direct `COUNT(DISTINCT user_id) GROUP BY event_type` funnels
+    * every row of a hot type through the partitions owning its 5 keys;
+    * this two-phase expansion shuffles first on the HIGH-cardinality
+    * composite (event_type, user_id) — spreading each hot type across
+    * every partition, with map-side partial aggregation condensing to
+    * one row per (type, user) — then aggregates the (small) distinct
+    * pairs per type. Exact for distinct-count and the algebraic
+    * aggregates (decimal sums are associative), identical to the
+    * one-phase SQL the oracle runs.
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val perUser = e
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("v"))
+    perUser
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+  }
+
+  val qSkewAggSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** CUBE over (order year, priority): all four grouping sets in one
+    * pass. Catalyst's Expand produces the 4× row multiplication BEFORE
+    * the partial aggregate, so the shuffle still carries only
+    * (grouping-key, partial-state) rows — grouping sets never re-scan
+    * the fact. Grouping-null levels are coalesced to sentinels
+    * (qRollup's convention) to dodge engine NULL-ordering differences.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    val ord = Ingest.table(s, dir, "orders")
+    ord
+      .select(
+        year(col("o_orderdate")).cast("int").as("y"),
+        col("o_orderpriority").as("p"),
+        col("o_totalprice"))
+      .cube(col("y"), col("p"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("y"), lit(-1)).as("year_g"),
+        coalesce(col("p"), lit("ALL")).as("priority_g"),
+        col("n_orders"), col("total_price"))
+  }
+
+  val qCubeSql: String =
+    """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS year_g,
+      |  coalesce(o_orderpriority, 'ALL') AS priority_g,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (CAST(year(o_orderdate) AS INT), o_orderpriority)
+      |ORDER BY year_g, priority_g""".stripMargin
+
+  /** Exact interpolated percentiles per group (holistic aggregate).
+    * Spark's `percentile` partials are value→count maps merged
+    * map-side, so memory scales with DISTINCT values per group (50
+    * here), not rows — exact percentiles are affordable whenever the
+    * value domain is bounded. For unbounded domains the scale path is
+    * `approx_percentile` (KLL-bounded state); ScaleOpsSpec pins its
+    * error against these exact answers. Bit-exact oracle parity holds
+    * because l_quantity is integer-valued and the probe fractions are
+    * quarters: every interpolation `(1-g)·a + g·b` is exact in binary
+    * FP in both engines.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.50)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.50) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Typed semi-structured extraction: parse the JSON `props` column
+    * ONCE with an explicit schema (`from_json` → struct), then filter
+    * and aggregate on the typed field. One parse per row regardless of
+    * how many fields downstream expressions touch — vs
+    * `get_json_object`, which re-parses the document per path. The
+    * filter on the parsed value cannot push to parquet (opaque string
+    * column), but the plan stays map-only into a single partial
+    * aggregate shuffle on event_type.
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    e.select(
+        col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k").as("k"))
+      .filter(col("k") >= 50L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hi"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+  }
+
+  val qJsonExtractSql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  COUNT(*) AS n_hi,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM x
+      |WHERE k >= 50
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg"     -> qSkewAgg _,
+    "q_cube"         -> qCube _,
+    "q_percentiles"  -> qPercentiles _,
+    "q_json_extract" -> qJsonExtract _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_skew_agg"     -> qSkewAggSql,
+    "q_cube"         -> qCubeSql,
+    "q_percentiles"  -> qPercentilesSql,
+    "q_json_extract" -> qJsonExtractSql
+  )
+}

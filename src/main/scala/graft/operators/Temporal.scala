@@ -99,6 +99,46 @@ object Temporal {
       |FROM ann WHERE kind = 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** Interval join — the batch twin of the stream-stream attribution
+    * join [[graft.streaming.Streams.clickAttribution]]: every
+    * (purchase, click) pair of the same user with the click in the
+    * hour before the purchase. The equi key (user_id) drives one
+    * sort-merge shuffle; the time-range predicate is evaluated inside
+    * the merge, so no range explosion and no cross product — at scale
+    * the cost is one co-partitioned pass per user, exactly the shape
+    * the streaming job maintains incrementally with watermark-bounded
+    * state.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ms") >= col("purchase_ms") - 3600000L &&
+        col("click_ms") <= col("purchase_ms"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ms"), col("click_ms"),
+        (col("purchase_ms") - col("click_ms")).as("lead_ms"))
+  }
+
+  val qIntervalJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lead_ms
+      |FROM events p
+      |JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click'
+      | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+      | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Tumbling-window event aggregation — the batch twin of the
     * Structured Streaming job in [[graft.streaming.Streams]]: 1-hour
     * tumbling windows per event_type.
@@ -159,6 +199,7 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"      -> qSessionize _,
     "q_asof_join"       -> qAsofJoin _,
+    "q_interval_join"   -> qIntervalJoin _,
     "q_stream_tumbling" -> qStreamTumbling _,
     "q_stream_sliding"  -> qStreamSliding _
   )
@@ -166,6 +207,7 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "q_sessionize"      -> qSessionizeSql,
     "q_asof_join"       -> qAsofJoinSql,
+    "q_interval_join"   -> qIntervalJoinSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sliding"  -> qStreamSlidingSql
   )

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ScaleOps, Temporal}
+
+/** Scale-pattern operators: semantic checks the oracle can't express
+  * (equivalence between the skew-safe and naive formulations, approx
+  * aggregate error bounds) plus the plan-shape tripwires.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.plans(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_skew_agg: two-phase plan — first shuffle on the high-cardinality composite") {
+    val p = plan("q_skew_agg")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size === 2, s"exactly two shuffles (pair condense + final):\n$p")
+    assert(exchanges.exists(l => l.contains("event_type") && l.contains("user_id")),
+      s"the first shuffle must spread hot types over (event_type, user_id):\n$p")
+  }
+
+  test("q_skew_agg matches the naive one-phase distinct aggregation") {
+    val twoPhase = ScaleOps.qSkewAgg(spark, sf0001)
+      .select("event_type", "n_users", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = graft.sources.Ingest.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase === naive)
+  }
+
+  test("q_cube: grouping sets are complete and consistent") {
+    val rows = ScaleOps.qCube(spark, sf0001).collect()
+    val total = graft.sources.Ingest.table(spark, sf0001, "orders").count()
+    val grand = rows.filter(r => r.getInt(0) == -1 && r.getString(1) == "ALL")
+    assert(grand.length === 1 && grand.head.getLong(2) === total,
+      "the grand-total grouping set must count every order once")
+    val years = rows.filter(r => r.getInt(0) != -1 && r.getString(1) == "ALL")
+    assert(years.map(_.getLong(2)).sum === total,
+      "per-year subtotals must partition the grand total")
+    val prios = rows.filter(r => r.getInt(0) == -1 && r.getString(1) != "ALL")
+    assert(prios.map(_.getLong(2)).sum === total,
+      "per-priority subtotals must partition the grand total")
+  }
+
+  test("q_cube: one Expand + one aggregate shuffle, no re-scan per grouping set") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), s"grouping sets must plan as Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"all four grouping sets aggregate through ONE shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"the fact must be scanned once, not once per grouping set:\n$p")
+  }
+
+  test("approx_percentile stays within rank error of the exact percentiles") {
+    // The documented scale path for unbounded value domains: KLL-bounded
+    // state. At accuracy 100 the rank error is ≤ 1%, i.e. ≤ a few
+    // neighboring values of the 1..50 integer quantity domain.
+    val exact = ScaleOps.qPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)), lit(100))
+        .as("qs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val a = approx(k)
+      Seq(e25 -> a(0), e50 -> a(1), e75 -> a(2)).foreach { case (e, ap) =>
+        assert(math.abs(e - ap) <= 2.0,
+          s"group $k: approx $ap strays > 2 quantity units from exact $e")
+      }
+    }
+  }
+
+  test("q_json_extract: typed parse equals per-path extraction; malformed rows drop to null") {
+    val s = spark
+    import s.implicits._
+    val viaPath = graft.sources.Ingest.events(spark, sf0001)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50L)
+      .groupBy("event_type").agg(count(lit(1)).as("n_hi"), sum("k").as("sum_k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaTyped = ScaleOps.qJsonExtract(spark, sf0001)
+      .select("event_type", "n_hi", "sum_k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTyped === viaPath)
+
+    val malformed = Seq("""{"k": 7}""", """not json""", """{"k": null}""", "")
+      .toDF("props")
+      .select(from_json(col("props"), "k BIGINT", Map.empty[String, String])
+        .getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(malformed.toSeq === Seq(Some(7L), None, None, None),
+      "malformed/missing JSON must yield null, never throw mid-pipeline")
+  }
+
+  test("q_interval_join: equi-key join on user_id — never a nested-loop/cartesian plan") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"the time predicate must ride the user_id equi join, not a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a keyed join:\n$p")
+  }
+
+  test("q_interval_join pairs agree with a window-filtered as-of expansion") {
+    // Independent semantic witness: for every emitted pair, the click is
+    // within the hour before its purchase; and every purchase with NO
+    // pair truly has no qualifying click.
+    val pairs = Temporal.qIntervalJoin(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val lead = r.getLong(5)
+      assert(lead >= 0L && lead <= 3600000L, s"pair outside the interval: $r")
+    }
+    val e = graft.sources.Ingest.events(spark, sf0001)
+      .select("event_type", "user_id", "event_id", "ts_ms").collect()
+    val clicksByUser = e.filter(_.getString(0) == "click")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3))).toMap
+    val expected = e.filter(_.getString(0) == "purchase").map { p =>
+      val t = p.getLong(3)
+      val n = clicksByUser.getOrElse(p.getLong(1), Array.empty[Long])
+        .count(c => c >= t - 3600000L && c <= t)
+      (p.getLong(2), n)
+    }.filter(_._2 > 0).toMap
+    val got = pairs.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(got === expected, "per-purchase pair counts must match the brute-force witness")
+  }
+}

@@ -53,6 +53,24 @@ object Ingest {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC source — the second columnar format (both directions, see
+    * [[writeOrc]]). Spark's native vectorized ORC reader gives the same
+    * pushdown surface as parquet: predicate pushdown (min/max + bloom
+    * stripe skipping), column pruning, partition pruning. IngestSpec
+    * asserts the pushdown actually reaches the ORC scan, same as the
+    * parquet tripwire.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (optionally partitioned) — interchange with
+    * Hive/Trino-centric lakes that standardize on ORC.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Partitioned parquet writer — the scale-out sink: partition column
     * choice drives partition pruning for downstream readers.
     */

@@ -95,6 +95,33 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("orc: roundtrip preserves values; filters push down to the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/li"
+    val li = Ingest.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    Ingest.writeOrc(li, dir)
+    val back = Ingest.orc(spark, dir)
+    assert(back.count() === li.count())
+    val filtered = back.filter(org.apache.spark.sql.functions.col("l_quantity") < 10)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(l_quantity"),
+      s"the quantity predicate must reach the ORC scan:\n$scan")
+    val expected = li.filter("l_quantity < 10").count()
+    assert(filtered.count() === expected)
+  }
+
+  test("orc: partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-orc-part").toString
+    val e = Ingest.events(spark, sf0001).select("event_id", "event_type", "value")
+    Ingest.writeOrc(e, dir, Seq("event_type"))
+    val back = Ingest.orc(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"event_type must prune ORC partitions:\n$scan")
+    assert(back.count() > 0)
+  }
+
   test("events: TIMESTAMP(NANOS) normalization to epoch millis") {
     val e = Ingest.events(spark, sf0001)
     val r = e.selectExpr("count(*) AS n",

@@ -115,9 +115,101 @@ object Ann {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     topK(lshScored(s, dir, LshTables, LshProbes))
 
+  // ------------------------------------------------------------------
+  // Row 46: IVF — inverted-file ANN, the OTHER standard scale path
+  // (FAISS/ScaNN lineage; Jégou et al. 2011's coarse quantizer without
+  // the PQ residual codes). A small k-means codebook partitions the
+  // corpus into cells; a query probes only its nProbe nearest cells.
+  // Complements LSH: data-DEPENDENT cells adapt to clustered corpora
+  // (where real embeddings live), vs LSH's data-oblivious hashes.
+  //
+  // Scale shape: the codebook is k rows — broadcast everywhere, like
+  // the star schema's bounded dims. Index build is the expensive
+  // offline step: `iters` Lloyd rounds, each a map-only
+  // broadcast-crossjoin scoring (k partial-agg'd argmax rows per
+  // vector) plus a posexplode mean whose shuffle carries k·dim
+  // averaged cells — both shapes survive 10⁸ vectors because nothing
+  // ever pairs corpus rows with each other. Serving is an equi-join
+  // on cell id against the broadcast probe list: the corpus scan
+  // drops to nProbe/k of the index, the IVF promise.
+  // ------------------------------------------------------------------
+
+  private[graft] val IvfCells = 16
+  private[graft] val IvfProbes = 6
+  private[operators] val IvfIters = 2
+
+  /** The codebook: `IvfCells` centroids, hash-spread deterministic
+    * seeds refined by `iters` Lloyd rounds (assignment by cosine —
+    * the search metric — so cells match query-time geometry).
+    * k rows; localCheckpoint truncates the iterative lineage so the
+    * two downstream uses (indexing, probing) don't each replay the
+    * loop (same device as the cluster-propagation loop,
+    * Dedup.scala:361).
+    */
+  private[graft] def codebook(corpus: DataFrame, iters: Int): DataFrame = {
+    val seeds = corpus
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(IvfCells) // TakeOrdered over k tiny rows
+      .withColumn("cell",
+        row_number().over(Window.orderBy("h")) - 1) // k-row window: bounded
+      .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
+    var cent = seeds.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, cent)
+      cent = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          expr("transform(pm, x -> x.m)").cast("array<float>").as("centroid"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Nearest-cell assignment: map-only broadcast crossjoin, argmax by
+    * cosine condensed by partial aggregation (k rows per vector enter
+    * the agg, one leaves).
+    */
+  private def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(cent.withColumn("cnrm", Dedup.norm("centroid"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (Dedup.dotExpr("embedding", "centroid") / (col("nrm") * col("cnrm"))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("cos"), col("cell").cast("int") * -1)).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+
+  private[graft] def ivfScored(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val (corpus, queries) = split(s, dir)
+    val cent = codebook(corpus, IvfIters).withColumn("cnrm", Dedup.norm("centroid"))
+    val index = assignCells(corpus, cent.select("cell", "centroid"))
+    val probed = queries
+      .crossJoin(broadcast(cent))
+      .withColumn("cos",
+        Dedup.dotExpr("q_emb", "centroid") / (col("q_nrm") * col("cnrm")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))))
+      .filter(col("prk") <= probes)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    index.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    topK(ivfScored(s, dir, IvfProbes))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> qAnnBruteforce _,
-    "q_ann_lsh"        -> qAnnLsh _
+    "q_ann_lsh"        -> qAnnLsh _,
+    "q_ann_ivf"        -> qAnnIvf _
   )
 
   /** Cosine arithmetic is float-sourced and xxhash-free, but the

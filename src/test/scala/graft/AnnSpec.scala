@@ -54,4 +54,30 @@ class AnnSpec extends SparkSpec {
       assert(candFrac < 0.5, f"candidates must stay a bounded corpus fraction, got $candFrac%.3f")
     } finally scored.unpersist()
   }
+
+  /** IVF recall AND candidate cost, same double-sided contract as the
+    * LSH test. nProbe/k = 6/16 bounds the EXPECTED candidate fraction
+    * near 0.375, but cells are data-sized, so the assertion allows
+    * skew headroom. The same unclustered-corpus frontier note applies
+    * (true neighbors at cosine 0.27-0.43 ≈ barely above random):
+    * data-dependent cells can't beat the LSH frontier here either —
+    * the test pins that probing 6/16 of the codebook buys most of
+    * brute force's answer set without a corpus scan.
+    */
+  test("IVF ANN recall@5 ≥ 0.6 with bounded, reported candidate fraction") {
+    val brute = topSets(Ann.qAnnBruteforce(spark, sf0001).collect())
+    val scored = Ann.ivfScored(spark, sf0001, Ann.IvfProbes).cache()
+    try {
+      val corpusN = graft.sources.Ingest.table(spark, sf0001, "embeddings").count()
+      val candFrac = scored.count().toDouble / brute.size / corpusN
+      val ivf = topSets(Ann.qAnnIvf(spark, sf0001).collect())
+      val recalls = brute.map { case (q, bs) =>
+        ivf.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+      }
+      val recall = recalls.sum / recalls.size
+      info(f"IVF recall@5 over ${brute.size} queries: $recall%.3f, candidate fraction: $candFrac%.3f")
+      assert(recall >= 0.6, f"IVF 16-cell 6-probe should recall ≥ 0.6, got $recall%.3f")
+      assert(candFrac < 0.55, f"candidates must stay a bounded corpus fraction, got $candFrac%.3f")
+    } finally scored.unpersist()
+  }
 }

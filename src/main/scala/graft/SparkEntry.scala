@@ -35,6 +35,7 @@ object SparkEntry {
     "q_pivot"           -> Seq("user_id"),
     "q_monthly_trend"   -> Seq("year_month"),
     "q_range_join"      -> Seq("band_id"),
+    "q_scalar_subquery" -> Seq("o_orderkey"),
     "q_semi_join"       -> Seq("c_custkey"),
     "q_anti_join"       -> Seq("c_custkey"),
     "q_set_ops"         -> Seq("l_partkey"),

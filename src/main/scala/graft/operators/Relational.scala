@@ -307,6 +307,40 @@ object Relational {
       |GROUP BY band_id, lo, hi
       |ORDER BY band_id""".stripMargin
 
+  /** Correlated scalar subqueries (SQL surface via `spark.sql`):
+    * orders priced above 1.5× their customer's average order value.
+    * Catalyst DECORRELATES each subquery into an aggregate keyed on
+    * the correlation column joined back to the outer table — at scale
+    * that is one partial-aggregated shuffle of (custkey, count/sum)
+    * plus an equi-join, never a per-row re-scan (the naive nested-loop
+    * reading of the SQL). The predicate is cross-multiplied
+    * (`price·n > 1.5·sum`) so the comparison stays in exact decimal
+    * arithmetic — no engine-specific AVG double accumulation.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_ssq_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_ssq_orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM graft_ssq_orders o2
+        |        WHERE o2.o_custkey = o.o_custkey)
+        |    > CAST(1.5 AS DECIMAL(3,2)) *
+        |      (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+        |         FROM graft_ssq_orders o3
+        |        WHERE o3.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > CAST(1.5 AS DECIMAL(3,2)) *
+      |      (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+      |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Left-SEMI join (SQL EXISTS): customers with at least one URGENT
     * order. The probe ships only the join key from the orders side and
     * emits each customer at most once — at scale this shuffles both
@@ -383,7 +417,8 @@ object Relational {
     "q_rollup"        -> qRollup _,
     "q_pivot"         -> qPivot _,
     "q_monthly_trend" -> qMonthlyTrend _,
-    "q_range_join"    -> qRangeJoin _
+    "q_range_join"    -> qRangeJoin _,
+    "q_scalar_subquery" -> qScalarSubquery _
   )
 
   val oracle: Map[String, String] = Map(
@@ -398,6 +433,7 @@ object Relational {
     "q_rollup"        -> qRollupSql,
     "q_pivot"         -> qPivotSql,
     "q_monthly_trend" -> qMonthlyTrendSql,
-    "q_range_join"    -> qRangeJoinSql
+    "q_range_join"    -> qRangeJoinSql,
+    "q_scalar_subquery" -> qScalarSubquerySql
   )
 }

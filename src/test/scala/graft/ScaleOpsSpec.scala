@@ -100,6 +100,33 @@ class ScaleOpsSpec extends SparkSpec {
       "malformed/missing JSON must yield null, never throw mid-pipeline")
   }
 
+  test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
+    // The distinct-count scale path when even (key, user) pairs are too
+    // many to shuffle: HLL sketches merge map-side, the shuffle carries
+    // one sketch per key. Pinned against q_skew_agg's exact answer.
+    val exact = graft.operators.ScaleOps.qSkewAgg(spark, sf0001)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.sources.Ingest.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.15,
+        s"group $k: HLL estimate $a strays > 3·rsd from exact $e")
+    }
+  }
+
+  test("q_scalar_subquery: Catalyst decorrelates to aggregate+join — no per-row re-scan") {
+    val p = plan("q_scalar_subquery")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"correlated subqueries must decorrelate, not nested-loop:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"expected the per-custkey count/sum aggregates in the plan:\n$p")
+  }
+
   test("q_interval_join: equi-key join on user_id — never a nested-loop/cartesian plan") {
     val p = plan("q_interval_join")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),

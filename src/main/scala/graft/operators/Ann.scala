@@ -149,9 +149,9 @@ object Ann {
   private[graft] def codebook(corpus: DataFrame, iters: Int): DataFrame = {
     val seeds = corpus
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(IvfCells) // TakeOrdered over k tiny rows
-      .withColumn("cell",
-        row_number().over(Window.orderBy("h")) - 1) // k-row window: bounded
+      .orderBy(col("h"), col("vec_id")).limit(IvfCells) // TakeOrdered over k tiny rows
+      .withColumn("cell", // k-row window: bounded; vec_id breaks hash ties
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
       .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
     var cent = seeds.localCheckpoint(true)
     for (_ <- 1 to iters) {

@@ -56,8 +56,10 @@ object ScaleOps {
     * pass. Catalyst's Expand produces the 4× row multiplication BEFORE
     * the partial aggregate, so the shuffle still carries only
     * (grouping-key, partial-state) rows — grouping sets never re-scan
-    * the fact. Grouping-null levels are coalesced to sentinels
-    * (qRollup's convention) to dodge engine NULL-ordering differences.
+    * the fact. Subtotal levels are marked via `grouping()` — NOT a
+    * `coalesce` sentinel, which would conflate a real NULL dimension
+    * value with the subtotal rows (this data has no NULL priorities,
+    * but the operator shouldn't silently depend on that).
     */
   def qCube(s: SparkSession, dir: String): DataFrame = {
     val ord = Ingest.table(s, dir, "orders")
@@ -68,17 +70,22 @@ object ScaleOps {
         col("o_totalprice"))
       .cube(col("y"), col("p"))
       .agg(
+        grouping(col("y")).as("gy"),
+        grouping(col("p")).as("gp"),
         count(lit(1)).as("n_orders"),
         sum(money(col("o_totalprice"))).cast("double").as("total_price"))
       .select(
-        coalesce(col("y"), lit(-1)).as("year_g"),
-        coalesce(col("p"), lit("ALL")).as("priority_g"),
+        when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("year_g"),
+        when(col("gp") === 1, lit("ALL")).otherwise(col("p")).as("priority_g"),
         col("n_orders"), col("total_price"))
   }
 
   val qCubeSql: String =
-    """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS year_g,
-      |  coalesce(o_orderpriority, 'ALL') AS priority_g,
+    """SELECT
+      |  CASE WHEN GROUPING(CAST(year(o_orderdate) AS INT)) = 1 THEN -1
+      |       ELSE CAST(year(o_orderdate) AS INT) END AS year_g,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE o_orderpriority END AS priority_g,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders

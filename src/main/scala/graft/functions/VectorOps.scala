@@ -195,6 +195,62 @@ case class SlotAgreement(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine-nearest centroid id of a float vector against a FIXED
+  * codebook — the IVF coarse-quantizer assignment as a pure map
+  * expression. The codebook is a model parameter (k·dim doubles,
+  * bounded by config, never by data size) shipped like the seeded
+  * LSH plane matrices — via a codegen reference object — so cell
+  * assignment needs NO join and NO shuffle: the alternative
+  * broadcast-crossjoin + per-vector argmax aggregate re-shuffles the
+  * whole corpus (embeddings included) once per use, which is exactly
+  * what a 10⁸-vector index build can't afford.
+  *
+  * `centroids` is a Seq (not Array) so case-class equality stays
+  * value-based for Catalyst canonicalization; the kernel reads the
+  * flattened copy. argmax is over dot(v, c_t)/‖c_t‖ — equal to
+  * cosine argmax, since ‖v‖ is constant per row. Ties keep the
+  * lowest cell id (strict `>`), zero-norm centroids score 0.
+  */
+case class NearestCell(child: Expression, centroids: Seq[Double], dim: Int)
+    extends UnaryExpression {
+
+  require(dim >= 1, s"dim must be positive, got $dim")
+  require(centroids.nonEmpty && centroids.length % dim == 0,
+    s"codebook length ${centroids.length} must be a positive multiple of dim $dim")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  @transient private lazy val centFlat: Array[Double] = centroids.toArray
+
+  @transient private lazy val invNorms: Array[Double] = {
+    val k = centFlat.length / dim
+    val out = new Array[Double](k)
+    var t = 0
+    while (t < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val x = centFlat(t * dim + i); acc += x * x; i += 1 }
+      out(t) = if (acc > 0.0) 1.0 / java.lang.Math.sqrt(acc) else 0.0
+      t += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCell(input.asInstanceOf[ArrayData], centFlat, invNorms, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cent = ctx.addReferenceObj("centFlat", centFlat, "double[]")
+    val inv = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.nearestCell($c, $cent, $inv, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 /** Shared primitive kernels — called from both the interpreted and the
   * generated paths (same single implementation → no eval/codegen drift).
   */
@@ -216,6 +272,34 @@ object VectorOps {
     var i = 0
     while (i < m) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
+  }
+
+  /** argmax_t of dot(v, centroid_t)·invNorm_t. All-NaN scores (a NaN
+    * embedding) fail loudly like dot()/xpolyKeys, not deep in codegen.
+    */
+  def nearestCell(v: ArrayData, cent: Array[Double], invNorms: Array[Double], dim: Int): Int = {
+    val m = v.numElements()
+    if (m != dim)
+      throw new IllegalArgumentException(s"vector length $m != codebook dim $dim")
+    val k = invNorms.length
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var t = 0
+    while (t < k) {
+      val off = t * dim
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += cent(off + i) * v.getFloat(i).toDouble; i += 1 }
+      val score = acc * invNorms(t)
+      if (score > bestScore || best < 0 && !java.lang.Double.isNaN(score)) {
+        bestScore = score; best = t
+      }
+      t += 1
+    }
+    if (best < 0)
+      throw new IllegalArgumentException(
+        "no finite centroid score (NaN embedding?)")
+    best
   }
 
   def signBuckets(v: ArrayData, planes: Array[Double], nTables: Int, nBits: Int, dim: Int): Array[Int] = {
@@ -318,4 +402,7 @@ object VectorFunctions {
 
   def slotAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SlotAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def nearestCell(c: Column, centroids: Seq[Double], dim: Int): Column =
+    GraftBridge.column(NearestCell(GraftBridge.expression(c), centroids, dim))
 }

@@ -123,72 +123,79 @@ object Ann {
   // Complements LSH: data-DEPENDENT cells adapt to clustered corpora
   // (where real embeddings live), vs LSH's data-oblivious hashes.
   //
-  // Scale shape: the codebook is k rows — broadcast everywhere, like
-  // the star schema's bounded dims. Index build is the expensive
-  // offline step: `iters` Lloyd rounds, each a map-only
-  // broadcast-crossjoin scoring (k partial-agg'd argmax rows per
-  // vector) plus a posexplode mean whose shuffle carries k·dim
-  // averaged cells — both shapes survive 10⁸ vectors because nothing
-  // ever pairs corpus rows with each other. Serving is an equi-join
-  // on cell id against the broadcast probe list: the corpus scan
-  // drops to nProbe/k of the index, the IVF promise.
+  // Scale shape: the codebook is a k·dim model parameter carried
+  // inside a native [[graft.functions.NearestCell]] expression, so
+  // cell assignment is a pure MAP — no join, no shuffle, ever. Each
+  // Lloyd training round is one such map pass plus one aggregate
+  // whose shuffle carries k·dim partial means per map partition;
+  // nothing ever pairs corpus rows with each other. Serving is an
+  // equi-join on cell id against the broadcast probe list: the
+  // corpus scan drops to nProbe/k of the index, the IVF promise.
   // ------------------------------------------------------------------
 
   private[graft] val IvfCells = 16
   private[graft] val IvfProbes = 6
   private[operators] val IvfIters = 2
 
-  /** The codebook: `IvfCells` centroids, hash-spread deterministic
-    * seeds refined by `iters` Lloyd rounds (assignment by cosine —
-    * the search metric — so cells match query-time geometry).
-    * k rows; localCheckpoint truncates the iterative lineage so the
-    * two downstream uses (indexing, probing) don't each replay the
-    * loop (same device as the cluster-propagation loop,
-    * Dedup.scala:361).
+  /** Train the codebook: `IvfCells` centroids (flattened row-major
+    * k×dim doubles), hash-spread deterministic seed vectors refined by
+    * `iters` Lloyd rounds under cosine — the search metric — so cells
+    * match query-time geometry.
+    *
+    * The codebook is a MODEL PARAMETER: k·dim doubles, bounded by
+    * config, never by data size. It lives on the driver between
+    * rounds (the collect here is k rows / k·dim partial means — the
+    * corpus itself never leaves the cluster) and ships to executors
+    * inside the [[graft.functions.NearestCell]] expression, exactly
+    * like the seeded LSH plane matrices. Each Lloyd round is
+    * therefore ONE map-only assignment pass plus ONE aggregate whose
+    * shuffle carries k·dim partial sums per map partition — no
+    * corpus-wide re-shuffle anywhere in the build (the obvious
+    * broadcast-crossjoin + per-vector argmax-aggregate formulation
+    * re-shuffles every embedding once per round).
     */
-  private[graft] def codebook(corpus: DataFrame, iters: Int): DataFrame = {
+  private[graft] def trainCodebook(corpus: DataFrame, iters: Int): Array[Double] = {
     val seeds = corpus
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(IvfCells) // TakeOrdered over k tiny rows
-      .withColumn("cell", // k-row window: bounded; vec_id breaks hash ties
-        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
-      .select(col("cell"), col("embedding").cast("array<float>").as("centroid"))
-    var cent = seeds.localCheckpoint(true)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .collect()
+    require(seeds.length == IvfCells,
+      s"corpus has fewer than $IvfCells vectors — IVF needs at least one per cell")
+    var cent: Array[Double] = seeds.flatMap(_.getSeq[Double](0)).toArray
     for (_ <- 1 to iters) {
-      val assigned = assignCells(corpus, cent)
-      cent = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val means = corpus
+        .select(
+          graft.functions.VectorFunctions
+            .nearestCell(col("embedding"), cent.toSeq, Dim).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"),
-          expr("transform(pm, x -> x.m)").cast("array<float>").as("centroid"))
-        .localCheckpoint(true)
+        .collect()
+      // empty cells keep their previous centroid (standard Lloyd handling)
+      val next = cent.clone()
+      means.foreach { r =>
+        next(r.getInt(0) * Dim + r.getInt(1)) = r.getDouble(2)
+      }
+      cent = next
     }
     cent
   }
 
-  /** Nearest-cell assignment: map-only broadcast crossjoin, argmax by
-    * cosine condensed by partial aggregation (k rows per vector enter
-    * the agg, one leaves).
-    */
-  private def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus
-      .crossJoin(broadcast(cent.withColumn("cnrm", Dedup.norm("centroid"))))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        (Dedup.dotExpr("embedding", "centroid") / (col("nrm") * col("cnrm"))).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("cell"), struct(col("cos"), col("cell").cast("int") * -1)).as("cell"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"))
-
   private[graft] def ivfScored(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    import s.implicits._
     val (corpus, queries) = split(s, dir)
-    val cent = codebook(corpus, IvfIters).withColumn("cnrm", Dedup.norm("centroid"))
-    val index = assignCells(corpus, cent.select("cell", "centroid"))
+    val cent = trainCodebook(corpus, IvfIters)
+    // serving index: ONE map-only pass, no join, no shuffle
+    val index = corpus.withColumn("cell",
+      graft.functions.VectorFunctions.nearestCell(col("embedding"), cent.toSeq, Dim))
+    // probe list: rank the k cells per query (queries are the small
+    // side; float centroid copies only affect probe ORDER, assignment
+    // above stays double)
+    val centDf = (0 until IvfCells)
+      .map(t => (t, cent.slice(t * Dim, (t + 1) * Dim).map(_.toFloat)))
+      .toDF("cell", "centroid")
     val probed = queries
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(centDf.withColumn("cnrm", Dedup.norm("centroid"))))
       .withColumn("cos",
         Dedup.dotExpr("q_emb", "centroid") / (col("q_nrm") * col("cnrm")))
       .withColumn("prk", row_number().over(

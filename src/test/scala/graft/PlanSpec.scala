@@ -51,6 +51,16 @@ class PlanSpec extends SparkSpec {
       s"the probed query keys must broadcast:\n$exec")
   }
 
+  test("q_ann_ivf: cell assignment is a pure map — the corpus never shuffles before the probe join") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("graft_nearest_cell"),
+      s"assignment must run through the native codebook expression:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"no per-vector shuffle anywhere in the IVF serve path:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe list must broadcast; the corpus side stays in place:\n$p")
+  }
+
   test("q_dedup_exact: single hash-partitioned window, no global sort before it") {
     val p = plan("q_dedup_exact")
     // partitioned window → one Exchange hashpartitioning(content_md5...)

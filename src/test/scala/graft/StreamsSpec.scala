@@ -248,4 +248,48 @@ class StreamsSpec extends SparkSpec {
         (2L, 1L, 1L, B, B, 7.0)))
     } finally q.stop()
   }
+
+  test("incrementalIngest: AvailableNow runs are exactly-once over arriving files") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    import s.implicits._
+    val root = JFiles.createTempDirectory("graft-incr").toString
+    val (src, dest, ck) = (s"$root/src", s"$root/dest", s"$root/ck")
+    JFiles.createDirectories(Paths.get(src))
+
+    // deliver rows as ONE new file in the source dir (the file source
+    // tracks files by path — each arrival must be a distinct file)
+    var fileNo = 0
+    def deliver(rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/tmp$fileNo"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      JFiles.move(part, Paths.get(s"$src/arrival$fileNo.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      fileNo += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def run(): Unit = Streams.incrementalIngest(
+      s, src, schema,
+      df => df.filter(length(col("text")) >= 3)
+        .withColumn("content_md5", graft.operators.Dedup.contentMd5(col("text"))),
+      dest, ck)
+    def docIds(): Seq[Long] =
+      s.read.parquet(dest).select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    deliver(Seq(1L -> "alpha beta", 2L -> "xy", 3L -> "gamma"))
+    run()
+    assert(docIds() === Seq(1L, 3L), "run 1 ingests the qualifying rows of file 1")
+
+    run() // no new files: a re-run must not reprocess committed files
+    assert(docIds() === Seq(1L, 3L), "an idle re-run appends nothing")
+
+    deliver(Seq(4L -> "delta", 5L -> "no"))
+    run()
+    assert(docIds() === Seq(1L, 3L, 4L),
+      "run 2 processes ONLY the new file — no duplicates of run 1's rows")
+  }
 }

@@ -100,6 +100,44 @@ class ScaleOpsSpec extends SparkSpec {
       "malformed/missing JSON must yield null, never throw mid-pipeline")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the standing skew story)") {
+    // SURVEY §6 leans on AQE skew-join for hot keys the operators
+    // don't pre-salt; this pins that the mechanism actually fires.
+    // One key owns ~90% of the left side; with broadcast disabled and
+    // the skew thresholds scaled to test-sized data, the final AQE
+    // plan must mark the skewed partition split (`skew=true`).
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ).map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val left = (1L to 60000L)
+        .map(i => (if (i % 10 != 0) 7L else i, i)).toDF("k", "payload")
+      val right = (1L to 2000L).map(i => (i, i * 2)).toDF("k", "dim")
+      val joined = left.join(right, "k")
+      // execute THIS plan (a separate count() would finalize a
+      // different AQE execution and leave this one unplanned)
+      val n = joined.collect().length
+      // 54000 hot-key rows (k=7) + the 200 multiples of 10 within the
+      // right side's 1..2000 key domain
+      assert(n === 54200)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the hot-key partition (skew=true missing):\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
     // The distinct-count scale path when even (key, user) pairs are too
     // many to shuffle: HLL sketches merge map-side, the shuffle carries

@@ -72,7 +72,8 @@ object SparkEntry {
     "q_dedup_embedding" -> Seq("vec_id"),
     "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
-    "q_ann_ivf"         -> Seq("query_id", "rnk")
+    "q_ann_ivf"         -> Seq("query_id", "rnk"),
+    "q_ann_quantized"   -> Seq("query_id", "rnk")
   )
 
   /** Production plans — the library API. No presentation sort. */

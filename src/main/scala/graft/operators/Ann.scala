@@ -213,10 +213,43 @@ object Ann {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     topK(ivfScored(s, dir, IvfProbes))
 
+  // ------------------------------------------------------------------
+  // Row 49: int8-quantized brute force — the memory/bandwidth scale
+  // path. Per-vector symmetric quantization (scale = max|x|/127)
+  // compresses float32 embeddings 4×: 4× more corpus per executor-GB,
+  // and the scoring loop is an integer MAC over byte arrays
+  // ([[graft.functions.Dot8]]). Cosine in quantized space needs no
+  // dequantization — the scales cancel:
+  //   cos8 = dot8(a,b) / sqrt(dot8(a,a)·dot8(b,b)).
+  // The ONLY approximation is the rounding in the codes; AnnSpec pins
+  // the recall cost vs the exact float path. Composes with IVF/LSH
+  // (quantize the bucketed candidates) — kept standalone here so the
+  // quantization error is measured in isolation.
+  // ------------------------------------------------------------------
+  def qAnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val vf = graft.functions.VectorFunctions
+    val (corpus, queries) = split(s, dir)
+    val qc = corpus
+      .withColumn("codes", vf.vecCodes8(col("embedding"), vf.vecScale8(col("embedding"))))
+      .select(col("vec_id"), col("codes"),
+        sqrt(vf.dot8(col("codes"), col("codes")).cast("double")).as("n8"))
+    val qq = queries
+      .withColumn("q_codes", vf.vecCodes8(col("q_emb"), vf.vecScale8(col("q_emb"))))
+      .select(col("query_id"), col("q_codes"),
+        sqrt(vf.dot8(col("q_codes"), col("q_codes")).cast("double")).as("qn8"))
+    val scored = qc.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vf.dot8(col("codes"), col("q_codes")).cast("double") / (col("n8") * col("qn8")))
+          .as("cosine"))
+    topK(scored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
-    "q_ann_ivf"        -> qAnnIvf _
+    "q_ann_ivf"        -> qAnnIvf _,
+    "q_ann_quantized"  -> qAnnQuantized _
   )
 
   /** Cosine arithmetic is float-sourced and xxhash-free, but the

@@ -366,7 +366,34 @@ object TextOps {
        |GROUP BY g.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary top-k: the word-frequency table a tokenizer
+    * build starts from. The explode is a Generate (no shuffle);
+    * map-side partial aggregation condenses each partition to its
+    * DISTINCT words before the shuffle — which is what makes a
+    * Zipf-skewed vocabulary safe at 100 TB: the hot words ("the")
+    * arrive at the reducer as one partial count per map partition,
+    * never as raw occurrences. Top-k is a TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k rows), no global sort.
+    */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(50)
+
+  val qVocabTopkSql: String =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |WHERE len(w) > 0
+      |GROUP BY w
+      |ORDER BY n DESC, w
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk"        -> qVocabTopk _,
     "q_mix_budget"        -> qMixBudget _,
     "q_repetition"        -> qRepetition _,
     "q_contamination"     -> qContamination _,
@@ -379,6 +406,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_topk"        -> qVocabTopkSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,

@@ -80,4 +80,32 @@ class AnnSpec extends SparkSpec {
       assert(candFrac < 0.55, f"candidates must stay a bounded corpus fraction, got $candFrac%.3f")
     } finally scored.unpersist()
   }
+
+  /** Int8 quantization costs 4× less memory; this pins what it costs
+    * in ANSWER quality. 127 levels over a 64-dim unit-ish vector
+    * perturbs each cosine by ~1e-3 — far below the corpus's typical
+    * neighbor gaps — so top-5 should match the float path nearly
+    * everywhere, and every quantized cosine must sit near its exact
+    * value.
+    */
+  test("quantized ANN: top-5 recall vs exact ≥ 0.9 and cosines within 0.02") {
+    val brute = Ann.qAnnBruteforce(spark, sf0001).collect()
+    val exactSets = topSets(brute)
+    val exactCos = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val qrows = Ann.qAnnQuantized(spark, sf0001).collect()
+    val qSets = topSets(qrows)
+    val recalls = exactSets.map { case (q, bs) =>
+      qSets.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"int8 recall@5 over ${exactSets.size} queries: $recall%.3f")
+    assert(recall >= 0.9, f"int8 rounding should barely move top-5, got $recall%.3f")
+    qrows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach { e =>
+        assert(math.abs(r.getDouble(3) - e) <= 0.02,
+          s"pair $key: quantized cosine ${r.getDouble(3)} vs exact $e")
+      }
+    }
+  }
 }

@@ -186,4 +186,35 @@ object PropertyProps extends Properties("graft-primitives") {
         new GenericArrayData(xs), new GenericArrayData(shorter))).failed.toOption
         .exists(_.isInstanceOf[IllegalArgumentException])
     }
+
+  private val finiteFloats: Gen[List[Float]] =
+    Gen.nonEmptyListOf(Gen.choose(-1000.0f, 1000.0f))
+
+  property("int8 quantization: |x - code·scale| ≤ scale/2, codes in [-127,127]") =
+    forAll(finiteFloats) { v0 =>
+      val v = v0.toArray
+      val arr = ad(v)
+      val scale = graft.functions.VectorOps.vecScale8(arr)
+      val codes = graft.functions.VectorOps.vecCodes8(arr, scale)
+      codes.length == v.length &&
+        codes.forall(c => c >= -127 && c <= 127) &&
+        (scale == 0.0 || v.indices.forall { i =>
+          math.abs(v(i).toDouble - codes(i) * scale) <= scale / 2 + 1e-12
+        })
+    }
+
+  property("dot8 is symmetric, exact vs BigInt reference, throws on mismatch") =
+    forAll(finiteFloats, finiteFloats) { (xs0, ys0) =>
+      val n = math.min(xs0.length, ys0.length)
+      val a = ad(xs0.take(n).toArray)
+      val b = ad(ys0.take(n).toArray)
+      val ca = graft.functions.VectorOps.vecCodes8(a, graft.functions.VectorOps.vecScale8(a))
+      val cb = graft.functions.VectorOps.vecCodes8(b, graft.functions.VectorOps.vecScale8(b))
+      val ref = ca.zip(cb).map { case (x, y) => BigInt(x.toInt) * y.toInt }.sum
+      val mismatch = scala.util.Try(
+        graft.functions.VectorOps.dot8(ca, cb.padTo(n + 1, 0.toByte))).failed.toOption
+        .exists(_.isInstanceOf[IllegalArgumentException])
+      graft.functions.VectorOps.dot8(ca, cb) == ref.toLong &&
+        graft.functions.VectorOps.dot8(cb, ca) == ref.toLong && mismatch
+    }
 }

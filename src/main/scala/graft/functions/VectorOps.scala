@@ -341,24 +341,32 @@ object VectorOps {
     acc
   }
 
-  /** max|x|/127 — the symmetric int8 scale. NaN elements poison max
-    * via the explicit check (fail loud, like dot()).
+  /** max|x|/127 — the symmetric int8 scale. Non-finite elements fail
+    * loud (like dot()): a NaN would poison max silently, an Infinity
+    * would make every OTHER element quantize to 0 — both are corrupt
+    * inputs, not quantizable vectors.
     */
   def vecScale8(v: ArrayData): Double = {
     val m = v.numElements()
     var mx = 0.0
     var i = 0
     while (i < m) {
-      val a = java.lang.Math.abs(v.getFloat(i).toDouble)
-      if (java.lang.Double.isNaN(a))
-        throw new IllegalArgumentException(s"NaN element at $i — cannot quantize")
+      val x = v.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        throw new IllegalArgumentException(s"non-finite element at $i — cannot quantize")
+      val a = java.lang.Math.abs(x.toDouble)
       if (a > mx) mx = a
       i += 1
     }
     mx / 127.0
   }
 
+  /** Codes under a [[vecScale8]]-style scale (contract: scale ≥ 0;
+    * a negative scale would silently flip every sign).
+    */
   def vecCodes8(v: ArrayData, scale: Double): Array[Byte] = {
+    if (scale < 0.0 || java.lang.Double.isNaN(scale))
+      throw new IllegalArgumentException(s"quantization scale must be ≥ 0, got $scale")
     val m = v.numElements()
     val out = new Array[Byte](m)
     if (scale == 0.0) return out

@@ -96,6 +96,12 @@ object Streams {
     * governs batch size under backlog); the transform runs as a normal
     * micro-batch plan, so everything the batch operators guarantee
     * (pushdown, broadcast, partial aggregation) applies per increment.
+    *
+    * Contract: `transform` must be ROW-LEVEL (project/filter/join-to-
+    * static) — this sink runs Append mode, so an aggregation here
+    * would need its own watermark + output-mode design (use
+    * [[tumblingCounts]]-style jobs for that); Spark rejects the plan
+    * rather than emitting wrong results.
     */
   def incrementalIngest(
       spark: SparkSession,

@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
       s"top-N must use per-partition heaps + driver merge:\n$p")
   }
 
+  test("q_vocab_topk: partial-agg before the shuffle (Zipf-safe), TakeOrdered top-k") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k must not globally sort the vocabulary:\n$p")
+    // the word shuffle must carry partial counts, not raw occurrences
+    val exchangeIdx = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(w"))
+    val partialIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"hot words must be condensed map-side before the shuffle:\n$p")
+  }
+
   test("q_ann_lsh: probe side broadcasts; corpus side carries no pre-join exchange") {
     val exec = SparkEntry.plans("q_ann_lsh")(spark, sf0001).queryExecution.executedPlan.toString
     assert(exec.contains("BroadcastHashJoin") || exec.contains("BroadcastExchange"),

@@ -530,4 +530,8 @@ object VectorFunctions {
 
   def dot8(a: Column, b: Column): Column =
     GraftBridge.column(Dot8(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Per-group top-k aggregate over struct<double,bigint> — see [[TopKPairs]]. */
+  def topkPairs(c: Column, k: Int): Column =
+    GraftBridge.column(TopKPairs(GraftBridge.expression(c), k).toAggregateExpression())
 }

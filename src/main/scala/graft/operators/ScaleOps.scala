@@ -160,7 +160,54 @@ object ScaleOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Per-group top-k via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKPairs]]) — the SCALE-PATH TWIN of
+    * `q_window_rank`, same result by construction (same base, same
+    * (revenue DESC, partkey ASC) order, same k=3). The window
+    * formulation shuffles every (brand, part) row and sorts whole
+    * brand partitions before it can rank; the aggregate ships at most
+    * k pairs per (brand, map partition) and never sorts more than k
+    * survivors — at 100 TB that is the difference between a
+    * full-table exchange and a k·|brands| one. The oracle runs the
+    * window SQL: identical output is the equivalence proof.
+    */
+  def qGroupTopk(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+    val pt = Ingest.table(s, dir, "part")
+    val rev = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+    rev
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.VectorFunctions
+        .topkPairs(struct(col("revenue"), col("p_partkey")), 3).as("top"))
+      .select(col("p_brand").as("brand"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("brand"),
+        col("t.id").as("partkey"),
+        col("t.ord").as("revenue"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Oracle = the WINDOW formulation: proving the heap aggregate
+    * reproduces rank semantics exactly is the point of this row.
+    */
+  val qGroupTopkSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand AS brand, p_partkey AS partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey)
+      |SELECT brand, partkey, revenue, rk FROM (
+      |  SELECT brand, partkey, revenue,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY revenue DESC, partkey) AS BIGINT) AS rk
+      |  FROM rev) r
+      |WHERE rk <= 3
+      |ORDER BY brand, rk, partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_topk"   -> qGroupTopk _,
     "q_skew_agg"     -> qSkewAgg _,
     "q_cube"         -> qCube _,
     "q_percentiles"  -> qPercentiles _,
@@ -168,6 +215,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_group_topk"   -> qGroupTopkSql,
     "q_skew_agg"     -> qSkewAggSql,
     "q_cube"         -> qCubeSql,
     "q_percentiles"  -> qPercentilesSql,

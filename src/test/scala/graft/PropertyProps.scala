@@ -190,6 +190,26 @@ object PropertyProps extends Properties("graft-primitives") {
   private val finiteFloats: Gen[List[Float]] =
     Gen.nonEmptyListOf(Gen.choose(-1000.0f, 1000.0f))
 
+  property("TopKHeap == sort-take-k reference, under any insert/merge split") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0L, 1000L))),
+      Gen.choose(1, 8), Gen.choose(0, 100)) { (pairs, k, splitPct) =>
+      // distinct pairs: the heap ranks occurrences, not a set — equal
+      // pairs inserted twice would legitimately take two slots
+      val xs = pairs.distinct
+      val ref = xs
+        .sortWith { case ((o1, i1), (o2, i2)) => o1 > o2 || (o1 == o2 && i1 < i2) }
+        .take(k)
+      val split = xs.length * splitPct / 100
+      val (l, r) = xs.splitAt(split)
+      val h1 = new graft.functions.TopKHeap(k)
+      val h2 = new graft.functions.TopKHeap(k)
+      l.foreach { case (o, i) => h1.insert(o, i) }
+      r.foreach { case (o, i) => h2.insert(o, i) }
+      h1.mergeFrom(h2)
+      h1.ranked().toSeq == ref
+    }
+
   property("int8 quantization: |x - code·scale| ≤ scale/2, codes in [-127,127]") =
     forAll(finiteFloats) { v0 =>
       val v = v0.toArray

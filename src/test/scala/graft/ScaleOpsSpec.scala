@@ -100,6 +100,28 @@ class ScaleOpsSpec extends SparkSpec {
       "malformed/missing JSON must yield null, never throw mid-pipeline")
   }
 
+  test("q_group_topk: identical rows to the window formulation (q_window_rank)") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows("q_group_topk") === rows("q_window_rank"),
+      "the heap aggregate must reproduce rank semantics exactly")
+  }
+
+  test("q_group_topk: partial ObjectHashAggregate before the brand shuffle, no Window/Sort rank") {
+    val p = plan("q_group_topk")
+    assert(p.contains("ObjectHashAggregate") && p.contains("graft_topk"),
+      s"top-k must run as the custom typed aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window rank in the scale path:\n$p")
+    // map-side partial: the k-bounded buffers are built BEFORE the
+    // brand exchange (deeper in the plan tree = later lines)
+    val lines = p.linesIterator.toSeq
+    val exch = lines.indexWhere(l => l.contains("Exchange hashpartitioning(p_brand"))
+    val partial = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_graft_topk"))
+    assert(exch >= 0 && partial > exch,
+      s"partial top-k buffers must feed the shuffle, not raw rows:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the standing skew story)") {
     // SURVEY §6 leans on AQE skew-join for hot keys the operators
     // don't pre-salt; this pins that the mechanism actually fires.

@@ -83,9 +83,37 @@ object GraftFunctions {
   * or via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+
+  /** A literal / foldable int argument (e.g. graft_topk's k). */
+  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got $other")
+    }
+  }
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => RollingFingerprint(Cast(children.head, StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vector_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "graft_vector_norm"),
+      (children: Seq[Expression]) => VectorNorm(children.head)))
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    // result in its AggregateExpression (same contract as built-ins)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKPairs(children(0), foldableInt(children(1), "graft_topk", "k"))))
+  }
 }

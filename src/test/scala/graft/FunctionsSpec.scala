@@ -28,6 +28,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got === ((((('a'.toInt * 1000003L + 'b') % RollingFingerprint.M) * 1000003L + 'c') % RollingFingerprint.M)))
   }
 
+  test("graft_vector_dot/_norm and graft_topk are registered as SQL functions") {
+    val dot = spark.sql(
+      """SELECT graft_vector_dot(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(dot === 11.0)
+    val nrm = spark.sql(
+      "SELECT graft_vector_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .collect()(0).getDouble(0)
+    assert(nrm === 5.0)
+    val top = spark.sql(
+      """SELECT g, graft_topk(struct(CAST(v AS DOUBLE), CAST(id AS BIGINT)), 2) AS t
+        |FROM VALUES ('a', 1.0, 1), ('a', 3.0, 2), ('a', 2.0, 3), ('b', 9.0, 4)
+        |  AS data(g, v, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val aTop = top(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(aTop === Seq((3.0, 2L), (2.0, 3L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) === Seq(4L))
+  }
+
   test("char-ngram minhash: identical texts → identical signatures; near-dups agree on most slots") {
     val s = spark
     import s.implicits._

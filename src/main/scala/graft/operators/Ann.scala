@@ -213,6 +213,64 @@ object Ann {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     topK(ivfScored(s, dir, IvfProbes))
 
+  /** Build the IVF index ONCE — the production shape (the `q_ann_ivf`
+    * bench row re-trains per invocation; a deployment amortizes:
+    * build offline, serve many). The index is PARTITIONED BY CELL, so
+    * serving gets its nProbe/k scan discount from the STORAGE layout:
+    * probing 6 of 16 cells reads 6 directories, enforced by partition
+    * pruning in the scan, not by a runtime filter over everything
+    * (AnnSpec asserts the PartitionFilters). Layout:
+    * `<path>/codebook.parquet` (cell, centroid) and
+    * `<path>/index.parquet/cell=N/` (vec_id, embedding, nrm).
+    */
+  private[graft] def buildIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val (corpus, _) = split(s, dir)
+    val cent = trainCodebook(corpus, IvfIters)
+    (0 until IvfCells).map(t => (t, cent.slice(t * Dim, (t + 1) * Dim)))
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    corpus
+      .withColumn("cell",
+        graft.functions.VectorFunctions.nearestCell(col("embedding"), cent.toSeq, Dim))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index.parquet")
+  }
+
+  /** Serve top-k from a prebuilt [[buildIvfIndex]] index. The probed
+    * cell set is computed from the (tiny) query side and pushed as a
+    * STATIC `isin` on the partition column — the scan never opens an
+    * unprobed cell directory.
+    */
+  private[graft] def ivfServe(s: SparkSession, dir: String, path: String,
+      probes: Int = IvfProbes): DataFrame = {
+    import s.implicits._
+    val (_, queries) = split(s, dir)
+    val cbRows = s.read.parquet(s"$path/codebook.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centDf = cbRows
+      .map { case (c, v) => (c, v.map(_.toFloat).toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val probed = queries
+      .crossJoin(broadcast(centDf.withColumn("cnrm", Dedup.norm("centroid"))))
+      .withColumn("cos",
+        Dedup.dotExpr("q_emb", "centroid") / (col("q_nrm") * col("cnrm")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))))
+      .filter(col("prk") <= probes)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    // the probe-list is Q×probes rows — driver-safe by construction
+    val probedCells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val index = s.read.parquet(s"$path/index.parquet")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+    topK(scored)
+  }
+
   // ------------------------------------------------------------------
   // Row 49: int8-quantized brute force — the memory/bandwidth scale
   // path. Per-vector symmetric quantization (scale = max|x|/127)

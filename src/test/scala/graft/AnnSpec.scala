@@ -81,6 +81,21 @@ class AnnSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("persisted IVF index: serve == train-and-serve; scan prunes to the probed cells") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.buildIvfIndex(spark, sf0001, path)
+    val served = Ann.ivfServe(spark, sf0001, path)
+    // same deterministic codebook (seeded Lloyd) → identical answers
+    val inline = Ann.qAnnIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromIndex = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex === inline)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"the probed-cell isin must prune index partitions at the scan:\n$p")
+  }
+
   /** Int8 quantization costs 4× less memory; this pins what it costs
     * in ANSWER quality. 127 levels over a 64-dim unit-ish vector
     * perturbs each cosine by ~1e-3 — far below the corpus's typical

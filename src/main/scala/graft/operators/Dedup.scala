@@ -359,10 +359,14 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    // no checkpoint here: labels derives from the checkpointed edges
-    // with one distinct, and round 1's checkpoint materializes it
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed labels with round 1's RESULT computed as a plain aggregate:
+    // against identity labels, "min of my and my neighbors' labels" is
+    // just least(id, min(neighbor)) — same one shuffle as the distinct
+    // the identity seeding needed, but the first edges⋈labels JOIN
+    // round disappears entirely.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

@@ -51,6 +51,7 @@ object SparkEntry {
     "q_interval_join"   -> Seq("purchase_id", "click_id"),
     "q_skew_agg"        -> Seq("event_type"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
+    "q_stats_moments"   -> Seq("l_returnflag"),
     "q_cube"            -> Seq("year_g", "priority_g"),
     "q_percentiles"     -> Seq("l_returnflag"),
     "q_json_extract"    -> Seq("event_type"),

@@ -123,6 +123,59 @@ object ScaleOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Statistics battery per group: mean, variance, stddev, and the
+    * quantity↔price correlation — WITHOUT the engines' stddev/corr
+    * builtins, whose streaming accumulations (Welford et al.) differ
+    * across engines in final ulps and would never hash-match. Instead:
+    * all five raw moments are EXACT decimal sums (associative — safe
+    * under any partial-aggregation split), and the derived statistics
+    * are computed from them with an identical IEEE expression tree in
+    * both engines — deterministic down to the bit, at any partition
+    * count. One partial-agg shuffle carrying 6 numbers per group.
+    */
+  def qStatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+    val qd = qty(col("l_quantity"))
+    val pd = money(col("l_extendedprice"))
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(qd).as("sq"), sum(pd).as("sp"),
+      sum(qd * qd).as("sqq"), sum(pd * pd).as("spp"), sum(qd * pd).as("sqp"))
+    val nD = col("n").cast("double")
+    val (sqD, spD) = (col("sq").cast("double"), col("sp").cast("double"))
+    val (sqqD, sppD, sqpD) =
+      (col("sqq").cast("double"), col("spp").cast("double"), col("sqp").cast("double"))
+    val varQty = (sqqD - sqD * sqD / nD) / (nD - 1.0)
+    g.select(
+      col("l_returnflag"), col("n"),
+      (sqD / nD).as("mean_qty"),
+      varQty.as("var_qty"),
+      sqrt(varQty).as("std_qty"),
+      ((nD * sqpD - sqD * spD) /
+        sqrt((nD * sqqD - sqD * sqD) * (nD * sppD - spD * spD))).as("corr_qty_price"))
+  }
+
+  val qStatsMomentsSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+      |    SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS sqq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+      |    SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+      |  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
+      |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
+      |FROM g
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Typed semi-structured extraction: parse the JSON `props` column
     * ONCE with an explicit schema (`from_json` → struct), then filter
     * and aggregate on the typed field. One parse per row regardless of
@@ -208,6 +261,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk"   -> qGroupTopk _,
+    "q_stats_moments" -> qStatsMoments _,
     "q_skew_agg"     -> qSkewAgg _,
     "q_cube"         -> qCube _,
     "q_percentiles"  -> qPercentiles _,
@@ -216,6 +270,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "q_group_topk"   -> qGroupTopkSql,
+    "q_stats_moments" -> qStatsMomentsSql,
     "q_skew_agg"     -> qSkewAggSql,
     "q_cube"         -> qCubeSql,
     "q_percentiles"  -> qPercentilesSql,

@@ -100,6 +100,26 @@ class ScaleOpsSpec extends SparkSpec {
       "malformed/missing JSON must yield null, never throw mid-pipeline")
   }
 
+  test("q_stats_moments: exact-moment statistics agree with Spark's builtin estimators") {
+    // the row exists because builtin stddev/corr can't hash-match
+    // across engines; this cross-validates the closed-form moments
+    // against Spark's own Welford-style accumulators (tolerance: the
+    // builtins' own numerical error)
+    val got = graft.operators.ScaleOps.qStatsMoments(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("m"), stddev_samp("l_quantity").as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (m, s, c)) =>
+      val (rm, rs, rc) = ref(k)
+      assert(math.abs(m - rm) < 1e-9 && math.abs(s - rs) < 1e-6 && math.abs(c - rc) < 1e-6,
+        s"group $k: ($m,$s,$c) vs builtin ($rm,$rs,$rc)")
+    }
+  }
+
   test("q_group_topk: identical rows to the window formulation (q_window_rank)") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq

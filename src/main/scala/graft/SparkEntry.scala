@@ -58,6 +58,10 @@ object SparkEntry {
     "q_stream_tumbling" -> Seq("window_start_ms", "event_type"),
     "q_stream_sliding"  -> Seq("window_start_ms", "event_type"),
     "q_repetition"      -> Seq("doc_id"),
+    "q_dedup_segment"   -> Seq("doc_id"),
+    "q_pack_sequences"  -> Seq("lang", "lane", "pack_id"),
+    "q_pii_scrub"       -> Seq("event_id"),
+    "q_approx_distinct" -> Seq("event_type"),
     "q_contamination"   -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),
     "q_quality_score"   -> Seq("doc_id"),

@@ -259,7 +259,43 @@ object ScaleOps {
       |WHERE rk <= 3
       |ORDER BY brand, rk, partkey""".stripMargin
 
+  /** Approximate distinct counting (HyperLogLog++), oracle-gated: the
+    * row emits the EXACT per-type distinct (two-phase, as in
+    * [[qSkewAgg]]) plus a boolean asserting the HLL estimate landed
+    * within 5% of it; the oracle computes the exact count and claims
+    * TRUE. A silent HLL regression (bad rsd, broken merge) flips the
+    * boolean and fails the hash gate — this is how an engine keeps a
+    * non-deterministic-looking sketch under a deterministic test.
+    *
+    * Shape at scale: the HLL branch shuffles constant-size sketch
+    * state per (type, map partition) — the whole point of the sketch:
+    * at 10^9 distinct users the exact branch's expanded shuffle costs
+    * ~|distinct pairs| rows while HLL stays at ~1.5 KB per partial.
+    * rsd=0.01 gives ≥5σ headroom on the 5% gate.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+    val exact = e.groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact_users"))
+    val hll = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_hll"))
+    exact.join(hll, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_exact_users"),
+        (abs(col("n_hll") - col("n_exact_users")).cast("double")
+          <= col("n_exact_users").cast("double") * 0.05).as("hll_within_5pct"))
+  }
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> qApproxDistinct _,
     "q_group_topk"   -> qGroupTopk _,
     "q_stats_moments" -> qStatsMoments _,
     "q_skew_agg"     -> qSkewAgg _,
@@ -269,6 +305,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" -> qApproxDistinctSql,
     "q_group_topk"   -> qGroupTopkSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_skew_agg"     -> qSkewAggSql,

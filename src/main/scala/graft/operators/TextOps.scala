@@ -392,7 +392,217 @@ object TextOps {
       |ORDER BY n DESC, w
       |LIMIT 50""".stripMargin
 
+  // Segment width (words) for C4-style segment-level dedup. Published
+  // recipes dedup on lines/paragraphs; this corpus has no newlines, so
+  // fixed 10-word windows stand in for the segmentation function.
+  private val segW = 10
+
+  /** Segment-level exact dedup (the C4 "three-sentence span" /
+    * line-dedup family): split every document into consecutive
+    * [[segW]]-word segments, hash each, count how often each segment
+    * occurs corpus-wide, and report per-document duplicated-segment
+    * fractions. Catches boilerplate shared across documents that
+    * doc-level exact dedup misses entirely and MinHash only surfaces
+    * when overall similarity is high.
+    *
+    * Shape at scale: the segmentation is a Generate (map-only, no
+    * shuffle); the frequency pass shuffles (segment-md5, partial count)
+    * — high-cardinality key, Zipf-safe via map-side combine like
+    * [[qVocabTopk]]; the join back to occurrences is equi on the same
+    * md5 key; the per-doc rollup shuffles once on doc_id. Segment
+    * hashes are md5 (fixed 32-char keys, replayable by the oracle).
+    */
+  def qDedupSegment(s: SparkSession, dir: String): DataFrame = {
+    val segs = docs(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((size(ws) + ${segW - 1}) DIV $segW AS INT) - 1),
+           |  i -> md5(array_join(slice(ws, i * $segW + 1, $segW), ' ')))""".stripMargin))
+        .as("gm"))
+    val freq = segs.groupBy("gm").agg(count(lit(1)).as("f"))
+    segs.join(freq, Seq("gm"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("f") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))
+      .withColumn("dup_frac",
+        col("n_dup_segments").cast("double") / col("n_segments"))
+      .withColumn("is_kept", col("dup_frac") <= 0.5)
+  }
+
+  val qDedupSegmentSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |        md5(array_to_string(list_slice(ws, i * $segW + 1, i * $segW + $segW), ' ')) AS gm
+       |      FROM d, unnest(generate_series(0, CAST((len(ws) + ${segW - 1}) // $segW AS INT) - 1)) AS t(i)),
+       |c AS (SELECT gm, COUNT(*) AS f FROM s GROUP BY gm)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_segments,
+       |  CAST(SUM(CASE WHEN c.f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       |  CAST(SUM(CASE WHEN c.f >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+       |  (CAST(SUM(CASE WHEN c.f >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) <= 0.5 AS is_kept
+       |FROM s JOIN c ON s.gm = c.gm
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  // Sequence-packing knobs: token budget per packed training sequence,
+  // and the number of independent packing lanes per language.
+  private val packBudget = 256L
+  private val packLanes  = 4L
+
+  /** Greedy sequence packing for training-batch assembly: assign
+    * documents (in deterministic doc_id order) to fixed-token-budget
+    * packs, the step that turns a filtered corpus into dense
+    * fixed-length training sequences (padding waste ↓). A document
+    * whose tokens straddle a boundary stays in the pack where it
+    * started (packs overflow by at most one document — the standard
+    * greedy recipe; the trainer truncates or wraps).
+    *
+    * Shape at scale: packing is inherently sequential, so the stream is
+    * sharded into `lang × lane` independent packing lanes
+    * (lane = doc_id mod [[packLanes]]) — the running-sum window runs
+    * per lane, bounding any single task's data to corpus/(langs·lanes)
+    * regardless of total scale (more lanes = more parallelism; the
+    * assignment stays reproducible because the lane function is
+    * content-keyed, not partition-keyed). One shuffle for the window,
+    * one partial-agg shuffle for the per-pack rollup.
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val lane = Window.partitionBy(col("lang"), col("lane")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % packLanes).as("lane"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(lane))
+      .withColumn("pack_id", expr(s"(cum - toks) DIV $packBudget"))
+      .groupBy(col("lang"), col("lane"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, doc_id % $packLanes AS lane,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, lang, lane, toks,
+       |         SUM(toks) OVER (PARTITION BY lang, lane ORDER BY doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, lane, (cum - toks) // $packBudget AS pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc
+       |FROM w
+       |GROUP BY lang, lane, (cum - toks) // $packBudget
+       |ORDER BY lang, lane, pack_id""".stripMargin
+
+  // PII scrub patterns — kept to regex constructs whose semantics are
+  // identical in Java regex (Spark) and RE2 (DuckDB): literal classes,
+  // +, bounded repetition; no backrefs or lookaround.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ssnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val numRe   = "[0-9]+"
+
+  /** PII scrubbing pass over the event property payloads: count and
+    * redact email-, SSN- and number-shaped spans (the redaction step a
+    * training pipeline runs before text leaves the trust boundary).
+    * Patterns apply most-specific-first so an SSN isn't half-eaten by
+    * the generic number rule. Map-only: pure per-row regex work inside
+    * whole-stage codegen, linear at any scale.
+    */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .select(
+        col("event_id"),
+        expr(s"CAST(regexp_count(props, '$emailRe') AS BIGINT)").as("n_email"),
+        expr(s"CAST(regexp_count(props, '$ssnRe') AS BIGINT)").as("n_ssn"),
+        expr(s"CAST(regexp_count(props, '$numRe') AS BIGINT)").as("n_num"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("props"), emailRe, "<EMAIL>"),
+            ssnRe, "<SSN>"),
+          numRe, "<NUM>").as("props_scrubbed"))
+      .withColumn("has_pii",
+        col("n_email") > 0 || col("n_ssn") > 0 || col("n_num") > 0)
+
+  val qPiiScrubSql: String =
+    s"""SELECT event_id,
+       |  CAST(len(regexp_extract_all(props, '$emailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(props, '$ssnRe')) AS BIGINT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(props, '$numRe')) AS BIGINT) AS n_num,
+       |  regexp_replace(regexp_replace(regexp_replace(props,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$ssnRe', '<SSN>', 'g'),
+       |    '$numRe', '<NUM>', 'g') AS props_scrubbed,
+       |  (len(regexp_extract_all(props, '$emailRe')) > 0
+       |   OR len(regexp_extract_all(props, '$ssnRe')) > 0
+       |   OR len(regexp_extract_all(props, '$numRe')) > 0) AS has_pii
+       |FROM events
+       |ORDER BY event_id""".stripMargin
+
+  /** Inverted-index build: the postings statistics a keyword-search /
+    * BM25 layer serves from — per term: document frequency, total term
+    * frequency, and the highest-tf posting (deterministic tie-break on
+    * doc_id). Reported for the top-50 terms by df.
+    *
+    * Shape at scale: explode is a Generate (no shuffle); the
+    * (term, doc) tf aggregate shuffles on the high-cardinality
+    * composite with map-side combine (Zipf-safe — hot terms arrive as
+    * one partial per map partition); the per-term rollup reuses a
+    * single term-keyed shuffle for both the window and the aggregate;
+    * top-50 is TakeOrderedAndProject (per-partition heaps, k-row
+    * driver merge — no global sort).
+    */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val byTerm = Window.partitionBy(col("w"))
+      .orderBy(col("tf").desc, col("doc_id").desc)
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(byTerm))
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+        max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+      .orderBy(col("df").desc, col("total_tf").desc, col("w"))
+      .limit(50)
+  }
+
+  val qInvertedIndexSql: String =
+    """WITH tf AS (
+      |  SELECT w, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0
+      |  GROUP BY w, doc_id),
+      |r AS (
+      |  SELECT w, doc_id, tf,
+      |         ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id DESC) AS rn
+      |  FROM tf)
+      |SELECT w, COUNT(*) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+      |  MAX(CASE WHEN rn = 1 THEN tf END) AS top_tf
+      |FROM r
+      |GROUP BY w
+      |ORDER BY df DESC, total_tf DESC, w
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_segment"     -> qDedupSegment _,
+    "q_pack_sequences"    -> qPackSequences _,
+    "q_pii_scrub"         -> qPiiScrub _,
+    "q_inverted_index"    -> qInvertedIndex _,
     "q_vocab_topk"        -> qVocabTopk _,
     "q_mix_budget"        -> qMixBudget _,
     "q_repetition"        -> qRepetition _,
@@ -406,6 +616,10 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_segment"     -> qDedupSegmentSql,
+    "q_pack_sequences"    -> qPackSequencesSql,
+    "q_pii_scrub"         -> qPiiScrubSql,
+    "q_inverted_index"    -> qInvertedIndexSql,
     "q_vocab_topk"        -> qVocabTopkSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,

@@ -199,6 +199,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_distinct: exact counts pin q_skew_agg, HLL gate holds at rsd 0.01") {
+    val exact = graft.operators.ScaleOps.qSkewAgg(spark, sf0001)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.operators.ScaleOps.qApproxDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.keySet === exact.keySet)
+    rows.foreach { case (k, (n, ok)) =>
+      assert(n === exact(k), s"$k: exact branch must agree with q_skew_agg")
+      assert(ok, s"$k: HLL at rsd=0.01 must sit within the 5% gate")
+    }
+  }
+
   test("q_scalar_subquery: Catalyst decorrelates to aggregate+join — no per-row re-scan") {
     val p = plan("q_scalar_subquery")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),

@@ -107,6 +107,80 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L)._2 === 0L && !rows(2L)._3, "doc 2: clean")
   }
 
+  test("segment dedup: cross-doc and within-doc duplicated segments counted, ragged tails kept") {
+    val segA = (1 to 10).map(i => s"w$i").mkString(" ")
+    val segB = (11 to 20).map(i => s"v$i").mkString(" ")
+    val segC = (21 to 30).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      20L -> s"$segA $segB",                                     // A + B
+      21L -> (s"$segA " + (1 to 10).map(i => s"u$i").mkString(" ")), // shares A
+      22L -> (1 to 20).map(i => s"z$i").mkString(" "),           // all unique
+      23L -> "short ragged tail doc",                            // 1 ragged segment
+      24L -> s"$segC $segC"))                                    // C twice: within-doc dup
+    val got = TextOps.qDedupSegment(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(20L) === ((2L, 1L, true)), "doc 20: A shared with 21 is dup, B unique — frac exactly 0.5 kept")
+    assert(got(21L) === ((2L, 1L, true)), "doc 21: segment A duplicated, its own tail unique")
+    assert(got(22L) === ((2L, 0L, true)), "doc 22: nothing duplicated")
+    assert(got(23L) === ((1L, 0L, true)), "ragged 4-word doc forms one segment")
+    assert(got(24L) === ((2L, 2L, false)), "doc 24: both occurrences of C are dups → frac 1.0 → culled")
+  }
+
+  test("pack sequences: greedy budget packing per lane, overflow stays in the starting pack") {
+    // one lane (all ids ≡ 0 mod 4), 100 tokens per doc, budget 256:
+    // cum 100/200/300/400 → start offsets 0/100/200/300 → packs 0,0,0,1
+    val hundred = (1 to 100).map(_ => "w").mkString(" ")
+    val dir = docsDir(Seq(0L -> hundred, 4L -> hundred, 8L -> hundred, 12L -> hundred))
+    val got = TextOps.qPackSequences(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(("en", 0L, 0L)) === ((3L, 300L, 0L, 8L)),
+      "pack 0 absorbs three docs: the third STARTS at offset 200 < 256 and overflows")
+    assert(got(("en", 0L, 1L)) === ((1L, 100L, 12L, 12L)), "doc 12 starts at 300 → pack 1")
+    assert(got.size === 2)
+  }
+
+  test("pii scrub: emails/ssns/number runs redacted most-specific-first, counts consistent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Seq(
+      (1L, "contact bob@example.com or 123-45-6789 now"),
+      (2L, "{\"k\": 87}"),
+      (3L, "no sensitive content here"))
+      .toDF("event_id", "props")
+      .selectExpr("event_id", "timestamp('2024-01-01 00:00:00') AS ts",
+        "event_id AS user_id", "'click' AS event_type", "1.0 AS value", "props")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TextOps.qPiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    assert(got(1L)._1 === 1L, "one email")
+    assert(got(1L)._2 === 1L, "one ssn")
+    assert(got(1L)._4 === "contact <EMAIL> or <SSN> now",
+      "ssn redacted as a unit, not eaten digit-run-wise; email address not split on dots")
+    assert(got(2L) === ((0L, 0L, 1L, "{\"k\": <NUM>}", true)))
+    assert(got(3L) === ((0L, 0L, 0L, "no sensitive content here", false)))
+  }
+
+  test("inverted index: df/tf postings with deterministic top-doc tie-breaks") {
+    val dir = docsDir(Seq(
+      30L -> "apple apple banana",
+      31L -> "apple banana banana",
+      32L -> "apple cherry"))
+    val got = TextOps.qInvertedIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("apple") === ((3L, 4L, 30L, 2L)), "df 3, Σtf 4, top posting doc 30 (tf 2)")
+    assert(got("banana") === ((2L, 3L, 31L, 2L)), "top posting is doc 31 (tf 2 beats tf 1)")
+    assert(got("cherry") === ((1L, 1L, 32L, 1L)))
+    // tie-break: equal tf resolves to the larger doc_id in both engines
+    val tie = docsDir(Seq(40L -> "kiwi", 41L -> "kiwi"))
+    val t = TextOps.qInvertedIndex(spark, tie).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("kiwi") === 41L)
+  }
+
   test("mix budget: per-stratum token totals and shares sum to 1") {
     val rows = TextOps.qMixBudget(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -108,4 +108,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_repetition_stats"),
       s"the native one-pass expression must be in the plan:\n$p")
   }
+
+  test("q_pii_scrub: map-only — pure regex projection, zero shuffles or joins") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"the scrub must stay a per-row projection over the scan:\n$p")
+  }
+
+  test("q_pack_sequences: window and per-pack rollup share ONE (lang,lane) exchange") {
+    val p = plan("q_pack_sequences")
+    // (lang, lane) partitioning satisfies the rollup's (lang, lane,
+    // pack_id) requirement — a second exchange here means the rollup
+    // stopped reusing the window's shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"packing must be one lane-sharded shuffle end-to-end:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_inverted_index: both shuffles carry partial aggregates; top-50 never global-sorts") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"term top-k must be per-partition heaps + driver merge:\n$p")
+    val lines = p.linesIterator.toVector
+    val tfExchange = lines.indexWhere(l => l.contains("Exchange hashpartitioning(w") && l.contains("doc_id"))
+    // search BELOW the exchange: the term rollup's own partial agg sits above it
+    val tfPartial = lines.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("partial_count"), tfExchange + 1)
+    assert(tfExchange >= 0 && tfPartial > tfExchange,
+      s"raw word occurrences must condense map-side before the (term,doc) shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"(term,doc) tf + term rollup = exactly two shuffles (window shares the term one):\n$p")
+  }
+
+  test("q_dedup_segment: frequency side condenses to distinct segments before its shuffle") {
+    val p = plan("q_dedup_segment")
+    val lines = p.linesIterator.toVector
+    val gmExchange = lines.indexWhere(_.contains("Exchange hashpartitioning(gm"))
+    assert(gmExchange >= 0, s"segment frequencies must aggregate on the md5 key:\n$p")
+    // search BELOW the gm exchange: the doc_id rollup's partial agg sits above it
+    val gmPartial = lines.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("partial_count"), gmExchange + 1)
+    assert(gmPartial > gmExchange,
+      s"segment occurrences must partial-count map-side before the gm shuffle:\n$p")
+    // occurrence side joins without any pre-join exchange of the corpus
+    assert(lines.exists(l => l.contains("Generate explode")),
+      s"segmentation must be a Generate, not a pre-materialized table:\n$p")
+  }
 }

@@ -101,6 +101,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => RollingFingerprint(Cast(children.head, StringType))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(Cast(children.head, StringType))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))

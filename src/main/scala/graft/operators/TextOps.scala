@@ -547,6 +547,29 @@ object TextOps {
        |FROM events
        |ORDER BY event_id""".stripMargin
 
+  /** Unicode text normalization (NFC + accent strip + lowercase +
+    * whitespace collapse) — the canonicalization pass that runs before
+    * tokenization and dedup so byte-level variants of the same text
+    * ("Café"/"Café"/"cafe ") hash identically downstream. Native
+    * one-pass codegen expression ([[graft.functions.NormalizeText]]);
+    * map-only, with an ASCII fast path that makes the common
+    * already-clean case allocation-free.
+    */
+  def qNormalizeText(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.NormalizeText.column(col("text")).as("text_norm"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+      .withColumn("norm_md5", md5(col("text_norm").cast("binary")))
+
+  val qNormalizeTextSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')) AS text_norm,
+      |  CAST(length(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+      |  md5(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))) AS norm_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Inverted-index build: the postings statistics a keyword-search /
     * BM25 layer serves from — per term: document frequency, total term
     * frequency, and the highest-tf posting (deterministic tie-break on
@@ -603,6 +626,7 @@ object TextOps {
     "q_pack_sequences"    -> qPackSequences _,
     "q_pii_scrub"         -> qPiiScrub _,
     "q_inverted_index"    -> qInvertedIndex _,
+    "q_normalize_text"    -> qNormalizeText _,
     "q_vocab_topk"        -> qVocabTopk _,
     "q_mix_budget"        -> qMixBudget _,
     "q_repetition"        -> qRepetition _,
@@ -620,6 +644,7 @@ object TextOps {
     "q_pack_sequences"    -> qPackSequencesSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_inverted_index"    -> qInvertedIndexSql,
+    "q_normalize_text"    -> qNormalizeTextSql,
     "q_vocab_topk"        -> qVocabTopkSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,

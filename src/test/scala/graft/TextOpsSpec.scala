@@ -181,6 +181,33 @@ class TextOpsSpec extends SparkSpec {
     assert(t("kiwi") === 41L)
   }
 
+  test("normalize text: accents stripped, case folded, whitespace collapsed, CJK preserved") {
+    import graft.functions.NormalizeText.normalize
+    assert(normalize("Café") === "cafe", "precomposed é loses its accent")
+    assert(normalize("Café") === "cafe", "decomposed e+◌́ normalizes identically")
+    assert(normalize("  Hello\t\tWORLD \n") === "hello world")
+    assert(normalize("中文 文本") === "中文 文本", "CJK has no marks/case — byte-identical")
+    assert(normalize("İstanbul") === "istanbul",
+      "dotted capital I: mark dropped before lowercase (matches strip_accents→lower)")
+    assert(normalize("already clean ascii") === "already clean ascii")
+    assert(normalize("") === "" && normalize("   ") === "")
+    // idempotence: normalize ∘ normalize = normalize (the fast path
+    // must accept exactly the function's own image)
+    for (s <- Seq("Café  NOIR", "中文", "a  b", "Ångström ÅNGSTRÖM"))
+      assert(normalize(normalize(s)) === normalize(s), s"not idempotent on: $s")
+  }
+
+  test("normalize text: query emits stable md5 and the plan stays map-only") {
+    val dir = docsDir(Seq(1L -> "The QUICK  brown", 2L -> "café noir"))
+    val got = TextOps.qNormalizeText(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("the quick brown", 15L)))
+    assert(got(2L) === (("cafe noir", 9L)))
+    val p = TextOps.qNormalizeText(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && p.contains("graft_normalize_text"),
+      s"normalization must be a map-only native projection:\n$p")
+  }
+
   test("mix budget: per-stratum token totals and shares sum to 1") {
     val rows = TextOps.qMixBudget(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

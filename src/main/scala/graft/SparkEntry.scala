@@ -62,6 +62,7 @@ object SparkEntry {
     "q_pack_sequences"  -> Seq("lang", "lane", "pack_id"),
     "q_pii_scrub"       -> Seq("event_id"),
     "q_normalize_text"  -> Seq("doc_id"),
+    "q_filter_pipeline" -> Seq("doc_id"),
     "q_approx_distinct" -> Seq("event_type"),
     "q_contamination"   -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),

@@ -621,7 +621,54 @@ object TextOps {
       |ORDER BY df DESC, total_tf DESC, w
       |LIMIT 50""".stripMargin
 
+  /** The composed filter pipeline — the verdict table an actual
+    * training-data build materializes: exact-dedup survivorship, then
+    * quality rules, then repetition rules, folded into one keep/reject
+    * decision with the FIRST failing stage as the reject reason (the
+    * order real pipelines apply: dedup before quality so near-identical
+    * spam is charged to 'duplicate', not double-counted).
+    *
+    * Shape at scale: the quality and repetition branches are map-only
+    * projections of the same scan; the dedup branch is one content-md5
+    * shuffle; the composition is two doc_id equi-joins. Every branch is
+    * an already-verified operator — this row proves they compose
+    * without semantic drift (the oracle replays the whole pipeline).
+    */
+  def qFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val quality = qQualityScore(s, dir).select(col("doc_id"), col("is_keep"))
+    val repet = qRepetition(s, dir).select(col("doc_id"), col("is_repetitive"))
+    val dedup = Dedup.qDedupExact(s, dir).select(col("doc_id"), col("is_dup"))
+    quality.join(repet, Seq("doc_id")).join(dedup, Seq("doc_id"))
+      .withColumn("reject_reason",
+        when(col("is_dup"), "duplicate")
+          .when(!col("is_keep"), "low_quality")
+          .when(col("is_repetitive"), "repetitive")
+          .otherwise("ok"))
+      .withColumn("final_keep", col("reject_reason") === "ok")
+      .select("doc_id", "is_dup", "is_keep", "is_repetitive",
+        "reject_reason", "final_keep")
+  }
+
+  val qFilterPipelineSql: String = {
+    val q = qQualityScoreSql.replace("ORDER BY doc_id", "")
+    val r = qRepetitionSql.replace("ORDER BY wa.doc_id", "")
+    val d = Dedup.qDedupExactSql.replace("ORDER BY doc_id", "")
+    s"""WITH q AS ($q), r AS ($r), d AS ($d)
+       |SELECT q.doc_id, d.is_dup, q.is_keep, r.is_repetitive,
+       |  CASE WHEN d.is_dup THEN 'duplicate'
+       |       WHEN NOT q.is_keep THEN 'low_quality'
+       |       WHEN r.is_repetitive THEN 'repetitive'
+       |       ELSE 'ok' END AS reject_reason,
+       |  (CASE WHEN d.is_dup THEN 'duplicate'
+       |        WHEN NOT q.is_keep THEN 'low_quality'
+       |        WHEN r.is_repetitive THEN 'repetitive'
+       |        ELSE 'ok' END) = 'ok' AS final_keep
+       |FROM q JOIN r ON q.doc_id = r.doc_id JOIN d ON q.doc_id = d.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_pipeline"   -> qFilterPipeline _,
     "q_dedup_segment"     -> qDedupSegment _,
     "q_pack_sequences"    -> qPackSequences _,
     "q_pii_scrub"         -> qPiiScrub _,
@@ -640,6 +687,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_filter_pipeline"   -> qFilterPipelineSql,
     "q_dedup_segment"     -> qDedupSegmentSql,
     "q_pack_sequences"    -> qPackSequencesSql,
     "q_pii_scrub"         -> qPiiScrubSql,

@@ -180,6 +180,43 @@ class ScaleOpsSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim-side filter") {
+    // The second runtime row-pruning mechanism beside AQE skew-join:
+    // when a shuffle join's small side carries a selective predicate,
+    // Catalyst injects a bloom filter built from the small side as a
+    // data filter on the FACT scan — at 100 TB that's the difference
+    // between shuffling every fact row and shuffling only plausible
+    // matches. Thresholds are test-scaled (the application-side floor
+    // defaults to 10 GB); broadcast is disabled to force the shuffle
+    // join shape the filter exists for.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = graft.sources.Ingest.table(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"the fact scan must carry an injected bloom filter from the filtered dim side:\n$p")
+      assert(joined.collect().nonEmpty, "the pruned join still returns the matches")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
     // The distinct-count scale path when even (key, user) pairs are too
     // many to shuffle: HLL sketches merge map-side, the shuffle carries

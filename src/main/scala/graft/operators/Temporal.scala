@@ -196,7 +196,49 @@ object Temporal {
       |GROUP BY window_start_ms, event_type
       |ORDER BY window_start_ms, event_type""".stripMargin
 
+  /** Event-rate spike detection: per (event_type, hour) counts compared
+    * to the trailing 24 present hours — the monitoring / drift-alarm
+    * query over an ingestion stream (is this hour's volume > 3× the
+    * trailing average?). The comparison is cross-multiplied in
+    * integers (`n · prior_hours > 3 · prior_sum`), so the oracle
+    * hash-matches with no floating-point division anywhere.
+    *
+    * Shape at scale: the (type, hour) pre-aggregation shuffles the raw
+    * stream once on a high-cardinality composite key (map-side
+    * combine); the trailing window then runs per event_type over
+    * HOURLY rows — bounded by the time span, not by data volume, so
+    * the per-type partition never grows with ingest rate.
+    */
+  def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Ingest.events(s, dir)
+      .select(col("event_type"), expr("ts_ms DIV 3600000").as("hour_id"))
+      .groupBy("event_type", "hour_id")
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy("event_type").orderBy("hour_id")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("prior_sum", coalesce(sum("n").over(trail), lit(0L)))
+      .withColumn("prior_hours", count(lit(1)).over(trail))
+      .withColumn("is_spike",
+        col("prior_hours") > 0 && col("n") * col("prior_hours") > col("prior_sum") * 3)
+  }
+
+  val qRateAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_id, n,
+      |  CAST(COALESCE(SUM(n) OVER trail, 0) AS BIGINT) AS prior_sum,
+      |  COUNT(*) OVER trail AS prior_hours,
+      |  (COUNT(*) OVER trail > 0
+      |   AND n * COUNT(*) OVER trail > COALESCE(SUM(n) OVER trail, 0) * 3) AS is_spike
+      |FROM hourly
+      |WINDOW trail AS (PARTITION BY event_type ORDER BY hour_id
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_type, hour_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rate_anomaly" -> qRateAnomaly _,
     "q_sessionize"      -> qSessionize _,
     "q_asof_join"       -> qAsofJoin _,
     "q_interval_join"   -> qIntervalJoin _,
@@ -205,6 +247,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rate_anomaly"    -> qRateAnomalySql,
     "q_sessionize"      -> qSessionizeSql,
     "q_asof_join"       -> qAsofJoinSql,
     "q_interval_join"   -> qIntervalJoinSql,

@@ -88,6 +88,56 @@ object Ingest {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 
+  /** Small-files compaction: rewrite a parquet dataset into
+    * ~`targetBytes` files — the table-maintenance pass every streaming
+    * or incremental sink needs (thousands of kilobyte files per
+    * micro-batch turn scans into open/footer-read storms and kill
+    * split planning at 100 TB). File count is derived from the
+    * dataset's ACTUAL on-disk bytes (sum of leaf file sizes, not row
+    * estimates); the rewrite is one `repartition(n)` round-robin
+    * shuffle — no key assumed, size-balanced output. Returns
+    * (files before, files after).
+    *
+    * Write-audit-publish: the rewrite lands in `path + ".compact.tmp"`
+    * and swaps in via two renames, so a reader never sees a
+    * half-compacted dataset (same contract as [[acquire]]'s atomic
+    * rename, at directory granularity).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(path)
+    val leaves = {
+      val it = fs.listFiles(src, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) buf += f }
+      buf.toSeq
+    }
+    val before = leaves.size
+    val totalBytes = leaves.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = {
+      val it = fs.listFiles(tmp, true)
+      var c = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+    fs.delete(old, true)
+    if (!fs.rename(src, old)) throw new java.io.IOException(s"compact: cannot stage $src aside")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(old, src) // roll back; the original data wins
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    (before, after)
+  }
+
   /** Data acquisition: stream a source file into the staging area —
     * the analog of the reference's `fetchDataToLocal` (ELT.py:23-36,
     * a chunked HTTP download to local disk before the load step), with

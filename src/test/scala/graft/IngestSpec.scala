@@ -147,6 +147,30 @@ class IngestSpec extends SparkSpec {
       "no temp .part files may remain")
   }
 
+  test("compact: many small files rewrite to the target count, values intact, no temp dirs") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-compact").resolve("t.parquet").toString
+    // 64 tiny files (a streaming sink's typical litter)
+    (1L to 6400L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val expected = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    val total = {
+      val d = new java.io.File(dir)
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    // target = all the data → exactly 1 output file (an exact divisor:
+    // total/2 truncates on odd totals and ceil would then yield 3)
+    val (before, after) = Ingest.compact(spark, dir, targetBytes = total)
+    assert(before === 64)
+    assert(after === 1, s"expected ceil(total/total) = 1 file, got $after")
+    val back = spark.read.parquet(dir).collect()
+    assert(back.map(_.getLong(0)).sorted === expected, "compaction must not change data")
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(f => f.getName.contains(".compact.")),
+      "write-audit-publish must clean up its staging dirs")
+  }
+
   test("exportReportCsv: header + quoting, refuses oversized reports") {
     val s = spark
     import s.implicits._

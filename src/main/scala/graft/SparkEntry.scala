@@ -45,6 +45,8 @@ object SparkEntry {
     "q_dim_geo"         -> Seq("location_id"),
     "q_dim_status"      -> Seq("status_id"),
     "q_fact_build"      -> Seq("event_id"),
+    "q_scd2"            -> Seq("o_custkey", "version"),
+    "q_approx_percentiles" -> Seq("l_returnflag"),
     "q_star_report"     -> Seq("event_id"),
     "q_sessionize"      -> Seq("user_id", "session_id"),
     "q_asof_join"       -> Seq("purchase_id"),

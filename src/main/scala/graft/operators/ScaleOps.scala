@@ -294,7 +294,56 @@ object ScaleOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Approximate group percentiles, oracle-gated by a RANK check —
+    * the sketch companion to `q_percentiles` the same way
+    * `q_approx_distinct` companions the exact distinct. The exact
+    * holistic percentile ships every value to its group's reducer; the
+    * GK-style sketch behind `percentile_approx` (Greenwald-Khanna via
+    * ApproximatePercentile) keeps a bounded mergeable summary per
+    * (group, map partition) — at 10^9 rows per group the shuffle
+    * carries KBs instead of the column.
+    *
+    * The gate mirrors the sketch's actual guarantee: rank error, not
+    * value error (value tolerance is data-distribution-dependent; rank
+    * tolerance is the published bound). accuracy=1000 → ε = 1/1000 of
+    * rank; the flag asserts |rank(p50_sketch)/n − 0.5| ≤ 0.01, 10×
+    * headroom plus discreteness. The oracle can't replay the sketch
+    * (engine-internal), so it replays the gate: n_rows exact, flag
+    * expected TRUE.
+    *
+    * Shape at scale: two scans of the value column (sketch pass +
+    * rank-audit pass) joined on the 3-row group key — the audit is
+    * broadcast back, so no data-sized shuffle beyond the two grouped
+    * partial aggregates. A production run would drop the audit branch;
+    * it exists to keep the sketch honest under the driver's gate.
+    */
+  def qApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val sk = li.groupBy(col("l_returnflag")).agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_sketch"),
+      count(lit(1)).as("n_rows"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        sum(when(col("l_extendedprice") <= col("p50_sketch"), 1L).otherwise(0L))
+          .as("n_le_sketch"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("n_le_sketch").cast("double") / col("n_rows").cast("double") - lit(0.5))
+          <= lit(0.01)).as("sketch_rank_ok"))
+  }
+
+  val qApproxPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  TRUE AS sketch_rank_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_percentiles" -> qApproxPercentiles _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_group_topk"   -> qGroupTopk _,
     "q_stats_moments" -> qStatsMoments _,
@@ -305,6 +354,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_percentiles" -> qApproxPercentilesSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_group_topk"   -> qGroupTopkSql,
     "q_stats_moments" -> qStatsMomentsSql,

@@ -415,7 +415,65 @@ object StarSchema {
       |WHERE e.event_type IN ('purchase', 'signup')
       |ORDER BY event_id""".stripMargin
 
+  /** Slowly-changing-dimension Type 2 history build: per customer, the
+    * sequence of distinct order-priority regimes with validity ranges —
+    * the star-schema pattern the reference's full-reload dims (ELT.py's
+    * DROP + re-CREATE per run) cannot express: it keeps only the latest
+    * state, while SCD2 keeps every state with [valid_from, valid_to)
+    * and an is_current flag, so facts can join the dimension AS OF
+    * their own timestamp.
+    *
+    * Change detection is lag() ≠ current over (o_orderdate, o_orderkey)
+    * — a total order, so which row "wins" a same-day tie is
+    * deterministic. Versioning and validity ranges come from
+    * row_number/lead over the surviving change rows.
+    *
+    * Shape at scale: ONE shuffle on o_custkey; the change-detect
+    * window, the filter, and the version/lead windows all share that
+    * partitioning (filter preserves distribution and order — Catalyst
+    * plans a single Exchange, re-sorting at most in place;
+    * PlanSpec pins the one-exchange shape). Per-customer partitions
+    * are bounded by order count per customer, not corpus size.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val o = Ingest.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"), col("o_orderkey"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byCust))
+      .filter(col("prev_p").isNull || col("prev_p") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(byCust).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byCust))
+      .select(
+        col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    LAG(o_orderpriority) OVER w AS prev_p
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chg AS (
+      |  SELECT * FROM base
+      |  WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+      |SELECT o_custkey,
+      |  CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+      |  o_orderpriority AS priority,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER w2 AS valid_to,
+      |  LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+      |FROM chg
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> qScd2 _,
     "q_ingest_typecast" -> qIngestTypecast _,
     "q_dim_date"        -> qDimDate _,
     "q_dim_time"        -> qDimTime _,
@@ -426,6 +484,7 @@ object StarSchema {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2"            -> qScd2Sql,
     "q_ingest_typecast" -> qIngestTypecastSql,
     "q_dim_date"        -> qDimDateSql,
     "q_dim_time"        -> qDimTimeSql,

@@ -667,7 +667,87 @@ object TextOps {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // BM25 query-term list: fixed and tiny — a search request, not data.
+  private val bm25Terms = Seq("spark", "hash", "vector", "stream")
+
+  /** BM25-style relevance ranking: top-20 documents for a fixed
+    * keyword query — the serving-side twin of `q_inverted_index`
+    * (that row builds the postings statistics; this one consumes
+    * tf/df/dl to rank). Uses the RATIONAL odds-ratio IDF
+    * `(N - df + 0.5)/(df + 0.5)` — the quantity BM25's `log` wraps
+    * (Robertson-Spärck Jones) — rather than the log itself: log is
+    * monotone, so rankings are BM25's, while the whole score stays
+    * +,-,×,÷ on IEEE doubles with an identical expression tree in
+    * both engines — bit-exact cross-engine, no transcendental-libm
+    * drift (same device as q_stats_moments). k1 = 1.2, b = 0.75.
+    *
+    * Shape at scale: ONE shuffle — tokenize is a Generate (map-only),
+    * per-doc dl and the k query-term tfs come from a single doc_id
+    * aggregate with map-side combine; N/avgdl/df condense via a
+    * scalar aggregate (k + 2 numbers) broadcast back as a literal-ish
+    * single row; scoring is a map; top-20 is TakeOrderedAndProject.
+    * The per-doc tf columns are a k-wide conditional aggregate, not a
+    * pivot-join — a 10-term query costs 10 counters per doc, zero
+    * extra shuffles.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val docAggs = count(lit(1)).as("dl") +:
+      bm25Terms.map(t =>
+        sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(docAggs.head, docAggs.tail: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("total_len") +:
+      bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.groupBy().agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val lenNorm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = ((col("n_docs") - col(s"df_$t")).cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      idf * ((tf * lit(2.2)) / (tf + lit(1.2) * lenNorm))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        bm25Terms.map(termScore).reduce(_ + _).as("score_bm25"))
+      .orderBy(col("score_bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qBm25Sql: String = {
+    val tfCols = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t").mkString(",\n      |    ")
+    val dfCols = bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n      |    ")
+    val scores = bm25Terms.map(t =>
+      s"((CAST(n_docs - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) * " +
+        s"((CAST(tf_$t AS DOUBLE) * 2.2) / (CAST(tf_$t AS DOUBLE) + 1.2 * " +
+        s"(0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM tok GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_len,
+       |    $dfCols
+       |  FROM per_doc)
+       |SELECT doc_id, dl, $scores AS score_bm25
+       |FROM per_doc CROSS JOIN stats
+       |ORDER BY score_bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"              -> qBm25 _,
     "q_filter_pipeline"   -> qFilterPipeline _,
     "q_dedup_segment"     -> qDedupSegment _,
     "q_pack_sequences"    -> qPackSequences _,
@@ -687,6 +767,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bm25"              -> qBm25Sql,
     "q_filter_pipeline"   -> qFilterPipelineSql,
     "q_dedup_segment"     -> qDedupSegmentSql,
     "q_pack_sequences"    -> qPackSequencesSql,

@@ -140,6 +140,43 @@ class PlanSpec extends SparkSpec {
       s"(term,doc) tf + term rollup = exactly two shuffles (window shares the term one):\n$p")
   }
 
+  test("q_scd2: one customer shuffle shared by change-detect and versioning windows") {
+    val p = plan("q_scd2")
+    val lines = p.linesIterator.toVector
+    assert(lines.count(_.contains("Exchange")) === 1,
+      s"lag filter and lead/row_number must share ONE o_custkey exchange:\n$p")
+    assert(lines.exists(_.contains("Exchange hashpartitioning(o_custkey")), p)
+    assert(lines.count(_.contains("Window")) === 2,
+      s"expected exactly the change-detect and versioning windows:\n$p")
+  }
+
+  test("q_bm25: stats branch reuses the per-doc shuffle; top-20 is TakeOrdered") {
+    val df = SparkEntry.plans("q_bm25")(spark, sf0001)
+    df.collect() // finalize THIS dataframe's AQE plan (count() would plan separately)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retrieval top-k must be per-partition heaps + driver merge:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the corpus-stats branch must serve from the scoring branch's doc_id shuffle, " +
+        s"not re-tokenize the corpus:\n$p")
+    val lines = p.linesIterator.toVector
+    val docExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(doc_id") && !l.contains("Reused"))
+    val docPartial = lines.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("partial_count"), docExchange + 1)
+    assert(docExchange >= 0 && docPartial > docExchange,
+      s"token occurrences must condense to (dl, tf…) map-side before the doc shuffle:\n$p")
+  }
+
+  test("q_approx_percentiles: sketch aggregates partially map-side, audit joins as broadcast") {
+    val p = plan("q_approx_percentiles")
+    assert(p.contains("partial_percentile_approx"),
+      s"the sketch must merge bounded summaries, not ship raw values to one reducer:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row sketch result must broadcast back onto the audit scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_dedup_segment: frequency side condenses to distinct segments before its shuffle") {
     val p = plan("q_dedup_segment")
     val lines = p.linesIterator.toVector

@@ -52,6 +52,7 @@ object SparkEntry {
     "q_asof_join"       -> Seq("purchase_id"),
     "q_interval_join"   -> Seq("purchase_id", "click_id"),
     "q_rate_anomaly"    -> Seq("event_type", "hour_id"),
+    "q_cdc_apply"       -> Seq("user_id"),
     "q_skew_agg"        -> Seq("event_type"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
     "q_stats_moments"   -> Seq("l_returnflag"),

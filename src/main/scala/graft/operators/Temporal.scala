@@ -237,7 +237,60 @@ object Temporal {
       |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
       |ORDER BY event_type, hour_id""".stripMargin
 
+  /** CDC changelog apply — MERGE INTO semantics as a batch fold: the
+    * event stream is read as a changelog on user_id ('error' = DELETE
+    * tombstone, everything else = UPSERT), and the query materializes
+    * the resulting snapshot: per key, the latest change by
+    * (ts_ms, event_id) wins; keys whose latest change is a tombstone
+    * drop out; n_changes audits the fold.
+    *
+    * Plan choice: `max_by(struct(payload), struct(ts_ms, event_id))`
+    * — ONE aggregate whose partial state is a single row per
+    * (key, map partition), so the shuffle carries |keys| rows with
+    * map-side combine, not |changes|. The window formulation
+    * (ROW_NUMBER ... WHERE rn = 1) ships every change row through the
+    * shuffle and sorts each partition; the ORACLE runs exactly that
+    * window SQL, so hash-equality is the semantic-equivalence proof
+    * (same device as q_group_topk). Tombstones are filtered AFTER the
+    * fold — a delete must win over earlier upserts, not vanish early.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val log = Ingest.events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"), col("value"))
+    log.groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts_ms"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts_ms"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("last.ts_ms").as("last_ts_ms"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_op"),
+        col("last.value").as("last_value"),
+        col("n_changes"))
+  }
+
+  val qCdcApplySql: String =
+    """WITH log AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts_ms DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM log)
+      |SELECT user_id, ts_ms AS last_ts_ms, event_id AS last_event_id,
+      |  event_type AS last_op, value AS last_value, n_changes
+      |FROM r
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply"    -> qCdcApply _,
     "q_rate_anomaly" -> qRateAnomaly _,
     "q_sessionize"      -> qSessionize _,
     "q_asof_join"       -> qAsofJoin _,
@@ -247,6 +300,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_apply"       -> qCdcApplySql,
     "q_rate_anomaly"    -> qRateAnomalySql,
     "q_sessionize"      -> qSessionizeSql,
     "q_asof_join"       -> qAsofJoinSql,

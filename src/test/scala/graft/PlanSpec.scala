@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_cdc_apply: latest-wins folds as a partial aggregate, not a window over all changes") {
+    val p = plan("q_cdc_apply")
+    val lines = p.linesIterator.toVector
+    assert(!p.contains("Window"),
+      s"the changelog fold must not ship every change row to a sorted window:\n$p")
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning(user_id"))
+    val partial = lines.indexWhere(
+      l => l.contains("Aggregate") && l.contains("partial_max_by"), exchange + 1)
+    assert(exchange >= 0 && partial > exchange,
+      s"per-key max_by state must condense map-side before the key shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange")) === 1,
+      s"one key shuffle total:\n$p")
+  }
+
   test("q_dedup_segment: frequency side condenses to distinct segments before its shuffle") {
     val p = plan("q_dedup_segment")
     val lines = p.linesIterator.toVector

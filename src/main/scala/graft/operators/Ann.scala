@@ -164,17 +164,26 @@ object Ann {
       s"corpus has fewer than $IvfCells vectors — IVF needs at least one per cell")
     var cent: Array[Double] = seeds.flatMap(_.getSeq[Double](0)).toArray
     for (_ <- 1 to iters) {
+      // Exact DECIMAL sums, not avg(double): decimal addition is
+      // associative+commutative, so the refined centroids are
+      // bit-identical regardless of partition count or partial-agg
+      // merge order — boundary vectors can't drift cells between runs
+      // (ADVICE r6). Embedding components are float32 (|v| < 10^18 at
+      // scale 20 is never exceeded), and one double→decimal(38,20)
+      // rounding per element costs no meaningful centroid precision.
       val means = corpus
         .select(
           graft.functions.VectorFunctions
             .nearestCell(col("embedding"), cent.toSeq, Dim).as("cell"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("decimal(38,20)")).as("s"), count(lit(1)).as("c"))
         .collect()
       // empty cells keep their previous centroid (standard Lloyd handling)
       val next = cent.clone()
       means.foreach { r =>
-        next(r.getInt(0) * Dim + r.getInt(1)) = r.getDouble(2)
+        next(r.getInt(0) * Dim + r.getInt(1)) =
+          r.getDecimal(2).doubleValue / r.getLong(3)
       }
       cent = next
     }

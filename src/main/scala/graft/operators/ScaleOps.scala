@@ -28,7 +28,10 @@ object ScaleOps {
     * one row per (type, user) — then aggregates the (small) distinct
     * pairs per type. Exact for distinct-count and the algebraic
     * aggregates (decimal sums are associative), identical to the
-    * one-phase SQL the oracle runs.
+    * one-phase SQL the oracle runs. SQL `COUNT(DISTINCT user_id)`
+    * ignores NULLs, so the pair count must not tally the NULL-user
+    * group (this testdata has none, but the operator must not depend
+    * on that — ADVICE r6).
     */
   def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Ingest.events(s, dir)
@@ -38,7 +41,7 @@ object ScaleOps {
     perUser
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_users"),
+        sum(when(col("user_id").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_users"),
         sum(col("n")).as("n_events"),
         sum(col("v")).cast("double").as("total_value"))
   }

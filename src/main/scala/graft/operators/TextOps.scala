@@ -494,7 +494,7 @@ object TextOps {
        |         SUM(toks) OVER (PARTITION BY lang, lane ORDER BY doc_id
        |                         ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
-       |SELECT lang, lane, (cum - toks) // $packBudget AS pack_id,
+       |SELECT lang, lane, CAST((cum - toks) // $packBudget AS BIGINT) AS pack_id,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
        |  MIN(doc_id) AS first_doc,

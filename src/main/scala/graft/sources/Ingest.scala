@@ -94,14 +94,25 @@ object Ingest {
     * micro-batch turn scans into open/footer-read storms and kill
     * split planning at 100 TB). File count is derived from the
     * dataset's ACTUAL on-disk bytes (sum of leaf file sizes, not row
-    * estimates); the rewrite is one `repartition(n)` round-robin
-    * shuffle — no key assumed, size-balanced output. Returns
-    * (files before, files after).
+    * estimates). Unpartitioned datasets rewrite via one
+    * `repartition(n)` round-robin shuffle — no key assumed,
+    * size-balanced output. Hive-partitioned layouts (`key=value`
+    * subdirectories, e.g. an IVF index from [[graft.operators.Ann]])
+    * are detected and REWRITTEN WITH THE SAME `partitionBy`, keyed by
+    * the partition columns, so downstream partition pruning survives
+    * compaction; each partition value then lands in one task → one
+    * file (a partition value larger than `targetBytes` still becomes
+    * a single file — at that size the layout, not the compactor, is
+    * the thing to fix). Returns (files before, files after).
     *
-    * Write-audit-publish: the rewrite lands in `path + ".compact.tmp"`
-    * and swaps in via two renames, so a reader never sees a
-    * half-compacted dataset (same contract as [[acquire]]'s atomic
-    * rename, at directory granularity).
+    * Publish: the rewrite lands in `path + ".compact.tmp"`, is
+    * audited, and swaps in via rename — a reader never sees a
+    * HALF-compacted dataset, but the swap itself is two renames, so a
+    * reader racing that instant can observe the path briefly absent.
+    * True atomic publish needs a level of indirection (catalog entry,
+    * manifest, or symlink flip) — at 100 TB this call is the rewrite
+    * step under a table format's commit protocol, not a substitute
+    * for one.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -118,10 +129,31 @@ object Ingest {
     val before = leaves.size
     val totalBytes = leaves.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // Hive-partition detection: walk down while every data directory at
+    // a level is `name=value`, collecting the ordered partition spine.
+    val partCols = {
+      val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      var level = src
+      var go = true
+      while (go) {
+        val dirs = fs.listStatus(level).filter(s =>
+          s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        val keys = dirs.map(_.getPath.getName.split("=", 2)).filter(_.length == 2).map(_(0)).distinct
+        if (dirs.nonEmpty && keys.length == 1 && dirs.forall(_.getPath.getName.contains("="))) {
+          cols += keys.head
+          level = dirs.head.getPath
+        } else go = false
+      }
+      cols.toSeq
+    }
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(path)
+    val w =
+      if (partCols.isEmpty) df.repartition(n).write
+      else df.repartition(n, partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partCols: _*)
+    w.mode("overwrite").parquet(tmp.toString)
     val after = {
       val it = fs.listFiles(tmp, true)
       var c = 0

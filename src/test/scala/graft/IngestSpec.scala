@@ -171,6 +171,30 @@ class IngestSpec extends SparkSpec {
       "write-audit-publish must clean up its staging dirs")
   }
 
+  test("compact: hive-partitioned layout is preserved, not flattened") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-compact-part").resolve("t.parquet").toString
+    (1L to 4000L).map(i => (i, (i % 4).toInt, s"row$i")).toDF("id", "cell", "v")
+      .repartition(16).write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val expected = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"))).sorted
+    val (before, after) = Ingest.compact(spark, dir, targetBytes = Long.MaxValue >> 1)
+    assert(before > after, s"compaction must shrink file count ($before -> $after)")
+    // the partition spine must survive: key=value subdirs still present
+    val subdirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(subdirs.count(_.startsWith("cell=")) === 4,
+      s"partitionBy layout must be re-applied, got dirs: ${subdirs.mkString(",")}")
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"))).sorted
+    assert(back === expected, "partitioned compaction must not change data")
+    // pruning still works post-compaction: one partition dir read
+    val pruned = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("cell") === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && pruned.count() === 1000L)
+  }
+
   test("exportReportCsv: header + quoting, refuses oversized reports") {
     val s = spark
     import s.implicits._

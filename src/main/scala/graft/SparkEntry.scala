@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
-      Dedup.queries ++ Ann.queries ++ ScaleOps.queries
+      Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -78,6 +78,12 @@ object SparkEntry {
     "q_dedup_clusters"  -> Seq("doc_id"),
     "q_sample_stratified" -> Seq("doc_id"),
     "q_mix_budget"      -> Seq("lang"),
+    "q_mix_temperature" -> Seq("lang"),
+    "q_curriculum"      -> Seq("doc_id"),
+    "q_pagerank"        -> Seq("node"),
+    "q_funnel"          -> Seq("user_id"),
+    "q_retention"       -> Seq("cohort_week", "week_offset"),
+    "q_histogram"       -> Seq("bin"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),
     "q_ngram_jaccard"   -> Seq("id_a", "id_b"),
@@ -110,5 +116,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle
+      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+/** Behavioral / graph analytics (SURVEY.md §2 rows 64-67): iterative
+  * graph centrality, funnel conversion, cohort retention, and
+  * fixed-width histograms — the reporting shapes that sit one step
+  * beyond the reference's star-schema dashboard feed
+  * (ref dags/ELT.py:286-321) in any production deployment of it.
+  *
+  * Determinism rule for this module: every derived number is INTEGER
+  * arithmetic (fixed-point ranks, epoch-day buckets, floor bins) or a
+  * single IEEE-deterministic double op (floor, one division), so the
+  * DuckDB oracle reproduces results bit-exactly — no FP accumulation
+  * order anywhere (SURVEY §4).
+  */
+object Analytics {
+
+  private val PrIters = 3
+  private val PrScale = 1000000L // rank mass fixed-point scale (10^6)
+
+  /** PageRank over the customer↔supplier co-purchase graph (an edge
+    * per distinct (customer, supplier) pair observed in
+    * orders⋈lineitem, traversed in both directions). The update is
+    * the standard damped iteration r' = 0.15 + 0.85·Σ r/d, run in
+    * FIXED-POINT integer arithmetic (mass scale 10^6, damping 85/100
+    * with integral DIV): float contributions would sum in
+    * partition-dependent order and drift across runs/engines; integer
+    * sums are exact and associative, so ranks are bit-reproducible
+    * anywhere. Headroom: 85·Σr stays under 2^63 up to ~10^11 graph
+    * nodes at this scale — audit before raising PrScale.
+    *
+    * Shape at scale: the classic Pregel loop as pure DataFrame ops —
+    * each iteration is ONE shuffle join (ranks ⋈ edges on src, both
+    * sides hash-partitioned on the same key) and ONE partial
+    * aggregate on dst; degree rides along with the edges so it is
+    * computed once. Edges/degrees are data-scaled — never broadcast.
+    * Iteration count is fixed and small (3), so the lineage stays
+    * shallow; a long-running production loop would checkpoint ranks
+    * every few rounds to cut lineage, which changes no numbers.
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li  = Ingest.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val eb  = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = eb.groupBy("src").agg(count(lit(1)).as("d"))
+    val ebd = eb.join(deg, "src") // (src, dst, d) — degree travels with the edge
+    var r = deg.select(col("src").as("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      r = ebd.join(r, ebd("src") === r("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r DIV d")).as("m"))
+        .select(col("dst").as("node"),
+          expr(s"${PrScale * 15 / 100} + (85 * m) DIV 100").as("r"))
+    }
+    r
+  }
+
+  val qPagerankSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT eb.dst AS node,
+         |    150000 + (85 * CAST(SUM($prev.r // deg.d) AS BIGINT)) // 100 AS r
+         |  FROM eb JOIN deg ON eb.src = deg.src JOIN $prev ON eb.src = $prev.node
+         |  GROUP BY eb.dst)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM eb GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node""".stripMargin
+  }
+
+  /** Funnel conversion over the event stream: per user, the first
+    * `view`, the first `click` strictly after it, and the first
+    * `purchase` strictly after that — the ordered-steps report every
+    * product-analytics deployment runs. Expressed as three
+    * min-aggregates chained by joins (NOT a per-user event sort): each
+    * stage is one partial-aggregated shuffle on user_id, and AQE
+    * reuses the user_id partitioning across the chain. A
+    * sessionization-style window would sort every user's full event
+    * history to answer a three-timestamp question.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("first_view_ms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ms") > col("first_view_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("first_click_ms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ms") > col("first_click_ms"))
+      .groupBy("user_id").agg(min("ts_ms").as("first_purchase_ms"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_ms"), col("first_click_ms"),
+        col("first_purchase_ms"),
+        when(col("first_purchase_ms").isNotNull, lit(3))
+          .when(col("first_click_ms").isNotNull, lit(2))
+          .otherwise(lit(1)).as("stage"))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |v AS (SELECT user_id, MIN(ts_ms) AS first_view_ms FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts_ms) AS first_click_ms
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts_ms > v.first_view_ms
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts_ms) AS first_purchase_ms
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts_ms > c.first_click_ms
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.first_view_ms, c.first_click_ms, p.first_purchase_ms,
+      |  CASE WHEN p.user_id IS NOT NULL THEN 3
+      |       WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by the week of their
+    * first activity (integer epoch-day DIV 7 — no calendar functions,
+    * so both engines agree trivially), counted once per later week
+    * they return. Three shuffles, each partial-aggregated: min-day
+    * per user, the distinct (user, offset) de-dup, and the tiny final
+    * rollup — the first two share the user_id partitioning. The
+    * output is cohorts × offsets (weeks², bounded by calendar time,
+    * never by data volume).
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Ingest.events(s, dir)
+      .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("user_id"),
+        expr("cohort_day DIV 7").as("cohort_week"),
+        expr("(day - cohort_day) DIV 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH days AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT days.user_id, cohort_day // 7 AS cohort_week,
+      |         (day - cohort_day) // 7 AS week_offset
+      |  FROM days JOIN cohort ON days.user_id = cohort.user_id)
+      |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      |FROM act GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Fixed-width histogram of order value (bin = floor(price/1000)):
+    * the data-profiling primitive behind every dashboard distribution
+    * chart. `floor` of an IEEE division is deterministic in both
+    * engines (Spark's CAST(double AS BIGINT) truncates while DuckDB's
+    * CAST rounds — floor first sidesteps that trap). One
+    * partial-aggregated shuffle on the bin key; output rows = value
+    * range / bin width, independent of row count.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 1000d).as("bin"), col("o_totalprice"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(col("bin"), (col("bin") * 1000L).as("lo"),
+        col("n_orders"), col("min_price"), col("max_price"), col("total_price"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin,
+      |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) * 1000 AS lo,
+      |  COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY FLOOR(o_totalprice / 1000)
+      |ORDER BY bin""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank"  -> qPagerank _,
+    "q_funnel"    -> qFunnel _,
+    "q_retention" -> qRetention _,
+    "q_histogram" -> qHistogram _)
+
+  def oracle: Map[String, String] = Map(
+    "q_pagerank"  -> qPagerankSql,
+    "q_funnel"    -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
+    "q_histogram" -> qHistogramSql)
+}

@@ -257,6 +257,81 @@ object TextOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // Temperature-mix knobs: α = 0.5 (sqrt flattening — the multilingual
+  // upsampling recipe), weights carried as floor(√n · 10^6) fixed-point.
+  private val mixBudgetTokens = 1000000L
+
+  /** Temperature-flattened sampling mix (α = 0.5): each language's
+    * sampling weight is n_tokens^α, normalized — the standard recipe
+    * for upsampling low-resource strata without drowning the head
+    * (XLM-R-style multilingual mixing). α = 0.5 keeps the arithmetic
+    * bit-reproducible across engines: sqrt is IEEE-correctly-rounded
+    * (unlike pow), and the weight is immediately fixed-pointed to
+    * floor(√n·10^6), so the normalizing denominator is an exact
+    * INTEGER sum — no FP accumulation order anywhere. The final share
+    * and token budget are one deterministic double division and one
+    * integral DIV. Plan shape: one partial-agg shuffle to per-lang
+    * totals, then a broadcast of the one-row denominator — the
+    * per-document scan dominates and is map-only.
+    */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = docs(s, dir)
+      .select(col("lang"),
+        expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("toks"))
+      .groupBy("lang")
+      .agg(sum("toks").as("n_tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+    perLang
+      .crossJoin(broadcast(perLang.agg(sum("w").as("denom"))))
+      .select(col("lang"), col("n_tokens"),
+        col("w").as("weight_fp"),
+        (col("w").cast("double") / col("denom").cast("double")).as("share"),
+        expr(s"($mixBudgetTokens * w) DIV denom").as("budget_tokens"))
+  }
+
+  val qMixTemperatureSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w
+       |  FROM t),
+       |d AS (SELECT CAST(SUM(w) AS BIGINT) AS denom FROM w)
+       |SELECT lang, n_tokens, w AS weight_fp,
+       |  CAST(w AS DOUBLE) / CAST(denom AS DOUBLE) AS share,
+       |  CAST(($mixBudgetTokens * w) // denom AS BIGINT) AS budget_tokens
+       |FROM w CROSS JOIN d
+       |ORDER BY lang""".stripMargin
+
+  /** Length-curriculum assignment: every document's global rank by
+    * (n_chars, doc_id) and its decile — the deterministic ordering a
+    * short-to-long training curriculum consumes. The rank comes from
+    * [[graft.plans.Surrogate.rankedId]] (range-repartition +
+    * in-partition sort + zipWithIndex), NOT a global window: the
+    * oracle's `ROW_NUMBER() OVER (ORDER BY …)` semantics at any scale
+    * without ever funneling the table through one partition. Decile is
+    * pure integer arithmetic on (rank, count); the one-row count
+    * broadcasts.
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    graft.plans.Surrogate.rankedId(t, Seq("n_chars", "doc_id"), "rk")
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("n_chars"), col("rk"),
+        expr("((rk - 1) * 10) DIV n").as("decile"))
+  }
+
+  val qCurriculumSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents)
+      |SELECT doc_id, n_chars, rk, CAST(((rk - 1) * 10) // n AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Repetition signals (the Gopher/MassiveText-style quality rules:
     * Rae et al. 2021 §A1.1): fraction of words taken by the most
     * frequent word, by words occurring more than once, and by the most
@@ -756,6 +831,8 @@ object TextOps {
     "q_normalize_text"    -> qNormalizeText _,
     "q_vocab_topk"        -> qVocabTopk _,
     "q_mix_budget"        -> qMixBudget _,
+    "q_mix_temperature"   -> qMixTemperature _,
+    "q_curriculum"        -> qCurriculum _,
     "q_repetition"        -> qRepetition _,
     "q_contamination"     -> qContamination _,
     "q_lang_id"           -> qLangId _,
@@ -783,6 +860,8 @@ object TextOps {
     "q_multimodal_meta"   -> qMultimodalMetaSql,
     "q_fingerprint"       -> qFingerprintSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
-    "q_mix_budget"        -> qMixBudgetSql
+    "q_mix_budget"        -> qMixBudgetSql,
+    "q_mix_temperature"   -> qMixTemperatureSql,
+    "q_curriculum"        -> qCurriculumSql
   )
 }

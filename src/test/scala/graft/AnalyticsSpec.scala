@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, TextOps}
+
+/** Behavioral/graph analytics: semantic invariants the oracle compare
+  * can't express (mass conservation, funnel monotonicity, flattening
+  * direction) plus determinism of the fixed-point PageRank.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q_pagerank: rank mass is conserved within DIV-truncation leakage, bit-deterministic") {
+    val r1 = Analytics.qPagerank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = r1.length
+    assert(n > 0)
+    assert(r1.forall(_._2 >= 150000L), "damping floor: every rank ≥ 0.15 mass")
+    val total = r1.map(_._2).sum
+    // Σr' = 0.15·N·10^6 + 0.85·Σr − truncation ⇒ fixed point ≈ N·10^6,
+    // approached from below (every DIV truncates toward zero).
+    assert(total <= n * 1000000L, s"mass cannot exceed N·scale: $total vs ${n * 1000000L}")
+    assert(total >= (n * 1000000L * 97) / 100,
+      s"truncation leakage must stay under 3%: $total vs ${n * 1000000L}")
+    val r2 = Analytics.qPagerank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(r1 === r2, "integer fixed-point ranks must be bit-identical across runs")
+  }
+
+  test("q_pagerank: both node families present, no node ranked twice") {
+    val rows = Analytics.qPagerank(spark, sf0001).collect().map(_.getString(0))
+    assert(rows.distinct.length === rows.length, "one rank row per node")
+    assert(rows.exists(_.startsWith("c")) && rows.exists(_.startsWith("s")),
+      "bipartite traversal must rank customers AND suppliers")
+  }
+
+  test("q_funnel: stage timestamps strictly ordered, stage counts monotone") {
+    val rows = Analytics.qFunnel(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val view = r.getLong(1)
+      if (!r.isNullAt(2)) assert(r.getLong(2) > view, "first click after first view")
+      if (!r.isNullAt(3)) {
+        assert(!r.isNullAt(2), "a purchase stage requires a click stage")
+        assert(r.getLong(3) > r.getLong(2), "first purchase after first click")
+      }
+      val expected = if (!r.isNullAt(3)) 3 else if (!r.isNullAt(2)) 2 else 1
+      assert(r.getInt(4) === expected)
+    }
+    val byStage = rows.groupBy(_.getInt(4)).view.mapValues(_.length)
+    val s1 = rows.length
+    val s2 = byStage.getOrElse(2, 0) + byStage.getOrElse(3, 0)
+    val s3 = byStage.getOrElse(3, 0)
+    assert(s1 >= s2 && s2 >= s3, s"funnel must narrow: $s1 ≥ $s2 ≥ $s3")
+  }
+
+  test("q_retention: cohort week-0 row is the cohort's maximum") {
+    val rows = Analytics.qRetention(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0L), "offsets are relative to the cohort week")
+    rows.groupBy(_._1).foreach { case (week, rs) =>
+      val zero = rs.find(_._2 == 0L)
+      assert(zero.isDefined, s"cohort $week must be active in its own week")
+      assert(rs.forall(_._3 <= zero.get._3),
+        s"cohort $week: no later week can exceed the cohort size")
+    }
+  }
+
+  test("q_histogram: bins partition the orders, bounds honored") {
+    val rows = Analytics.qHistogram(spark, sf0001).collect()
+    val total = graft.sources.Ingest.table(spark, sf0001, "orders").count()
+    assert(rows.map(_.getLong(2)).sum === total, "every order lands in exactly one bin")
+    rows.foreach { r =>
+      val lo = r.getLong(1).toDouble
+      assert(r.getDouble(3) >= lo && r.getDouble(4) < lo + 1000d,
+        s"bin ${r.getLong(0)}: min/max must fall inside [lo, lo+width)")
+    }
+  }
+
+  test("q_mix_temperature: shares sum to 1 and flatten the head/tail spread") {
+    val tmp = TextOps.qMixTemperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(math.abs(tmp.map(_._3).sum - 1.0) < 1e-9, "shares must sum to 1")
+    val raw = TextOps.qMixBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1)
+    val head = raw.maxBy(_._2)._1
+    val tail = raw.minBy(_._2)._1
+    val tmpMap = tmp.map(t => t._1 -> t._3).toMap
+    val rawMap = raw.toMap
+    assert(tmpMap(head) < rawMap(head), "α=0.5 must down-weight the head language")
+    assert(tmpMap(tail) > rawMap(tail), "α=0.5 must up-weight the tail language")
+  }
+
+  test("q_curriculum: ranks are a permutation, deciles are balanced, order respects length") {
+    val rows = TextOps.qCurriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted === (1L to n).toArray, "ranks must be 1..n exactly once")
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      "n_chars must be nondecreasing in rank")
+    rows.groupBy(_._4).foreach { case (d, rs) =>
+      assert(d >= 0 && d <= 9, s"decile $d out of range")
+      assert(math.abs(rs.length - n / 10) <= 1, s"decile $d unbalanced: ${rs.length}")
+    }
+  }
+}

@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
-      Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries
+      Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries ++ Audit.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -80,7 +80,10 @@ object SparkEntry {
     "q_mix_budget"      -> Seq("lang"),
     "q_mix_temperature" -> Seq("lang"),
     "q_curriculum"      -> Seq("doc_id"),
-    "q_pagerank"        -> Seq("node"),
+    "q_pagerank"        -> Seq("node_type", "node_id"),
+    "q_profile"         -> Seq("col_name"),
+    "q_checksum"        -> Seq("y"),
+    "q_mad_outlier"     -> Seq("l_returnflag"),
     "q_funnel"          -> Seq("user_id"),
     "q_retention"       -> Seq("cohort_week", "week_offset"),
     "q_histogram"       -> Seq("bin"),
@@ -116,5 +119,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle
+      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle ++ Audit.oracle
 }

@@ -38,50 +38,60 @@ object Analytics {
     * sides hash-partitioned on the same key) and ONE partial
     * aggregate on dst; degree rides along with the edges so it is
     * computed once. Edges/degrees are data-scaled — never broadcast.
-    * Iteration count is fixed and small (3), so the lineage stays
-    * shallow; a long-running production loop would checkpoint ranks
-    * every few rounds to cut lineage, which changes no numbers.
+    * Two deliberate choices that dominate the wall clock: nodes are
+    * INTEGER-encoded (customer 2k, supplier 2k+1 — disjoint id
+    * spaces), because a 'c'||id string key costs 2-3× in shuffle
+    * bytes and hash time across every round; and the (src, dst, d)
+    * edge list is materialized ONCE (eager localCheckpoint — a
+    * production run on preemptible executors would use reliable
+    * checkpoint), because an unrolled 3-round plan otherwise
+    * re-derives the orders⋈lineitem join in every round's subtree.
+    * Iteration count is fixed and small (3), so lineage stays shallow.
     */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li  = Ingest.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val eb  = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = eb.groupBy("src").agg(count(lit(1)).as("d"))
-    val ebd = eb.join(deg, "src") // (src, dst, d) — degree travels with the edge
-    var r = deg.select(col("src").as("node"), lit(PrScale).as("r"))
+    // (src, dst, d) — degree travels with the edge; computed once
+    val ebd = eb.join(deg, "src").localCheckpoint(true)
+    var r = deg.select(col("src").as("nd"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
-      r = ebd.join(r, ebd("src") === r("node"))
+      r = ebd.join(r, ebd("src") === r("nd"))
         .groupBy(col("dst"))
         .agg(sum(expr("r DIV d")).as("m"))
-        .select(col("dst").as("node"),
+        .select(col("dst").as("nd"),
           expr(s"${PrScale * 15 / 100} + (85 * m) DIV 100").as("r"))
     }
-    r
+    r.select(
+      when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+      expr("nd DIV 2").as("node_id"), col("r"))
   }
 
   val qPagerankSql: String = {
     def step(prev: String, out: String): String =
       s"""$out AS (
-         |  SELECT eb.dst AS node,
+         |  SELECT eb.dst AS nd,
          |    150000 + (85 * CAST(SUM($prev.r // deg.d) AS BIGINT)) // 100 AS r
-         |  FROM eb JOIN deg ON eb.src = deg.src JOIN $prev ON eb.src = $prev.node
+         |  FROM eb JOIN deg ON eb.src = deg.src JOIN $prev ON eb.src = $prev.nd
          |  GROUP BY eb.dst)""".stripMargin
     s"""WITH e AS (
-       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |deg AS (SELECT src, COUNT(*) AS d FROM eb GROUP BY src),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |r0 AS (SELECT src AS nd, CAST(1000000 AS BIGINT) AS r FROM deg),
        |${step("r0", "r1")},
        |${step("r1", "r2")},
        |${step("r2", "r3")}
-       |SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node""".stripMargin
+       |SELECT CASE WHEN nd % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  nd // 2 AS node_id, CAST(r AS BIGINT) AS r
+       |FROM r3 ORDER BY node_type, node_id""".stripMargin
   }
 
   /** Funnel conversion over the event stream: per user, the first

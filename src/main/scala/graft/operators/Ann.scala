@@ -136,6 +136,8 @@ object Ann {
   private[graft] val IvfCells = 16
   private[graft] val IvfProbes = 6
   private[operators] val IvfIters = 2
+  // fixed-point scale for deterministic centroid sums (2^20)
+  private val FpScale = 1048576L
 
   /** Train the codebook: `IvfCells` centroids (flattened row-major
     * k×dim doubles), hash-spread deterministic seed vectors refined by
@@ -164,26 +166,30 @@ object Ann {
       s"corpus has fewer than $IvfCells vectors — IVF needs at least one per cell")
     var cent: Array[Double] = seeds.flatMap(_.getSeq[Double](0)).toArray
     for (_ <- 1 to iters) {
-      // Exact DECIMAL sums, not avg(double): decimal addition is
-      // associative+commutative, so the refined centroids are
-      // bit-identical regardless of partition count or partial-agg
+      // Exact FIXED-POINT sums, not avg(double): each component is
+      // quantized to round(v·2^20) and summed as LONG — integer
+      // addition is associative+commutative, so the refined centroids
+      // are bit-identical regardless of partition count or partial-agg
       // merge order — boundary vectors can't drift cells between runs
-      // (ADVICE r6). Embedding components are float32 (|v| < 10^18 at
-      // scale 20 is never exceeded), and one double→decimal(38,20)
-      // rounding per element costs no meaningful centroid precision.
+      // (ADVICE r6). The 2^-21 quantization error is noise against the
+      // float32 inputs; unlike a decimal(38,20) sum this stays inside
+      // whole-stage codegen (the decimal path measured ~5× slower at
+      // sf0.1). Headroom: |v| < 2^7 ⇒ |q| < 2^27, safe to ~2^35 rows
+      // per (cell, dim) — audit before raising FpScale.
       val means = corpus
         .select(
           graft.functions.VectorFunctions
             .nearestCell(col("embedding"), cent.toSeq, Dim).as("cell"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("decimal(38,20)")).as("s"), count(lit(1)).as("c"))
+        .agg(sum(expr(s"CAST(round(v * $FpScale) AS BIGINT)")).as("s"),
+          count(lit(1)).as("c"))
         .collect()
       // empty cells keep their previous centroid (standard Lloyd handling)
       val next = cent.clone()
       means.foreach { r =>
         next(r.getInt(0) * Dim + r.getInt(1)) =
-          r.getDecimal(2).doubleValue / r.getLong(3)
+          r.getLong(2).toDouble / FpScale / r.getLong(3)
       }
       cent = next
     }

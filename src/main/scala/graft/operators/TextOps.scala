@@ -400,7 +400,13 @@ object TextOps {
     *
     * Grams are keyed by md5 — fixed 32-char join keys instead of
     * arbitrary-width strings (same digest on both engines, so the
-    * oracle can replay it). A REAL benchmark side is bounded (an eval
+    * oracle can replay it). Overlap counts are SET-based (per-doc
+    * distinct grams), and that dedup happens MAP-SIDE — `array_distinct`
+    * on the gram array before the explode — so the corpus-wide
+    * (doc_id, gram) DISTINCT shuffle the relational formulation pays
+    * (O(total grams), the largest exchange in the query) never exists;
+    * the only corpus-scale shuffles left are the probe join and the
+    * doc_id rollup. A REAL benchmark side is bounded (an eval
     * suite is fixed-size, it does not grow with the corpus) and would
     * deserve an explicit `broadcast()`, making the probe map-local with
     * one shuffle on doc_id for the rollup. The mod-97 stand-in here is
@@ -409,13 +415,13 @@ object TextOps {
     * and falls back to a shuffled join when it outgrows the threshold.
     */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
-      .select(col("doc_id"), explode(
-        graft.functions.WordGramMd5s.column(col("text"), contamGram)).as("g"))
-      .distinct() // per-doc distinct grams: overlap counts are set-based
-    val benchSet = grams.filter(col("doc_id") % benchMod === 0)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordGramMd5s.column(col("text"), contamGram))).as("g"))
+    val d = docs(s, dir)
+    val benchSet = grams(d.filter(col("doc_id") % benchMod === 0))
       .select(col("g")).distinct().withColumn("hit", lit(1L))
-    grams.filter(col("doc_id") % benchMod =!= 0)
+    grams(d.filter(col("doc_id") % benchMod =!= 0))
       .join(benchSet, Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), coalesce(sum("hit"), lit(0L)).as("n_hit"))

@@ -11,8 +11,9 @@ import graft.operators.{Analytics, TextOps}
 class AnalyticsSpec extends SparkSpec {
 
   test("q_pagerank: rank mass is conserved within DIV-truncation leakage, bit-deterministic") {
-    val r1 = Analytics.qPagerank(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def run() = Analytics.qPagerank(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).sortBy(_._1)
+    val r1 = run()
     val n = r1.length
     assert(n > 0)
     assert(r1.forall(_._2 >= 150000L), "damping floor: every rank ≥ 0.15 mass")
@@ -22,15 +23,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(total <= n * 1000000L, s"mass cannot exceed N·scale: $total vs ${n * 1000000L}")
     assert(total >= (n * 1000000L * 97) / 100,
       s"truncation leakage must stay under 3%: $total vs ${n * 1000000L}")
-    val r2 = Analytics.qPagerank(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    assert(r1 === r2, "integer fixed-point ranks must be bit-identical across runs")
+    assert(r1 === run(), "integer fixed-point ranks must be bit-identical across runs")
   }
 
   test("q_pagerank: both node families present, no node ranked twice") {
-    val rows = Analytics.qPagerank(spark, sf0001).collect().map(_.getString(0))
-    assert(rows.distinct.length === rows.length, "one rank row per node")
-    assert(rows.exists(_.startsWith("c")) && rows.exists(_.startsWith("s")),
+    val keys = Analytics.qPagerank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length, "one rank row per node")
+    assert(keys.exists(_._1 == "customer") && keys.exists(_._1 == "supplier"),
       "bipartite traversal must rank customers AND suppliers")
   }
 

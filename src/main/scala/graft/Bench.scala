@@ -25,7 +25,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b — iterate on a subset without paying the
+    // whole battery; the driver never sets it, so round numbers are full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
+    // SPARK_GRAFT_EXPLAIN=1 — dump each selected query's formatted plan
+    // before benching (plan-shape iteration loop; driver never sets it).
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      names.foreach { n =>
+        println(s"===== $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)

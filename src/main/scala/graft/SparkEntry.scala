@@ -85,6 +85,10 @@ object SparkEntry {
     "q_checksum"        -> Seq("y"),
     "q_mad_outlier"     -> Seq("l_returnflag"),
     "q_funnel"          -> Seq("user_id"),
+    "q_transition_matrix" -> Seq("prev_type", "next_type"),
+    "q_constraint_check" -> Seq("constraint_name"),
+    "q_embed_centroid"  -> Seq("label", "dim"),
+    "q_zorder_layout"   -> Seq("z_bucket"),
     "q_retention"       -> Seq("cohort_week", "week_offset"),
     "q_histogram"       -> Seq("bin"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),

@@ -206,15 +206,60 @@ object Analytics {
       |GROUP BY FLOOR(o_totalprice / 1000)
       |ORDER BY bin""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's event stream in time order, count every (previous event type
+    * → next event type) step; a user's first event transitions from the
+    * `_start` sentinel. The behavioral-analytics primitive behind "what
+    * do users do after X" dashboards and session-flow Sankey charts.
+    *
+    * Determinism: `lag` needs a total order — ties at millisecond
+    * resolution are broken by event_id in BOTH engines (the oracle also
+    * orders by the TRUNCATED epoch_ms, not the raw nanosecond timestamp,
+    * or sub-ms siblings could legally swap). Counts are integers; the
+    * per-source total rides along so consumers derive shares without
+    * either engine performing a float division.
+    *
+    * Shape at scale: ONE shuffle (events on user_id) feeds the lag
+    * window; the pair aggregate is partial (map-side combine into a
+    * |types|² key space) and the outgoing-total window runs on the
+    * already-tiny matrix. 100 TB of events moves once.
+    */
+  def qTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val steps = Ingest.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("prev_type", coalesce(lag("event_type", 1).over(w), lit("_start")))
+    val m = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    m.withColumn("n_from_prev",
+      sum("n_steps").over(Window.partitionBy("prev_type")))
+  }
+
+  val qTransitionMatrixSql: String =
+    """WITH steps AS (
+      |  SELECT COALESCE(LAG(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id),
+      |         '_start') AS prev_type,
+      |         event_type AS next_type
+      |  FROM events),
+      |m AS (SELECT prev_type, next_type, COUNT(*) AS n_steps
+      |      FROM steps GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n_steps,
+      |  CAST(SUM(n_steps) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from_prev
+      |FROM m ORDER BY prev_type, next_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"  -> qPagerank _,
-    "q_funnel"    -> qFunnel _,
-    "q_retention" -> qRetention _,
-    "q_histogram" -> qHistogram _)
+    "q_pagerank"   -> qPagerank _,
+    "q_funnel"     -> qFunnel _,
+    "q_retention"  -> qRetention _,
+    "q_histogram"  -> qHistogram _,
+    "q_transition_matrix" -> qTransitionMatrix _)
 
   def oracle: Map[String, String] = Map(
-    "q_pagerank"  -> qPagerankSql,
-    "q_funnel"    -> qFunnelSql,
-    "q_retention" -> qRetentionSql,
-    "q_histogram" -> qHistogramSql)
+    "q_pagerank"   -> qPagerankSql,
+    "q_funnel"     -> qFunnelSql,
+    "q_retention"  -> qRetentionSql,
+    "q_histogram"  -> qHistogramSql,
+    "q_transition_matrix" -> qTransitionMatrixSql)
 }

@@ -318,17 +318,74 @@ object Ann {
     topK(scored)
   }
 
+  // ------------------------------------------------------------------
+  // Per-label embedding centroids — the class-prototype / cluster-seed
+  // aggregate (nearest-centroid classification, IVF seeding, drift
+  // monitoring all start here), and the repo's proof that VECTOR
+  // aggregation can be oracle-checked bit-exactly.
+  // ------------------------------------------------------------------
+
+  private val CentroidFp = 1048576L // 2^20
+
+  /** Mean embedding per label, bit-reproducibly: each float component
+    * is widened to double (exact), scaled by 2^20 and rounded to an
+    * integer (a float's 24-bit mantissa × 2^20 always fits), summed as
+    * BIGINT (associative — no FP accumulation-order drift), and divided
+    * ONCE at the end: both engines perform the identical single IEEE
+    * division, so the double centroid matches DuckDB to the last bit.
+    *
+    * Shape at scale: posexplode multiplies rows ×dim, but partial
+    * aggregation collapses each map partition to |labels|·dim rows
+    * before the ONE shuffle — 100 TB of vectors moves a few KB per
+    * partition. (The transform-free alternative — aggregating whole
+    * arrays with a zip_with fold — is an interpreted per-element lambda
+    * [SNIPPETS: HOF perf] AND a non-partial aggregate; this shape keeps
+    * everything codegen'd and map-combined.)
+    */
+  def qEmbedCentroid(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(expr(s"CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT)")).as("sum_fp"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_fp"),
+        (col("sum_fp").cast("double") /
+          (col("n_vecs") * lit(CentroidFp)).cast("double")).as("centroid"))
+
+  /** DuckDB zips parallel unnests in one SELECT — (component, ordinal)
+    * pairs without a lateral join. */
+  val qEmbedCentroidSql: String =
+    s"""WITH ex AS (
+       |  SELECT label,
+       |    unnest(range(1, len(embedding) + 1)) AS dim,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |fp AS (
+       |  SELECT label, dim,
+       |    CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT) AS f
+       |  FROM ex)
+       |SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n_vecs,
+       |  CAST(SUM(f) AS BIGINT) AS sum_fp,
+       |  CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) * $CentroidFp AS DOUBLE) AS centroid
+       |FROM fp GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
     "q_ann_ivf"        -> qAnnIvf _,
-    "q_ann_quantized"  -> qAnnQuantized _
+    "q_ann_quantized"  -> qAnnQuantized _,
+    "q_embed_centroid" -> qEmbedCentroid _
   )
 
-  /** Cosine arithmetic is float-sourced and xxhash-free, but the
-    * row_number tie-handling over double cosines is not reproducible
-    * bit-for-bit in DuckDB SQL without replicating the exact double
-    * accumulation order — rows-only.
+  /** The four ANN top-k queries stay rows-only: their cosine arithmetic
+    * is float-sourced and the row_number tie-handling over double
+    * cosines is not reproducible bit-for-bit in DuckDB SQL without
+    * replicating the exact double accumulation order. The centroid
+    * aggregate IS oracle-checked — its fixed-point design removes the
+    * accumulation-order dependence.
     */
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q_embed_centroid" -> qEmbedCentroidSql)
 }

@@ -26,36 +26,37 @@ object Audit {
     * completeness/cardinality/range audit): row count, null count,
     * distinct count, min and max per column, one output row per column.
     *
-    * Shape at scale: ONE aggregate over the scan. The six
-    * COUNT(DISTINCT col)s plan as Catalyst's Expand (×6 row
-    * multiplication) feeding a two-phase aggregate — the shuffle
-    * carries one row per distinct (column, value), never raw rows, so
-    * a 100 TB profile moves |Σ per-column domains|, not 6× the corpus.
-    * The unpivot to per-column rows is a 1-row `stack` at the end.
-    * Min/max stringify through DECIMAL(12,2)/DATE casts — both engines
-    * print those types identically (raw DOUBLE/TIMESTAMP formatting
-    * diverges cross-engine).
+    * Shape at scale: one INDEPENDENT two-phase aggregate per column,
+    * unioned — each branch scans only its own parquet column (columnar
+    * I/O: six pruned scans read exactly the bytes of one wide scan),
+    * pre-aggregates per (value) map-side, shuffles one row per
+    * distinct value, and reduces to a single profile row. The
+    * single-aggregate alternative (6 COUNT(DISTINCT) in one agg) plans
+    * as Expand ×7 feeding a SORT-based aggregate on a 7-column key —
+    * string min/max buffers knock it out of HashAggregate, so the
+    * whole corpus ×7 gets sort-merged; measured 5× slower at sf0.1
+    * and strictly worse at 100 TB. Here every corpus-sized operator
+    * is a codegen'd HashAggregate; the only sort-based work touches
+    * ≤|distinct| rows. Min/max stringify through DECIMAL(12,2)/DATE
+    * casts — both engines print those types identically (raw
+    * DOUBLE/TIMESTAMP formatting diverges cross-engine).
     */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val ord = Ingest.table(s, dir, "orders")
-    def mnmx(c: Column): Seq[Column] =
-      Seq(min(c).cast("string"), max(c).cast("string"))
-    val aggs: Seq[Column] =
-      profiledCols.flatMap { case (name, canon) =>
-        val c = canon(col(name))
-        Seq(count(c).as(s"nn_$name"), countDistinct(c).as(s"nd_$name")) ++
-          mnmx(c).zip(Seq(s"mn_$name", s"mx_$name")).map { case (e, a) => e.as(a) }
-      }
-    val stackArgs = profiledCols.map { case (name, _) =>
-      s"'$name', nn_$name, nd_$name, mn_$name, mx_$name"
-    }.mkString(", ")
-    ord.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(col("n_rows"),
-        expr(s"stack(${profiledCols.size}, $stackArgs) " +
-          "AS (col_name, n_nonnull, n_distinct, min_val, max_val)"))
-      .select(col("col_name"), col("n_rows"),
-        (col("n_rows") - col("n_nonnull")).as("n_null"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    val branches = profiledCols.map { case (name, canon) =>
+      ord.select(canon(col(name)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum("cnt").as("n_rows"),
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_nonnull"),
+          count(col("v")).as("n_distinct"),
+          min("v").cast("string").as("min_val"),
+          max("v").cast("string").as("max_val"))
+        .select(lit(name).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }
+    branches.reduce(_ unionAll _)
   }
 
   // Canonicalizing cast per column: DECIMAL for money (identical
@@ -156,42 +157,47 @@ object Audit {
     val hist = Ingest.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
       .agg(count(lit(1)).as("c"))
-    val med = weightedMedian(hist).withColumnRenamed("med", "median_qty")
+    val med = weightedMedian(hist)
+      .select(col("flag"), col("med").as("median_qty"), col("n").as("n_rows"))
     val devHist = hist.join(broadcast(med), "flag")
       .groupBy(col("flag"), abs(col("v") - col("median_qty")).as("v"))
       .agg(sum("c").as("c"))
-    val mad = weightedMedian(devHist).withColumnRenamed("med", "mad")
+    val mad = weightedMedian(devHist).select(col("flag"), col("med").as("mad"))
     val outliers = devHist.join(broadcast(mad), "flag")
       .groupBy(col("flag"))
       .agg(sum(when(col("v") > col("mad") * 3, col("c")).otherwise(lit(0L)))
         .as("n_outliers"))
-    hist.groupBy("flag").agg(sum("c").as("n_rows"))
-      .join(med, "flag").join(mad, "flag").join(outliers, "flag")
+    med.join(mad, "flag").join(outliers, "flag")
       .select(col("flag").as("l_returnflag"), col("n_rows"),
         col("median_qty"), col("mad"), col("n_outliers"))
   }
 
   /** Exact interpolated (SQL quantile_cont, type-7) median from a
-    * (flag, v, c) value→count histogram. Position p = (n−1)/2 splits
-    * into lower index l = (n−1) DIV 2 and fraction g ∈ {0, 0.5}; the
-    * values at expanded indices l and l+1 are the minimal v whose
-    * running count exceeds each index. All window/agg work happens on
-    * the histogram, partitioned by flag.
+    * (flag, v, c) value→count histogram, plus the group's total weight
+    * `n` (free — the median needs it anyway). Position p = (n−1)/2
+    * splits into lower index l = (n−1) DIV 2 and fraction g ∈ {0, 0.5};
+    * the values at expanded indices l and l+1 are the minimal v whose
+    * running count exceeds each index — here a single conditional
+    * aggregate (min-where) over the cumulated histogram, NOT the
+    * filter→groupBy→join chain of the r7 version: that spelling ran
+    * the expanded-index probes as two extra shuffles plus a distinct
+    * and two joins per median, and the stage-chain latency (not data
+    * volume) dominated the query. One window sort + one aggregate per
+    * median, all on histogram-sized input partitioned by flag.
     */
   private def weightedMedian(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy("flag").orderBy("v")
-    val cum = hist
+    hist
       .withColumn("cum", sum("c").over(w))
       .withColumn("n", sum("c").over(Window.partitionBy("flag")))
       .withColumn("l", expr("(n - 1) DIV 2"))
-      .withColumn("half", ((col("n") - 1) % 2 === 1))
-    val vl = cum.filter(col("cum") >= col("l") + 1)
-      .groupBy("flag").agg(min("v").as("vl"))
-    val vh = cum.filter(col("cum") >= col("l") + 2)
-      .groupBy("flag").agg(min("v").as("vh"))
-    cum.select("flag", "half").distinct()
-      .join(vl, "flag").join(vh, Seq("flag"), "left")
-      .select(col("flag"),
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") >= col("l") + 1, col("v"))).as("vl"),
+        min(when(col("cum") >= col("l") + 2, col("v"))).as("vh"),
+        first(((col("n") - 1) % 2 === 1)).as("half"),
+        first("n").as("n"))
+      .select(col("flag"), col("n"),
         when(col("half"), (col("vl") + coalesce(col("vh"), col("vl"))) / 2d)
           .otherwise(col("vl").cast("double")).as("med"))
   }
@@ -213,13 +219,83 @@ object Audit {
       |GROUP BY m.flag, m.n_rows, m.median_qty, mad.mad
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Declarative constraint battery over `orders` (the Deequ-style
+    * validation gate a production reload runs before publishing — the
+    * reference's drop-and-rebuild load, ref dags/ELT.py:39-106, has no
+    * such gate): NOT NULL, uniqueness, value-positivity, date-range,
+    * enum-domain, and referential integrity against `customer`, one
+    * output row per constraint with its violation count.
+    *
+    * Shape at scale: the five row-local checks and the row count are
+    * ONE aggregate over a single scan; the FK check rides the same
+    * scan via a LEFT join to the customer key column (both sides are
+    * data-scaled, so this is a shuffle join — NOT a broadcast; at
+    * 100 TB AQE picks SMJ/shuffled-hash and the null-flag sum is a
+    * partial aggregate either way). The unpivot to per-constraint rows
+    * is a 1-row `stack` at the end — nothing about the output scales
+    * with data volume.
+    */
+  def qConstraintCheck(s: SparkSession, dir: String): DataFrame = {
+    val ord = Ingest.table(s, dir, "orders")
+    val cust = Ingest.table(s, dir, "customer").select(col("c_custkey"))
+    val j = ord.join(cust, col("o_custkey") === col("c_custkey"), "left")
+    def viol(c: Column): Column = sum(when(c, lit(1L)).otherwise(lit(0L)))
+    val d = col("o_orderdate").cast("date")
+    j.agg(
+        count(lit(1)).as("n_rows"),
+        viol(col("o_orderkey").isNull).as("v_null"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_price"),
+        viol(d.isNull || d < lit("1992-01-01").cast("date") ||
+          d > lit("1998-12-31").cast("date")).as("v_date"),
+        viol(col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+        viol(col("c_custkey").isNull).as("v_fk"))
+      .select(col("n_rows"), expr(
+        "stack(6, " +
+          "'custkey_fk', v_fk, " +
+          "'orderdate_in_range', v_date, " +
+          "'orderkey_not_null', v_null, " +
+          "'orderkey_unique', v_uniq, " +
+          "'status_domain', v_status, " +
+          "'totalprice_positive', v_price) " +
+          "AS (constraint_name, n_violations)"))
+      .select(col("constraint_name"), col("n_violations"), col("n_rows"))
+  }
+
+  val qConstraintCheckSql: String =
+    """WITH j AS (
+      |  SELECT o.*, c.c_custkey AS fk_key
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS v_null,
+      |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+      |    CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END), 0) AS BIGINT) AS v_price,
+      |    CAST(COALESCE(SUM(CASE WHEN CAST(o_orderdate AS DATE) IS NULL
+      |      OR CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+      |      OR CAST(o_orderdate AS DATE) > DATE '1998-12-31' THEN 1 END), 0) AS BIGINT) AS v_date,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+      |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 END), 0) AS BIGINT) AS v_status,
+      |    CAST(COALESCE(SUM(CASE WHEN fk_key IS NULL THEN 1 END), 0) AS BIGINT) AS v_fk
+      |  FROM j)
+      |SELECT 'custkey_fk' AS constraint_name, v_fk AS n_violations, n_rows FROM a
+      |UNION ALL SELECT 'orderdate_in_range', v_date, n_rows FROM a
+      |UNION ALL SELECT 'orderkey_not_null', v_null, n_rows FROM a
+      |UNION ALL SELECT 'orderkey_unique', v_uniq, n_rows FROM a
+      |UNION ALL SELECT 'status_domain', v_status, n_rows FROM a
+      |UNION ALL SELECT 'totalprice_positive', v_price, n_rows FROM a
+      |ORDER BY constraint_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_profile"     -> qProfile _,
-    "q_checksum"    -> qChecksum _,
-    "q_mad_outlier" -> qMadOutlier _)
+    "q_profile"          -> qProfile _,
+    "q_checksum"         -> qChecksum _,
+    "q_mad_outlier"      -> qMadOutlier _,
+    "q_constraint_check" -> qConstraintCheck _)
 
   def oracle: Map[String, String] = Map(
-    "q_profile"     -> qProfileSql,
-    "q_checksum"    -> qChecksumSql,
-    "q_mad_outlier" -> qMadOutlierSql)
+    "q_profile"          -> qProfileSql,
+    "q_checksum"         -> qChecksumSql,
+    "q_mad_outlier"      -> qMadOutlierSql,
+    "q_constraint_check" -> qConstraintCheckSql)
 }

@@ -345,7 +345,56 @@ object ScaleOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order (Morton) data-layout clustering: interleave the low 16
+    * bits of `l_partkey` and `l_suppkey` into one locality-preserving
+    * sort key, bucket the curve into 256 ranges, and report each
+    * bucket's row count and per-column min/max extents. This is the
+    * planning half of `OPTIMIZE ... ZORDER BY` (Delta/Iceberg table
+    * maintenance): rows sorted by `z` land in files whose min/max
+    * footer ranges are narrow in BOTH key columns at once, so point
+    * and range predicates on EITHER column prune most files — a
+    * single-column sort gives pruning on that column only. The
+    * extents this query emits are exactly the skipping statistics a
+    * rewriter would publish.
+    *
+    * The interleave is pure integer bit-arithmetic (32 shift-mask-or
+    * terms generated from one Scala loop into both engines' SQL —
+    * no FP, no hashing), and the whole query is one partial-aggregated
+    * shuffle on the 256-value bucket key.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(zorderExpr("l_partkey", "l_suppkey")).as("z"))
+      .groupBy(expr("z DIV 262144").as("z_bucket")) // 2^18-wide curve ranges
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+
+  /** Σ_{i<16} interleaved shift-mask terms: part bit i → z bit 2i+1,
+    * supp bit i → z bit 2i. Valid SQL in Spark AND DuckDB (`&`, `|`
+    * need no dialect translation; `>>`/`<<` shift BIGINT in both). */
+  private[graft] def zorderExpr(a: String, b: String): String = {
+    val terms =
+      (0 until 16).map(i => s"((($a >> $i) & 1) << ${2 * i + 1})") ++
+        (0 until 16).map(i => s"((($b >> $i) & 1) << ${2 * i})")
+    terms.mkString("(", " | ", ")")
+  }
+
+  val qZorderLayoutSql: String =
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${zorderExpr("l_partkey", "l_suppkey")} AS z
+       |  FROM lineitem)
+       |SELECT z // 262144 AS z_bucket, COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+       |FROM z GROUP BY z // 262144
+       |ORDER BY z_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> qZorderLayout _,
     "q_approx_percentiles" -> qApproxPercentiles _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_group_topk"   -> qGroupTopk _,
@@ -357,6 +406,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" -> qZorderLayoutSql,
     "q_approx_percentiles" -> qApproxPercentilesSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_group_topk"   -> qGroupTopkSql,

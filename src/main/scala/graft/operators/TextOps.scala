@@ -473,6 +473,50 @@ object TextOps {
       |ORDER BY n DESC, w
       |LIMIT 50""".stripMargin
 
+  /** BPE tokenizer training, round one: corpus-weighted adjacent
+    * symbol-pair counts (Sennrich et al. 2016's merge statistic — at
+    * round one every symbol is a character, so pairs are 2-char
+    * substrings) and the top-20 merge candidates. The companion to
+    * [[qVocabTopk]]: top-k vocabulary seeds the symbol table, this
+    * picks the first merges.
+    *
+    * Shape at scale: the corpus-sized stage is the word-frequency
+    * aggregate (same Zipf-safe partial-agg shuffle as vocab_topk);
+    * pair generation then runs on the VOCABULARY, not the corpus —
+    * each distinct word explodes into len−1 pairs carrying its
+    * frequency, and the pair aggregate's key space is bounded by
+    * |alphabet|², shuffling a few KB regardless of corpus size.
+    * Iterating BPE further means re-running this statistic over a
+    * re-segmented vocabulary (a driver loop over a vocab-sized table,
+    * like [[Ann.trainCodebook]]'s Lloyd rounds — the corpus is never
+    * touched again).
+    */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        explode(expr("sequence(1, char_length(w) - 1)")).as("i"))
+      .groupBy(expr("substr(w, i, 2)").as("pair"))
+      .agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val qBpePairsSql: String =
+    """WITH wf AS (
+      |  SELECT w, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |p AS (
+      |  SELECT f, unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM wf)
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin
+
   // Segment width (words) for C4-style segment-level dedup. Published
   // recipes dedup on lines/paragraphs; this corpus has no newlines, so
   // fixed 10-word windows stand in for the segmentation function.
@@ -836,6 +880,7 @@ object TextOps {
     "q_inverted_index"    -> qInvertedIndex _,
     "q_normalize_text"    -> qNormalizeText _,
     "q_vocab_topk"        -> qVocabTopk _,
+    "q_bpe_pairs"         -> qBpePairs _,
     "q_mix_budget"        -> qMixBudget _,
     "q_mix_temperature"   -> qMixTemperature _,
     "q_curriculum"        -> qCurriculum _,
@@ -858,6 +903,7 @@ object TextOps {
     "q_inverted_index"    -> qInvertedIndexSql,
     "q_normalize_text"    -> qNormalizeTextSql,
     "q_vocab_topk"        -> qVocabTopkSql,
+    "q_bpe_pairs"         -> qBpePairsSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,

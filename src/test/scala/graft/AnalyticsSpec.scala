@@ -104,4 +104,19 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(rs.length - n / 10) <= 1, s"decile $d unbalanced: ${rs.length}")
     }
   }
+
+  test("q_transition_matrix: step counts conserve events; _start rows count users once") {
+    val e = graft.sources.Ingest.events(spark, sf0001)
+    val nEvents = e.count()
+    val nUsers = e.select("user_id").distinct().count()
+    val rows = Analytics.qTransitionMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === nEvents, "every event is exactly one step")
+    val starts = rows.filter(_._1 == "_start")
+    assert(starts.map(_._3).sum === nUsers, "each user starts exactly once")
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._3).sum
+      assert(rs.forall(_._4 == tot), s"n_from_prev must equal the $prev row-group sum")
+    }
+  }
 }

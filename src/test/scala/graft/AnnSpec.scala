@@ -123,4 +123,29 @@ class AnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_embed_centroid: bit-exact against a driver-side fixed-point recompute") {
+    val rows = Ann.qEmbedCentroid(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val vecs = graft.sources.Ingest.table(spark, sf0001, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(rows.keySet.map(_._2) === (1 to 64).toSet, "all 64 dims present")
+    val byLabel = vecs.groupBy(_._1)
+    byLabel.foreach { case (label, vs) =>
+      // round half AWAY FROM ZERO (what Spark's round() and DuckDB's
+      // round() both do) — math.round alone is floor(x+0.5), which
+      // disagrees on negative halves
+      val dim1 = vs.map { v =>
+        val x = v._2.head.toDouble * 1048576L
+        math.signum(x).toLong * math.round(math.abs(x))
+      }
+      val (n, sumFp, centroid) = rows((label, 1))
+      assert(n === vs.length.toLong)
+      assert(sumFp === dim1.sum, s"label $label dim 1: integer sum must match exactly")
+      assert(centroid === sumFp.toDouble / (n * 1048576L).toDouble,
+        "single-division reconstruction must be bit-identical")
+    }
+  }
 }

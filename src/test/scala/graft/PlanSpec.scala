@@ -85,11 +85,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the bounded benchmark gram set must broadcast, never shuffle the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-wide join shuffle:\n$p")
-    // corpus side shuffles exactly twice: once to set-dedup grams on
-    // (doc_id, g), once for the per-doc rollup on doc_id
+    // per-doc gram dedup is ROW-LOCAL (array_distinct inside the
+    // generator) — the only corpus-side shuffle is the per-doc rollup
+    assert(p.contains("array_distinct"),
+      s"per-doc gram set-dedup must stay row-local, not a (doc_id, g) shuffle:\n$p")
     assert(p.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning(doc_id")) === 2,
-      s"corpus-side shuffles must be the gram-dedup and the rollup, nothing more:\n$p")
+        l.contains("Exchange hashpartitioning(doc_id")) === 1,
+      s"corpus-side shuffle must be the per-doc rollup, nothing more:\n$p")
   }
 
   test("q_stream_sliding: windows assign via bounded Expand, not a range join") {

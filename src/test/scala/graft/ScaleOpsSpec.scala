@@ -288,4 +288,25 @@ class ScaleOpsSpec extends SparkSpec {
     val got = pairs.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
     assert(got === expected, "per-purchase pair counts must match the brute-force witness")
   }
+
+  test("q_zorder_layout: interleave matches a bitwise reference; buckets partition the table") {
+    def zRef(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    val s = spark
+    import s.implicits._
+    val probes = Seq((5L, 3L), (0L, 0L), (65535L, 65535L), (12345L, 678L), (1L, 65536L))
+    val got = probes.toDF("l_partkey", "l_suppkey")
+      .selectExpr(ScaleOps.zorderExpr("l_partkey", "l_suppkey") + " AS z")
+      .collect().map(_.getLong(0))
+    val want = probes.map { case (a, b) => zRef(a, b) }
+    assert(got.toSeq === want, "SQL interleave must equal the bitwise reference (low 16 bits)")
+
+    val li = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+    val rows = ScaleOps.qZorderLayout(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === li.count(), "buckets partition every row")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(4) <= r.getLong(5),
+        "extent stats ordered")
+    }
+  }
 }

@@ -219,4 +219,16 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "shares must sum to 1")
   }
+
+  test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
+    val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ", -1) if w.length >= 2; i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextOps.qBpePairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want, "pair statistic must equal the exact recount, same tie order")
+  }
 }

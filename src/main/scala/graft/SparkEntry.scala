@@ -86,6 +86,8 @@ object SparkEntry {
     "q_mad_outlier"     -> Seq("l_returnflag"),
     "q_funnel"          -> Seq("user_id"),
     "q_transition_matrix" -> Seq("prev_type", "next_type"),
+    "q_components"      -> Seq("node_type", "node_id"),
+    "q_moving_avg"      -> Seq("d"),
     "q_constraint_check" -> Seq("constraint_name"),
     "q_embed_centroid"  -> Seq("label", "dim"),
     "q_zorder_layout"   -> Seq("z_bucket"),

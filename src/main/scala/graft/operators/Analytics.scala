@@ -22,33 +22,17 @@ object Analytics {
   private val PrIters = 3
   private val PrScale = 1000000L // rank mass fixed-point scale (10^6)
 
-  /** PageRank over the customer↔supplier co-purchase graph (an edge
-    * per distinct (customer, supplier) pair observed in
-    * orders⋈lineitem, traversed in both directions). The update is
-    * the standard damped iteration r' = 0.15 + 0.85·Σ r/d, run in
-    * FIXED-POINT integer arithmetic (mass scale 10^6, damping 85/100
-    * with integral DIV): float contributions would sum in
-    * partition-dependent order and drift across runs/engines; integer
-    * sums are exact and associative, so ranks are bit-reproducible
-    * anywhere. Headroom: 85·Σr stays under 2^63 up to ~10^11 graph
-    * nodes at this scale — audit before raising PrScale.
-    *
-    * Shape at scale: the classic Pregel loop as pure DataFrame ops —
-    * each iteration is ONE shuffle join (ranks ⋈ edges on src, both
-    * sides hash-partitioned on the same key) and ONE partial
-    * aggregate on dst; degree rides along with the edges so it is
-    * computed once. Edges/degrees are data-scaled — never broadcast.
-    * Two deliberate choices that dominate the wall clock: nodes are
-    * INTEGER-encoded (customer 2k, supplier 2k+1 — disjoint id
-    * spaces), because a 'c'||id string key costs 2-3× in shuffle
-    * bytes and hash time across every round; and the (src, dst, d)
-    * edge list is materialized ONCE (eager localCheckpoint — a
-    * production run on preemptible executors would use reliable
-    * checkpoint), because an unrolled 3-round plan otherwise
+  /** The customer↔supplier co-purchase graph shared by [[qPagerank]]
+    * and [[qComponents]]: an edge per distinct (customer, supplier)
+    * pair in orders⋈lineitem, both directions, with degree riding
+    * along. Nodes are integer-encoded (customer 2k, supplier 2k+1 —
+    * disjoint id spaces): a 'c'||id string key costs 2-3× in shuffle
+    * bytes and hash time in every iteration. Materialized ONCE (eager
+    * localCheckpoint — a production run on preemptible executors would
+    * use reliable checkpoint): an unrolled iterative plan otherwise
     * re-derives the orders⋈lineitem join in every round's subtree.
-    * Iteration count is fixed and small (3), so lineage stays shallow.
     */
-  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li  = Ingest.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
@@ -59,7 +43,28 @@ object Analytics {
     val eb  = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = eb.groupBy("src").agg(count(lit(1)).as("d"))
     // (src, dst, d) — degree travels with the edge; computed once
-    val ebd = eb.join(deg, "src").localCheckpoint(true)
+    eb.join(deg, "src").localCheckpoint(true)
+  }
+
+  /** PageRank over the co-purchase graph ([[copurchaseEdges]]). The
+    * update is the standard damped iteration r' = 0.15 + 0.85·Σ r/d,
+    * run in FIXED-POINT integer arithmetic (mass scale 10^6, damping
+    * 85/100 with integral DIV): float contributions would sum in
+    * partition-dependent order and drift across runs/engines; integer
+    * sums are exact and associative, so ranks are bit-reproducible
+    * anywhere. Headroom: 85·Σr stays under 2^63 up to ~10^11 graph
+    * nodes at this scale — audit before raising PrScale.
+    *
+    * Shape at scale: the classic Pregel loop as pure DataFrame ops —
+    * each iteration is ONE shuffle join (ranks ⋈ edges on src, both
+    * sides hash-partitioned on the same key) and ONE partial
+    * aggregate on dst; degree rides along with the edges so it is
+    * computed once. Edges/degrees are data-scaled — never broadcast.
+    * Iteration count is fixed and small (3), so lineage stays shallow.
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ebd = copurchaseEdges(s, dir)
+    val deg = ebd.select(col("src"), col("d")).distinct()
     var r = deg.select(col("src").as("nd"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       r = ebd.join(r, ebd("src") === r("nd"))
@@ -93,6 +98,96 @@ object Analytics {
        |  nd // 2 AS node_id, CAST(r AS BIGINT) AS r
        |FROM r3 ORDER BY node_type, node_id""".stripMargin
   }
+
+  private val CcIters = 3
+
+  /** Connected components over the co-purchase graph by min-label
+    * propagation, [[CcIters]] fixed rounds (the bounded-round flavor of
+    * HashToMin/Pregel CC): every node starts labeled with its own id;
+    * each round it keeps the minimum of its label and its neighbors' —
+    * after k rounds labels agree within k hops, full convergence needs
+    * diameter rounds (on this bipartite graph the giant component
+    * collapses almost immediately; a production run would loop until a
+    * "labels changed this round" count hits zero — same plan per
+    * round, driver-controlled stop like [[Ann.trainCodebook]]).
+    *
+    * Pure integer MIN arithmetic — associative, partial-aggregated,
+    * bit-reproducible (contrast: hash-based CC labels drift across
+    * engines). Each round is ONE shuffle join (edges ⋈ labels on src)
+    * + ONE min-aggregate on dst + a label merge join; edges come from
+    * the shared checkpoint, never re-derived.
+    */
+  def qComponents(s: SparkSession, dir: String): DataFrame = {
+    val ebd = copurchaseEdges(s, dir)
+    var lab = ebd.select(col("src").as("nd")).distinct().withColumn("lab", col("nd"))
+    for (_ <- 1 to CcIters) {
+      val nbr = ebd.join(lab, ebd("src") === lab("nd"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+        .select(col("dst").as("nd"), col("nlab"))
+      lab = lab.join(nbr, Seq("nd"), "left")
+        .select(col("nd"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+    }
+    lab.select(
+      when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+      expr("nd DIV 2").as("node_id"), col("lab").as("comp"))
+  }
+
+  val qComponentsSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT l.nd, LEAST(l.lab, COALESCE(m.nlab, l.lab)) AS lab
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT eb.dst AS nd, MIN(p.lab) AS nlab
+         |    FROM eb JOIN $prev p ON eb.src = p.nd GROUP BY eb.dst) m
+         |  ON l.nd = m.nd)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS nd, src AS lab FROM eb),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")}
+       |SELECT CASE WHEN nd % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  nd // 2 AS node_id, lab AS comp
+       |FROM l3 ORDER BY node_type, node_id""".stripMargin
+  }
+
+  /** Trailing 7-day moving average of daily order volume — the
+    * smoothing window every operational dashboard draws. Two-level
+    * shape: the corpus aggregates to CALENDAR-BOUNDED daily rows
+    * first (one partial-agged shuffle — 100 TB of orders becomes ≤ a
+    * few thousand rows), then the ROWS-frame window runs over the
+    * daily series; its single-partition sort is correct at any data
+    * scale because its input is bounded by elapsed days, not volume.
+    * Exactness: the frame sum is an exact DECIMAL, the average is ONE
+    * IEEE division of that sum by the frame row count — both engines
+    * perform the identical operation (never avg() over doubles, whose
+    * accumulation order is engine-private).
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Ingest.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("tot"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    daily.select(
+      col("d"), col("n_orders"),
+      col("tot").cast("double").as("daily_total"),
+      (sum(col("tot")).over(w).cast("double") / count(lit(1)).over(w)).as("ma7_total"))
+  }
+
+  val qMovingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+      |SELECT d, n_orders, CAST(tot AS DOUBLE) AS daily_total,
+      |  CAST(SUM(tot) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7_total
+      |FROM daily
+      |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY d""".stripMargin
 
   /** Funnel conversion over the event stream: per user, the first
     * `view`, the first `click` strictly after it, and the first
@@ -254,12 +349,16 @@ object Analytics {
     "q_funnel"     -> qFunnel _,
     "q_retention"  -> qRetention _,
     "q_histogram"  -> qHistogram _,
-    "q_transition_matrix" -> qTransitionMatrix _)
+    "q_transition_matrix" -> qTransitionMatrix _,
+    "q_components" -> qComponents _,
+    "q_moving_avg" -> qMovingAvg _)
 
   def oracle: Map[String, String] = Map(
     "q_pagerank"   -> qPagerankSql,
     "q_funnel"     -> qFunnelSql,
     "q_retention"  -> qRetentionSql,
     "q_histogram"  -> qHistogramSql,
-    "q_transition_matrix" -> qTransitionMatrixSql)
+    "q_transition_matrix" -> qTransitionMatrixSql,
+    "q_components" -> qComponentsSql,
+    "q_moving_avg" -> qMovingAvgSql)
 }

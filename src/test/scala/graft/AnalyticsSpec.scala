@@ -119,4 +119,36 @@ class AnalyticsSpec extends SparkSpec {
       assert(rs.forall(_._4 == tot), s"n_from_prev must equal the $prev row-group sum")
     }
   }
+
+  test("q_components: labels are component-consistent minima and never exceed own id") {
+    val rows = Analytics.qComponents(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((tpe, id), comp) =>
+      val own = if (tpe == "customer") id * 2 else id * 2 + 1
+      assert(comp <= own, "min-propagation can only lower a label")
+    }
+    // every label must itself be a node id that carries that label
+    // (a component representative labels itself)
+    val byNode = rows.toMap
+    rows.map(_._2).distinct.foreach { comp =>
+      val key = if (comp % 2 == 0) ("customer", comp / 2) else ("supplier", comp / 2)
+      assert(byNode(key) === comp, s"representative $key must keep label $comp")
+    }
+  }
+
+  test("q_moving_avg: frame average stays within the frame's min/max daily totals") {
+    val rows = Analytics.qMovingAvg(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.indices.foreach { i =>
+      val frame = rows.slice(math.max(0, i - 6), i + 1).map(_._3)
+      assert(rows(i)._4 >= frame.min - 1e-9 && rows(i)._4 <= frame.max + 1e-9,
+        s"ma7 at ${rows(i)._1} must lie within its frame envelope")
+      val exact = frame.map(BigDecimal(_)).sum.toDouble / frame.length
+      assert(math.abs(rows(i)._4 - exact) < 1e-6,
+        "frame mean must match a driver-side recompute")
+    }
+  }
 }

@@ -36,6 +36,17 @@ object Streams {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** One typed event for transition tracking. */
+  case class TEv(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)
+
+  /** One emitted funnel step: what this user did next. */
+  case class Step(user_id: Long, ts_ms: Long, prev_type: String, next_type: String)
+
+  /** Per-user transition state: the last event seen, with its sort key
+    * so late stragglers cannot rewind the sequence.
+    */
+  case class TransState(lastType: String, lastTs: Long, lastId: Long)
+
   /** Watermarked tumbling-window counts — the streaming twin of
     * `Temporal.qStreamTumbling` (1-hour windows per event_type).
     * Input needs columns (ts: timestamp, event_type, value).
@@ -191,6 +202,41 @@ object Streams {
     * state-size trade a 100 TB deployment can opt out of by keying
     * session ids on session_start_ms instead).
     */
+  /** Streaming twin of `Analytics.qTransitionMatrix`: emits one
+    * (prev_type → next_type) step per event, `_start` for a user's
+    * first — feed it a window+groupBy downstream for the live matrix.
+    *
+    * State is ONE record per user (last event type + its sort key):
+    * bounded by the user population, never by event volume, and
+    * sharded by the groupByKey partitioning. Within a micro-batch
+    * events sort by (ts_ms, event_id) — exact batch parity for
+    * in-order arrival; an event that arrives in a LATER micro-batch
+    * than a successor (out-of-order beyond batch boundaries) is
+    * sequenced after it, with the state's monotonic guard preventing
+    * any rewind of the running sequence — the documented
+    * streaming-vs-batch divergence (the batch twin, which sees all
+    * events at once, is the reconciliation job).
+    */
+  def transitionSteps(events: Dataset[TEv]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (u: Long, it: Iterator[TEv], st: GroupState[TransState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var cur = st.getOption.orNull
+          val out = sorted.map { e =>
+            val prev = if (cur == null) "_start" else cur.lastType
+            if (cur == null || e.ts_ms > cur.lastTs ||
+                (e.ts_ms == cur.lastTs && e.event_id > cur.lastId))
+              cur = TransState(e.event_type, e.ts_ms, e.event_id)
+            Step(u, e.ts_ms, prev, e.event_type)
+          }
+          if (cur != null) st.update(cur)
+          out.iterator
+        })
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

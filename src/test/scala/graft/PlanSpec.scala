@@ -207,4 +207,48 @@ class PlanSpec extends SparkSpec {
     assert(lines.exists(l => l.contains("Generate explode")),
       s"segmentation must be a Generate, not a pre-materialized table:\n$p")
   }
+
+  test("q_profile: six pruned-column branches, no Expand, corpus aggs stay hash-based") {
+    val p = plan("q_profile")
+    assert(!p.contains("Expand"),
+      s"the multi-DISTINCT Expand spelling must not come back:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 6,
+      s"one column-pruned scan per profiled column:\n$p")
+    // corpus-sized first-stage aggregates are HashAggregate in every
+    // branch; sort-based aggregation may only appear above an Exchange
+    // (i.e. on post-shuffle |distinct|-sized input, for string min/max)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("SortAggregate")).foreach { case (_, i) =>
+      assert(lines.drop(i + 1).takeWhile(!_.contains("Scan parquet"))
+          .exists(l => l.contains("Exchange") || l.contains("SortAggregate")),
+        s"SortAggregate touching corpus-sized input:\n$p")
+    }
+  }
+
+  test("q_embed_centroid: explode is partial-aggregated before its single shuffle") {
+    val p = plan("q_embed_centroid")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"one (label, dim) shuffle, nothing else:\n$p")
+    val lines = p.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lines.drop(ex + 1).exists(_.contains("HashAggregate")),
+      s"partial aggregate must run below the exchange (map-side combine):\n$p")
+  }
+
+  test("q_bpe_pairs: vocab-bounded shuffles only, top-k as TakeOrdered") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap, not a global sort:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"exactly the word-frequency and pair shuffles:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"the corpus must never shuffle on doc_id:\n$p")
+  }
+
+  test("q_zorder_layout: one partial-aggregated shuffle on the curve bucket") {
+    val p = plan("q_zorder_layout")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"one bucket shuffle, nothing else:\n$p")
+    assert(!p.contains("SortAggregate"), s"bucket agg must stay hash-based:\n$p")
+  }
 }

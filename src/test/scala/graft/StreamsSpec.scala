@@ -292,4 +292,56 @@ class StreamsSpec extends SparkSpec {
     assert(docIds() === Seq(1L, 3L, 4L),
       "run 2 processes ONLY the new file — no duplicates of run 1's rows")
   }
+
+  test("transitionSteps: step stream matches the batch lag across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.transitionSteps(ms.toDS())
+      .writeStream.format("memory").queryName("steps").outputMode("append").start()
+    try {
+      // user 1: view → click in batch 1, purchase in batch 2 (state
+      // must remember "click" across the batch boundary); user 2: one
+      // event only.
+      ms.addData(
+        Streams.TEv(1L, 1L, 1000L, "view"),
+        Streams.TEv(1L, 2L, 2000L, "click"),
+        Streams.TEv(2L, 3L, 1500L, "view"))
+      q.processAllAvailable()
+      ms.addData(Streams.TEv(1L, 4L, 3000L, "purchase"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT user_id, prev_type, next_type FROM steps ORDER BY user_id, ts_ms")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(got === Seq(
+        (1L, "_start", "view"), (1L, "view", "click"), (1L, "click", "purchase"),
+        (2L, "_start", "view")))
+    } finally q.stop()
+  }
+
+  test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.transitionSteps(ms.toDS())
+      .writeStream.format("memory").queryName("steps2").outputMode("append").start()
+    try {
+      ms.addData(Streams.TEv(7L, 2L, 5000L, "click"))
+      q.processAllAvailable()
+      // straggler from BEFORE the click arrives a batch late: it is
+      // sequenced after (prev = click) but must NOT become the state —
+      // the next in-order event still chains off the click.
+      ms.addData(Streams.TEv(7L, 1L, 1000L, "view"))
+      q.processAllAvailable()
+      ms.addData(Streams.TEv(7L, 3L, 9000L, "purchase"))
+      q.processAllAvailable()
+      // ts_ms order puts the straggler (ts 1000) first; what matters is
+      // its prev is the CLICK (sequenced after), and the later purchase
+      // still chains off the click, not the straggler view
+      val got = s.sql("SELECT prev_type, next_type FROM steps2 ORDER BY ts_ms")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got === Seq(("click", "view"), ("_start", "click"), ("click", "purchase")))
+    } finally q.stop()
+  }
 }

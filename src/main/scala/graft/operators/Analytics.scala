@@ -24,26 +24,41 @@ object Analytics {
 
   /** The customer↔supplier co-purchase graph shared by [[qPagerank]]
     * and [[qComponents]]: an edge per distinct (customer, supplier)
-    * pair in orders⋈lineitem, both directions, with degree riding
-    * along. Nodes are integer-encoded (customer 2k, supplier 2k+1 —
-    * disjoint id spaces): a 'c'||id string key costs 2-3× in shuffle
-    * bytes and hash time in every iteration. Materialized ONCE (eager
+    * pair in orders⋈lineitem, both directions. Nodes are
+    * integer-encoded (customer 2k, supplier 2k+1 — disjoint id
+    * spaces): a 'c'||id string key costs 2-3× in shuffle bytes and
+    * hash time in every iteration. Materialized ONCE (eager
     * localCheckpoint — a production run on preemptible executors would
     * use reliable checkpoint): an unrolled iterative plan otherwise
     * re-derives the orders⋈lineitem join in every round's subtree.
+    *
+    * Returns (edges(src,dst), degrees(nd,d)). Degree does NOT ride on
+    * the edges (an earlier shape joined it onto every edge row — that
+    * cost a full-edge shuffle join in the build and fattened the
+    * checkpoint by a third; profiled at sf0.1 the build dominated both
+    * graph queries). Node-sized state (degrees, ranks, labels) lives
+    * in its own table: per-iteration joins against it are sized by the
+    * NODE count, which AQE broadcasts while it fits and shuffles when
+    * it doesn't — the correct call at both 16k and 10^9 nodes.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def copurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li  = Ingest.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // checkpoint the DISTINCT pair list, not the bidirectional union:
+    // unionAll duplicates its input subtree, so a union-then-checkpoint
+    // build paid the join+distinct twice and wrote 2× the rows; the
+    // union here is a map-only view over the checkpointed pairs.
     val e = ord.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(
         (col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val eb  = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = eb.groupBy("src").agg(count(lit(1)).as("d"))
-    // (src, dst, d) — degree travels with the edge; computed once
-    eb.join(deg, "src").localCheckpoint(true)
+      .localCheckpoint(true)
+    val eb = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // one partial-aggregated pass over the checkpointed pairs; node-sized
+    val deg = eb.groupBy(col("src").as("nd")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    (eb, deg)
   }
 
   /** PageRank over the co-purchase graph ([[copurchaseEdges]]). The
@@ -55,21 +70,24 @@ object Analytics {
     * anywhere. Headroom: 85·Σr stays under 2^63 up to ~10^11 graph
     * nodes at this scale — audit before raising PrScale.
     *
-    * Shape at scale: the classic Pregel loop as pure DataFrame ops —
-    * each iteration is ONE shuffle join (ranks ⋈ edges on src, both
-    * sides hash-partitioned on the same key) and ONE partial
-    * aggregate on dst; degree rides along with the edges so it is
-    * computed once. Edges/degrees are data-scaled — never broadcast.
-    * Iteration count is fixed and small (3), so lineage stays shallow.
+    * Shape at scale: the classic Pregel loop as pure DataFrame ops.
+    * Each node's out-contribution r DIV d is computed ONCE per round
+    * on the node-sized rank⋈degree join (not per edge — r DIV d is
+    * constant per source node, so summing the pre-divided value is
+    * bit-identical); each round is then one edges⋈contributions join
+    * and ONE partial aggregate on dst. The contributions side is
+    * node-sized: AQE broadcasts it while small and shuffles it at
+    * 10^9 nodes. Iteration count is fixed and small (3), so lineage
+    * stays shallow.
     */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val ebd = copurchaseEdges(s, dir)
-    val deg = ebd.select(col("src"), col("d")).distinct()
-    var r = deg.select(col("src").as("nd"), lit(PrScale).as("r"))
+    val (eb, deg) = copurchaseGraph(s, dir)
+    var r = deg.select(col("nd"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
-      r = ebd.join(r, ebd("src") === r("nd"))
+      val contrib = r.join(deg, "nd").select(col("nd"), expr("r DIV d").as("c"))
+      r = eb.join(contrib, eb("src") === contrib("nd"))
         .groupBy(col("dst"))
-        .agg(sum(expr("r DIV d")).as("m"))
+        .agg(sum(col("c")).as("m"))
         .select(col("dst").as("nd"),
           expr(s"${PrScale * 15 / 100} + (85 * m) DIV 100").as("r"))
     }
@@ -118,15 +136,23 @@ object Analytics {
     * the shared checkpoint, never re-derived.
     */
   def qComponents(s: SparkSession, dir: String): DataFrame = {
-    val ebd = copurchaseEdges(s, dir)
-    var lab = ebd.select(col("src").as("nd")).distinct().withColumn("lab", col("nd"))
+    val (eb, deg) = copurchaseGraph(s, dir)
+    // node list comes from the tiny degree table, not a full-edge distinct
+    var lab = deg.select(col("nd"), col("nd").as("lab"))
     for (_ <- 1 to CcIters) {
-      val nbr = ebd.join(lab, ebd("src") === lab("nd"))
+      val nbr = eb.join(lab, eb("src") === lab("nd"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
         .select(col("dst").as("nd"), col("nlab"))
+      // lab feeds BOTH the neighbor-min join and the merge join: without a
+      // per-round cut the unrolled plan embeds each round's subtree twice
+      // (2^rounds duplication — measured as the query's cost center at
+      // sf0.1). The label table is node-sized, so the eager per-round
+      // checkpoint is a tiny job; GraphX/Pregel does the same per-round
+      // materialization for the same reason.
       lab = lab.join(nbr, Seq("nd"), "left")
         .select(col("nd"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
     }
     lab.select(
       when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),

@@ -92,6 +92,12 @@ object SparkEntry {
     "q_embed_centroid"  -> Seq("label", "dim"),
     "q_zorder_layout"   -> Seq("z_bucket"),
     "q_retention"       -> Seq("cohort_week", "week_offset"),
+    "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
+    "q_tfidf_keywords"  -> Seq("doc_id", "rk"),
+    "q_streak_islands"  -> Seq("user_id"),
+    "q_disorder_stats"  -> Seq("event_type"),
+    "q_ntile_bands"     -> Seq("priority", "decile"),
+    "q_centroid_assign" -> Seq("vec_id"),
     "q_histogram"       -> Seq("bin"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),

@@ -371,7 +371,74 @@ object Ann {
        |FROM fp GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
+  /** Nearest-centroid classification (Rocchio / weak-labeling): assign
+    * every embedding to the closest per-label mean by squared L2 — the
+    * cluster-assignment primitive behind dataset auto-labeling and
+    * embedding-space audits (confusion against the true label rides
+    * along). ORACLE-CHECKED end to end, unlike the float top-k ANN
+    * family: components are fixed-pointed to integers (scale
+    * [[CentroidFp]]), the centroid is the INTEGER quotient sum DIV n
+    * (Spark DIV and DuckDB // both truncate toward zero, verified
+    * including negatives), and squared distances are exact BIGINT sums
+    * (headroom: 64 dims × (2·2^20)² ≈ 2.8e14 ≪ 2^63). Argmin ties
+    * break on label via the same (dist2, label) order in both engines.
+    *
+    * Shape at scale: centroids are a label×dim rollup of the exploded
+    * corpus (partial-aggregated shuffle into a model-sized table);
+    * assignment joins that table back BROADCAST (labels×dims rows — a
+    * model parameter, like [[NearestCell]]'s codebook) and reduces per
+    * (vec, label) with map-side combine; the final argmin window runs
+    * on labels-per-vec rows. The corpus shuffles once (the explode
+    * rollup), never all-pairs.
+    */
+  def qCentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val fp = Ingest.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        expr(s"CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT)").as("f"))
+    val cent = fp.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("sum(f) DIV count(1)").as("c"))
+    val d2 = fp.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("f") - col("c")) * (col("f") - col("c"))).as("dist2"))
+    import org.apache.spark.sql.expressions.Window
+    d2.withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("clabel"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("clabel").as("assigned_label"), col("dist2"),
+        when(col("clabel") === col("label"), 1L).otherwise(0L).as("correct"))
+  }
+
+  val qCentroidAssignSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, label,
+       |    unnest(range(1, len(embedding) + 1)) AS dim,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |fp AS (
+       |  SELECT vec_id, label, dim,
+       |    CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT) AS f
+       |  FROM ex),
+       |cent AS (
+       |  SELECT label AS clabel, dim, CAST(SUM(f) // COUNT(*) AS BIGINT) AS c
+       |  FROM fp GROUP BY label, dim),
+       |d2 AS (
+       |  SELECT fp.vec_id, fp.label, cent.clabel,
+       |    CAST(SUM((f - c) * (f - c)) AS BIGINT) AS dist2
+       |  FROM fp JOIN cent ON fp.dim = cent.dim
+       |  GROUP BY fp.vec_id, fp.label, cent.clabel),
+       |rk AS (
+       |  SELECT vec_id, label, clabel, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS r
+       |  FROM d2)
+       |SELECT vec_id, label AS true_label, clabel AS assigned_label, dist2,
+       |  CAST(CASE WHEN clabel = label THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM rk WHERE r = 1
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroid_assign" -> qCentroidAssign _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
     "q_ann_ivf"        -> qAnnIvf _,
@@ -387,5 +454,6 @@ object Ann {
     * accumulation-order dependence.
     */
   val oracle: Map[String, String] = Map(
-    "q_embed_centroid" -> qEmbedCentroidSql)
+    "q_embed_centroid"  -> qEmbedCentroidSql,
+    "q_centroid_assign" -> qCentroidAssignSql)
 }

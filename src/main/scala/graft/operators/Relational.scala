@@ -405,7 +405,57 @@ object Relational {
       |SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 2001
       |ORDER BY l_partkey""".stripMargin
 
+  /** Window distribution battery: per-priority decile bands via
+    * NTILE(10) with PERCENT_RANK extents, rolled up to one row per
+    * (priority, decile) — the "where does this order sit in its
+    * group's distribution" report. Both functions run over the SAME
+    * total order (price, then orderkey — SURVEY §4: ties must not let
+    * engines legally disagree); NTILE's uneven-bucket rule (first
+    * n mod b buckets get the extra row) and PERCENT_RANK's
+    * (rank−1)/(n−1) are SQL-standard and identical in both engines,
+    * and with a total order percent_rank is a single exact IEEE
+    * division per row.
+    *
+    * Shape at scale: one shuffle on the grouping key; both window
+    * functions and the decile rollup share that partitioning, and the
+    * rollup partial-aggregates into a |priority|×10 key space. The
+    * per-partition sort is the operator's intrinsic cost (a
+    * distribution rank IS a sort); skew-prone grouping keys would
+    * range-partition inside each group like [[graft.plans.Surrogate]]
+    * instead.
+    */
+  def qNtileBands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Ingest.table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("o_orderpriority").as("priority"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("pr")).as("min_pr"),
+        max(col("pr")).as("max_pr"))
+  }
+
+  val qNtileBandsSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority AS priority, o_totalprice,
+      |    NTILE(10) OVER w AS decile,
+      |    PERCENT_RANK() OVER w AS pr
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey))
+      |SELECT priority, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  MIN(pr) AS min_pr, MAX(pr) AS max_pr
+      |FROM ranked GROUP BY priority, decile
+      |ORDER BY priority, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile_bands"   -> qNtileBands _,
     "q_semi_join"     -> qSemiJoin _,
     "q_anti_join"     -> qAntiJoin _,
     "q_set_ops"       -> qSetOps _,
@@ -422,6 +472,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ntile_bands"   -> qNtileBandsSql,
     "q_semi_join"     -> qSemiJoinSql,
     "q_anti_join"     -> qAntiJoinSql,
     "q_set_ops"       -> qSetOpsSql,

@@ -289,7 +289,96 @@ object Temporal {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Gaps-and-islands over per-user activity days: distinct active
+    * calendar days (integer epoch-day — both engines agree trivially)
+    * collapse into consecutive-day streaks via the classic
+    * day − ROW_NUMBER() island key, rolled up to per-user streak
+    * statistics (the "current streak / longest streak" engagement
+    * report). Integer arithmetic end to end.
+    *
+    * Shape at scale: the distinct shuffles (user, day) with map-side
+    * combine — the corpus collapses to ≤ users×days rows before
+    * moving; the island window and both rollups then share one
+    * user_id partitioning. The per-user window sorts only that user's
+    * distinct DAYS (calendar-bounded), never raw events.
+    */
+  def qStreakIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = Ingest.events(s, dir)
+      .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+  }
+
+  val qStreakIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+      |FROM streaks GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Out-of-order-arrival accounting — the diagnostic that tunes a
+    * streaming watermark (`withWatermark` delays are a bet about
+    * exactly this distribution; ref's batch reload never had to ask).
+    * Arrival order is event_id (the ingest sequence); an event is late
+    * if a LATER-timestamped event of the same user already arrived,
+    * and its lateness is the gap to the per-user running max event
+    * time. Rolled up per event type: share of out-of-order events and
+    * the max/total lateness — max_late_ms IS the smallest per-key
+    * watermark delay that would have lost nothing.
+    *
+    * Shape at scale: one shuffle (user_id) for the running-max window,
+    * then a partial-aggregated rollup into a |event_type|-sized key
+    * space. Integer milliseconds end to end.
+    */
+  def qDisorderStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Ingest.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .withColumn("late_ms",
+        greatest(lit(0L), coalesce(max("ts_ms").over(w) - col("ts_ms"), lit(0L))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_ooo"),
+        max(col("late_ms")).as("max_late_ms"),
+        sum(col("late_ms")).as("total_late_ms"))
+  }
+
+  val qDisorderStatsSql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    GREATEST(0, COALESCE(
+      |      MAX(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - epoch_ms(ts), 0)) AS late_ms
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+      |  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
+      |  CAST(SUM(late_ms) AS BIGINT) AS total_late_ms
+      |FROM l GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streak_islands" -> qStreakIslands _,
+    "q_disorder_stats" -> qDisorderStats _,
     "q_cdc_apply"    -> qCdcApply _,
     "q_rate_anomaly" -> qRateAnomaly _,
     "q_sessionize"      -> qSessionize _,
@@ -300,6 +389,8 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_streak_islands"  -> qStreakIslandsSql,
+    "q_disorder_stats"  -> qDisorderStatsSql,
     "q_cdc_apply"       -> qCdcApplySql,
     "q_rate_anomaly"    -> qRateAnomalySql,
     "q_sessionize"      -> qSessionizeSql,

@@ -871,7 +871,120 @@ object TextOps {
        |LIMIT 20""".stripMargin
   }
 
+  // RAG-style chunking geometry: window/stride in WORDS. stride < window
+  // gives the standard overlap so no answer span is split across a
+  // boundary without also appearing whole in some chunk.
+  private val chunkW = 40
+  private val chunkS = 30
+
+  /** Overlapping fixed-window document chunking — the retrieval-corpus
+    * build step (every RAG/embedding pipeline chunks before it embeds).
+    * Chunk i of a doc covers words [i·stride, i·stride+window); the
+    * number of chunks is 1 + ceil(max(0, n−window)/stride), so every
+    * word is covered and the final chunk is never shorter than
+    * window−stride. Chunks are identified by (doc_id, chunk_id) and
+    * carry the md5 of their text — the downstream join key for
+    * chunk-level dedup/embedding without re-shipping the text.
+    *
+    * Shape at scale: Generate (explode of a per-row integer sequence) +
+    * projection — map-only, zero shuffles, output ~n/stride rows per
+    * doc. The only corpus pass is the scan.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(
+          s"sequence(0, (greatest(0, n - $chunkW) + ${chunkS - 1}) DIV $chunkS)"))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * chunkS).cast("long").as("start_word"),
+        least(lit(chunkW), col("n") - col("chunk_id") * chunkS).cast("long")
+          .as("n_words"),
+        md5(array_join(slice(col("ws"), col("chunk_id") * chunkS + 1, lit(chunkW)), " "))
+          .as("chunk_md5"))
+
+  val qChunkDocsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws, n,
+       |    unnest(range(0, ((greatest(0, n - $chunkW) + ${chunkS - 1}) // $chunkS) + 1))
+       |      AS chunk_id
+       |  FROM w)
+       |SELECT doc_id, chunk_id, chunk_id * $chunkS AS start_word,
+       |  CAST(least($chunkW, n - chunk_id * $chunkS) AS BIGINT) AS n_words,
+       |  md5(array_to_string(
+       |    list_slice(ws, CAST(chunk_id * $chunkS + 1 AS INT),
+       |               CAST(chunk_id * $chunkS + $chunkW AS INT)), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // tf-idf fixed-point scale: score = tf·10^6 DIV df. Integer, so both
+  // engines rank identically — a float idf (ln((N+1)/(df+1))) is libm
+  // territory where cross-engine bit equality is not contractual.
+  private val TfidfFp = 1000000L
+  private val TfidfK  = 3
+
+  /** Per-document keyword extraction: top-[[TfidfK]] terms by tf-idf.
+    * The idf factor is the RANK-monotone core 1/df fixed-pointed to an
+    * integer (tf·10^6 DIV df): for a fixed corpus, ordering by tf/df
+    * matches ordering by tf·idf for every monotone idf, and integer
+    * keys make the per-doc ranking reproducible bit-for-bit in any
+    * engine — the corpus-size constant N that textbook idf carries
+    * cancels inside a per-doc ranking. Ties break on the term string.
+    *
+    * Shape at scale: tf aggregates on (doc_id, term) with map-side
+    * combine; df is a vocabulary-sized rollup OF THE TF TABLE (never a
+    * second corpus pass) that joins back vocab-sized (AQE broadcasts
+    * it while it fits); the per-doc top-k window re-uses the doc_id
+    * shuffle. Like [[qVocabTopk]], Zipf skew is absorbed by partial
+    * aggregation.
+    */
+  def qTfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w")
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        expr(s"(tf * $TfidfFp) DIV df").as("score_fp"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_fp").desc, col("term"))))
+      .filter(col("rk") <= TfidfK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("df"), col("score_fp"))
+  }
+
+  val qTfidfKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY doc_id, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+       |    (tf.tf * $TfidfFp) // df.df AS score_fp
+       |  FROM tf JOIN df ON tf.w = df.w),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_fp DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, score_fp
+       |FROM ranked WHERE rk <= $TfidfK
+       |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs"        -> qChunkDocs _,
+    "q_tfidf_keywords"    -> qTfidfKeywords _,
     "q_bm25"              -> qBm25 _,
     "q_filter_pipeline"   -> qFilterPipeline _,
     "q_dedup_segment"     -> qDedupSegment _,
@@ -895,6 +1008,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_docs"        -> qChunkDocsSql,
+    "q_tfidf_keywords"    -> qTfidfKeywordsSql,
     "q_bm25"              -> qBm25Sql,
     "q_filter_pipeline"   -> qFilterPipelineSql,
     "q_dedup_segment"     -> qDedupSegmentSql,

@@ -251,4 +251,55 @@ class PlanSpec extends SparkSpec {
       s"one bucket shuffle, nothing else:\n$p")
     assert(!p.contains("SortAggregate"), s"bucket agg must stay hash-based:\n$p")
   }
+
+  test("q_chunk_docs: map-only — Generate + projection, zero shuffles") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"),
+      s"chunking must stay a per-row Generate — any shuffle is a regression:\n$p")
+    assert(p.contains("Generate"), s"expected the chunk-id explode:\n$p")
+  }
+
+  test("q_tfidf_keywords: df is a rollup of the tf table, joined broadcast") {
+    val p = plan("q_tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized df table must broadcast, not shuffle-join the tf table:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"df must derive from tf, never a second corpus pass per branch:\n$p")
+  }
+
+  test("q_streak_islands: distinct condenses map-side; windows/rollups reuse the user key") {
+    val p = plan("q_streak_islands")
+    val lines = p.linesIterator.toVector
+    val ex = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(ex >= 0, s"expected a user-keyed shuffle:\n$p")
+    assert(lines.drop(ex + 1).exists(l => l.contains("HashAggregate") && l.contains("keys=[user_id")),
+      s"the (user, day) distinct must partial-aggregate below its shuffle:\n$p")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"island window and both rollups must share the user partitioning:\n$p")
+  }
+
+  test("q_disorder_stats: one user shuffle feeds the running-max window; rollup partial-aggs") {
+    val p = plan("q_disorder_stats")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) === 1,
+      s"exactly one user-keyed shuffle:\n$p")
+    val lines = p.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(event_type"))
+    assert(ex >= 0 && lines.drop(ex + 1).exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"the event_type rollup must combine map-side:\n$p")
+  }
+
+  test("q_ntile_bands: the decile rollup reuses the window's priority partitioning") {
+    val p = plan("q_ntile_bands")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"one shuffle on the grouping key — the rollup must not re-exchange:\n$p")
+  }
+
+  test("q_centroid_assign: model-sized centroid table broadcasts; corpus shuffles once") {
+    val p = plan("q_centroid_assign")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the label×dim centroid table is a model parameter — broadcast it:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"assignment must never shuffle-join the exploded corpus:\n$p")
+  }
 }

@@ -81,6 +81,12 @@ object SparkEntry {
     "q_mix_temperature" -> Seq("lang"),
     "q_curriculum"      -> Seq("doc_id"),
     "q_pagerank"        -> Seq("node_type", "node_id"),
+    "q_degree_stats"    -> Seq("node_type", "degree"),
+    "q_basket_pairs"    -> Seq("supp_a", "supp_b"),
+    "q_gap_fill"        -> Seq("d"),
+    "q_grouped_concat"  -> Seq("l_orderkey"),
+    "q_mode"            -> Seq("o_custkey"),
+    "q_asof_dim"        -> Seq("l_orderkey", "l_linenumber"),
     "q_profile"         -> Seq("col_name"),
     "q_checksum"        -> Seq("y"),
     "q_mad_outlier"     -> Seq("l_returnflag"),

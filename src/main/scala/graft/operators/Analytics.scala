@@ -41,7 +41,25 @@ object Analytics {
     * NODE count, which AQE broadcasts while it fits and shuffles when
     * it doesn't — the correct call at both 16k and 10^9 nodes.
     */
-  private def copurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Build-once-serve-many: every graph query in a session shares ONE
+    * materialization of the co-purchase graph (same contract as
+    * `Ann.buildIvfIndex`'s persisted index). Without the cache each of
+    * q_pagerank / q_components / q_basket_pairs / q_degree_stats pays
+    * the orders⋈lineitem distinct build again — at 100 TB that is the
+    * single most expensive stage in all four queries, re-run per
+    * query. Keyed by (session, dir): checkpoints are session-scoped,
+    * and a different data dir is a different graph. The cached edge
+    * list is node/edge-sized, held for the session lifetime — the
+    * production analog is a checkpointed graph table refreshed per
+    * load, not per dashboard query.
+    */
+  private def copurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graphCache.getOrElseUpdate((s, dir), buildCopurchaseGraph(s, dir))
+
+  private def buildCopurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li  = Ingest.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     // checkpoint the DISTINCT pair list, not the bidirectional union:
@@ -370,6 +388,149 @@ object Analytics {
       |  CAST(SUM(n_steps) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from_prev
       |FROM m ORDER BY prev_type, next_type""".stripMargin
 
+  /** Degree distribution of the co-purchase graph: node count per
+    * (node_type, degree) — the first diagnostic anyone runs on a new
+    * graph (is it power-law? where do the hubs start?), and the
+    * skew-audit input for sizing the hot-bucket caps in
+    * [[graft.operators.Dedup]]. Runs entirely on the node-sized
+    * degree table from the shared checkpoint ([[copurchaseGraph]]):
+    * one partial-aggregated shuffle over NODES, never edges; output
+    * rows are bounded by the distinct-degree count.
+    */
+  def qDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    val (_, deg) = copurchaseGraph(s, dir)
+    deg.groupBy(
+        when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val qDegreeStatsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      |deg AS (SELECT src AS nd, COUNT(*) AS d FROM eb GROUP BY src)
+      |SELECT CASE WHEN nd % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+      |  d AS degree, COUNT(*) AS n_nodes
+      |FROM deg GROUP BY 1, 2
+      |ORDER BY node_type, degree""".stripMargin
+
+  private val BasketMinSupport = 3L
+  // lift fixed-point scale (10^6). Headroom: the lift numerator is
+  // support · n_cust · 10^6 ≤ 2^63 while support · n_cust < 9.2·10^12
+  // — audit (and drop a digit of scale) beyond ~10^6 support on a
+  // ~10^6-customer graph; at that point lift precision is the least
+  // of your problems.
+  private val LiftScale = 1000000L
+
+  /** Market-basket association mining over supplier pairs: for every
+    * pair of suppliers bought by ≥ [[BasketMinSupport]] common
+    * customers, the support, per-side confidence, and lift — the
+    * classic "customers who bought from A also buy from B"
+    * co-occurrence statistic (Agrawal et al.'s association-rule
+    * measures on the 2-itemset lattice level).
+    *
+    * All derived numbers are FIXED-POINT integers (confidence in
+    * basis points, lift at 10^6 scale, integral DIV) — associative,
+    * partial-aggregated, bit-identical in any engine.
+    *
+    * Shape at scale: baskets come from the shared distinct-pair
+    * checkpoint (customer-side rows of [[copurchaseGraph]]'s eb —
+    * a map-only filter). The pair generation is the canonical
+    * market-basket self-join on customer: its cost is Σ b² over
+    * per-customer basket sizes b — bounded by basket width, not
+    * corpus size, and the min-support filter prunes the long tail
+    * AFTER one partial-aggregated shuffle on the (a,b) pair key
+    * (|suppliers|²-bounded key space). Side totals join in from the
+    * node-sized degree table (AQE broadcasts while it fits).
+    */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val (eb, deg) = copurchaseGraph(s, dir)
+    // customer→supplier rows of the bidirectional edge list, decoded
+    val cs = eb.filter(col("src") % 2 === 0)
+      .select(expr("src DIV 2").as("cust"), expr("dst DIV 2").as("supp"))
+    val nCust = cs.select(countDistinct(col("cust")).as("n_cust"))
+    val pairs = cs.as("x").join(cs.as("y"), Seq("cust"))
+      .filter(col("x.supp") < col("y.supp"))
+      .groupBy(col("x.supp").as("supp_a"), col("y.supp").as("supp_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+    val sdeg = deg.filter(col("nd") % 2 === 1)
+      .select(expr("nd DIV 2").as("supp"), col("d").as("n_side"))
+    pairs
+      .join(sdeg.withColumnRenamed("supp", "supp_a").withColumnRenamed("n_side", "n_a"), "supp_a")
+      .join(sdeg.withColumnRenamed("supp", "supp_b").withColumnRenamed("n_side", "n_b"), "supp_b")
+      .crossJoin(broadcast(nCust))
+      .select(
+        col("supp_a"), col("supp_b"), col("support"), col("n_a"), col("n_b"),
+        expr("(support * 10000) DIV n_a").as("conf_a_bp"),
+        expr("(support * 10000) DIV n_b").as("conf_b_bp"),
+        expr(s"(support * n_cust * $LiftScale) DIV (n_a * n_b)").as("lift_fp"))
+  }
+
+  val qBasketPairsSql: String =
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |n AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM cs),
+       |sdeg AS (SELECT supp, COUNT(*) AS n_side FROM cs GROUP BY supp),
+       |pairs AS (
+       |  SELECT x.supp AS supp_a, y.supp AS supp_b, COUNT(*) AS support
+       |  FROM cs x JOIN cs y ON x.cust = y.cust AND x.supp < y.supp
+       |  GROUP BY x.supp, y.supp
+       |  HAVING COUNT(*) >= $BasketMinSupport)
+       |SELECT supp_a, supp_b, support, a.n_side AS n_a, b.n_side AS n_b,
+       |  (support * 10000) // a.n_side AS conf_a_bp,
+       |  (support * 10000) // b.n_side AS conf_b_bp,
+       |  (support * n.n_cust * $LiftScale) // (a.n_side * b.n_side) AS lift_fp
+       |FROM pairs
+       |JOIN sdeg a ON supp_a = a.supp
+       |JOIN sdeg b ON supp_b = b.supp
+       |CROSS JOIN n
+       |ORDER BY supp_a, supp_b""".stripMargin
+
+  /** Calendar gap fill: the daily order series with every missing
+    * calendar day restored as an explicit zero row — the
+    * dense-timeseries contract every forecasting/charting consumer
+    * assumes (a absent day and a zero day are different facts).
+    *
+    * Shape at scale: the corpus aggregates to calendar-bounded daily
+    * rows first (one partial-agged shuffle); the full calendar is
+    * generated from the 1-row min/max bounds via `sequence` + explode
+    * — rows = elapsed days, never data-scaled — and the daily series
+    * left-joins onto it. Both sides are day-count-sized, so AQE
+    * broadcasts the join; 100 TB of orders still moves exactly once.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Ingest.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("tot"))
+    val cal = daily
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    cal.join(daily, Seq("d"), "left")
+      .select(
+        col("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), money(lit(0))).cast("double").as("daily_total"),
+        col("n_orders").isNull.as("is_gap"))
+  }
+
+  val qGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily))
+      |SELECT cal.d, COALESCE(daily.n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(daily.tot, 0) AS DOUBLE) AS daily_total,
+      |  daily.n_orders IS NULL AS is_gap
+      |FROM cal LEFT JOIN daily ON cal.d = daily.d
+      |ORDER BY cal.d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"   -> qPagerank _,
     "q_funnel"     -> qFunnel _,
@@ -377,7 +538,10 @@ object Analytics {
     "q_histogram"  -> qHistogram _,
     "q_transition_matrix" -> qTransitionMatrix _,
     "q_components" -> qComponents _,
-    "q_moving_avg" -> qMovingAvg _)
+    "q_moving_avg" -> qMovingAvg _,
+    "q_degree_stats" -> qDegreeStats _,
+    "q_basket_pairs" -> qBasketPairs _,
+    "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
     "q_pagerank"   -> qPagerankSql,
@@ -386,5 +550,8 @@ object Analytics {
     "q_histogram"  -> qHistogramSql,
     "q_transition_matrix" -> qTransitionMatrixSql,
     "q_components" -> qComponentsSql,
-    "q_moving_avg" -> qMovingAvgSql)
+    "q_moving_avg" -> qMovingAvgSql,
+    "q_degree_stats" -> qDegreeStatsSql,
+    "q_basket_pairs" -> qBasketPairsSql,
+    "q_gap_fill"   -> qGapFillSql)
 }

@@ -454,7 +454,88 @@ object Relational {
       |FROM ranked GROUP BY priority, decile
       |ORDER BY priority, decile""".stripMargin
 
+  /** Ordered string aggregation (SQL string_agg / LISTAGG surface):
+    * per order, the sorted distinct return-flag set of its line items
+    * as one delimited string, plus line/quantity rollups. The
+    * determinism trap in every engine is string_agg's input order —
+    * here BOTH engines sort the (distinct) elements before joining,
+    * so the output is a pure function of the set.
+    *
+    * Shape at scale: one partial-aggregated shuffle on l_orderkey;
+    * collect_set's per-group state is bounded by the flag domain
+    * (≤3), NOT by group row count — this is the contract that makes
+    * a collect-aggregate scale-safe. (A collect_list over an
+    * unbounded group is the memory bug; the bounded-domain set is
+    * the legitimate form.)
+    */
+  def qGroupedConcat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"),
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  val qGroupedConcatSql: String =
+    """SELECT l_orderkey,
+      |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+      |  COUNT(*) AS n_lines,
+      |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Per-group mode (most frequent value) with a DETERMINISTIC
+    * tie-break — the statistic engines' native `mode()` gets wrong
+    * for replayability (ties are partition-order-dependent in both
+    * Spark's and DuckDB's). Per customer: the most frequent order
+    * priority, ties to the lowest priority digit.
+    *
+    * Spark side is two partial-aggregated shuffles and NO window: the
+    * (customer, priority) counts fold into one struct-max aggregate —
+    * max(struct(n, inv_digit, priority)) picks highest count, then
+    * smallest digit; the digit is a bijection of the priority string,
+    * so the carried string is uniquely determined. struct-max is
+    * associative → safe under any partial-agg split. The oracle
+    * proves semantic equivalence via the ANSI window spelling
+    * (ROW_NUMBER ORDER BY n DESC, priority ASC = 1) — same
+    * window-oracle-proof device as q_group_topk/q_cdc_apply.
+    */
+  def qMode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(struct(
+          col("n"),
+          (lit(9L) - substring(col("o_orderpriority"), 1, 1).cast("long")).as("inv"),
+          col("o_orderpriority").as("p"))).as("w"),
+        sum(col("n")).as("n_orders"))
+      .select(
+        col("o_custkey"),
+        col("w.p").as("mode_priority"),
+        col("w.n").as("n_mode"),
+        col("n_orders"))
+
+  val qModeSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY o_custkey, o_orderpriority),
+      |r AS (
+      |  SELECT o_custkey, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY n DESC, o_orderpriority ASC) AS rk,
+      |    SUM(n) OVER (PARTITION BY o_custkey) AS tot
+      |  FROM c)
+      |SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode,
+      |  CAST(tot AS BIGINT) AS n_orders
+      |FROM r WHERE rk = 1
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouped_concat" -> qGroupedConcat _,
+    "q_mode"          -> qMode _,
     "q_ntile_bands"   -> qNtileBands _,
     "q_semi_join"     -> qSemiJoin _,
     "q_anti_join"     -> qAntiJoin _,
@@ -472,6 +553,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouped_concat" -> qGroupedConcatSql,
+    "q_mode"          -> qModeSql,
     "q_ntile_bands"   -> qNtileBandsSql,
     "q_semi_join"     -> qSemiJoinSql,
     "q_anti_join"     -> qAntiJoinSql,

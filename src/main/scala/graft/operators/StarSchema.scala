@@ -472,7 +472,73 @@ object StarSchema {
       |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** Point-in-time (AS OF) dimension lookup against the [[qScd2]]
+    * history: each 1995-Q1-shipped line item joined to the priority
+    * regime its customer was in AT SHIP TIME — the fact↔SCD2 join
+    * that is the entire reason Type-2 history exists, and the pattern
+    * the reference's full-reload dims cannot serve (they answer only
+    * "now", never "then").
+    *
+    * Join semantics: SCD2 validity ranges partition [first_order, ∞)
+    * per customer, and a line's ship date is ≥ its own order date ≥
+    * that customer's first order date — so exactly ONE regime row
+    * matches each line (multiplicity 1 by construction, no dedup
+    * needed). The plan is an equi hash join on o_custkey with the
+    * range predicate as the join residual: the history side is
+    * customer-sized (versions per customer are bounded by their
+    * change count), so AQE broadcasts it while it fits and shuffles
+    * at 10^9 customers — never a range-explosion interval join.
+    *
+    * Shape at scale: the ship-window filter pushes to the lineitem
+    * scan; one fact shuffle (l_orderkey ⋈ orders for the customer
+    * key), then the custkey-keyed history join.
+    */
+  def qAsofDim(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-04-01").cast("timestamp")
+    val li = Ingest.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val scd = qScd2(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(scd,
+        ord("o_custkey") === scd("o_custkey") &&
+          scd("valid_from") <= col("l_shipdate") &&
+          (scd("valid_to").isNull || col("l_shipdate") < scd("valid_to")))
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate"), ord("o_custkey"),
+        col("priority").as("priority_at_ship"), col("version"))
+  }
+
+  val qAsofDimSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    LAG(o_orderpriority) OVER w AS prev_p
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chg AS (SELECT * FROM base WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+      |scd AS (
+      |  SELECT o_custkey, CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+      |    o_orderpriority AS priority, o_orderdate AS valid_from,
+      |    LEAD(o_orderdate) OVER w2 AS valid_to
+      |  FROM chg
+      |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+      |  l.l_shipdate, o.o_custkey,
+      |  scd.priority AS priority_at_ship, scd.version
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN scd ON o.o_custkey = scd.o_custkey
+      |  AND scd.valid_from <= l.l_shipdate
+      |  AND (scd.valid_to IS NULL OR l.l_shipdate < scd.valid_to)
+      |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1995-04-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_dim"        -> qAsofDim _,
     "q_scd2"            -> qScd2 _,
     "q_ingest_typecast" -> qIngestTypecast _,
     "q_dim_date"        -> qDimDate _,
@@ -484,6 +550,7 @@ object StarSchema {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asof_dim"        -> qAsofDimSql,
     "q_scd2"            -> qScd2Sql,
     "q_ingest_typecast" -> qIngestTypecastSql,
     "q_dim_date"        -> qDimDateSql,

@@ -137,6 +137,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_degree_stats: degree mass equals the bidirectional edge count, split evenly by side") {
+    val rows = Analytics.qDegreeStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val mass = rows.groupBy(_._1).view.mapValues(_.map(t => t._2 * t._3).sum).toMap
+    // bipartite: every edge contributes one endpoint-degree to each side
+    assert(mass("customer") === mass("supplier"),
+      s"customer and supplier degree mass must both equal |E|: $mass")
+    assert(rows.forall(_._2 >= 1L), "a node in the degree table has degree ≥ 1")
+  }
+
+  test("q_basket_pairs: support bounded by sides, fixed-point measures recompute exactly") {
+    val rows = Analytics.qBasketPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty, "sf0.001 must contain supplier pairs over min support")
+    val keys = rows.map(t => (t._1, t._2))
+    assert(keys.distinct.length === keys.length, "one row per unordered pair")
+    assert(keys.forall(k => k._1 < k._2), "pairs are canonically ordered a < b")
+    // n_cust is recoverable from any row: lift = support·N·10^6 // (n_a·n_b)
+    val nCust = {
+      val t = rows.head
+      // invert the fixed-point DIV within its truncation bracket
+      val lo = t._8 * t._4 * t._5 / (t._3 * 1000000L)
+      (lo to lo + 1).find(n => t._8 === t._3 * n * 1000000L / (t._4 * t._5))
+        .getOrElse(fail("lift not invertible"))
+    }
+    rows.foreach { case (_, _, sup, na, nb, ca, cb, lift) =>
+      assert(sup <= math.min(na, nb), "support cannot exceed either side total")
+      assert(ca === sup * 10000L / na && cb === sup * 10000L / nb,
+        "confidence basis points must recompute exactly")
+      assert(lift === sup * nCust * 1000000L / (na * nb),
+        "lift fixed-point must recompute exactly from one shared N")
+    }
+  }
+
+  test("q_gap_fill: calendar is contiguous, gaps are explicit zeros, non-gaps match the raw agg") {
+    val rows = Analytics.qGapFill(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    val span = rows.last._1.toEpochDay - rows.head._1.toEpochDay + 1
+    assert(rows.length.toLong === span, "every calendar day between min and max present exactly once")
+    rows.foreach { case (_, n, tot, gap) =>
+      if (gap) assert(n === 0L && tot === 0.0, "a gap day is an explicit zero row")
+      else assert(n > 0L, "a non-gap day keeps its real count")
+    }
+    val raw = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d")).count().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(rows.filter(!_._4).forall { case (d, n, _, _) => raw(d) === n },
+      "filled series must agree with the raw daily aggregate")
+    assert(rows.count(_._4) === span - raw.size, "gap count is the missing-day count")
+  }
+
   test("q_moving_avg: frame average stays within the frame's min/max daily totals") {
     val rows = Analytics.qMovingAvg(spark, sf0001).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))

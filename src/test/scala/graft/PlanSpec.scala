@@ -302,4 +302,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"assignment must never shuffle-join the exploded corpus:\n$p")
   }
+
+  test("q_mode: struct-max aggregation — no Window, no rank sort, partial-agged shuffles") {
+    val p = plan("q_mode")
+    assert(!p.contains("Window"),
+      s"mode must fold in one associative aggregate, not a ranked window:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"both aggregate stages must combine map-side:\n$p")
+  }
+
+  test("q_grouped_concat: bounded collect_set partial-aggregates before the order shuffle") {
+    val p = plan("q_grouped_concat")
+    val lines = p.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(ex >= 0, s"one shuffle on the grouping key:\n$p")
+    assert(lines.drop(ex + 1).exists(l =>
+        l.contains("ObjectHashAggregate") && l.contains("partial")),
+      s"the flag set must condense map-side (bounded domain), not ship raw rows:\n$p")
+  }
+
+  test("q_gap_fill: calendar joins broadcast — the generated day spine never shuffles") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"day-count-sized sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a calendar-bounded join must never sort-merge:\n$p")
+  }
+
+  test("q_asof_dim: the SCD2 lookup is an equi join on the customer key, never range-exploded") {
+    val p = plan("q_asof_dim")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the validity-range predicate must ride an equi custkey join as residual:\n$p")
+  }
+
+  test("graph queries share one materialized co-purchase checkpoint per session") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    def rddIds(name: String): Set[Int] =
+      SparkEntry.plans(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case l: LogicalRDD => l.rdd.id
+      }.toSet
+    // q_components folds its own per-round label checkpoints, so compare
+    // the two queries whose final plans still scan the graph tables
+    val a = rddIds("q_degree_stats") // scans deg only
+    val b = rddIds("q_pagerank")     // scans eb + deg
+    assert(a.nonEmpty && b.nonEmpty, "both graph queries scan the checkpointed graph")
+    assert((a intersect b).nonEmpty,
+      s"degree table must come from the SAME checkpoint RDD in both queries: $a vs $b")
+  }
 }

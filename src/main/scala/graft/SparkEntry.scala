@@ -87,6 +87,10 @@ object SparkEntry {
     "q_grouped_concat"  -> Seq("l_orderkey"),
     "q_mode"            -> Seq("o_custkey"),
     "q_asof_dim"        -> Seq("l_orderkey", "l_linenumber"),
+    "q_train_test_split" -> Seq("split", "lang"),
+    "q_oov_rate"        -> Seq("doc_id"),
+    "q_shard_plan"      -> Seq("shard"),
+    "q_winsorize"       -> Seq("l_returnflag"),
     "q_profile"         -> Seq("col_name"),
     "q_checksum"        -> Seq("y"),
     "q_mad_outlier"     -> Seq("l_returnflag"),

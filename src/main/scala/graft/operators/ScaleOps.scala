@@ -393,7 +393,74 @@ object ScaleOps {
        |FROM z GROUP BY z // 262144
        |ORDER BY z_bucket""".stripMargin
 
+  /** Winsorized (IQR-fenced) robust aggregation per group: clamp
+    * quantities to [q25 − 1.5·IQR, q75 + 1.5·IQR] and report the
+    * clamp counts plus raw-vs-winsorized means — the standard
+    * outlier-tolerant mean a data-cleaning pass applies before
+    * training-statistics are trusted ([[qMadOutlier]]'s
+    * median/MAD fences are the heavier sibling; IQR fences reuse the
+    * cheap sort-free percentile aggregate).
+    *
+    * Determinism (SURVEY §4): quantile probes are QUARTER fractions
+    * over the integer-valued quantity domain, so the interpolated
+    * q25/q75 are exact binary FP in both engines; the fences add one
+    * multiply by 1.5 (exact — one extra mantissa bit) and the clamped
+    * values are exact eighths, so the DECIMAL(12,3) sums are exact
+    * and the means are ONE identical IEEE division per engine.
+    *
+    * Shape at scale: two passes over the fact — the percentile
+    * aggregate condenses to |groups| rows, which BROADCAST back onto
+    * the second scan (AQE); each pass partial-aggregates into a
+    * |groups|-sized key space. No window, no sort.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+    val fences = li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+      .select(col("l_returnflag"),
+        (col("q25") - (col("q75") - col("q25")) * 1.5).as("lo"),
+        (col("q75") + (col("q75") - col("q25")) * 1.5).as("hi"))
+    li.select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("l_quantity") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        min(col("lo")).as("fence_lo"),
+        max(col("hi")).as("fence_hi"),
+        (sum(col("l_quantity").cast("decimal(12,3)")).cast("double") / count(lit(1)))
+          .as("mean_raw"),
+        (sum(least(greatest(col("l_quantity"), col("lo")), col("hi"))
+          .cast("decimal(12,3)")).cast("double") / count(lit(1)))
+          .as("mean_winsor"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, 0.25) AS q25,
+      |    quantile_cont(l_quantity, 0.75) AS q75
+      |  FROM lineitem GROUP BY l_returnflag),
+      |b AS (
+      |  SELECT l.l_returnflag, l.l_quantity,
+      |    f.q25 - (f.q75 - f.q25) * 1.5 AS lo,
+      |    f.q75 + (f.q75 - f.q25) * 1.5 AS hi
+      |  FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS n_clamped_lo,
+      |  SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+      |  MIN(lo) AS fence_lo, MAX(hi) AS fence_hi,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) / COUNT(*) AS mean_raw,
+      |  CAST(SUM(CAST(LEAST(GREATEST(l_quantity, lo), hi) AS DECIMAL(12,3))) AS DOUBLE)
+      |    / COUNT(*) AS mean_winsor
+      |FROM b GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize"       -> qWinsorize _,
     "q_zorder_layout" -> qZorderLayout _,
     "q_approx_percentiles" -> qApproxPercentiles _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -406,6 +473,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize"       -> qWinsorizeSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_approx_percentiles" -> qApproxPercentilesSql,
     "q_approx_distinct" -> qApproxDistinctSql,

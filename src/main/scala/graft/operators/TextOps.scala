@@ -982,7 +982,148 @@ object TextOps {
        |FROM ranked WHERE rk <= $TfidfK
        |ORDER BY doc_id, rk""".stripMargin
 
+  // train split threshold on the first md5 byte: 230/256 ≈ 89.8% train
+  private val splitHexLt = "e6"
+
+  /** Deterministic train/test split: assignment is a pure function of
+    * the md5 of the DOCUMENT KEY (first byte < 0xe6 → train), so the
+    * split is reproducible across runs, engines, and repartitions, and
+    * a re-ingested doc always lands in the same side — the property
+    * that keeps eval sets uncontaminated across corpus rebuilds
+    * (id-mod sampling, [[qSampleStratified]], correlates with
+    * insertion order; key-hash does not). Output is the per
+    * (split, lang) acceptance report: docs, whitespace tokens, chars.
+    *
+    * Shape at scale: map-only split assignment over the scan, one
+    * partial-aggregated shuffle on the tiny (split, lang) key.
+    */
+  def qTrainTestSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < splitHexLt,
+          "train").otherwise("test").as("split"),
+        col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("toks"),
+        col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_sum"))
+
+  val qTrainTestSplitSql: String =
+    s"""SELECT
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt'
+       |       THEN 'train' ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs,
+       |  SUM(CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT)) AS n_tokens,
+       |  SUM(n_chars) AS n_chars_sum
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+
+  private val oovVocabK = 50
+
+  /** Per-document out-of-vocabulary rate against the corpus top-[[oovVocabK]]
+    * vocabulary — the tokenizer-coverage diagnostic run before
+    * committing a vocab size (companion to [[qVocabTopk]], which IS
+    * the vocabulary build). Rates are fixed-point ppm integers (DIV)
+    * — no FP division, bit-identical cross-engine.
+    *
+    * Shape at scale: the vocabulary is top-k — MODEL-sized, built by
+    * the same Zipf-safe partial-agg + TakeOrdered as vocab_topk and
+    * then BROADCAST; the corpus explodes once, probes the broadcast
+    * map-side, and aggregates on doc_id. Docs with no tokens are kept
+    * by the left join with explicit zeros.
+    */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(oovVocabK)
+      .select(col("w"), lit(1L).as("iv"))
+    val perDoc = words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(expr("(n_oov * 1000000) DIV n_tokens"), lit(0L)).as("oov_ppm"))
+  }
+
+  val qOovRateSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |vocab AS (
+       |  SELECT w, 1 AS iv FROM (
+       |    SELECT w, COUNT(*) AS n FROM words GROUP BY w
+       |    ORDER BY n DESC, w LIMIT $oovVocabK)),
+       |per_doc AS (
+       |  SELECT words.doc_id, COUNT(*) AS n_tokens,
+       |    SUM(CASE WHEN vocab.iv IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM words LEFT JOIN vocab ON words.w = vocab.w
+       |  GROUP BY words.doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(COALESCE((p.n_oov * 1000000) // p.n_tokens, 0) AS BIGINT) AS oov_ppm
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val nShards = 8
+
+  /** Output-shard planning: assign every document to one of
+    * [[nShards]] training shards, round-robin in descending size
+    * order (LPT-style greedy: spreading the big docs first keeps
+    * shard weights within one max-doc of each other), and report the
+    * per-shard manifest (docs, chars, rank extents). Weighted by the
+    * stored char length; swap in the tokenizer count when budgets are
+    * token-denominated. The assignment is a pure function of the
+    * corpus — reproducible, so a re-run shards identically and
+    * downstream dataloaders can address shards stably.
+    *
+    * Shape at scale: the global size rank is
+    * [[graft.plans.Surrogate.rankedId]] (range-partition +
+    * zipWithIndex — never a single-partition window); the shard
+    * rollup is one partial-aggregated shuffle on an
+    * [[nShards]]-sized key.
+    */
+  def qShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), (-col("n_chars")).as("wneg"))
+    graft.plans.Surrogate.rankedId(t, Seq("wneg", "doc_id"), "rk")
+      .select(col("doc_id"), col("n_chars"), col("rk"),
+        expr(s"(rk - 1) % $nShards").as("shard"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_sum"),
+        min(col("rk")).as("min_rk"),
+        max(col("rk")).as("max_rk"))
+  }
+
+  val qShardPlanSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT (rk - 1) % $nShards AS shard, COUNT(*) AS n_docs,
+       |  SUM(n_chars) AS n_chars_sum, MIN(rk) AS min_rk, MAX(rk) AS max_rk
+       |FROM r GROUP BY 1
+       |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_test_split"  -> qTrainTestSplit _,
+    "q_oov_rate"          -> qOovRate _,
+    "q_shard_plan"        -> qShardPlan _,
     "q_chunk_docs"        -> qChunkDocs _,
     "q_tfidf_keywords"    -> qTfidfKeywords _,
     "q_bm25"              -> qBm25 _,
@@ -1008,6 +1149,9 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_train_test_split"  -> qTrainTestSplitSql,
+    "q_oov_rate"          -> qOovRateSql,
+    "q_shard_plan"        -> qShardPlanSql,
     "q_chunk_docs"        -> qChunkDocsSql,
     "q_tfidf_keywords"    -> qTfidfKeywordsSql,
     "q_bm25"              -> qBm25Sql,

@@ -335,6 +335,49 @@ class PlanSpec extends SparkSpec {
       s"the validity-range predicate must ride an equi custkey join as residual:\n$p")
   }
 
+  test("q_oov_rate: model-sized vocabulary broadcasts; the exploded corpus never sort-merges") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-k vocabulary is a model parameter — broadcast it:\n$p")
+    val lines = p.linesIterator.toVector
+    val smjIdx = lines.zipWithIndex.filter(_._1.contains("SortMergeJoin"))
+    // the only allowed SMJ is the final doc_id re-join of two doc-sized
+    // sides; the exploded word stream must never reach one
+    assert(!smjIdx.exists { case (l, _) => l.contains("(w") },
+      s"word-stream joins must stay broadcast:\n$p")
+  }
+
+  test("q_train_test_split: map-only assignment, one partial-agged shuffle on the split key") {
+    val p = plan("q_train_test_split")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"a hash split is a projection — no window, no join:\n$p")
+    val lines = p.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(split"))
+    assert(ex >= 0 && lines.drop(ex + 1).exists(l =>
+        l.contains("HashAggregate") && l.contains("partial")),
+      s"per-split counters must combine map-side:\n$p")
+  }
+
+  test("q_shard_plan: global rank via range exchange, never a single-partition window") {
+    val p = plan("q_shard_plan")
+    assert(!p.contains("Window"),
+      s"the size rank must come from rankedId, not a global window:\n$p")
+    // rankedId's range exchange lives inside its zipWithIndex pipeline;
+    // downstream the rank arrives as an RDD scan — assert that source
+    assert(p.contains("Scan ExistingRDD"),
+      s"rank must arrive from rankedId's zipWithIndex pipeline:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the shard rollup must combine map-side:\n$p")
+  }
+
+  test("q_winsorize: group-sized fences broadcast back; both passes partial-aggregate") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |groups|-row fence table must broadcast onto the second scan:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"IQR winsorization is two aggregates + a broadcast — nothing else:\n$p")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

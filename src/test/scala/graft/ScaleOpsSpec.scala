@@ -309,4 +309,35 @@ class ScaleOpsSpec extends SparkSpec {
         "extent stats ordered")
     }
   }
+
+  test("q_winsorize: fences and winsorized mean match an exact driver-side recompute") {
+    val got = ScaleOps.qWinsorize(spark, sf0001).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    }.sortBy(_._1)
+    assert(got.nonEmpty)
+    val byFlag = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    got.foreach { case (flag, n, nLo, nHi, lo, hi, meanRaw, meanW) =>
+      val qs = byFlag(flag).map(_._2).sorted
+      assert(n === qs.length.toLong)
+      def pct(p: Double): Double = { // type-7 interpolation, as both engines
+        val h = (qs.length - 1) * p
+        val i = h.toInt
+        if (i + 1 < qs.length) qs(i) * (1 - (h - i)) + qs(i + 1) * (h - i) else qs(i)
+      }
+      val (q25, q75) = (pct(0.25), pct(0.75))
+      val (eLo, eHi) = (q25 - (q75 - q25) * 1.5, q75 + (q75 - q25) * 1.5)
+      assert(lo === eLo && hi === eHi, s"$flag: fences must be the exact IQR bounds")
+      assert(nLo === qs.count(_ < eLo).toLong && nHi === qs.count(_ > eHi).toLong,
+        s"$flag: clamp counts must be exact")
+      val clamped = qs.map(q => math.min(math.max(q, eLo), eHi))
+      def exactMean(xs: Array[Double]): Double =
+        (xs.map(x => BigDecimal(x).setScale(3)).sum / qs.length).toDouble
+      assert(math.abs(meanRaw - exactMean(qs)) < 1e-9, s"$flag: raw mean")
+      assert(math.abs(meanW - exactMean(clamped)) < 1e-9, s"$flag: winsorized mean")
+      assert(meanW >= eLo && meanW <= eHi, "winsorized mean lies within the fences")
+    }
+  }
 }

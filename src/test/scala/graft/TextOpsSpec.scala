@@ -220,6 +220,51 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "shares must sum to 1")
   }
 
+  test("q_train_test_split: splits partition the corpus, ratio near 90/10, assignment stable") {
+    val rows = TextOps.qTrainTestSplit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._3).sum
+    val nDocs = graft.sources.Ingest.table(spark, sf0001, "documents").count()
+    assert(total === nDocs, "every document lands in exactly one split")
+    val train = rows.filter(_._1 == "train").map(_._3).sum
+    val share = train.toDouble / total
+    assert(share > 0.80 && share < 0.97,
+      s"md5-byte threshold 0xe6 must land near 230/256 ≈ 0.898 train share: $share")
+    val again = TextOps.qTrainTestSplit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(t => (t._1, t._2)) === again.sortBy(t => (t._1, t._2)),
+      "key-hash assignment must be bit-stable across runs")
+  }
+
+  test("q_oov_rate: ppm recomputes exactly, vocab words are never OOV") {
+    val rows = TextOps.qOovRate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, oov, ppm) =>
+      assert(oov <= n, s"doc $id: OOV count bounded by token count")
+      val expected = if (n > 0) oov * 1000000L / n else 0L
+      assert(ppm === expected, s"doc $id: fixed-point rate must recompute exactly")
+    }
+    assert(rows.exists(r => r._2 > 0 && r._4 < 1000000L),
+      "some document must contain an in-vocabulary word")
+  }
+
+  test("q_shard_plan: shards partition the corpus; LPT round-robin bounds the imbalance") {
+    val rows = TextOps.qShardPlan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 8L).toSeq, "all 8 shards present")
+    val docsTbl = graft.sources.Ingest.table(spark, sf0001, "documents")
+    assert(rows.map(_._2).sum === docsTbl.count(), "shards partition the corpus")
+    val maxDoc = docsTbl.agg(org.apache.spark.sql.functions.max("n_chars"))
+      .collect()(0).getLong(0)
+    val weights = rows.map(_._3)
+    // descending round-robin telescopes: spread ≤ largest single doc
+    assert(weights.max - weights.min <= maxDoc,
+      s"round-robin in size order keeps shard weights within one max-doc: " +
+        s"spread ${weights.max - weights.min} vs maxDoc $maxDoc")
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

@@ -91,6 +91,9 @@ object SparkEntry {
     "q_oov_rate"        -> Seq("doc_id"),
     "q_shard_plan"      -> Seq("shard"),
     "q_winsorize"       -> Seq("l_returnflag"),
+    "q_unpivot"         -> Seq("l_returnflag", "measure"),
+    "q_range_frame"     -> Seq("o_orderkey"),
+    "q_skew_report"     -> Seq("event_type"),
     "q_profile"         -> Seq("col_name"),
     "q_checksum"        -> Seq("y"),
     "q_mad_outlier"     -> Seq("l_returnflag"),

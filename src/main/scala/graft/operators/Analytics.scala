@@ -531,7 +531,58 @@ object Analytics {
       |FROM cal LEFT JOIN daily ON cal.d = daily.d
       |ORDER BY cal.d""".stripMargin
 
+  private val PathSteps = 5
+  private val PathTopK = 20
+
+  /** Top user journeys: the most common first-[[PathSteps]] event-type
+    * paths (e.g. `view>view>click`) — the whole-path sibling of
+    * [[qTransitionMatrix]]'s one-step counts, and the input to every
+    * Sankey/flow visualization. Determinism: step order is
+    * (ts_ms, event_id) — a total order; path strings are then pure
+    * functions of the user's history, and the top-k has a full
+    * (n DESC, path) tie-break.
+    *
+    * Shape at scale: ONE shuffle on user_id feeds the row_number
+    * window; the prefix filter keeps ≤ [[PathSteps]] rows per user
+    * BEFORE the collect, so the per-user aggregate state is bounded
+    * by construction (never "collect the whole history and slice" —
+    * that state is unbounded). Path counting partial-aggregates into
+    * a |type|^steps-bounded key space, and the top-k is a
+    * TakeOrdered, not a global sort.
+    */
+  def qSessionPath(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Ingest.events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PathSteps)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val qSessionPathSql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY epoch_ms(ts), event_id) AS rk
+       |  FROM events),
+       |paths AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+       |  FROM ranked WHERE rk <= $PathSteps GROUP BY user_id)
+       |SELECT path, COUNT(*) AS n_users
+       |FROM paths GROUP BY path
+       |ORDER BY n_users DESC, path
+       |LIMIT $PathTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
     "q_funnel"     -> qFunnel _,
     "q_retention"  -> qRetention _,
@@ -544,6 +595,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,
     "q_funnel"     -> qFunnelSql,
     "q_retention"  -> qRetentionSql,

@@ -533,7 +533,82 @@ object Relational {
       |FROM r WHERE rk = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** UNPIVOT (melt): the four lineitem measures rotated into
+    * (measure, value) rows and re-aggregated per (flag, measure) —
+    * the inverse of [[qPivot]], and the normalization step feeding
+    * any long-format metrics store. Spark's `unpivot` plans as a
+    * single Expand over the scan — the 4× row inflation happens
+    * AFTER column pruning and combines straight into the partial
+    * aggregate (key space |flags|×4); the oracle states the same
+    * thing as the portable UNION ALL spelling.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), money(col("l_quantity")).as("quantity"),
+        money(col("l_extendedprice")).as("extendedprice"),
+        money(col("l_discount")).as("discount"), money(col("l_tax")).as("tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("val")).cast("double").as("total"))
+
+  val qUnpivotSql: String = {
+    def arm(m: String, c: String): String =
+      s"SELECT l_returnflag, '$m' AS measure, CAST($c AS DECIMAL(12,2)) AS val FROM lineitem"
+    s"""WITH u AS (
+       |  ${arm("quantity", "l_quantity")} UNION ALL
+       |  ${arm("extendedprice", "l_extendedprice")} UNION ALL
+       |  ${arm("discount", "l_discount")} UNION ALL
+       |  ${arm("tax", "l_tax")})
+       |SELECT l_returnflag, measure, COUNT(*) AS n_rows,
+       |  CAST(SUM(val) AS DOUBLE) AS total
+       |FROM u GROUP BY l_returnflag, measure
+       |ORDER BY l_returnflag, measure""".stripMargin
+  }
+
+  /** RANGE-frame window (value-range frame, not ROWS): per order, the
+    * count and exact-decimal sum of the SAME customer's orders in the
+    * trailing 30 calendar days — the rolling-exposure statistic
+    * credit/fraud pipelines keep per entity. The frame is anchored on
+    * an integer epoch-day key, so frame membership is exact in both
+    * engines and INSENSITIVE to same-day tie order (a RANGE frame
+    * includes all peers — the property ROWS frames lack and the
+    * reason this query needs no tie-break column).
+    *
+    * Shape at scale: ONE shuffle on o_custkey; the window sort is
+    * per-customer (bounded by their order count). 100 TB of orders
+    * moves once.
+    */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; the cast is identity under the
+        // engine's fixed UTC session zone
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"),
+        money(col("o_totalprice")).as("p"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("p")).over(w).cast("double").as("sum_30d"))
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  epoch_ms(o_orderdate) // 86400000 AS day,
+      |  COUNT(*) OVER w AS n_30d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"       -> qUnpivot _,
+    "q_range_frame"   -> qRangeFrame _,
     "q_grouped_concat" -> qGroupedConcat _,
     "q_mode"          -> qMode _,
     "q_ntile_bands"   -> qNtileBands _,
@@ -553,6 +628,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot"       -> qUnpivotSql,
+    "q_range_frame"   -> qRangeFrameSql,
     "q_grouped_concat" -> qGroupedConcatSql,
     "q_mode"          -> qModeSql,
     "q_ntile_bands"   -> qNtileBandsSql,

@@ -459,7 +459,51 @@ object ScaleOps {
       |FROM b GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Key-skew profiler: the per-key row-count distribution of
+    * (event_type → user_id) — keys per type, max/median/p75 rows per
+    * key, and a fixed-point skew factor (max·keys·100 DIV rows =
+    * hottest key vs mean, ×100). This is the diagnostic that DECIDES
+    * the engine's own skew machinery: whether a key needs salting,
+    * what hot-bucket caps cost ([[graft.operators.Dedup]]), and when
+    * AQE skew splits will trigger. Run it before committing any
+    * partitioning scheme at 100 TB.
+    *
+    * Shape at scale: the same two-phase expansion as [[qSkewAgg]] —
+    * first shuffle on the high-cardinality (type, user) composite
+    * (immune to the very skew it measures), then a |types|-sized
+    * rollup whose holistic percentile state is bounded by distinct
+    * per-key counts, not rows. All outputs integer or quarter-fraction
+    * percentiles over integer counts — exact in both engines.
+    */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_per_key"),
+        percentile(col("n"), lit(0.5)).as("p50_per_key"),
+        percentile(col("n"), lit(0.75)).as("p75_per_key"))
+      .withColumn("skew_x100",
+        expr("(max_per_key * n_keys * 100) DIV n_rows"))
+
+  val qSkewReportSql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, COUNT(*) AS n_keys,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  MAX(n) AS max_per_key,
+      |  quantile_cont(n, 0.5) AS p50_per_key,
+      |  quantile_cont(n, 0.75) AS p75_per_key,
+      |  (MAX(n) * COUNT(*) * 100) // CAST(SUM(n) AS BIGINT) AS skew_x100
+      |FROM c GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report"     -> qSkewReport _,
     "q_winsorize"       -> qWinsorize _,
     "q_zorder_layout" -> qZorderLayout _,
     "q_approx_percentiles" -> qApproxPercentiles _,
@@ -473,6 +517,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_report"     -> qSkewReportSql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_approx_percentiles" -> qApproxPercentilesSql,

@@ -192,6 +192,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.count(_._4) === span - raw.size, "gap count is the missing-day count")
   }
 
+  test("q_session_path: prefixes bounded at 5 steps, counts ranked, paths from real types") {
+    val rows = Analytics.qSessionPath(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-k must arrive count-descending")
+    val types = graft.sources.Ingest.events(spark, sf0001)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { case (path, n) =>
+      val steps = path.split(">")
+      assert(steps.nonEmpty && steps.length <= 5, s"path '$path' must have 1..5 steps")
+      assert(steps.forall(types.contains), s"path '$path' must be built from real event types")
+      assert(n >= 1L)
+    }
+  }
+
   test("q_moving_avg: frame average stays within the frame's min/max daily totals") {
     val rows = Analytics.qMovingAvg(spark, sf0001).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))

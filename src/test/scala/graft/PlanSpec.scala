@@ -378,6 +378,44 @@ class PlanSpec extends SparkSpec {
       s"IQR winsorization is two aggregates + a broadcast — nothing else:\n$p")
   }
 
+  test("q_unpivot: one Expand over the pruned scan, partial-agged rollup") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"),
+      s"unpivot must plan as Expand — never a per-measure re-scan union:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"one scan feeds all four measures:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the 4x row inflation must combine map-side:\n$p")
+  }
+
+  test("q_range_frame: one customer shuffle feeds the RANGE window") {
+    val p = plan("q_range_frame")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"the trailing-window query moves the corpus exactly once:\n$p")
+    assert(p.contains("RangeFrame"), s"the frame must be a RANGE frame:\n$p")
+  }
+
+  test("q_session_path: prefix filter bounds collect state; top-k is TakeOrdered") {
+    val p = plan("q_session_path")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"path top-k must never globally sort the path table:\n$p")
+    val lines = p.linesIterator.toVector
+    val filt = lines.indexWhere(l => l.contains("Filter") && l.contains("rk"))
+    val agg = lines.indexWhere(l => l.contains("ObjectHashAggregate") && l.contains("collect_list"))
+    assert(filt >= 0 && agg >= 0 && filt > agg,
+      s"the rk <= steps filter must run BELOW the collect (bounded state):\n$p")
+  }
+
+  test("q_skew_report: first shuffle on the high-cardinality composite (immune to its own skew)") {
+    val p = plan("q_skew_report")
+    // the tree renders top-down, so the first EXECUTED exchange is the
+    // last one in the rendered text
+    val first = p.linesIterator.toVector.reverse
+      .find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(first.contains("event_type") && first.contains("user_id"),
+      s"the profiler must spread hot types across the composite, not funnel them:\n$first")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

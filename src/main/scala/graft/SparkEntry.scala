@@ -20,7 +20,8 @@ object SparkEntry {
 
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
-      Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries ++ Audit.queries
+      Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries ++ Audit.queries ++
+      Segments.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -105,6 +106,13 @@ object SparkEntry {
     "q_embed_centroid"  -> Seq("label", "dim"),
     "q_zorder_layout"   -> Seq("z_bucket"),
     "q_retention"       -> Seq("cohort_week", "week_offset"),
+    "q_rfm"             -> Seq("o_custkey"),
+    "q_pareto"          -> Seq("decile"),
+    "q_wow_change"      -> Seq("event_type", "week"),
+    "q_interval_coalesce" -> Seq("user_id", "island_id"),
+    "q_benford"         -> Seq("digit"),
+    "q_bigram_topk"     -> Seq("lang", "rk"),
+    "q_embed_stats"     -> Seq("dim"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),
     "q_streak_islands"  -> Seq("user_id"),
@@ -144,5 +152,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
-      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle ++ Audit.oracle
+      Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle ++ Audit.oracle ++
+      Segments.oracle
 }

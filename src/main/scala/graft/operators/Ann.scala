@@ -437,7 +437,49 @@ object Ann {
        |FROM rk WHERE r = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension embedding health audit: count, zero count, min/max
+    * component, and the bit-exact fixed-point mean per dim — the first
+    * check on a new embedding export (dead dimensions read as n_zero ≈
+    * n_vecs or a collapsed min/max range; a shifted encoder shows up
+    * as drifted means). Companion to [[qEmbedCentroid]] (same
+    * fixed-point contract) but per-DIMENSION over the whole corpus,
+    * label-free.
+    *
+    * Shape at scale: posexplode + ONE partial-aggregated shuffle into
+    * a dim-sized key space (64 keys) — every map partition reduces to
+    * |dims| rows before moving. min/max of floats widened to double
+    * are order-invariant; the mean divides the exact BIGINT sum once.
+    */
+  def qEmbedStats(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("v") === 0d, 1L).otherwise(0L)).as("n_zero"),
+        min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"),
+        sum(expr(s"CAST(round(v * $CentroidFp) AS BIGINT)")).as("sum_fp"))
+      .withColumn("mean",
+        col("sum_fp").cast("double") / (col("n_vecs") * lit(CentroidFp)).cast("double"))
+
+  val qEmbedStatsSql: String =
+    s"""WITH ex AS (
+       |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings)
+       |SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  MIN(v) AS v_min, MAX(v) AS v_max,
+       |  CAST(SUM(CAST(round(v * $CentroidFp) AS BIGINT)) AS BIGINT) AS sum_fp,
+       |  CAST(SUM(CAST(round(v * $CentroidFp) AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) * $CentroidFp AS DOUBLE) AS mean
+       |FROM ex GROUP BY dim
+       |ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
@@ -454,6 +496,7 @@ object Ann {
     * accumulation-order dependence.
     */
   val oracle: Map[String, String] = Map(
+    "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,
     "q_centroid_assign" -> qCentroidAssignSql)
 }

@@ -287,13 +287,64 @@ object Audit {
       |UNION ALL SELECT 'totalprice_positive', v_price, n_rows FROM a
       |ORDER BY constraint_name""".stripMargin
 
+  /** Benford's-law first-digit audit of `o_totalprice` — the classic
+    * fabricated-data screen (a synthetic or tampered money column's
+    * leading-digit histogram deviates from log10(1+1/d)). Emits, per
+    * digit 1-9: count, observed share in basis points, the Benford
+    * expectation in basis points (a COMPILED-IN integer table — the
+    * log10 never runs at query time, so no transcendental-function
+    * cross-engine risk), and the signed deviation.
+    *
+    * Shape at scale: map-only digit extraction (first char of the
+    * integer part — prices are ≥ 1), ONE partial-aggregated shuffle
+    * into a 9-row key space, shares against the 9-row total window.
+    * Fixed-point integers end to end.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int").as("digit")
+    val counts = Ingest.table(s, dir, "orders")
+      .select(digit)
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val expected = benfordBp.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (d, bp)) => acc.when(col("digit") === d, lit(bp))
+    }
+    counts
+      .withColumn("total", sum("n_orders").over(Window.partitionBy()))
+      .select(col("digit"), col("n_orders"),
+        expr("(n_orders * 10000) DIV total").as("share_bp"),
+        expected.as("expected_bp"))
+      .withColumn("dev_bp", col("share_bp") - col("expected_bp"))
+  }
+
+  /** round(log10(1+1/d)·10⁴) for d = 1..9, precomputed (sums to 10000). */
+  private val benfordBp: Seq[(Int, Long)] = Seq(
+    1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L, 5 -> 792L,
+    6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+
+  val qBenfordSql: String = {
+    val cases = benfordBp.map { case (d, bp) => s"WHEN $d THEN $bp" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT digit, n_orders, CAST(SUM(n_orders) OVER () AS BIGINT) AS total FROM c)
+       |SELECT digit, n_orders,
+       |  (n_orders * 10000) // total AS share_bp,
+       |  CAST(CASE digit $cases END AS BIGINT) AS expected_bp,
+       |  (n_orders * 10000) // total - CAST(CASE digit $cases END AS BIGINT) AS dev_bp
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford"          -> qBenford _,
     "q_profile"          -> qProfile _,
     "q_checksum"         -> qChecksum _,
     "q_mad_outlier"      -> qMadOutlier _,
     "q_constraint_check" -> qConstraintCheck _)
 
   def oracle: Map[String, String] = Map(
+    "q_benford"          -> qBenfordSql,
     "q_profile"          -> qProfileSql,
     "q_checksum"         -> qChecksumSql,
     "q_mad_outlier"      -> qMadOutlierSql,

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.Surrogate
+import graft.sources.Ingest
+
+/** Customer-segmentation / distribution analytics (SURVEY.md §2 rows
+  * 100-102): RFM scoring, revenue-concentration deciles (Pareto), and
+  * week-over-week movement — the marketing-analytics layer every
+  * deployment of the reference's dashboard feed (ref dags/ELT.py:286-321)
+  * grows next.
+  *
+  * Determinism rules (SURVEY §4): money flows as exact integer CENTS
+  * (DECIMAL sum ×100 → BIGINT), every quantile/decile is an integer
+  * fixed-point function of a scale-safe GLOBAL RANK
+  * ([[Surrogate.rankedId]] — range exchange + zipWithIndex, never a
+  * single-partition window), and percentage-change / share numbers are
+  * fixed-point basis points via integral DIV (both engines truncate
+  * toward zero, verified including negatives).
+  */
+object Segments {
+
+  /** RFM segmentation over `orders`: per customer, recency (days since
+    * last order vs the corpus max date), frequency (order count) and
+    * monetary (exact decimal total), each scored into quintiles 1-5 by
+    * GLOBAL rank — r=5 most recent, f=5 most frequent, m=5 highest
+    * spend — plus the concatenated segment code ("555" = champions).
+    *
+    * Shape at scale: one partial-aggregated shuffle collapses the
+    * corpus to customer-sized rows; the three quintile ranks each run
+    * through [[Surrogate.rankedId]]'s range exchange over that
+    * customer table (a naive NTILE(5) window would pull every
+    * customer through ONE partition — the round-1 scale-killer this
+    * repo already evicted from surrogate keys). Quintile =
+    * ((rank-1)·5) DIV n — pure integers, bit-identical cross-engine;
+    * ties break on custkey so ranks are total orders.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = Ingest.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"),
+        money(col("o_totalprice")).as("price"))
+      .groupBy("o_custkey")
+      .agg(
+        max("day").as("last_day"),
+        count(lit(1)).as("frequency"),
+        (sum(col("price")) * 100).cast("long").as("cents"))
+    val corpus = cust.agg(max("last_day").as("corpus_day"),
+      count(lit(1)).as("n_cust"))
+    val base = cust.crossJoin(broadcast(corpus))
+      .select(col("o_custkey"),
+        (col("corpus_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("cents"), col("n_cust"))
+    val ranked = Surrogate.rankedId(
+      Surrogate.rankedId(
+        Surrogate.rankedId(base, Seq("recency_days", "o_custkey"), "rr"),
+        Seq("frequency", "o_custkey"), "fr"),
+      Seq("cents", "o_custkey"), "mr")
+    ranked.select(
+      col("o_custkey"), col("recency_days"), col("frequency"),
+      (col("cents").cast("double") / 100d).as("monetary"),
+      (lit(5L) - expr("((rr - 1) * 5) DIV n_cust")).as("r_score"),
+      (expr("((fr - 1) * 5) DIV n_cust") + 1L).as("f_score"),
+      (expr("((mr - 1) * 5) DIV n_cust") + 1L).as("m_score"))
+      .withColumn("segment", concat(
+        col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")))
+  }
+
+  val qRfmSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, MAX(epoch_ms(o_orderdate) // 86400000) AS last_day,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (SELECT MAX(last_day) AS corpus_day, COUNT(*) AS n_cust FROM c),
+      |b AS (
+      |  SELECT o_custkey, corpus_day - last_day AS recency_days, frequency, cents, n_cust,
+      |    ROW_NUMBER() OVER (ORDER BY corpus_day - last_day, o_custkey) AS rr,
+      |    ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS fr,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS mr
+      |  FROM c CROSS JOIN t)
+      |SELECT o_custkey, recency_days, frequency,
+      |  CAST(cents AS DOUBLE) / 100 AS monetary,
+      |  5 - ((rr - 1) * 5) // n_cust AS r_score,
+      |  ((fr - 1) * 5) // n_cust + 1 AS f_score,
+      |  ((mr - 1) * 5) // n_cust + 1 AS m_score,
+      |  CAST(5 - ((rr - 1) * 5) // n_cust AS VARCHAR) ||
+      |  CAST(((fr - 1) * 5) // n_cust + 1 AS VARCHAR) ||
+      |  CAST(((mr - 1) * 5) // n_cust + 1 AS VARCHAR) AS segment
+      |FROM b ORDER BY o_custkey""".stripMargin
+
+  /** Revenue concentration by customer decile (the Pareto / "80-20"
+    * report): customers ranked by total spend DESC, bucketed into ten
+    * equal-count deciles, each with its customer count, revenue, share
+    * and cumulative share of total revenue in basis points.
+    *
+    * Shape at scale: corpus → customer-sized aggregate (one shuffle),
+    * decile from the scale-safe global rank, then a partial-aggregated
+    * rollup into TEN rows; the cumulative window runs over those ten.
+    * Share arithmetic pre-scales the denominator
+    * (cents DIV (total DIV 10⁴)) so the numerator never multiplies —
+    * no overflow at any corpus size, identical truncation in both
+    * engines.
+    */
+  def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val spend = Ingest.table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .withColumn("neg_cents", -col("cents"))
+    val ranked = Surrogate.rankedId(spend, Seq("neg_cents", "o_custkey"), "rk")
+    val tot = spend.agg(sum("cents").cast("long").as("total_cents"),
+      count(lit(1)).as("n_cust"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("((rk - 1) * 10) DIV n_cust").as("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("cents").cast("long").as("decile_cents"),
+        max("total_cents").as("total_cents"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    dec
+      .withColumn("cum_cents", sum("decile_cents").over(w))
+      .select(
+        col("decile"), col("n_customers"),
+        (col("decile_cents").cast("double") / 100d).as("revenue"),
+        expr("decile_cents DIV greatest(total_cents DIV 10000, 1)").as("share_bp"),
+        expr("cum_cents DIV greatest(total_cents DIV 10000, 1)").as("cum_share_bp"))
+  }
+
+  val qParetoSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust FROM spend),
+      |r AS (
+      |  SELECT cents, n_cust, total_cents,
+      |    ROW_NUMBER() OVER (ORDER BY -cents, o_custkey) AS rk
+      |  FROM spend CROSS JOIN t),
+      |d AS (
+      |  SELECT ((rk - 1) * 10) // n_cust AS decile, COUNT(*) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS decile_cents, MAX(total_cents) AS total_cents
+      |  FROM r GROUP BY ((rk - 1) * 10) // n_cust)
+      |SELECT decile, n_customers,
+      |  CAST(decile_cents AS DOUBLE) / 100 AS revenue,
+      |  decile_cents // greatest(total_cents // 10000, 1) AS share_bp,
+      |  CAST(SUM(decile_cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    // greatest(total_cents // 10000, 1) AS cum_share_bp
+      |FROM d ORDER BY decile""".stripMargin
+
+  /** Week-over-week movement per event type: weekly event volume and
+    * distinct-user reach, with the previous week's volume, absolute
+    * delta, and fixed-point percent change in basis points (negative
+    * deltas exercise the both-engines-truncate-toward-zero DIV
+    * contract — verified, not assumed).
+    *
+    * Shape at scale: weeks are integer epoch-ms DIV — no calendar
+    * functions to disagree over. ONE corpus shuffle feeds both
+    * aggregates (count partial-aggregates; the distinct-user count is
+    * the two-phase expansion Spark plans for COUNT(DISTINCT)); the lag
+    * window then runs on the |types|×|weeks| result — bounded by
+    * calendar time and type vocabulary, never by volume.
+    */
+  def qWowChange(s: SparkSession, dir: String): DataFrame = {
+    val wk = Ingest.events(s, dir)
+      .select(col("event_type"), expr("ts_ms DIV 604800000").as("week"),
+        col("user_id"))
+    val agg = wk.groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    agg
+      .withColumn("prev_events", lag("n_events", 1).over(w))
+      .select(col("event_type"), col("week"), col("n_events"), col("n_users"),
+        col("prev_events"),
+        (col("n_events") - col("prev_events")).as("delta"),
+        expr("((n_events - prev_events) * 10000) DIV prev_events").as("pct_bp"))
+  }
+
+  val qWowChangeSql: String =
+    """WITH wk AS (
+      |  SELECT event_type, epoch_ms(ts) // 604800000 AS week, user_id FROM events),
+      |a AS (
+      |  SELECT event_type, week, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_users
+      |  FROM wk GROUP BY event_type, week),
+      |l AS (
+      |  SELECT event_type, week, n_events, n_users,
+      |    LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events
+      |  FROM a)
+      |SELECT event_type, week, n_events, n_users, prev_events,
+      |  n_events - prev_events AS delta,
+      |  ((n_events - prev_events) * 10000) // prev_events AS pct_bp
+      |FROM l ORDER BY event_type, week""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm"        -> qRfm _,
+    "q_pareto"     -> qPareto _,
+    "q_wow_change" -> qWowChange _)
+
+  def oracle: Map[String, String] = Map(
+    "q_rfm"        -> qRfmSql,
+    "q_pareto"     -> qParetoSql,
+    "q_wow_change" -> qWowChangeSql)
+}

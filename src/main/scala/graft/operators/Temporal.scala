@@ -376,7 +376,66 @@ object Temporal {
       |FROM l GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Overlapping-interval coalescing (the range twin of gaps-and-
+    * islands): each event opens a 30-minute activity interval
+    * [ts, ts+30min); per user, transitively-overlapping intervals
+    * merge into one — the canonical "merge overlapping ranges"
+    * operator (calendar busy-blocks, IP-range consolidation, sensor
+    * uptime windows). An interval starts a new island iff its start is
+    * ≥ the running max end of everything before it; the island id is
+    * the running count of such starts.
+    *
+    * Shape at scale: ONE shuffle on user_id; both windows (running max
+    * end, running island count) share that partitioning and one
+    * in-partition sort on (ts_ms, event_id) — a total order, so island
+    * assignment is deterministic. The rollup to one row per island
+    * partial-aggregates on the same key. Integer milliseconds
+    * throughout.
+    */
+  def qIntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val ttl = 1800000L // 30 min
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val prevEnd = max(col("end_ms")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    Ingest.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        (col("ts_ms") + ttl).as("end_ms"))
+      .withColumn("new_island",
+        when(col("ts_ms") >= coalesce(prevEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island_id",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island_id"))
+      .agg(
+        min("ts_ms").as("start_ms"),
+        max("end_ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_ms", col("end_ms") - col("start_ms"))
+  }
+
+  val qIntervalCoalesceSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    epoch_ms(ts) + 1800000 AS end_ms
+      |  FROM events),
+      |flag AS (
+      |  SELECT user_id, ts_ms, end_ms,
+      |    CASE WHEN ts_ms >= COALESCE(
+      |      MAX(end_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775808) THEN 1 ELSE 0 END AS new_island,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, ts_ms, end_ms,
+      |    CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
+      |  FROM flag)
+      |SELECT user_id, island_id, MIN(ts_ms) AS start_ms, MAX(end_ms) AS end_ms,
+      |  COUNT(*) AS n_events, MAX(end_ms) - MIN(ts_ms) AS span_ms
+      |FROM isl GROUP BY user_id, island_id
+      |ORDER BY user_id, island_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_coalesce" -> qIntervalCoalesce _,
     "q_streak_islands" -> qStreakIslands _,
     "q_disorder_stats" -> qDisorderStats _,
     "q_cdc_apply"    -> qCdcApply _,
@@ -389,6 +448,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_interval_coalesce" -> qIntervalCoalesceSql,
     "q_streak_islands"  -> qStreakIslandsSql,
     "q_disorder_stats"  -> qDisorderStatsSql,
     "q_cdc_apply"       -> qCdcApplySql,

@@ -1120,7 +1120,53 @@ object TextOps {
        |FROM r GROUP BY 1
        |ORDER BY shard""".stripMargin
 
+  private val BigramTopK = 20
+
+  /** Per-language top-[[BigramTopK]] word bigrams — the collocation
+    * profile a tokenizer/LM team reads before choosing merge rules or
+    * n-gram features (companion to [[qVocabTopk]]'s unigrams and
+    * [[qBpePairs]]'s character pairs). Ties break on the bigram string.
+    *
+    * Shape at scale: bigrams are built MAP-ONLY by zipping the word
+    * array against its shift (one pass per doc, no corpus shuffle
+    * before aggregation — the lag-window formulation would shuffle
+    * every word on doc_id first); the pair count partial-aggregates
+    * into a vocab²-bounded key space, and the per-lang rank window
+    * runs on that MODEL-sized count table, never on corpus rows.
+    */
+  def qBigramTopk(s: SparkSession, dir: String): DataFrame = {
+    val bi = docs(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    bi
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rk") <= BigramTopK)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("bigram"), col("n"))
+  }
+
+  val qBigramTopkSql: String =
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+       |bi AS (
+       |  SELECT lang, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       |  FROM d),
+       |c AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY lang, bigram),
+       |ranked AS (
+       |  SELECT lang, bigram, n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+       |  FROM c)
+       |SELECT lang, rk, bigram, n
+       |FROM ranked WHERE rk <= $BigramTopK
+       |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_topk"       -> qBigramTopk _,
     "q_train_test_split"  -> qTrainTestSplit _,
     "q_oov_rate"          -> qOovRate _,
     "q_shard_plan"        -> qShardPlan _,
@@ -1149,6 +1195,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_topk"       -> qBigramTopkSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,
     "q_shard_plan"        -> qShardPlanSql,

@@ -416,6 +416,38 @@ class PlanSpec extends SparkSpec {
       s"the profiler must spread hot types across the composite, not funnel them:\n$first")
   }
 
+  test("q_rfm: quintiles come from the scale-safe rank — no window anywhere in the plan") {
+    // a NTILE(5)/ROW_NUMBER global window over customers is the
+    // single-partition scale-killer rankedId exists to avoid
+    val p = plan("q_rfm")
+    assert(!p.contains("Window"),
+      s"RFM scoring must rank via Surrogate.rankedId, never a global window:\n$p")
+  }
+
+  test("q_interval_coalesce: both windows and the rollup share ONE user_id exchange") {
+    val p = plan("q_interval_coalesce")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"islands must reuse the user_id partitioning end to end:\n$p")
+  }
+
+  test("q_bigram_topk: bigrams generate map-only — no corpus shuffle on doc_id") {
+    val p = plan("q_bigram_topk")
+    assert(p.contains("zip_with"),
+      s"bigram build must zip the word array against its shift, row-local:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"the lag-window formulation's per-doc shuffle must not appear:\n$p")
+  }
+
+  test("q_embed_stats: per-dim stats partial-aggregate before the dim shuffle") {
+    val p = plan("q_embed_stats")
+    val lines = p.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(dim"))
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"every map partition must reduce to |dims| rows before moving:\n$p")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

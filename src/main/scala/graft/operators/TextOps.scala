@@ -73,6 +73,21 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** The quality keep rule as a pure function of the text column —
+    * SHARED by the batch [[qQualityScore]] / [[qFilterPipeline]] and
+    * the streaming twin ([[graft.streaming.Streams.corpusFilter]]):
+    * the two must agree by construction, not by convention (same
+    * contract as [[graft.operators.Dedup.contentMd5]]).
+    */
+  def qualityKeep(text: Column): Column = {
+    val nWords = size(split(text, " ")).cast("long")
+    val avgWordLen = length(regexp_replace(text, " ", "")).cast("double") / nWords
+    val punctRatio = regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
+      length(text).cast("long")
+    nWords >= 5 && nWords <= 5000 &&
+      avgWordLen >= 2.0 && avgWordLen <= 12.0 && punctRatio < 0.2
+  }
+
   /** Document quality scoring: length / word-count / word-length /
     * stopword-ratio / punctuation-ratio features + a keep flag — the
     * classic pre-training quality filter (C4/Gopher-style rules).
@@ -87,10 +102,7 @@ object TextOps {
         length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
       .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_words"))
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_c"))
-      .withColumn("is_keep",
-        col("n_words") >= 5 && col("n_words") <= 5000 &&
-        col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0 &&
-        col("punct_ratio") < 0.2)
+      .withColumn("is_keep", qualityKeep(col("text")))
       .select("doc_id", "n_chars_c", "n_words", "avg_word_len",
               "stopword_ratio", "punct_ratio", "is_keep")
 
@@ -348,6 +360,20 @@ object TextOps {
     * exchanges; at 100 TB that's the difference between a scan and a
     * shuffle job.
     */
+  /** The repetition cull rule over a [[graft.functions.RepetitionStats]]
+    * struct — SHARED with the streaming twin (see [[qualityKeep]]).
+    */
+  def repetitiveFromStats(st: Column): Column = {
+    val topWordFrac = st.getField("top_word_n").cast("double") / st.getField("n_words")
+    val topBigramFrac = when(st.getField("n_bigrams") === 0L, lit(0.0))
+      .otherwise(st.getField("top_bigram_n").cast("double") / st.getField("n_bigrams"))
+    topWordFrac > 0.2 || topBigramFrac > 0.18
+  }
+
+  /** [[repetitiveFromStats]] as a pure function of the text column. */
+  def repetitive(text: Column): Column =
+    repetitiveFromStats(graft.functions.RepetitionStats.column(text))
+
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -359,9 +385,8 @@ object TextOps {
         (col("st.dup_word_n").cast("double") / col("st.n_words")).as("dup_word_frac"),
         when(col("st.n_bigrams") === 0L, lit(0.0))
           .otherwise(col("st.top_bigram_n").cast("double") / col("st.n_bigrams"))
-          .as("top_bigram_frac"))
-      .withColumn("is_repetitive",
-        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.18)
+          .as("top_bigram_frac"),
+        repetitiveFromStats(col("st")).as("is_repetitive"))
 
   val qRepetitionSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

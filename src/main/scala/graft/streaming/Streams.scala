@@ -237,6 +237,74 @@ object Streams {
         })
   }
 
+  /** One document on the corpus-ingest wire, with its map-side verdict
+    * columns already computed.
+    */
+  case class DocIn(doc_id: Long, content_md5: String,
+                   is_keep: Boolean, is_repetitive: Boolean)
+
+  /** One emitted verdict — same shape as the batch `q_filter_pipeline`. */
+  case class DocVerdict(doc_id: Long, is_dup: Boolean, is_keep: Boolean,
+                        is_repetitive: Boolean, reject_reason: String,
+                        final_keep: Boolean)
+
+  /** Per-content-hash dedup state: the surviving (first-seen min) id. */
+  case class DupState(survivorId: Long)
+
+  /** Streaming corpus-filter verdicts — the continuous twin of the
+    * batch `TextOps.qFilterPipeline` (dedup → quality → repetition,
+    * first failing stage wins). The quality and repetition rules are
+    * THE SAME column functions the batch query runs
+    * ([[graft.operators.TextOps.qualityKeep]] / `repetitive` — shared
+    * by construction, like [[dedupe]]'s normalization contract),
+    * evaluated map-side before any state. Duplicate marking is keyed
+    * state on the normalized content hash: the first-arriving (min-id
+    * within a micro-batch) doc per hash survives; everything later is
+    * 'duplicate'. Fed the corpus in id order this reproduces the batch
+    * min-id survivorship exactly (asserted in StreamsSpec); under
+    * out-of-order arrival first-wins is the documented streaming
+    * divergence, reconciled by the batch twin.
+    *
+    * State: one ~50-byte record per DISTINCT content hash, sharded by
+    * the groupByKey partitioning — the price of exact global dedup on
+    * a stream. Production bounds it with a horizon ([[dedupe]]'s
+    * `dropDuplicatesWithinWatermark` does exactly that); this job
+    * keeps full history because its output is the verdict TABLE, where
+    * a silently-expired hash would flip a verdict from 'duplicate' to
+    * 'ok' depending on arrival time.
+    *
+    * Input needs (doc_id, text); output is one verdict per document,
+    * emitted in the micro-batch the document arrives in.
+    */
+  def corpusFilter(docs: DataFrame): Dataset[DocVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Dedup.contentMd5(col("text")).as("content_md5"),
+        graft.operators.TextOps.qualityKeep(col("text")).as("is_keep"),
+        graft.operators.TextOps.repetitive(col("text")).as("is_repetitive"))
+      .as[DocIn]
+      .groupByKey(_.content_md5)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, it: Iterator[DocIn], st: GroupState[DupState]) => {
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          val survivor = st.getOption.map(_.survivorId)
+            .getOrElse(sorted.head.doc_id)
+          st.update(DupState(survivor))
+          sorted.iterator.map { d =>
+            val isDup = d.doc_id != survivor
+            val reason =
+              if (isDup) "duplicate"
+              else if (!d.is_keep) "low_quality"
+              else if (d.is_repetitive) "repetitive"
+              else "ok"
+            DocVerdict(d.doc_id, isDup, d.is_keep, d.is_repetitive,
+              reason, reason == "ok")
+          }
+        })
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

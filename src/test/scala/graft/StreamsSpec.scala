@@ -293,6 +293,67 @@ class StreamsSpec extends SparkSpec {
       "run 2 processes ONLY the new file — no duplicates of run 1's rows")
   }
 
+  /** The corpus-filter twins contract: the SAME docs through the
+    * streaming corpusFilter (fed in doc_id order, one batch) and the
+    * batch qFilterPipeline must produce IDENTICAL verdict rows — the
+    * quality/repetition/dedup rules are shared column functions, and
+    * in-order arrival makes first-wins dedup equal min-id dedup.
+    */
+  test("corpusFilter: verdicts match batch qFilterPipeline on in-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "The  Quick Brown Fox jumps over the lazy dog", // dup of 1
+      3L -> "spam spam spam spam spam spam spam spam",      // repetitive
+      4L -> "ok",                                           // too short
+      5L -> "a perfectly ordinary sentence with enough words here")
+    val dir = docsDir(rows)
+    val batch = graft.operators.TextOps.qFilterPipeline(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getString(4), r.getBoolean(5))).sortBy(_._1)
+
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = Streams.corpusFilter(docs)
+      .writeStream.format("memory").queryName("corpus_filter").outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT doc_id, is_dup, is_keep, is_repetitive, reject_reason, final_keep
+          |FROM corpus_filter ORDER BY doc_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getString(4), r.getBoolean(5)))
+      assert(streamed.toSeq === batch.toSeq,
+        "stream and batch verdict tables must be identical row for row")
+      // the fixture must actually exercise every reject reason
+      assert(batch.map(_._5).toSet === Set("duplicate", "low_quality", "repetitive", "ok"))
+    } finally q.stop()
+  }
+
+  test("corpusFilter: a cross-batch duplicate is still marked against the stored survivor") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = Streams.corpusFilter(docs)
+      .writeStream.format("memory").queryName("corpus_filter2").outputMode("append").start()
+    try {
+      ms.addData(10L -> "a perfectly ordinary sentence with enough words here")
+      q.processAllAvailable()
+      ms.addData(11L -> "A Perfectly  Ordinary sentence WITH enough words here")
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, reject_reason FROM corpus_filter2 ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq(10L -> "ok", 11L -> "duplicate"),
+        "dedup state must survive micro-batch boundaries")
+    } finally q.stop()
+  }
+
   test("transitionSteps: step stream matches the batch lag across micro-batches") {
     val s = spark
     import s.implicits._

@@ -113,6 +113,7 @@ object SparkEntry {
     "q_benford"         -> Seq("digit"),
     "q_bigram_topk"     -> Seq("lang", "rk"),
     "q_embed_stats"     -> Seq("dim"),
+    "q_len_hist"        -> Seq("lang", "bin"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),
     "q_streak_islands"  -> Seq("user_id"),

@@ -1145,6 +1145,70 @@ object TextOps {
        |FROM r GROUP BY 1
        |ORDER BY shard""".stripMargin
 
+  private val UniformSampleK = 200
+
+  /** Deterministic fixed-size uniform sample: the [[UniformSampleK]]
+    * docs with the smallest md5(doc_id) — hash-rank sampling, the
+    * reproducible analog of ORDER BY random() LIMIT k. Properties a
+    * training pipeline needs: the sample is a pure function of the
+    * keys (same sample on every rebuild/engine/partitioning), uniform
+    * (md5 is uniform on keys), and without replacement. Companion to
+    * [[qSampleStratified]] (per-stratum rates) and
+    * [[qTrainTestSplit]] (hash threshold = fixed RATE; hash rank =
+    * fixed SIZE).
+    *
+    * Shape at scale: map-only hash + TakeOrderedAndProject
+    * (per-partition k-heaps, k-row driver merge) — no global sort, no
+    * shuffle of the corpus.
+    */
+  def qSampleUniform(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hkey"))
+      .orderBy(col("hkey"))
+      .limit(UniformSampleK)
+
+  val qSampleUniformSql: String =
+    s"""SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |FROM documents
+       |ORDER BY hkey
+       |LIMIT $UniformSampleK""".stripMargin
+
+  private val LenHistBin = 25L
+
+  /** Per-language token-length histogram ([[LenHistBin]]-token bins):
+    * the length-distribution diagnostic behind curriculum design
+    * ([[qCurriculum]]), packing-budget choice ([[qPackSequences]]) and
+    * truncation-loss estimates. Integer bin keys (DIV — no float
+    * binning trap); output rows bounded by langs × (max_len/bin).
+    *
+    * Shape at scale: map-only token count (one split per doc), ONE
+    * partial-aggregated shuffle into the tiny (lang, bin) key space.
+    */
+  def qLenHist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("toks"))
+      .groupBy(col("lang"), expr(s"toks DIV $LenHistBin").as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("toks").as("min_toks"),
+        max("toks").as("max_toks"),
+        sum("toks").as("total_toks"))
+      .withColumn("lo_toks", col("bin") * LenHistBin)
+
+  val qLenHistSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT lang, toks // $LenHistBin AS bin, COUNT(*) AS n_docs,
+       |  MIN(toks) AS min_toks, MAX(toks) AS max_toks,
+       |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+       |  (toks // $LenHistBin) * $LenHistBin AS lo_toks
+       |FROM t GROUP BY lang, toks // $LenHistBin
+       |ORDER BY lang, bin""".stripMargin
+
   private val BigramTopK = 20
 
   /** Per-language top-[[BigramTopK]] word bigrams — the collocation
@@ -1191,6 +1255,8 @@ object TextOps {
        |ORDER BY lang, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_uniform"    -> qSampleUniform _,
+    "q_len_hist"          -> qLenHist _,
     "q_bigram_topk"       -> qBigramTopk _,
     "q_train_test_split"  -> qTrainTestSplit _,
     "q_oov_rate"          -> qOovRate _,
@@ -1220,6 +1286,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_uniform"    -> qSampleUniformSql,
+    "q_len_hist"          -> qLenHistSql,
     "q_bigram_topk"       -> qBigramTopkSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,

@@ -448,6 +448,14 @@ class PlanSpec extends SparkSpec {
       s"every map partition must reduce to |dims| rows before moving:\n$p")
   }
 
+  test("q_sample_uniform: hash-rank sample is TakeOrdered over a map-only scan") {
+    val p = plan("q_sample_uniform")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-size sampling must be per-partition heaps, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no shuffle anywhere in a hash-rank sample:\n$p")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

@@ -502,7 +502,91 @@ object ScaleOps {
       |FROM c GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Explicit GROUPING SETS — the family member ROLLUP ([[qCube]]'s
+    * sibling in Relational) and CUBE can't express: just the two
+    * one-dimension marginals plus the grand total, WITHOUT the (y, p)
+    * cross cells. The "independent marginals in one pass" report shape
+    * (each dashboard filter's totals side by side). Same machinery as
+    * CUBE: ONE Expand (×3 here) before the partial aggregate, one
+    * shuffle of (grouping-key, partial-state) rows; same `grouping()`
+    * markers (a coalesce sentinel would conflate real NULLs with
+    * subtotals).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "orders")
+      .select(
+        year(col("o_orderdate")).cast("int").as("y"),
+        col("o_orderpriority").as("p"),
+        col("o_totalprice"))
+      .groupingSets(Seq(Seq(col("y")), Seq(col("p")), Seq()), col("y"), col("p"))
+      .agg(
+        grouping(col("y")).as("gy"),
+        grouping(col("p")).as("gp"),
+        count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("year_g"),
+        when(col("gp") === 1, lit("ALL")).otherwise(col("p")).as("priority_g"),
+        col("n_orders"), col("total_price"))
+
+  val qGroupingSetsSql: String =
+    """SELECT
+      |  CASE WHEN GROUPING(CAST(year(o_orderdate) AS INT)) = 1 THEN -1
+      |       ELSE CAST(year(o_orderdate) AS INT) END AS year_g,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE o_orderpriority END AS priority_g,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INT)), (o_orderpriority), ())
+      |ORDER BY year_g, priority_g""".stripMargin
+
+  /** Re-aggregatable distinct counting: per-day HLL sketches of the
+    * user population, UNIONED up to the per-type total — the
+    * pre-aggregation contract every 100 TB dashboard depends on
+    * (daily sketch tables roll up to any period WITHOUT rescanning
+    * raw events; exact distincts cannot merge). Like
+    * [[qApproxDistinct]], the non-deterministic-looking estimate is
+    * held under a deterministic oracle: the row carries the exact
+    * two-phase distinct and a boolean asserting the sketch-union
+    * estimate landed within 5% (lgConfigK=14 → σ ≈ 0.8%, ≥6σ
+    * headroom); the oracle computes the exact side and claims TRUE.
+    *
+    * Shape at scale: the sketch branch shuffles once into (type, day)
+    * partials (constant-size state per key), then the union aggregate
+    * runs on the DAY-BOUNDED sketch table — the second level never
+    * touches raw data. The exact branch is the audit, not the
+    * production path.
+    */
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+      .select(col("event_type"), expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val unioned = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact_users"))
+    exact.join(unioned, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_exact_users"),
+        (abs(col("est") - col("n_exact_users")).cast("double")
+          <= col("n_exact_users").cast("double") * 0.05).as("union_within_5pct"))
+  }
+
+  val qHllUnionSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events)
+      |SELECT event_type,
+      |  COUNT(DISTINCT day) AS n_days,
+      |  COUNT(DISTINCT user_id) AS n_exact_users,
+      |  TRUE AS union_within_5pct
+      |FROM e GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets"   -> qGroupingSets _,
+    "q_hll_union"       -> qHllUnion _,
     "q_skew_report"     -> qSkewReport _,
     "q_winsorize"       -> qWinsorize _,
     "q_zorder_layout" -> qZorderLayout _,
@@ -517,6 +601,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets"   -> qGroupingSetsSql,
+    "q_hll_union"       -> qHllUnionSql,
     "q_skew_report"     -> qSkewReportSql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_zorder_layout" -> qZorderLayoutSql,

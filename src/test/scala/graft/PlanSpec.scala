@@ -448,6 +448,20 @@ class PlanSpec extends SparkSpec {
       s"every map partition must reduce to |dims| rows before moving:\n$p")
   }
 
+  test("q_grouping_sets: one Expand feeds one partial-aggregated shuffle") {
+    val p = plan("q_grouping_sets")
+    assert(p.linesIterator.count(_.contains("Expand")) === 1,
+      s"grouping sets must multiply rows once, before the partial aggregate:\n$p")
+    assert(!p.contains("Union"),
+      s"the per-set UNION ALL formulation re-scans the fact per set:\n$p")
+  }
+
+  test("q_hll_union: the rollup level consumes sketches, not raw events") {
+    val p = plan("q_hll_union")
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      s"daily sketches must merge via union-agg — never a second raw-event distinct:\n$p")
+  }
+
   test("q_sample_uniform: hash-rank sample is TakeOrdered over a map-only scan") {
     val p = plan("q_sample_uniform")
     assert(p.contains("TakeOrderedAndProject"),

@@ -606,7 +606,57 @@ object Relational {
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Global-share threshold (TPC-H Q11 flavor): parts whose revenue
+    * exceeds 5 basis points of TOTAL corpus revenue — the "keep what
+    * matters relative to the whole" report (inventory value screens,
+    * heavy-hitter part lists). The interesting property is the filter
+    * against a GLOBAL aggregate: the total comes from a second-level
+    * rollup of the part-level aggregate (never a second corpus scan)
+    * and joins back as a broadcast 1-row scalar.
+    *
+    * Exactness: discounted revenue is a scale-4 decimal (price ×
+    * (1−rate)), so the integer form scales by 10⁴ — NOT cents: a ×100
+    * cast would truncate in Spark and round in DuckDB, drifting the
+    * last cent. The share test `part_fp * 2000 > total_fp` is integer
+    * cross-multiplication (no division at all — the [[qRateAnomaly]]
+    * device); share_bp is fixed-point with the overflow-free
+    * pre-scaled denominator (the [[Segments.qPareto]] device).
+    *
+    * Shape at scale: ONE corpus shuffle (partkey partial aggregate);
+    * the total is a scalar rollup of that part table; the final
+    * filter+projection is map-side against the broadcast scalar.
+    */
+  def qShareThreshold(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+        (lit(1).cast("decimal(4,2)") - rate(col("l_discount")))) * 10000)
+        .cast("long").as("part_fp"))
+    val total = rev.agg(sum(col("part_fp")).cast("long").as("total_fp"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("part_fp") * 2000 > col("total_fp"))
+      .select(
+        col("l_partkey"),
+        (col("part_fp").cast("double") / 10000d).as("revenue"),
+        expr("part_fp DIV greatest(total_fp DIV 10000, 1)").as("share_bp"))
+  }
+
+  val qShareThresholdSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS part_fp
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(SUM(part_fp) AS BIGINT) AS total_fp FROM rev)
+      |SELECT l_partkey,
+      |  CAST(part_fp AS DOUBLE) / 10000 AS revenue,
+      |  part_fp // greatest(total_fp // 10000, 1) AS share_bp
+      |FROM rev CROSS JOIN t
+      |WHERE part_fp * 2000 > total_fp
+      |ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_share_threshold" -> qShareThreshold _,
     "q_unpivot"       -> qUnpivot _,
     "q_range_frame"   -> qRangeFrame _,
     "q_grouped_concat" -> qGroupedConcat _,
@@ -628,6 +678,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_share_threshold" -> qShareThresholdSql,
     "q_unpivot"       -> qUnpivotSql,
     "q_range_frame"   -> qRangeFrameSql,
     "q_grouped_concat" -> qGroupedConcatSql,

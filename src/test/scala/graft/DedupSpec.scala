@@ -110,6 +110,45 @@ class DedupSpec extends SparkSpec {
     assert(rows.size === 6, "every document gets a verdict row")
   }
 
+  test("incrementalDedup: arrivals dedup against the persisted index, corpus never shuffles") {
+    val s = spark
+    import s.implicits._
+    val corpus = docsDir(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "completely different content about spark partitions and shuffle behavior",
+      3L -> "a third unrelated document mentioning parquet files and column pruning"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.buildDedupIndex(spark, corpus, idx)
+
+    val arrivals = Seq(
+      // near-dup of corpus doc 1 (one word changed)
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      // genuinely new
+      11L -> "entirely novel text with no overlap whatsoever in any shingle window"
+    ).toDF("doc_id", "text")
+
+    val served = Dedup.incrementalDedup(spark, idx, arrivals)
+    val got = served.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 2, "one verdict per arrival")
+    assert(got(10L).getBoolean(1) && got(10L).getLong(2) === 1L,
+      "the near-dup arrival must match corpus doc 1")
+    assert(got(10L).getDouble(3) >= 0.6, "planted pair sits above the verify threshold")
+    assert(!got(11L).getBoolean(1) && got(11L).isNullAt(2),
+      "the novel arrival must pass clean")
+
+    // serve-plan contract: the index side is probed by broadcasts —
+    // it must never hash-shuffle (that would re-partition the corpus
+    // per increment)
+    // the rendered AQE plan appends the pre-adaptive "Initial Plan" —
+    // judge the FINAL plan only
+    val p = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"increment joins must broadcast, never sort-merge the index:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"band probe, sig fetch and verify must all be broadcast joins:\n$p")
+  }
+
   test("embedding LSH dedup flags planted near-identical vectors") {
     val s = spark
     import s.implicits._

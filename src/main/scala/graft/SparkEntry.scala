@@ -116,6 +116,7 @@ object SparkEntry {
     "q_len_hist"        -> Seq("lang", "bin"),
     "q_grouping_sets"   -> Seq("year_g", "priority_g"),
     "q_share_threshold" -> Seq("l_partkey"),
+    "q_dow_hour_heatmap" -> Seq("dow", "hour"),
     "q_hll_union"       -> Seq("event_type"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),

@@ -581,7 +581,39 @@ object Analytics {
        |ORDER BY n_users DESC, path
        |LIMIT $PathTopK""".stripMargin
 
+  /** Day-of-week × hour activity heatmap — the weekly-rhythm panel on
+    * every operations dashboard (when do users actually show up?).
+    * Integer keys: dow is Spark's 1=Sunday convention (the oracle
+    * shifts DuckDB's 0=Sunday by +1, SURVEY §4), hour from integer
+    * epoch-ms arithmetic — no timezone-dependent calendar call.
+    * ONE partial-aggregated corpus shuffle into a 7×24-bounded key
+    * space; distinct users ride the same shuffle as Spark's two-phase
+    * expansion.
+    */
+  def qDowHourHeatmap(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .select(
+        dayofweek(timestamp_millis(col("ts_ms"))).as("dow"),
+        expr("(ts_ms DIV 3600000) % 24").as("hour"),
+        col("user_id"), col("value"))
+      .groupBy("dow", "hour")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+
+  val qDowHourHeatmapSql: String =
+    """SELECT dayofweek(ts) + 1 AS dow,
+      |  (epoch_ms(ts) // 3600000) % 24 AS hour,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY dow, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dow_hour_heatmap" -> qDowHourHeatmap _,
     "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
     "q_funnel"     -> qFunnel _,
@@ -595,6 +627,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_dow_hour_heatmap" -> qDowHourHeatmapSql,
     "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,
     "q_funnel"     -> qFunnelSql,

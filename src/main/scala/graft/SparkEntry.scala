@@ -132,7 +132,8 @@ object SparkEntry {
     "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
     "q_ann_ivf"         -> Seq("query_id", "rnk"),
-    "q_ann_quantized"   -> Seq("query_id", "rnk")
+    "q_ann_quantized"   -> Seq("query_id", "rnk"),
+    "q_ann_recall"      -> Seq("query_id")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -478,7 +478,32 @@ object Ann {
        |FROM ex GROUP BY dim
        |ORDER BY dim""".stripMargin
 
+  /** Self-auditing ANN: per-query recall of the LSH scale path against
+    * the exact brute-force baseline — the number an ANN deployment
+    * watches continuously (recall silently decays as the corpus
+    * drifts away from the index's trained/assumed distribution; this
+    * row makes the decay a queryable table instead of a spec-time
+    * assertion). recall_bp is fixed-point basis points of top-[[K]]
+    * overlap. AnnSpec pins thresholds; this row surfaces the same
+    * measurement through the driver's rows-check.
+    *
+    * Shape at scale: both sides are the already-audited top-k plans
+    * (broadcast probes, no corpus self-shuffle); the overlap join is
+    * queries×k-sized — negligible.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = qAnnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = qAnnLsh(s, dir)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(lsh, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("n2")).as("n_overlap"))
+      .select(col("query_id"), col("k"), col("n_overlap"),
+        expr("(n_overlap * 10000) DIV k").as("recall_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall"      -> qAnnRecall _,
     "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,
     "q_ann_bruteforce" -> qAnnBruteforce _,

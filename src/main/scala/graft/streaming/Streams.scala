@@ -78,6 +78,24 @@ object Streams {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked tumbling-window DISTINCT-USER reach via the HLL++
+    * sketch — the streaming face of the re-aggregatable-sketch
+    * contract (`q_hll_union` is the batch rollup): exact streaming
+    * distinct would hold every user id per open window in the state
+    * store (unbounded at 100 TB); the sketch holds ~KB per (window,
+    * type) regardless of traffic, and rsd=0.01 keeps the estimate
+    * inside 5% gates with ≥5σ margin. Input needs (ts: timestamp,
+    * event_type, user_id).
+    */
+  def tumblingUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_est"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_users_est"))
+
   /** Streaming exact dedup — the continuous twin of the batch
     * `Dedup.qDedupExact`: documents arriving on a stream are deduped
     * on their normalized-content hash with

@@ -71,6 +71,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingUsers: sketch distinct matches exact reach on a small window") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("user_id"))
+    val q = Streams.tumblingUsers(events)
+      .writeStream.format("memory").queryName("tusers").outputMode("append").start()
+    try {
+      // window [0,1h): users {7, 8} on clicks (user 7 twice — distinct!)
+      ms.addData((10L * 60 * 1000, "click", 7L), (20L * 60 * 1000, "click", 7L),
+        (30L * 60 * 1000, "click", 8L))
+      q.processAllAvailable()
+      ms.addData((FarFuture, "sentinel", 0L))
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT window_start_ms, n_users_est FROM tusers
+          |WHERE event_type = 'click'""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // HLL++ is exact in its sparse regime — tiny cardinalities must
+      // not drift at all
+      assert(got.toSeq === Seq((0L, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupe: normalized duplicates within the watermark horizon are dropped") {
     val s = spark
     import s.implicits._

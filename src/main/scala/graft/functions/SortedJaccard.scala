@@ -52,3 +52,44 @@ object SortedJaccard {
   def column(a: Column, b: Column): Column =
     GraftBridge.column(SortedJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Intersection SIZE of two sorted distinct long arrays — same
+  * allocation-free merge as [[SortedJaccard]], returning the raw count
+  * so callers can derive DIRECTIONAL similarities (containment
+  * |A∩B|/|A|), which symmetric Jaccard destroys.
+  */
+case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sorted_overlap"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedOverlap.overlap(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedOverlap.overlap($a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedOverlap {
+  def overlap(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  def column(a: Column, b: Column): Column =
+    GraftBridge.column(SortedOverlap(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

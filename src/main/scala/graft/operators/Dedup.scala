@@ -411,6 +411,55 @@ object Dedup {
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
   }
 
+  private val RareDfCap = 20L
+  private val ContainThreshold = 0.8
+
+  /** Containment dedup — the ASYMMETRIC near-dup family member:
+    * |A∩B| / min(|A|,|B|) ≥ [[ContainThreshold]] flags a document
+    * substantially CONTAINED in another (quote extraction, chunked
+    * re-posts, boilerplate wrappers). MinHash banding cannot surface
+    * these candidates — its collision probability tracks symmetric
+    * Jaccard, and a short doc inside a long one has LOW Jaccard by
+    * construction — so candidates come from a RARE-SHINGLE inverted
+    * join instead: pairs sharing any word-3-gram with corpus
+    * df ∈ [2, [[RareDfCap]]]. A contained doc shares ALL its shingles
+    * with its container, so any of its rare shingles is a candidate
+    * hook; only a doc made entirely of corpus-boilerplate shingles
+    * escapes, and its containment verdict is meaningless anyway.
+    *
+    * Shape at scale: the inverted join shuffles on the shingle hash;
+    * the df cap bounds pair fan-out at Σ df² ≤ cap·|instances| —
+    * LINEAR in the corpus, never quadratic (the df filter is also the
+    * hot-shingle guard: boilerplate shingles are exactly the ones
+    * dropped). Verify is the allocation-free
+    * [[graft.functions.SortedOverlap]] merge on the sorted sets.
+    */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordNgramHashes
+    val sets = docs(s, dir)
+      .select(col("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= RareDfCap)
+      .select(col("g"))
+    val hooked = inv.join(rare, "g")
+    val cand = hooked.alias("a")
+      .join(hooked.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SortedOverlap.column(col("sh_a"), col("sh_b")).as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainThreshold)
+  }
+
   // ------------------------------------------------------------------
   // Persisted near-dup signature index: build once over the corpus,
   // dedup every new increment against it WITHOUT touching raw corpus
@@ -500,6 +549,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,

@@ -110,6 +110,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.size === 6, "every document gets a verdict row")
   }
 
+  test("containment dedup flags a doc embedded in a longer one that Jaccard banding misses") {
+    val small = "unusual proton gradient measurement station delta reading seven"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> small,
+      2L -> s"$filler $small", // contains doc 1 verbatim; Jaccard ≈ 0.15
+      3L -> "completely unrelated words about parquet pruning and shuffles",
+      4L -> (1 to 30).map(i => s"other$i").mkString(" ")))
+    val got = Dedup.qDedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSeq
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.99 },
+      s"the embedded doc must be flagged fully contained, got $got")
+    assert(got.forall { case (a, b, _) => (a, b) == (1L, 2L) },
+      s"no other pair is contained: $got")
+    // the symmetric-Jaccard path must NOT see this pair (that's the
+    // point of the containment family member)
+    val j = Dedup.qDedupMinhash(spark, dir).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "minhash banding at J>=0.6 must miss the low-Jaccard contained pair")
+  }
+
   test("incrementalDedup: arrivals dedup against the persisted index, corpus never shuffles") {
     val s = spark
     import s.implicits._

@@ -59,6 +59,20 @@ object PropertyProps extends Properties("graft-primitives") {
       graft.functions.SortedJaccard.jaccard(xs.toArray, ys.toArray) == expected
     }
 
+  property("SortedOverlap == set intersection size, consistent with Jaccard") =
+    forAll(nonNegLongs, nonNegLongs) { (xs0, ys0) =>
+      val xs = xs0.map(_.abs).distinct.sorted
+      val ys = ys0.map(_.abs).distinct.sorted
+      val inter = graft.functions.SortedOverlap.overlap(xs.toArray, ys.toArray)
+      val expected = xs.toSet.intersect(ys.toSet).size.toLong
+      val union = xs.length + ys.length - inter
+      val jConsistent =
+        if (union == 0) true
+        else graft.functions.SortedJaccard.jaccard(xs.toArray, ys.toArray) ==
+          inter.toDouble / union
+      inter == expected && inter <= math.min(xs.length, ys.length) && jConsistent
+    }
+
   property("identical strings produce identical char-ngram structures") =
     forAll(Gen.asciiPrintableStr) { s =>
       // coeffs-independent smoke at the JVM level: fingerprint equality

@@ -117,6 +117,8 @@ object SparkEntry {
     "q_grouping_sets"   -> Seq("year_g", "priority_g"),
     "q_share_threshold" -> Seq("l_partkey"),
     "q_dow_hour_heatmap" -> Seq("dow", "hour"),
+    "q_session_stats"   -> Seq("dur_bucket_5m"),
+    "q_tokenizer_stats" -> Seq("lang"),
     "q_hll_union"       -> Seq("event_type"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),

@@ -434,7 +434,44 @@ object Temporal {
       |FROM isl GROUP BY user_id, island_id
       |ORDER BY user_id, island_id""".stripMargin
 
+  /** Session-duration distribution — the rollup every sessionization
+    * consumer draws (how long and how heavy is a session?): composed
+    * OVER [[qSessionize]] (composition proven by the oracle replaying
+    * the full pipeline, like `q_filter_pipeline`). Integer-second
+    * duration buckets (DIV — both engines truncate identically);
+    * averages are exact integer sums divided once as doubles.
+    *
+    * Shape at scale: qSessionize's one user_id shuffle produces
+    * session-sized rows; the bucket rollup partial-aggregates into a
+    * duration-bounded key space. Nothing new touches raw events.
+    */
+  def qSessionStats(s: SparkSession, dir: String): DataFrame =
+    qSessionize(s, dir)
+      .select(
+        expr("(session_end_ms - session_start_ms) DIV 300000").as("dur_bucket_5m"),
+        col("n_events"),
+        (col("session_end_ms") - col("session_start_ms")).as("dur_ms"))
+      .groupBy(col("dur_bucket_5m"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+        (sum(col("dur_ms")).cast("double") / count(lit(1))).as("avg_dur_ms"))
+
+  val qSessionStatsSql: String = {
+    val sess = qSessionizeSql.replace("ORDER BY user_id, session_id", "")
+    s"""WITH s AS ($sess)
+       |SELECT (session_end_ms - session_start_ms) // 300000 AS dur_bucket_5m,
+       |  COUNT(*) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+       |  CAST(SUM(session_end_ms - session_start_ms) AS DOUBLE) / COUNT(*) AS avg_dur_ms
+       |FROM s GROUP BY 1
+       |ORDER BY dur_bucket_5m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_stats"     -> qSessionStats _,
     "q_interval_coalesce" -> qIntervalCoalesce _,
     "q_streak_islands" -> qStreakIslands _,
     "q_disorder_stats" -> qDisorderStats _,
@@ -448,6 +485,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_stats"     -> qSessionStatsSql,
     "q_interval_coalesce" -> qIntervalCoalesceSql,
     "q_streak_islands"  -> qStreakIslandsSql,
     "q_disorder_stats"  -> qDisorderStatsSql,

@@ -1145,6 +1145,50 @@ object TextOps {
        |FROM r GROUP BY 1
        |ORDER BY shard""".stripMargin
 
+  /** Tokenizer-efficiency report per language: corpus chars, BPE-ish
+    * tokens, and fixed-point chars-per-token / tokens-per-word ratios
+    * — the fertility metric that decides whether a tokenizer is
+    * acceptable for a language before training on it (high
+    * chars-per-token = cheap; low = the language pays more compute
+    * per character). Ratios are DIV fixed-point (×1000) on exact
+    * integer sums — bit-identical cross-engine.
+    *
+    * Shape at scale: map-only token counting (the same shared regex
+    * as [[qTokenCount]]), one partial-aggregated shuffle into a
+    * |langs|-sized key space.
+    */
+  def qTokenizerStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("bpe"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("words"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("bpe")).as("total_bpe_tokens"),
+        sum(col("words")).as("total_words"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_bpe_tokens"), col("total_words"),
+        expr("(total_chars * 1000) DIV total_bpe_tokens").as("chars_per_token_x1000"),
+        expr("(total_bpe_tokens * 1000) DIV total_words").as("tokens_per_word_x1000"))
+
+  val qTokenizerStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT) AS bpe,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS words
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       |  CAST(SUM(words) AS BIGINT) AS total_words,
+       |  (CAST(SUM(chars) AS BIGINT) * 1000) // CAST(SUM(bpe) AS BIGINT) AS chars_per_token_x1000,
+       |  (CAST(SUM(bpe) AS BIGINT) * 1000) // CAST(SUM(words) AS BIGINT) AS tokens_per_word_x1000
+       |FROM t GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   private val UniformSampleK = 200
 
   /** Deterministic fixed-size uniform sample: the [[UniformSampleK]]
@@ -1257,6 +1301,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_uniform"    -> qSampleUniform _,
     "q_len_hist"          -> qLenHist _,
+    "q_tokenizer_stats"   -> qTokenizerStats _,
     "q_bigram_topk"       -> qBigramTopk _,
     "q_train_test_split"  -> qTrainTestSplit _,
     "q_oov_rate"          -> qOovRate _,
@@ -1288,6 +1333,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_sample_uniform"    -> qSampleUniformSql,
     "q_len_hist"          -> qLenHistSql,
+    "q_tokenizer_stats"   -> qTokenizerStatsSql,
     "q_bigram_topk"       -> qBigramTopkSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,

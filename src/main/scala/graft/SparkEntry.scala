@@ -21,7 +21,7 @@ object SparkEntry {
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
       Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries ++ Audit.queries ++
-      Segments.queries
+      Segments.queries ++ Multimodal.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -119,6 +119,7 @@ object SparkEntry {
     "q_dow_hour_heatmap" -> Seq("dow", "hour"),
     "q_session_stats"   -> Seq("dur_bucket_5m"),
     "q_tokenizer_stats" -> Seq("lang"),
+    "q_media_pipeline"  -> Seq("media_type"),
     "q_hll_union"       -> Seq("event_type"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),

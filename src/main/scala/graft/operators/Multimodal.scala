@@ -124,4 +124,47 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("n_frames"), size(col("feature")).as("feature_dim"))
   }
+
+  /** SURVEY §2 row 117 — the whole media pipeline as one queryable
+    * plan: synthesize media columns, decode (per-partition codec
+    * init), resize into a 512×512 box, frame-sample with a
+    * per-modality stride (images decode to 1 frame; audio "frames"
+    * are samples, so the stride is sample-rate-sized — output
+    * cardinality stays plannable per the [[frameSample]] contract),
+    * then roll the frame corpus up per media type. Rows-only check
+    * (the typed mapPartitions path is deliberately outside SQL); the
+    * per-stage semantics are spec-tested in MultimodalSpec — this row
+    * exists so the END-TO-END composition runs under the driver's
+    * gate too.
+    *
+    * Shape at scale: every stage is map-only; the ONLY shuffle is the
+    * final |media_type|-sized rollup. The 1→N frame explosion happens
+    * inside mapPartitions — no Generate of the binary payload, and
+    * payload bytes never survive past decode.
+    */
+  def qMediaPipeline(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Ingest.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"))
+      .as[MediaRow]
+    val decoded = resize(decode(media), maxW = 512, maxH = 512)
+    val img = frameSample(decoded.filter(col("media_type") === "image/png").as[Decoded], 1)
+    val vid = frameSample(decoded.filter(col("media_type") === "video/mp4").as[Decoded], 8)
+    val aud = frameSample(decoded.filter(col("media_type") === "audio/wav").as[Decoded], 8000)
+    img.unionAll(vid).unionAll(aud)
+      .groupBy(col("media_type"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames_sampled"),
+        max(col("frame_idx")).as("max_frame_idx"),
+        min(size(col("feature"))).as("feature_dim"))
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q_media_pipeline" -> qMediaPipeline _)
 }

@@ -87,7 +87,12 @@ object SparkEntry {
     "q_gap_fill"        -> Seq("d"),
     "q_grouped_concat"  -> Seq("l_orderkey"),
     "q_mode"            -> Seq("o_custkey"),
-    "q_asof_dim"        -> Seq("l_orderkey", "l_linenumber"),
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // lineitem — sf0.1 surfaced duplicate line numbers whose rows
+    // differ in shipdate, so the sort needs the date to be total
+    // (remaining ties are full-row identical: every output column is
+    // a function of orderkey + shipdate)
+    "q_asof_dim"        -> Seq("l_orderkey", "l_linenumber", "l_shipdate"),
     "q_train_test_split" -> Seq("split", "lang"),
     "q_oov_rate"        -> Seq("doc_id"),
     "q_shard_plan"      -> Seq("shard"),

@@ -535,7 +535,7 @@ object StarSchema {
       |  AND (scd.valid_to IS NULL OR l.l_shipdate < scd.valid_to)
       |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
       |  AND l.l_shipdate < TIMESTAMP '1995-04-01'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_dim"        -> qAsofDim _,

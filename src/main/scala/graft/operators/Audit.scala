@@ -336,7 +336,69 @@ object Audit {
        |FROM t ORDER BY digit""".stripMargin
   }
 
+  /** Distribution-drift screen (two-sample Kolmogorov-Smirnov) between
+    * the 1995 and 1996 order-value cohorts: the "did this reload
+    * change the data's shape?" check that row counts and checksums
+    * ([[qChecksum]]) cannot see. The KS statistic
+    * max|CDF₁ − CDF₂| is computed EXACTLY in integers on the binned
+    * value histogram: the difference is cross-multiplied
+    * (|cum₁·n₂ − cum₂·n₁|, the [[graft.operators.Temporal]]
+    * rate-anomaly device) so no division happens until the single
+    * final fixed-point report. Headroom: cum·n < 2⁶³ holds to ~3·10⁹
+    * rows per cohort — beyond that, pre-divide the counts.
+    *
+    * Shape at scale: ONE partial-aggregated corpus shuffle into the
+    * (bin)-keyed histogram (value-range-bounded, not data-bounded);
+    * the CDF windows and the max-reduce run on that bounded histogram
+    * — same bounded-window argument as [[qMadOutlier]].
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ord = Ingest.table(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("int").as("y"),
+        floor(col("o_totalprice") / 1000d).as("bin"))
+      .filter(col("y").isin(1995, 1996))
+    val hist = ord.groupBy(col("bin"))
+      .agg(
+        sum(when(col("y") === 1995, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 1996, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .withColumn("n1", sum("c1").over(Window.partitionBy()))
+      .withColumn("n2", sum("c2").over(Window.partitionBy()))
+      .groupBy(col("n1"), col("n2"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("max_cross_diff"))
+      .select(col("n1"), col("n2"), col("n_bins"), col("max_cross_diff"),
+        expr("max_cross_diff DIV greatest((n1 * n2) DIV 1000000, 1)").as("ks_ppm"))
+  }
+
+  val qKsDriftSql: String =
+    """WITH b AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |    CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin
+      |  FROM orders WHERE CAST(year(o_orderdate) AS INT) IN (1995, 1996)),
+      |hist AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM b GROUP BY bin),
+      |cdf AS (
+      |  SELECT
+      |    CAST(SUM(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+      |    CAST(SUM(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      |  FROM hist)
+      |SELECT n1, n2, COUNT(*) AS n_bins,
+      |  MAX(ABS(cum1 * n2 - cum2 * n1)) AS max_cross_diff,
+      |  MAX(ABS(cum1 * n2 - cum2 * n1)) // greatest((n1 * n2) // 1000000, 1) AS ks_ppm
+      |FROM cdf GROUP BY n1, n2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift"         -> qKsDrift _,
     "q_benford"          -> qBenford _,
     "q_profile"          -> qProfile _,
     "q_checksum"         -> qChecksum _,
@@ -344,6 +406,7 @@ object Audit {
     "q_constraint_check" -> qConstraintCheck _)
 
   def oracle: Map[String, String] = Map(
+    "q_ks_drift"         -> qKsDriftSql,
     "q_benford"          -> qBenfordSql,
     "q_profile"          -> qProfileSql,
     "q_checksum"         -> qChecksumSql,

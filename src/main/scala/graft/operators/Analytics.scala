@@ -581,6 +581,146 @@ object Analytics {
        |ORDER BY n_users DESC, path
        |LIMIT $PathTopK""".stripMargin
 
+  /** Gap-filled daily order counts — the shared calendar series for
+    * [[qAutocorr]] and [[qChangepoint]] (a missing calendar day IS a
+    * zero observation for timeseries statistics; skipping it would
+    * bias lag pairs and split means).
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    val daily = Ingest.table(s, dir, "orders")
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Lag-1 autocorrelation of daily order volume — "does yesterday
+    * predict today?", the first diagnostic before any forecasting
+    * model. Pearson r over (xₜ, xₜ₊₁) pairs of the GAP-FILLED daily
+    * series, from exact integer moment sums (counts are integers, so
+    * every sum is a BIGINT — associative, partition-safe) with the
+    * identical final IEEE expression tree in both engines (the
+    * [[graft.operators.ScaleOps.qStatsMoments]] device).
+    *
+    * Shape at scale: one corpus shuffle to calendar-bounded daily
+    * rows; the lag window and moment aggregate run on that bounded
+    * series.
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val pairs = dailySeries(s, dir)
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    val g = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val (nD, sxD, syD) =
+      (col("n_pairs").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+    val (sxxD, syyD, sxyD) =
+      (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    g.select(col("n_pairs"),
+      (sxD / nD).as("mean_x"),
+      ((nD * sxyD - sxD * syD) /
+        sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("autocorr_lag1"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(o_orderdate) // 86400000 AS day, COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |cal AS (
+      |  SELECT unnest(range(lo, hi + 1)) AS day
+      |  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)),
+      |ser AS (
+      |  SELECT cal.day, COALESCE(daily.x, 0) AS x
+      |  FROM cal LEFT JOIN daily ON cal.day = daily.day),
+      |pairs AS (
+      |  SELECT x, LEAD(x) OVER (ORDER BY day) AS y FROM ser),
+      |g AS (
+      |  SELECT COUNT(*) AS n_pairs,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pairs WHERE y IS NOT NULL)
+      |SELECT n_pairs,
+      |  CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean_x,
+      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr_lag1
+      |FROM g""".stripMargin
+
+  /** Level-shift changepoint over daily order volume (CUSUM flavor):
+    * the calendar day whose before/after split maximizes the mean
+    * difference — "when did the data change?", run after every reload
+    * or pipeline cutover. The split score |cum·(n−k) − (tot−cum)·k|
+    * is the cross-multiplied mean gap — pure integers, no division
+    * until the fixed-point report (pre-scaled denominator, so no
+    * overflow at any corpus size); the argmax tie-breaks on day in
+    * both engines.
+    *
+    * Shape at scale: the corpus collapses to the calendar-bounded
+    * daily series first; every window (prefix sums, argmax rank) runs
+    * on that bounded input.
+    */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val ser = dailySeries(s, dir)
+      .withColumn("k", count(lit(1)).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum", sum("x").over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum("x").over(Window.partitionBy()))
+      .filter(col("k") < col("n")) // a split needs a non-empty right side
+      .withColumn("score",
+        abs(col("cum") * (col("n") - col("k")) - (col("tot") - col("cum")) * col("k")))
+    ser
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("day"))))
+      .filter(col("r") === 1)
+      .select(
+        col("day").as("split_day"), col("k").as("n_days_before"),
+        (col("n") - col("k")).as("n_days_after"),
+        (col("cum").cast("double") / col("k")).as("mean_before"),
+        ((col("tot") - col("cum")).cast("double") / (col("n") - col("k"))).as("mean_after"),
+        expr("score DIV greatest((k * (n - k)) DIV 1000000, 1)").as("score_ppm"))
+  }
+
+  val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(o_orderdate) // 86400000 AS day, COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |cal AS (
+      |  SELECT unnest(range(lo, hi + 1)) AS day
+      |  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)),
+      |ser AS (
+      |  SELECT cal.day, COALESCE(daily.x, 0) AS x
+      |  FROM cal LEFT JOIN daily ON cal.day = daily.day),
+      |pre AS (
+      |  SELECT day,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+      |    CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER () AS BIGINT) AS tot
+      |  FROM ser),
+      |scored AS (
+      |  SELECT day, k, cum, n, tot,
+      |    ABS(cum * (n - k) - (tot - cum) * k) AS score
+      |  FROM pre WHERE k < n),
+      |best AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, day) AS r FROM scored)
+      |SELECT day AS split_day, k AS n_days_before, n - k AS n_days_after,
+      |  CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+      |  CAST(tot - cum AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_after,
+      |  score // greatest((k * (n - k)) // 1000000, 1) AS score_ppm
+      |FROM best WHERE r = 1""".stripMargin
+
   /** Day-of-week × hour activity heatmap — the weekly-rhythm panel on
     * every operations dashboard (when do users actually show up?).
     * Integer keys: dow is Spark's 1=Sunday convention (the oracle
@@ -613,6 +753,8 @@ object Analytics {
       |ORDER BY dow, hour""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr"   -> qAutocorr _,
+    "q_changepoint" -> qChangepoint _,
     "q_dow_hour_heatmap" -> qDowHourHeatmap _,
     "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
@@ -627,6 +769,8 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_autocorr"   -> qAutocorrSql,
+    "q_changepoint" -> qChangepointSql,
     "q_dow_hour_heatmap" -> qDowHourHeatmapSql,
     "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,

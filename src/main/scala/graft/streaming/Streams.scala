@@ -255,6 +255,74 @@ object Streams {
         })
   }
 
+  /** One observed (hour, count) bucket in the rate-anomaly state. */
+  case class HourCount(hour: Long, n: Long)
+
+  /** Per-event-type spike state: trailing observed-hour counts plus
+    * the highest hour already emitted (monotonic — a late event for an
+    * emitted hour cannot rewind a verdict).
+    */
+  case class RateState(counts: Seq[HourCount], emittedThrough: Long)
+
+  /** One emitted spike verdict — same shape and spike rule as the
+    * batch `q_rate_anomaly`.
+    */
+  case class SpikeVerdict(event_type: String, hour_id: Long, n: Long,
+                          prior_sum: Long, prior_hours: Long, is_spike: Boolean)
+
+  /** Streaming spike detection — the continuous twin of the batch
+    * `Temporal.qRateAnomaly`: per event type, an hour's volume is
+    * compared against the trailing (up to) 24 OBSERVED hourly buckets
+    * with the identical integer cross-multiplied rule
+    * (n · prior_hours > prior_sum · 3 — no division, no FP). An
+    * hour's verdict emits when a LATER hour's first event proves it
+    * closed (the same gap-proof emit rule as [[sessionize]]); events
+    * arriving for an already-emitted hour are the documented
+    * streaming divergence — the batch twin reconciles.
+    *
+    * State per event type: ≤ 26 (hour, count) pairs + one watermark
+    * long — constant-size at any traffic, sharded by the groupByKey
+    * partitioning.
+    */
+  def rateAnomaly(events: Dataset[TEv]): Dataset[SpikeVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (et: String, it: Iterator[TEv], st: GroupState[RateState]) => {
+          val arrived = it.toSeq.groupBy(_.ts_ms / 3600000L)
+            .map { case (h, es) => h -> es.size.toLong }
+          val prev = st.getOption.getOrElse(RateState(Nil, Long.MinValue))
+          var counts = prev.counts.map(hc => hc.hour -> hc.n).toMap
+          arrived.foreach { case (h, c) =>
+            // a bucket that already emitted stays frozen (no rewind)
+            if (h > prev.emittedThrough) counts += h -> (counts.getOrElse(h, 0L) + c)
+          }
+          if (counts.isEmpty) {
+            st.update(prev)
+            Iterator.empty
+          } else {
+          val maxH = counts.keys.max
+          val hoursAsc = counts.keys.toSeq.sorted
+          // hours proven closed this batch: above the emitted cursor,
+          // strictly before the newest observed hour
+          val toEmit = hoursAsc.filter(h => h > prev.emittedThrough && h < maxH)
+          val out = toEmit.map { h =>
+            val trail = hoursAsc.filter(_ < h).takeRight(24)
+            val priorSum = trail.map(counts).sum
+            val priorHours = trail.size.toLong
+            SpikeVerdict(et, h, counts(h), priorSum, priorHours,
+              priorHours > 0 && counts(h) * priorHours > priorSum * 3)
+          }
+          val emittedThrough = toEmit.lastOption.getOrElse(prev.emittedThrough)
+          // keep the trailing window for future hours; drop the rest
+          val keep = hoursAsc.takeRight(26).map(h => HourCount(h, counts(h)))
+          st.update(RateState(keep, emittedThrough))
+          out.iterator
+          }
+        })
+  }
+
   /** One document on the corpus-ingest wire, with its map-side verdict
     * columns already computed.
     */

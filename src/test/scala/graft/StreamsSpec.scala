@@ -381,6 +381,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Spike-verdict parity: the same events through the streaming
+    * rateAnomaly (hours arriving in order across micro-batches) and
+    * the batch q_rate_anomaly must agree on every closed hour's
+    * verdict — same counts, same trailing stats, same spike flag.
+    */
+  test("rateAnomaly: streamed verdicts match the batch trailing-average rule") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // one event type, hours 0..9: baseline 2 events/hour, hour 7 bursts to 30
+    val perHour = Map(7L -> 30).withDefaultValue(2)
+    var eid = 0L
+    val events = (0L to 9L).flatMap { h =>
+      (1 to perHour(h)).map { _ =>
+        eid += 1
+        Streams.TEv(1L, eid, h * H + (eid % 50) * 1000, "click")
+      }
+    }
+    // batch twin over the identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-rate").toString
+    events.toDF()
+      .select(col("event_id"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Temporal.qRateAnomaly(spark, dir)
+      .filter(col("hour_id") < 9) // the stream can only judge closed hours
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._2)
+
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.rateAnomaly(ms.toDS())
+      .writeStream.format("memory").queryName("spikes").outputMode("append").start()
+    try {
+      val (early, late) = events.partition(_.ts_ms < 5 * H)
+      ms.addData(early: _*)
+      q.processAllAvailable()
+      ms.addData(late: _*) // hours 5..9 arrive; hour 9 stays open
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT event_type, hour_id, n, prior_sum, prior_hours, is_spike
+          |FROM spikes ORDER BY hour_id""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(streamed.toSeq === batch.toSeq,
+        "closed-hour spike verdicts must be identical to the batch rule")
+      assert(streamed.exists(v => v._2 == 7L && v._6),
+        "the planted hour-7 burst must be flagged")
+      assert(streamed.count(_._6) === 1, "only the burst hour spikes")
+    } finally q.stop()
+  }
+
   test("transitionSteps: step stream matches the batch lag across micro-batches") {
     val s = spark
     import s.implicits._

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_session_stats"   -> Seq("dur_bucket_5m"),
     "q_tokenizer_stats" -> Seq("lang"),
     "q_media_pipeline"  -> Seq("media_type"),
+    "q_vocab_coverage"  -> Seq("k"),
     "q_hll_union"       -> Seq("event_type"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),

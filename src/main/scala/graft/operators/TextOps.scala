@@ -498,6 +498,61 @@ object TextOps {
       |ORDER BY n DESC, w
       |LIMIT 50""".stripMargin
 
+  private val CoverageKs = Seq(5, 10, 25, 50)
+
+  /** Vocabulary coverage curve: the fraction of all token INSTANCES a
+    * top-k vocabulary covers, for several k — the Zipf summary that
+    * picks a vocab size ([[qVocabTopk]] lists the words; this says
+    * what keeping them buys). Coverage is fixed-point ppm (integer
+    * DIV on exact counts). One output row per k.
+    *
+    * Shape at scale: the corpus-sized stage is the same Zipf-safe
+    * word-frequency partial aggregate as vocab_topk; the rank window
+    * and the k-battery conditional sums run on the VOCABULARY-sized
+    * count table (the rank is total: (n DESC, w)).
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+    val aggs = sum(col("n")).as("total_tokens") +:
+      countDistinct(col("w")).as("vocab_size") +:
+      CoverageKs.map(k =>
+        sum(when(col("rk") <= k, col("n")).otherwise(lit(0L))).as(s"cov_$k"))
+    val g = vocab.agg(aggs.head, aggs.tail: _*)
+    CoverageKs.map { k =>
+      g.select(lit(k.toLong).as("k"), col("total_tokens"), col("vocab_size"),
+        col(s"cov_$k").as("covered_tokens"),
+        expr(s"(cov_$k * 1000000) DIV total_tokens").as("coverage_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  val qVocabCoverageSql: String = {
+    val rows = CoverageKs.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, total_tokens, vocab_size,
+         |  cov_$k AS covered_tokens,
+         |  (cov_$k * 1000000) // total_tokens AS coverage_ppm
+         |FROM g""".stripMargin
+    }
+    s"""WITH vocab AS (
+       |  SELECT w, COUNT(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk FROM vocab),
+       |g AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |    COUNT(DISTINCT w) AS vocab_size,
+       |    ${CoverageKs.map(k =>
+             s"CAST(COALESCE(SUM(CASE WHEN rk <= $k THEN n END), 0) AS BIGINT) AS cov_$k")
+             .mkString(",\n    ")}
+       |  FROM r)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
+
   /** BPE tokenizer training, round one: corpus-weighted adjacent
     * symbol-pair counts (Sennrich et al. 2016's merge statistic — at
     * round one every symbol is a character, so pairs are 2-char
@@ -1302,6 +1357,7 @@ object TextOps {
     "q_sample_uniform"    -> qSampleUniform _,
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
+    "q_vocab_coverage"    -> qVocabCoverage _,
     "q_bigram_topk"       -> qBigramTopk _,
     "q_train_test_split"  -> qTrainTestSplit _,
     "q_oov_rate"          -> qOovRate _,
@@ -1334,6 +1390,7 @@ object TextOps {
     "q_sample_uniform"    -> qSampleUniformSql,
     "q_len_hist"          -> qLenHistSql,
     "q_tokenizer_stats"   -> qTokenizerStatsSql,
+    "q_vocab_coverage"    -> qVocabCoverageSql,
     "q_bigram_topk"       -> qBigramTopkSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,

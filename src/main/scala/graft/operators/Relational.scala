@@ -622,9 +622,14 @@ object Relational {
     * device); share_bp is fixed-point with the overflow-free
     * pre-scaled denominator (the [[Segments.qPareto]] device).
     *
-    * Shape at scale: ONE corpus shuffle (partkey partial aggregate);
-    * the total is a scalar rollup of that part table; the final
-    * filter+projection is map-side against the broadcast scalar.
+    * Shape at scale: ONE corpus shuffle (partkey partial aggregate),
+    * MATERIALIZED once (eager localCheckpoint — part-sized): the
+    * part table feeds BOTH the scalar total and the final projection,
+    * and Spark's DataFrame DAG re-derives a shared subtree per
+    * consumer (exchange reuse is not dependable across AQE stages —
+    * see plans/Surrogate.scala), which would re-scan the corpus for
+    * the total. The final filter+projection is map-side against the
+    * broadcast scalar.
     */
   def qShareThreshold(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
@@ -632,6 +637,7 @@ object Relational {
       .agg((sum(money(col("l_extendedprice")) *
         (lit(1).cast("decimal(4,2)") - rate(col("l_discount")))) * 10000)
         .cast("long").as("part_fp"))
+      .localCheckpoint(true)
     val total = rev.agg(sum(col("part_fp")).cast("long").as("total_fp"))
     rev.crossJoin(broadcast(total))
       .filter(col("part_fp") * 2000 > col("total_fp"))

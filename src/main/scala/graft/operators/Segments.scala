@@ -48,6 +48,10 @@ object Segments {
         max("day").as("last_day"),
         count(lit(1)).as("frequency"),
         (sum(col("price")) * 100).cast("long").as("cents"))
+      // customer-sized, materialized ONCE: it feeds the corpus-stats
+      // scalar AND the rank chain, and a shared DataFrame subtree is
+      // re-derived per consumer (the corpus would scan twice)
+      .localCheckpoint(true)
     val corpus = cust.agg(max("last_day").as("corpus_day"),
       count(lit(1)).as("n_cust"))
     val base = cust.crossJoin(broadcast(corpus))
@@ -111,6 +115,8 @@ object Segments {
       .groupBy(col("o_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
       .withColumn("neg_cents", -col("cents"))
+      // customer-sized, feeds both the total and the rank (see qRfm)
+      .localCheckpoint(true)
     val ranked = Surrogate.rankedId(spend, Seq("neg_cents", "o_custkey"), "rk")
     val tot = spend.agg(sum("cents").cast("long").as("total_cents"),
       count(lit(1)).as("n_cust"))

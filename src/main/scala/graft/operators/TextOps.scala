@@ -522,12 +522,17 @@ object TextOps {
       countDistinct(col("w")).as("vocab_size") +:
       CoverageKs.map(k =>
         sum(when(col("rk") <= k, col("n")).otherwise(lit(0L))).as(s"cov_$k"))
-    val g = vocab.agg(aggs.head, aggs.tail: _*)
-    CoverageKs.map { k =>
-      g.select(lit(k.toLong).as("k"), col("total_tokens"), col("vocab_size"),
-        col(s"cov_$k").as("covered_tokens"),
-        expr(s"(cov_$k * 1000000) DIV total_tokens").as("coverage_ppm"))
-    }.reduce(_ unionAll _)
+    // ONE aggregate subtree; the k battery explodes from the single
+    // result row (a per-k unionAll would embed — and re-run — the
+    // whole corpus aggregate once per k)
+    val battery = CoverageKs.map(k => s"struct(CAST($k AS BIGINT) AS k, cov_$k AS c)")
+      .mkString("array(", ", ", ")")
+    vocab.agg(aggs.head, aggs.tail: _*)
+      .select(col("total_tokens"), col("vocab_size"),
+        explode(expr(battery)).as("kc"))
+      .select(col("kc.k").as("k"), col("total_tokens"), col("vocab_size"),
+        col("kc.c").as("covered_tokens"),
+        expr("(kc.c * 1000000) DIV total_tokens").as("coverage_ppm"))
   }
 
   val qVocabCoverageSql: String = {

@@ -462,6 +462,27 @@ class PlanSpec extends SparkSpec {
       s"daily sketches must merge via union-agg — never a second raw-event distinct:\n$p")
   }
 
+  test("shared-subtree queries never re-scan the corpus for a second consumer") {
+    // rev/spend/cust feed BOTH a scalar rollup and the main projection;
+    // a shared DataFrame subtree is re-derived per consumer, so these
+    // materialize the reduced table once (localCheckpoint) — the final
+    // plan must contain ZERO parquet scans of the corpus table
+    def corpusScans(name: String, table: String): Int =
+      SparkEntry.plans(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("FileScan parquet") && l.contains(table))
+    assert(corpusScans("q_share_threshold", "lineitem") === 0,
+      "the part-revenue table must be checkpointed, not re-derived for the total")
+    assert(corpusScans("q_pareto", "orders") === 0,
+      "customer spend must be checkpointed, not re-derived for the total")
+    assert(corpusScans("q_rfm", "orders") === 0,
+      "the customer aggregate must be checkpointed ahead of the rank chain")
+    // the k-battery explodes from ONE aggregate row — a per-k union
+    // would scan documents once per k
+    assert(corpusScans("q_vocab_coverage", "documents") === 1,
+      "the coverage battery must share one corpus aggregate")
+  }
+
   test("q_sample_uniform: hash-rank sample is TakeOrdered over a map-only scan") {
     val p = plan("q_sample_uniform")
     assert(p.contains("TakeOrderedAndProject"),

@@ -283,17 +283,20 @@ object Analytics {
   /** Weekly cohort retention: users bucketed by the week of their
     * first activity (integer epoch-day DIV 7 — no calendar functions,
     * so both engines agree trivially), counted once per later week
-    * they return. Three shuffles, each partial-aggregated: min-day
-    * per user, the distinct (user, offset) de-dup, and the tiny final
-    * rollup — the first two share the user_id partitioning. The
-    * output is cohorts × offsets (weeks², bounded by calendar time,
-    * never by data volume).
+    * they return. The cohort day is a per-user MIN WINDOW over the
+    * same user_id partitioning the distinct needs — ONE corpus scan
+    * and one shuffle (the earlier aggregate-then-join spelling
+    * re-derived the corpus subtree for the join side: two scans);
+    * then the (user, offset) de-dup and the tiny final rollup
+    * partial-aggregate. The output is cohorts × offsets (weeks²,
+    * bounded by calendar time, never by data volume).
     */
   def qRetention(s: SparkSession, dir: String): DataFrame = {
-    val days = Ingest.events(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    Ingest.events(s, dir)
       .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
-    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    days.join(cohort, "user_id")
+      .withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
       .select(col("user_id"),
         expr("cohort_day DIV 7").as("cohort_week"),
         expr("(day - cohort_day) DIV 7").as("week_offset"))
@@ -503,9 +506,11 @@ object Analytics {
     * broadcasts the join; 100 TB of orders still moves exactly once.
     */
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    // day-bounded, materialized once — see [[dailySeries]]
     val daily = Ingest.table(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("tot"))
+      .localCheckpoint(true)
     val cal = daily
       .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
@@ -587,9 +592,13 @@ object Analytics {
     * bias lag pairs and split means).
     */
   private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    // day-bounded, materialized ONCE: the calendar bounds and the
+    // left join both consume it, and a shared subtree re-derives per
+    // consumer (the corpus would scan twice)
     val daily = Ingest.table(s, dir, "orders")
       .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
       .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
     val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("day"))
     cal.join(daily, Seq("day"), "left")

@@ -154,9 +154,14 @@ object Audit {
     * non-integer arithmetic is a ·0.5 midpoint, exact in binary.
     */
   def qMadOutlier(s: SparkSession, dir: String): DataFrame = {
+    // histogram-sized (groups × ≤50 values), materialized ONCE: it
+    // feeds the median, the deviation histogram and the outlier count,
+    // and each consumer would otherwise re-derive it from the corpus
+    // (the executed plan showed SEVEN lineitem scans before this)
     val hist = Ingest.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val med = weightedMedian(hist)
       .select(col("flag"), col("med").as("median_qty"), col("n").as("n_rows"))
     val devHist = hist.join(broadcast(med), "flag")

@@ -293,6 +293,9 @@ object TextOps {
       .groupBy("lang")
       .agg(sum("toks").as("n_tokens"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
+      // lang-sized, feeds both the normalizer and the projection — a
+      // shared subtree re-derives per consumer (corpus would scan 2×)
+      .localCheckpoint(true)
     perLang
       .crossJoin(broadcast(perLang.agg(sum("w").as("denom"))))
       .select(col("lang"), col("n_tokens"),

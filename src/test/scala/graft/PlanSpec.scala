@@ -481,6 +481,20 @@ class PlanSpec extends SparkSpec {
     // would scan documents once per k
     assert(corpusScans("q_vocab_coverage", "documents") === 1,
       "the coverage battery must share one corpus aggregate")
+    // tiny-histogram / daily-series / lang-strata re-derivations
+    // (q_mad_outlier's plan held SEVEN lineitem scans before the fix)
+    assert(corpusScans("q_mad_outlier", "lineitem") === 0,
+      "the value histogram must be checkpointed, each median pass re-derived it")
+    assert(corpusScans("q_autocorr", "orders") === 0 &&
+           corpusScans("q_changepoint", "orders") === 0 &&
+           corpusScans("q_gap_fill", "orders") === 0,
+      "the daily series must be checkpointed before the calendar join")
+    assert(corpusScans("q_mix_temperature", "documents") === 0,
+      "lang strata must be checkpointed before the normalizer crossJoin")
+    // retention's cohort comes from a min window on the SAME shuffle,
+    // not an aggregate-then-join re-derivation
+    assert(corpusScans("q_retention", "events") === 1,
+      "retention must scan the corpus exactly once")
   }
 
   test("q_sample_uniform: hash-rank sample is TakeOrdered over a map-only scan") {

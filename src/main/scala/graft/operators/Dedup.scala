@@ -444,8 +444,14 @@ object Dedup {
     */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.WordNgramHashes
+    // the shingle-set table feeds the inverted index AND both verify
+    // sides — materialized once so the signature expression runs one
+    // pass over the corpus (the executed plan held six document scans
+    // before; the persisted [[buildDedupIndex]] is the same idea made
+    // durable across queries)
     val sets = docs(s, dir)
       .select(col("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
+      .localCheckpoint(true)
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= RareDfCap)

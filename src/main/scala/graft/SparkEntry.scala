@@ -143,7 +143,8 @@ object SparkEntry {
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
     "q_ann_ivf"         -> Seq("query_id", "rnk"),
     "q_ann_quantized"   -> Seq("query_id", "rnk"),
-    "q_ann_recall"      -> Seq("query_id")
+    "q_ann_recall"      -> Seq("query_id"),
+    "q_hybrid_search"   -> Seq("query_id", "rnk_kept")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -502,7 +502,36 @@ object Ann {
         expr("(n_overlap * 10000) DIV k").as("recall_bp"))
   }
 
+  /** Hybrid retrieval — the RAG serving pattern: vector recall
+    * (cross-polytope LSH ANN) over-fetches, then each hit joins its
+    * document metadata and is FILTERED by the corpus-build quality
+    * verdict before the final per-query cut. Retrieval quality
+    * compounds: a vector index over unfiltered text serves spam with
+    * perfect cosine similarity — the filter belongs INSIDE the
+    * serving path, not just the training build.
+    *
+    * Shape at scale: ANN candidates are queries×k-sized; the verdict
+    * join probes them AGAINST the doc-keyed quality table (AQE
+    * broadcasts the candidate side — the corpus-sized verdict table
+    * never reshuffles for a lookup this small); the final re-rank is
+    * a window over ≤k rows per query.
+    */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = qAnnLsh(s, dir)
+    val quality = graft.operators.TextOps.qQualityScore(s, dir)
+      .select(col("doc_id").as("neighbor_id"), col("is_keep"), col("n_words"))
+    hits.join(quality, Seq("neighbor_id"), "left")
+      .filter(col("is_keep") === true)
+      .withColumn("rnk_kept", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk_kept") <= 3)
+      .select(col("query_id"), col("rnk_kept"), col("neighbor_id"),
+        col("cosine"), col("n_words"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_search"   -> qHybridSearch _,
     "q_ann_recall"      -> qAnnRecall _,
     "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,

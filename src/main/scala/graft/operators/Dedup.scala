@@ -411,6 +411,40 @@ object Dedup {
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
   }
 
+  /** Corpus dedup executive summary — the one-row report a corpus
+    * build publishes after the dedup stage: document count, unique
+    * content count, duplicate-row count and rate (fixed-point ppm),
+    * and the largest duplicate family. Composed over the SAME
+    * normalized-content hash as [[qDedupExact]] (the oracle replays
+    * the composition); one partial-aggregated shuffle on the hash,
+    * then a grand rollup of the group-sized table.
+    */
+  def qDupSummary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(contentMd5(col("text")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_rows"),
+        max(col("n")).as("largest_family"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_families"))
+      .withColumn("dup_ppm", expr("(n_dup_rows * 1000000) DIV n_docs"))
+
+  val qDupSummarySql: String =
+    """WITH g AS (
+      |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
+      |         COUNT(*) AS n
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_unique,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_rows,
+      |  CAST(MAX(n) AS BIGINT) AS largest_family,
+      |  CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_families,
+      |  (CAST(SUM(n) - COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS dup_ppm
+      |FROM g""".stripMargin
+
   private val RareDfCap = 20L
   private val MinRareHooks = 2L
   private val ContainThreshold = 0.8
@@ -566,6 +600,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_minhash"   -> qDedupMinhash _,
@@ -576,6 +611,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql
     // minhash/simhash/ngram/embedding: rows-only (xxhash64 signatures
     // are not ANSI-SQL-reproducible in DuckDB).

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_len_hist"        -> Seq("lang", "bin"),
     "q_grouping_sets"   -> Seq("year_g", "priority_g"),
     "q_share_threshold" -> Seq("l_partkey"),
+    "q_running_balance" -> Seq("l_partkey", "ship_day", "l_orderkey", "l_linenumber", "qty"),
     "q_dow_hour_heatmap" -> Seq("dow", "hour"),
     "q_session_stats"   -> Seq("dur_bucket_5m"),
     "q_tokenizer_stats" -> Seq("lang"),

@@ -661,7 +661,53 @@ object Relational {
       |WHERE part_fp * 2000 > total_fp
       |ORDER BY l_partkey""".stripMargin
 
+  /** Running balance (expanding window): per part, the cumulative
+    * shipped quantity in ship-date order — the inventory/ledger
+    * primitive (account balances, stock on hand) and the ROWS
+    * UNBOUNDED PRECEDING frame the window family was missing
+    * ([[qWindowRank]] ranks, `q_range_frame` trails by RANGE,
+    * `q_moving_avg` trails by ROWS; this one EXPANDS). Restricted to
+    * a part-key prefix so the demo's output stays reviewable — the
+    * predicate pushes to the parquet scan, which is itself the point:
+    * a keyed balance query reads only its keys' bytes.
+    *
+    * Determinism: the order (ship epoch-day, l_orderkey,
+    * l_linenumber, l_quantity) is total over the filtered rows in
+    * both engines (the q_asof_dim lesson: duplicate (orderkey,
+    * linenumber) pairs exist, so quantity joins the key). One shuffle
+    * on l_partkey; each partition sorts only its parts' history.
+    */
+  def qRunningBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("ship_day", "l_orderkey", "l_linenumber", "qty")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey") < 50)
+      .select(col("l_partkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000").as("ship_day"),
+        qty(col("l_quantity")).cast("long").as("qty"))
+      .withColumn("balance", sum("qty").over(w))
+      .withColumn("n_shipments", count(lit(1)).over(w))
+  }
+
+  val qRunningBalanceSql: String =
+    """SELECT l_partkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  epoch_ms(l_shipdate) // 86400000 AS ship_day,
+      |  CAST(CAST(l_quantity AS DECIMAL(8,2)) AS BIGINT) AS qty,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(8,2)) AS BIGINT)) OVER w AS BIGINT) AS balance,
+      |  COUNT(*) OVER w AS n_shipments
+      |FROM lineitem
+      |WHERE l_partkey < 50
+      |WINDOW w AS (PARTITION BY l_partkey
+      |             ORDER BY epoch_ms(l_shipdate) // 86400000, l_orderkey, l_linenumber,
+      |                      CAST(CAST(l_quantity AS DECIMAL(8,2)) AS BIGINT)
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_partkey, ship_day, l_orderkey, l_linenumber, qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_balance" -> qRunningBalance _,
     "q_share_threshold" -> qShareThreshold _,
     "q_unpivot"       -> qUnpivot _,
     "q_range_frame"   -> qRangeFrame _,
@@ -684,6 +730,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_running_balance" -> qRunningBalanceSql,
     "q_share_threshold" -> qShareThresholdSql,
     "q_unpivot"       -> qUnpivotSql,
     "q_range_frame"   -> qRangeFrameSql,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Cross-query consistency invariants: independent operators that
+  * describe the same underlying facts must agree exactly. These catch
+  * a class of bug the per-query oracle cannot — two queries each
+  * hash-matching their own SQL while silently disagreeing about the
+  * corpus (e.g. a drifted normalization between the dedup summary and
+  * the dedup table).
+  */
+class InvariantSpec extends SparkSpec {
+
+  test("q_dup_summary agrees with q_dedup_exact row for row") {
+    val exact = Dedup.qDedupExact(spark, sf0001)
+    val summary = Dedup.qDupSummary(spark, sf0001).collect().head
+    val nDocs = exact.count()
+    val nDup = exact.filter(col("is_dup")).count()
+    val maxFamily = exact.agg(max("group_size")).collect().head.getLong(0)
+    assert(summary.getLong(0) === nDocs, "n_docs")
+    assert(summary.getLong(2) === nDup, "n_dup_rows")
+    assert(summary.getLong(3) === maxFamily, "largest_family")
+  }
+
+  test("q_pareto deciles partition the customer population; shares telescope") {
+    val rows = Segments.qPareto(spark, sf0001).orderBy("decile").collect()
+    val nCust = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust,
+      "decile customer counts must partition the population")
+    val shares = rows.map(_.getLong(3))
+    assert(shares.zip(shares.drop(1)).forall { case (a, b) => a >= b },
+      "revenue-ranked decile shares must be non-increasing")
+    val lastCum = rows.last.getLong(4)
+    // pre-scaled-denominator DIV truncates slightly low, never high
+    assert(lastCum >= 9990L && lastCum <= 10000L,
+      s"cumulative share must telescope to ~100%: $lastCum bp")
+  }
+
+  test("q_rfm scores stay in 1..5 and the segment code is their concatenation") {
+    val rows = Segments.qRfm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5,
+        s"scores out of band: $r")
+      assert(r.getString(7) === s"$rs$fs$ms", s"segment code drift: $r")
+    }
+  }
+
+  test("q_vocab_coverage is monotone in k and bounded by the total") {
+    val rows = TextOps.qVocabCoverage(spark, sf0001).orderBy("k").collect()
+    val covered = rows.map(_.getLong(3))
+    assert(covered.zip(covered.drop(1)).forall { case (a, b) => a <= b },
+      "coverage must be monotone in k")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)),
+      "covered tokens cannot exceed the total")
+  }
+
+  test("q_running_balance final balances equal the per-part totals") {
+    val bal = Relational.qRunningBalance(spark, sf0001)
+    val finalBal = bal.groupBy("l_partkey")
+      .agg(max(struct(col("n_shipments"), col("balance"))).as("last"))
+      .select(col("l_partkey"), col("last.balance").as("balance"))
+    val totals = bal.groupBy("l_partkey").agg(sum("qty").as("total"))
+    val joined = finalBal.join(totals, "l_partkey")
+      .filter(col("balance") =!= col("total"))
+    assert(joined.count() === 0,
+      "the expanding window's last value must equal the plain group total")
+  }
+}

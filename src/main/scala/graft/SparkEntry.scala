@@ -52,6 +52,7 @@ object SparkEntry {
     "q_sessionize"      -> Seq("user_id", "session_id"),
     "q_asof_join"       -> Seq("purchase_id"),
     "q_interval_join"   -> Seq("purchase_id", "click_id"),
+    "q_attribution"     -> Seq("purchase_id"),
     "q_rate_anomaly"    -> Seq("event_type", "hour_id"),
     "q_cdc_apply"       -> Seq("user_id"),
     "q_skew_agg"        -> Seq("event_type"),

@@ -453,7 +453,11 @@ object Analytics {
     // customer→supplier rows of the bidirectional edge list, decoded
     val cs = eb.filter(col("src") % 2 === 0)
       .select(expr("src DIV 2").as("cust"), expr("dst DIV 2").as("supp"))
-    val nCust = cs.select(countDistinct(col("cust")).as("n_cust"))
+    // customer count from the NODE-sized degree table — a
+    // countDistinct over the edge list re-shuffles every pair row to
+    // answer a question the checkpoint already knows
+    val nCust = deg.filter(col("nd") % 2 === 0)
+      .agg(count(lit(1)).as("n_cust"))
     val pairs = cs.as("x").join(cs.as("y"), Seq("cust"))
       .filter(col("x.supp") < col("y.supp"))
       .groupBy(col("x.supp").as("supp_a"), col("y.supp").as("supp_b"))

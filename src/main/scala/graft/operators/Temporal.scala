@@ -139,6 +139,50 @@ object Temporal {
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Attribution-model comparison: per purchase, the FIRST-touch and
+    * LAST-touch click inside the 1-hour window — the two models every
+    * marketing team argues about, computed in one pass so the
+    * disagreement is itself a queryable column (models_agree).
+    * Composed over [[qIntervalJoin]]'s pair semantics; the fold is
+    * min_by/max_by on (click_ms, click_id) — single-row partial state
+    * per (purchase, map partition), the [[qCdcApply]] device. Ties at
+    * the same millisecond break on click_id in both engines.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    qIntervalJoin(s, dir)
+      .groupBy(col("user_id"), col("purchase_id"), col("purchase_ms"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        min_by(col("click_id"), struct(col("click_ms"), col("click_id"))).as("first_click_id"),
+        max_by(col("click_id"), struct(col("click_ms"), col("click_id"))).as("last_click_id"))
+      .withColumn("models_agree", col("first_click_id") === col("last_click_id"))
+
+  val qAttributionSql: String =
+    """WITH pairs AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms,
+      |    c.event_id AS click_id, epoch_ms(c.ts) AS click_ms
+      |  FROM events p
+      |  JOIN events c
+      |    ON c.user_id = p.user_id
+      |   AND c.event_type = 'click'
+      |   AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+      |   AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      |  WHERE p.event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, purchase_id, purchase_ms, click_id,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY click_ms, click_id) AS rn_first,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY click_ms DESC, click_id DESC) AS rn_last
+      |  FROM pairs)
+      |SELECT user_id, purchase_id, purchase_ms, COUNT(*) AS n_clicks,
+      |  MAX(CASE WHEN rn_first = 1 THEN click_id END) AS first_click_id,
+      |  MAX(CASE WHEN rn_last = 1 THEN click_id END) AS last_click_id,
+      |  MAX(CASE WHEN rn_first = 1 THEN click_id END)
+      |    = MAX(CASE WHEN rn_last = 1 THEN click_id END) AS models_agree
+      |FROM r GROUP BY user_id, purchase_id, purchase_ms
+      |ORDER BY purchase_id""".stripMargin
+
   /** Tumbling-window event aggregation — the batch twin of the
     * Structured Streaming job in [[graft.streaming.Streams]]: 1-hour
     * tumbling windows per event_type.
@@ -471,6 +515,7 @@ object Temporal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution"       -> qAttribution _,
     "q_session_stats"     -> qSessionStats _,
     "q_interval_coalesce" -> qIntervalCoalesce _,
     "q_streak_islands" -> qStreakIslands _,
@@ -485,6 +530,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution"       -> qAttributionSql,
     "q_session_stats"     -> qSessionStatsSql,
     "q_interval_coalesce" -> qIntervalCoalesceSql,
     "q_streak_islands"  -> qStreakIslandsSql,

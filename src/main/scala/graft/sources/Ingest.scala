@@ -63,6 +63,18 @@ object Ingest {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolved parquet read: union the schemas of every file in
+    * the dataset (columns added over the dataset's lifetime read as
+    * NULL in older files) — the contract a long-lived ingest
+    * directory needs once producers start adding fields. Off by
+    * default in Spark because footer-merging costs a pass over every
+    * file's metadata at planning time — which is exactly why it is an
+    * EXPLICIT entry point here and not a global config: at 100 TB you
+    * opt into the planning cost per evolved dataset, not per scan.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC sink (optionally partitioned) — interchange with
     * Hive/Trino-centric lakes that standardize on ORC.
     */

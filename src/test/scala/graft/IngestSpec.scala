@@ -195,6 +195,24 @@ class IngestSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && pruned.count() === 1000L)
   }
 
+  test("parquetEvolved: added columns union across file generations, old files read NULL") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (doc_id, text); generation 2 adds lang
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val df = Ingest.parquetEvolved(spark, dir)
+    assert(df.columns.sorted.toSeq === Seq("doc_id", "lang", "text"),
+      "the merged schema must union both generations")
+    val rows = df.select("doc_id", "text", "lang").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq === Seq((1L, "alpha", None), (2L, "beta", Some("en"))),
+      "generation-1 rows surface the added column as NULL")
+  }
+
   test("exportReportCsv: header + quoting, refuses oversized reports") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_asof_join"       -> Seq("purchase_id"),
     "q_interval_join"   -> Seq("purchase_id", "click_id"),
     "q_attribution"     -> Seq("purchase_id"),
+    "q_gap_hist"        -> Seq("gap_bucket_5m"),
     "q_rate_anomaly"    -> Seq("event_type", "hour_id"),
     "q_cdc_apply"       -> Seq("user_id"),
     "q_skew_agg"        -> Seq("event_type"),

@@ -514,7 +514,46 @@ object Temporal {
        |ORDER BY dur_bucket_5m""".stripMargin
   }
 
+  /** Inter-event gap histogram (5-minute bins, capped at 2 h) — the
+    * distribution that JUSTIFIES a sessionization gap: the session
+    * ttl ([[qSessionize]]'s 30 min) should sit in the valley between
+    * the within-session and between-session modes, and this query is
+    * where you look for that valley. Also the watermark-delay
+    * companion to `q_disorder_stats` (that one measures disorder,
+    * this one measures silence).
+    *
+    * Shape at scale: one user_id shuffle feeds the lag window
+    * (per-user history, the sessionize partitioning); gaps then
+    * partial-aggregate into a ≤25-bin key space.
+    */
+  def qGapHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Ingest.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(least(expr("gap_ms DIV 300000"), lit(24L)).as("gap_bucket_5m"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap_ms").as("min_gap_ms"),
+        max("gap_ms").as("max_gap_ms"))
+  }
+
+  val qGapHistSql: String =
+    """WITH g AS (
+      |  SELECT epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+      |  FROM events)
+      |SELECT LEAST(gap_ms // 300000, 24) AS gap_bucket_5m,
+      |  COUNT(*) AS n_gaps,
+      |  CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+      |  CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY gap_bucket_5m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_hist"          -> qGapHist _,
     "q_attribution"       -> qAttribution _,
     "q_session_stats"     -> qSessionStats _,
     "q_interval_coalesce" -> qIntervalCoalesce _,
@@ -530,6 +569,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gap_hist"          -> qGapHistSql,
     "q_attribution"       -> qAttributionSql,
     "q_session_stats"     -> qSessionStatsSql,
     "q_interval_coalesce" -> qIntervalCoalesceSql,

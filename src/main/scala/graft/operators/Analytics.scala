@@ -280,6 +280,55 @@ object Analytics {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Funnel conversion-rate summary — the three-line executive view
+    * over [[qFunnel]]'s per-user stages: users reaching each stage
+    * and fixed-point conversion from the previous stage and from the
+    * top (basis points, integral DIV). Composed over the verified
+    * funnel (the oracle replays the composition); the rollup input is
+    * user-sized and the output is three rows.
+    */
+  def qFunnelRates(s: SparkSession, dir: String): DataFrame = {
+    val f = qFunnel(s, dir)
+    val g = f.agg(
+      count(lit(1)).as("n_view"),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+    g.select(explode(expr(
+        """array(
+          |  struct(CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+          |         n_view AS n_users, n_view AS prev_users),
+          |  struct(CAST(2 AS BIGINT) AS stage, 'click' AS stage_name,
+          |         n_click AS n_users, n_view AS prev_users),
+          |  struct(CAST(3 AS BIGINT) AS stage, 'purchase' AS stage_name,
+          |         n_purchase AS n_users, n_click AS prev_users))""".stripMargin))
+        .as("r"), col("n_view"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_users").as("n_users"),
+        expr("(r.n_users * 10000) DIV greatest(r.prev_users, 1)").as("conv_prev_bp"),
+        expr("(r.n_users * 10000) DIV greatest(n_view, 1)").as("conv_top_bp"))
+  }
+
+  val qFunnelRatesSql: String = {
+    val f = qFunnelSql.replace("ORDER BY v.user_id", "")
+    s"""WITH f AS ($f),
+       |g AS (
+       |  SELECT COUNT(*) AS n_view,
+       |    CAST(COALESCE(SUM(CASE WHEN stage >= 2 THEN 1 END), 0) AS BIGINT) AS n_click,
+       |    CAST(COALESCE(SUM(CASE WHEN stage >= 3 THEN 1 END), 0) AS BIGINT) AS n_purchase
+       |  FROM f)
+       |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, n_view AS n_users,
+       |  (n_view * 10000) // greatest(n_view, 1) AS conv_prev_bp,
+       |  (n_view * 10000) // greatest(n_view, 1) AS conv_top_bp
+       |FROM g
+       |UNION ALL SELECT 2, 'click', n_click,
+       |  (n_click * 10000) // greatest(n_view, 1),
+       |  (n_click * 10000) // greatest(n_view, 1) FROM g
+       |UNION ALL SELECT 3, 'purchase', n_purchase,
+       |  (n_purchase * 10000) // greatest(n_click, 1),
+       |  (n_purchase * 10000) // greatest(n_view, 1) FROM g
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first activity (integer epoch-day DIV 7 — no calendar functions,
     * so both engines agree trivially), counted once per later week
@@ -768,6 +817,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr"   -> qAutocorr _,
     "q_changepoint" -> qChangepoint _,
+    "q_funnel_rates" -> qFunnelRates _,
     "q_dow_hour_heatmap" -> qDowHourHeatmap _,
     "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
@@ -784,6 +834,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_autocorr"   -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
+    "q_funnel_rates" -> qFunnelRatesSql,
     "q_dow_hour_heatmap" -> qDowHourHeatmapSql,
     "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,

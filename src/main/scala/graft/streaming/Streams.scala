@@ -96,6 +96,37 @@ object Streams {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_users_est"))
 
+  /** Idempotent PUBLISH of streaming window aggregates: the
+    * [[tumblingCounts]] stream lands in a parquet dataset partitioned
+    * by window start, written through `foreachBatch` with DYNAMIC
+    * partition overwrite — each micro-batch rewrites exactly the
+    * window partitions it changed and touches nothing else. That
+    * makes the published dataset correct under at-least-once
+    * micro-batch replays (a replayed batch overwrites its windows
+    * with identical content instead of appending duplicates) — the
+    * exactly-once story for AGGREGATES, sibling of
+    * [[incrementalIngest]]'s exactly-once for row-level transforms.
+    * Update output mode keeps per-batch work proportional to CHANGED
+    * windows, not window history; the watermark bounds both the state
+    * and how far back a partition can still be rewritten.
+    */
+  def publishWindows(events: DataFrame, destDir: String, checkpointDir: String): Unit = {
+    val q = tumblingCounts(events)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.withColumn("wpart", col("window_start_ms"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wpart")
+          .parquet(destDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup — the continuous twin of the batch
     * `Dedup.qDedupExact`: documents arriving on a stream are deduped
     * on their normalized-content hash with

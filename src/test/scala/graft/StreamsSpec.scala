@@ -276,6 +276,60 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publishWindows: dynamic partition overwrite makes window publishes replay-idempotent") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    import s.implicits._
+    val root = JFiles.createTempDirectory("graft-pub").toString
+    val (src, dest, ck) = (s"$root/src", s"$root/dest", s"$root/ck")
+    JFiles.createDirectories(Paths.get(src))
+    var fileNo = 0
+    def deliver(rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = s"$root/tmp$fileNo"
+      rows.toDF("ts_ms", "event_type", "value").coalesce(1).write.parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      JFiles.move(part, Paths.get(s"$src/f$fileNo.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      fileNo += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts_ms BIGINT, event_type STRING, value DOUBLE")
+    def run(checkpoint: String): Unit = Streams.publishWindows(
+      s.readStream.schema(schema).parquet(src)
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"), col("value")),
+      dest, checkpoint)
+    def published(): Map[(Long, String), (Long, Double)] =
+      s.read.parquet(dest)
+        .select("window_start_ms", "event_type", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // run 1: windows [0,1h) and [1h,2h)
+    deliver(Seq((10L * 60 * 1000, "click", 1.0), (H + 5, "click", 2.0)))
+    run(ck)
+    assert(published() === Map(
+      (0L, "click") -> (1L, 1.0), (H, "click") -> (1L, 2.0)))
+
+    // run 2: window [1h,2h) grows, [2h,3h) appears; [0,1h) untouched
+    deliver(Seq((H + 10, "click", 3.0), (2 * H + 1, "click", 4.0)))
+    run(ck)
+    assert(published() === Map(
+      (0L, "click") -> (1L, 1.0),
+      (H, "click") -> (2L, 5.0),
+      (2 * H, "click") -> (1L, 4.0)),
+      "the updated window partition must be REPLACED, never appended")
+
+    // full replay with a fresh checkpoint into the SAME dest: every
+    // partition rewrites with identical content — counts must not double
+    run(s"$root/ck2")
+    assert(published() === Map(
+      (0L, "click") -> (1L, 1.0),
+      (H, "click") -> (2L, 5.0),
+      (2 * H, "click") -> (1L, 4.0)),
+      "a from-scratch replay must converge to the same published table, never doubled")
+  }
+
   test("incrementalIngest: AvailableNow runs are exactly-once over arriving files") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._

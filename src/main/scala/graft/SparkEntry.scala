@@ -117,6 +117,7 @@ object SparkEntry {
     "q_rfm"             -> Seq("o_custkey"),
     "q_pareto"          -> Seq("decile"),
     "q_wow_change"      -> Seq("event_type", "week"),
+    "q_segment_migration" -> Seq("q_from", "q_to"),
     "q_interval_coalesce" -> Seq("user_id", "island_id"),
     "q_benford"         -> Seq("digit"),
     "q_bigram_topk"     -> Seq("lang", "rk"),

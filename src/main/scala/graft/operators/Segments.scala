@@ -202,12 +202,70 @@ object Segments {
       |  ((n_events - prev_events) * 10000) // prev_events AS pct_bp
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  /** Customer spend-quintile MIGRATION between 1995 and 1996 — the
+    * segment-movement matrix behind churn/upgrade dashboards ("how
+    * many top-quintile customers slipped?"). Each year's quintile
+    * comes from the same scale-safe global-rank machinery as
+    * [[qRfm]]; customers active in both years join into a 5×5
+    * transition matrix with the year-over-year spend delta riding
+    * along as exact integer cents.
+    *
+    * Shape at scale: per year, one partial-aggregated corpus shuffle
+    * to customer-sized spend (the year filter pushes to the scan),
+    * checkpointed once (it feeds the count scalar and the rank); the
+    * migration join and matrix rollup run on customer-sized tables.
+    */
+  def qSegmentMigration(s: SparkSession, dir: String): DataFrame = {
+    def quintiles(yr: Int, qName: String, cName: String): DataFrame = {
+      val spend = Ingest.table(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey"))
+        .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as(cName))
+        .withColumn("neg", -col(cName))
+        .localCheckpoint(true)
+      val n = spend.agg(count(lit(1)).as("n_cust"))
+      Surrogate.rankedId(spend.crossJoin(broadcast(n)), Seq("neg", "o_custkey"), "rk")
+        .select(col("o_custkey"), col(cName),
+          (expr("((rk - 1) * 5) DIV n_cust") + 1L).as(qName))
+    }
+    quintiles(1995, "q_from", "cents_1995")
+      .join(quintiles(1996, "q_to", "cents_1996"), "o_custkey")
+      .groupBy(col("q_from"), col("q_to"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents_1996") - col("cents_1995")).as("delta_cents"))
+  }
+
+  val qSegmentMigrationSql: String = {
+    def yearCte(yr: Int, alias: String): String =
+      s"""$alias AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents,
+         |    ROW_NUMBER() OVER (
+         |      ORDER BY -CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT),
+         |               o_custkey) AS rk,
+         |    COUNT(*) OVER () AS n_cust
+         |  FROM orders WHERE year(o_orderdate) = $yr
+         |  GROUP BY o_custkey)""".stripMargin
+    s"""WITH ${yearCte(1995, "a")},
+       |${yearCte(1996, "b")}
+       |SELECT ((a.rk - 1) * 5) // a.n_cust + 1 AS q_from,
+       |  ((b.rk - 1) * 5) // b.n_cust + 1 AS q_to,
+       |  COUNT(*) AS n_customers,
+       |  CAST(SUM(b.cents - a.cents) AS BIGINT) AS delta_cents
+       |FROM a JOIN b ON a.o_custkey = b.o_custkey
+       |GROUP BY 1, 2
+       |ORDER BY q_from, q_to""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_migration" -> qSegmentMigration _,
     "q_rfm"        -> qRfm _,
     "q_pareto"     -> qPareto _,
     "q_wow_change" -> qWowChange _)
 
   def oracle: Map[String, String] = Map(
+    "q_segment_migration" -> qSegmentMigrationSql,
     "q_rfm"        -> qRfmSql,
     "q_pareto"     -> qParetoSql,
     "q_wow_change" -> qWowChangeSql)

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_mad_outlier"     -> Seq("l_returnflag"),
     "q_funnel"          -> Seq("user_id"),
     "q_funnel_rates"    -> Seq("stage"),
+    "q_time_to_convert" -> Seq("latency_bucket_days"),
     "q_transition_matrix" -> Seq("prev_type", "next_type"),
     "q_components"      -> Seq("node_type", "node_id"),
     "q_moving_avg"      -> Seq("d"),

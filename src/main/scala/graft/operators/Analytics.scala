@@ -329,6 +329,38 @@ object Analytics {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Time-to-convert distribution: view→purchase latency per
+    * converting user, in DAILY buckets with a capped tail — the
+    * "how long does the funnel take" histogram that prices retargeting
+    * windows (and the funnel-side sibling of
+    * [[graft.operators.Temporal.qGapHist]]'s session-gap evidence;
+    * first-touch journeys here span days, so the bins are daily where
+    * the gap histogram's are minutes). Composed over [[qFunnel]]; the
+    * oracle replays the composition. Integer milliseconds and
+    * integral DIV end to end.
+    */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame =
+    qFunnel(s, dir)
+      .filter(col("first_purchase_ms").isNotNull)
+      .select((col("first_purchase_ms") - col("first_view_ms")).as("latency_ms"))
+      .groupBy(least(expr("latency_ms DIV 86400000"), lit(14L)).as("latency_bucket_days"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min("latency_ms").as("min_ms"),
+        max("latency_ms").as("max_ms"))
+
+  val qTimeToConvertSql: String = {
+    val f = qFunnelSql.replace("ORDER BY v.user_id", "")
+    s"""WITH f AS ($f)
+       |SELECT LEAST((first_purchase_ms - first_view_ms) // 86400000, 14) AS latency_bucket_days,
+       |  COUNT(*) AS n_users,
+       |  CAST(MIN(first_purchase_ms - first_view_ms) AS BIGINT) AS min_ms,
+       |  CAST(MAX(first_purchase_ms - first_view_ms) AS BIGINT) AS max_ms
+       |FROM f WHERE first_purchase_ms IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY latency_bucket_days""".stripMargin
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first activity (integer epoch-day DIV 7 — no calendar functions,
     * so both engines agree trivially), counted once per later week
@@ -818,6 +850,7 @@ object Analytics {
     "q_autocorr"   -> qAutocorr _,
     "q_changepoint" -> qChangepoint _,
     "q_funnel_rates" -> qFunnelRates _,
+    "q_time_to_convert" -> qTimeToConvert _,
     "q_dow_hour_heatmap" -> qDowHourHeatmap _,
     "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
@@ -835,6 +868,7 @@ object Analytics {
     "q_autocorr"   -> qAutocorrSql,
     "q_changepoint" -> qChangepointSql,
     "q_funnel_rates" -> qFunnelRatesSql,
+    "q_time_to_convert" -> qTimeToConvertSql,
     "q_dow_hour_heatmap" -> qDowHourHeatmapSql,
     "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,

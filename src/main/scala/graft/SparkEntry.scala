@@ -123,6 +123,7 @@ object SparkEntry {
     "q_benford"         -> Seq("digit"),
     "q_bigram_topk"     -> Seq("lang", "rk"),
     "q_embed_stats"     -> Seq("dim"),
+    "q_norm_hist"       -> Seq("norm2_bin"),
     "q_len_hist"        -> Seq("lang", "bin"),
     "q_grouping_sets"   -> Seq("year_g", "priority_g"),
     "q_share_threshold" -> Seq("l_partkey"),

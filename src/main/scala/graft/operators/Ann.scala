@@ -530,7 +530,50 @@ object Ann {
         col("cosine"), col("n_words"))
   }
 
+  /** Vector-norm histogram — the corrupted-export screen
+    * ([[qEmbedStats]]'s per-vector sibling): zeroed, clipped or
+    * double-scaled vectors land in histogram bins far from the
+    * corpus mode. The squared norm is an EXACT integer (components
+    * fixed-pointed at [[CentroidFp]], squares summed as BIGINT — the
+    * [[qCentroidAssign]] arithmetic; headroom 64·(2·2^20)² ≪ 2^63),
+    * binned by integral DIV — bit-identical cross-engine, so this
+    * float-derived audit is fully ORACLE-CHECKED.
+    *
+    * Shape at scale: posexplode + per-vector partial aggregate (one
+    * corpus shuffle on vec_id), then the bounded histogram rollup.
+    */
+  def qNormHist(s: SparkSession, dir: String): DataFrame = {
+    val binW = CentroidFp * CentroidFp // norm² fixed bin: 1.0 in float units
+    Ingest.table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"),
+        expr(s"CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT)").as("f"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("f") * col("f")).as("norm2_fp"))
+      .groupBy(expr(s"norm2_fp DIV $binW").as("norm2_bin"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("norm2_fp").as("min_norm2_fp"),
+        max("norm2_fp").as("max_norm2_fp"))
+  }
+
+  val qNormHistSql: String = {
+    val binW = CentroidFp * CentroidFp
+    s"""WITH ex AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $CentroidFp) AS BIGINT) AS f
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, CAST(SUM(f * f) AS BIGINT) AS norm2_fp
+       |  FROM ex GROUP BY vec_id)
+       |SELECT norm2_fp // $binW AS norm2_bin, COUNT(*) AS n_vecs,
+       |  MIN(norm2_fp) AS min_norm2_fp, MAX(norm2_fp) AS max_norm2_fp
+       |FROM n GROUP BY 1
+       |ORDER BY norm2_bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_norm_hist"       -> qNormHist _,
     "q_hybrid_search"   -> qHybridSearch _,
     "q_ann_recall"      -> qAnnRecall _,
     "q_embed_stats"     -> qEmbedStats _,
@@ -550,6 +593,7 @@ object Ann {
     * accumulation-order dependence.
     */
   val oracle: Map[String, String] = Map(
+    "q_norm_hist"       -> qNormHistSql,
     "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,
     "q_centroid_assign" -> qCentroidAssignSql)

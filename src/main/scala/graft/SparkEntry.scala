@@ -133,6 +133,7 @@ object SparkEntry {
     "q_tokenizer_stats" -> Seq("lang"),
     "q_media_pipeline"  -> Seq("media_type"),
     "q_vocab_coverage"  -> Seq("k"),
+    "q_source_quality"  -> Seq("source"),
     "q_hll_union"       -> Seq("event_type"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),

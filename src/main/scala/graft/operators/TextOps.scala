@@ -1316,6 +1316,49 @@ object TextOps {
        |FROM t GROUP BY lang, toks // $LenHistBin
        |ORDER BY lang, bin""".stripMargin
 
+  /** Per-SOURCE corpus quality profile — the crawl-triage report
+    * ("which sources are junk"): for each ingest source, document
+    * count, corpus share, and the reject-reason mix from the composed
+    * [[qFilterPipeline]] verdicts (fixed-point ppm). This is the row
+    * that turns the per-doc verdict table into the decision a corpus
+    * build actually takes — dropping or re-weighting SOURCES, not
+    * individual documents.
+    *
+    * Shape at scale: the verdict pipeline's branches as audited
+    * there; one extra doc_id-keyed join to fetch the source label,
+    * then a partial-aggregated rollup into a |sources|-sized key
+    * space.
+    */
+  def qSourceQuality(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = qFilterPipeline(s, dir).select(col("doc_id"), col("reject_reason"))
+    val bySource = docs(s, dir).select(col("doc_id"), col("source"))
+      .join(verdicts, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("reject_reason") === "ok", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("reject_reason") === "duplicate", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("reject_reason") === "low_quality", 1L).otherwise(0L)).as("n_low_q"),
+        sum(when(col("reject_reason") === "repetitive", 1L).otherwise(0L)).as("n_repet"))
+    bySource
+      .withColumn("keep_ppm", expr("(n_keep * 1000000) DIV n_docs"))
+  }
+
+  val qSourceQualitySql: String = {
+    val f = qFilterPipelineSql.replace("ORDER BY q.doc_id", "")
+    s"""WITH v AS ($f)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'ok' THEN 1 END), 0) AS BIGINT) AS n_keep,
+       |  CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'duplicate' THEN 1 END), 0) AS BIGINT) AS n_dup,
+       |  CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'low_quality' THEN 1 END), 0) AS BIGINT) AS n_low_q,
+       |  CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'repetitive' THEN 1 END), 0) AS BIGINT) AS n_repet,
+       |  (CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'ok' THEN 1 END), 0) AS BIGINT) * 1000000)
+       |    // COUNT(*) AS keep_ppm
+       |FROM documents d JOIN v ON d.doc_id = v.doc_id
+       |GROUP BY d.source
+       |ORDER BY source""".stripMargin
+  }
+
   private val BigramTopK = 20
 
   /** Per-language top-[[BigramTopK]] word bigrams — the collocation
@@ -1366,6 +1409,7 @@ object TextOps {
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
     "q_vocab_coverage"    -> qVocabCoverage _,
+    "q_source_quality"    -> qSourceQuality _,
     "q_bigram_topk"       -> qBigramTopk _,
     "q_train_test_split"  -> qTrainTestSplit _,
     "q_oov_rate"          -> qOovRate _,
@@ -1399,6 +1443,7 @@ object TextOps {
     "q_len_hist"          -> qLenHistSql,
     "q_tokenizer_stats"   -> qTokenizerStatsSql,
     "q_vocab_coverage"    -> qVocabCoverageSql,
+    "q_source_quality"    -> qSourceQualitySql,
     "q_bigram_topk"       -> qBigramTopkSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,

@@ -59,6 +59,38 @@ class InvariantSpec extends SparkSpec {
       "covered tokens cannot exceed the total")
   }
 
+  test("q_funnel_rates stage counts equal the funnel's own stage census") {
+    val f = Analytics.qFunnel(spark, sf0001)
+    val byStage = f.groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rates = Analytics.qFunnelRates(spark, sf0001).orderBy("stage").collect()
+    val nView = rates(0).getLong(2)
+    val nClick = rates(1).getLong(2)
+    val nPurchase = rates(2).getLong(2)
+    assert(nView === f.count(), "stage-1 reach is every funnel user")
+    assert(nPurchase === byStage.getOrElse(3, 0L), "stage-3 reach")
+    assert(nClick === byStage.getOrElse(2, 0L) + byStage.getOrElse(3, 0L),
+      "stage-2 reach includes everyone who went further")
+  }
+
+  test("q_source_quality reason columns partition each source's documents") {
+    val rows = TextOps.qSourceQuality(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, keep, dup, lowq, repet) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(keep + dup + lowq + repet === n,
+        s"reject reasons must partition the source's docs: $r")
+    }
+  }
+
+  test("q_norm_hist bucket counts partition the embedding corpus") {
+    val total = Ann.qNormHist(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_vecs")).collect().head.getLong(0)
+    val nVecs = graft.sources.Ingest.table(spark, sf0001, "embeddings").count()
+    assert(total === nVecs, "every vector lands in exactly one norm bucket")
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

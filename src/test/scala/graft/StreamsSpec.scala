@@ -121,6 +121,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The horizon trade, pinned: dropDuplicatesWithinWatermark only
+    * remembers hashes inside the watermark horizon, so a duplicate
+    * arriving AFTER the horizon passes is re-admitted — that is the
+    * documented price of bounded state, and the reason corpusFilter
+    * (whose output is a verdict TABLE) keeps full history instead.
+    * If this behavior ever silently changed (e.g. someone "fixing"
+    * the duplicate by extending state), the state-size story changes
+    * with it — this spec makes that a conscious decision.
+    */
+  test("dedupe: a duplicate beyond the watermark horizon is re-admitted (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = Streams.dedupe(docs, horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_horizon").outputMode("append").start()
+    try {
+      val B = 24L * H
+      ms.addData((1L, "same text here", B))
+      q.processAllAvailable()
+      // advance the watermark far past B + horizon
+      ms.addData((2L, "watermark pusher", B + 10 * H))
+      q.processAllAvailable()
+      // the same content again, with an event time inside the NEW
+      // horizon: its hash expired with the old horizon, so it survives
+      ms.addData((3L, "same text here", B + 10 * H + 1000))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup_horizon ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L, 2L, 3L),
+        "expired-horizon duplicates re-admit by design (bounded state)")
+    } finally q.stop()
+  }
+
   /** The batch/stream "twins must not disagree" contract: the same
     * rows through the streaming dedupe and the batch qDedupExact must
     * keep the same number of survivors with the same content hashes.

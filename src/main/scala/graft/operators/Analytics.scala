@@ -827,7 +827,7 @@ object Analytics {
   def qDowHourHeatmap(s: SparkSession, dir: String): DataFrame =
     Ingest.events(s, dir)
       .select(
-        dayofweek(timestamp_millis(col("ts_ms"))).as("dow"),
+        dayofweek(timestamp_millis(col("ts_ms"))).cast("long").as("dow"),
         expr("(ts_ms DIV 3600000) % 24").as("hour"),
         col("user_id"), col("value"))
       .groupBy("dow", "hour")

@@ -301,7 +301,8 @@ object Relational {
     """SELECT band_id, lo, hi, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders
-      |JOIN (SELECT range AS band_id, range * 50000.0 AS lo, (range + 1) * 50000.0 AS hi
+      |JOIN (SELECT range AS band_id, CAST(range * 50000.0 AS DOUBLE) AS lo,
+      |             CAST((range + 1) * 50000.0 AS DOUBLE) AS hi
       |      FROM range(10)) bands
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band_id, lo, hi
@@ -480,7 +481,7 @@ object Relational {
     """SELECT l_orderkey,
       |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags,
       |  COUNT(*) AS n_lines,
-      |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin

@@ -450,8 +450,8 @@ object ScaleOps {
       |    f.q75 + (f.q75 - f.q25) * 1.5 AS hi
       |  FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag)
       |SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS n_clamped_lo,
-      |  SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+      |  CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
       |  MIN(lo) AS fence_lo, MAX(hi) AS fence_hi,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) / COUNT(*) AS mean_raw,
       |  CAST(SUM(CAST(LEAST(GREATEST(l_quantity, lo), hi) AS DECIMAL(12,3))) AS DOUBLE)

@@ -1104,8 +1104,8 @@ object TextOps {
        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt'
        |       THEN 'train' ELSE 'test' END AS split,
        |  lang, COUNT(*) AS n_docs,
-       |  SUM(CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT)) AS n_tokens,
-       |  SUM(n_chars) AS n_chars_sum
+       |  CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY split, lang""".stripMargin
@@ -1204,7 +1204,7 @@ object TextOps {
        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
        |  FROM documents)
        |SELECT (rk - 1) % $nShards AS shard, COUNT(*) AS n_docs,
-       |  SUM(n_chars) AS n_chars_sum, MIN(rk) AS min_rk, MAX(rk) AS max_rk
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum, MIN(rk) AS min_rk, MAX(rk) AS max_rk
        |FROM r GROUP BY 1
        |ORDER BY shard""".stripMargin
 

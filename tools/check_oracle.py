@@ -28,7 +28,12 @@ def fetch_sorted_cols(rel):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
     rows = list(zip(*data)) if data else []
-    return cols, rows
+    # Arrow dtype per sorted column: the driver's hash is dtype-sensitive
+    # (DuckDB HUGEINT vs Spark BIGINT escaped the value-only check twice
+    # — r6 q_pack_sequences, r8 ×4), so the local mirror must compare
+    # types, not just Python values.
+    types = [str(tbl.schema.field(c).type) for c in cols]
+    return cols, rows, types
 
 fails, passes = 0, 0
 for name in sorted(result_dirs | set(oracle)):
@@ -37,7 +42,7 @@ for name in sorted(result_dirs | set(oracle)):
         fails += 1
         continue
     gq = duckdb.connect()
-    got_cols, got = fetch_sorted_cols(gq.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+    got_cols, got, got_types = fetch_sorted_cols(gq.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
     if name not in oracle:
         if len(got) > 0:
             print(f"pass {name}: rows-only ({len(got)} rows)")
@@ -47,13 +52,19 @@ for name in sorted(result_dirs | set(oracle)):
             fails += 1
         continue
     try:
-        exp_cols, exp = fetch_sorted_cols(con.sql(oracle[name]))
+        exp_cols, exp, exp_types = fetch_sorted_cols(con.sql(oracle[name]))
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         fails += 1
         continue
     if [c.lower() for c in exp_cols] != [c.lower() for c in got_cols]:
         print(f"FAIL {name}: cols oracle={exp_cols} spark={got_cols}")
+        fails += 1
+        continue
+    if exp_types != got_types:
+        diffs = [f"{c}: oracle={et} spark={gt}"
+                 for c, et, gt in zip(exp_cols, exp_types, got_types) if et != gt]
+        print(f"FAIL {name}: dtype mismatch ({'; '.join(diffs)})")
         fails += 1
         continue
     if len(exp) != len(got):

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Behavioral / graph analytics (SURVEY.md §2 rows 64-67): iterative
@@ -27,10 +28,12 @@ object Analytics {
     * pair in orders⋈lineitem, both directions. Nodes are
     * integer-encoded (customer 2k, supplier 2k+1 — disjoint id
     * spaces): a 'c'||id string key costs 2-3× in shuffle bytes and
-    * hash time in every iteration. Materialized ONCE (eager
-    * localCheckpoint — a production run on preemptible executors would
-    * use reliable checkpoint): an unrolled iterative plan otherwise
-    * re-derives the orders⋈lineitem join in every round's subtree.
+    * hash time in every iteration. Materialized ONCE via
+    * [[graft.plans.Materialize]] (eager localCheckpoint by default; a
+    * production run on preemptible executors flips
+    * `spark.graft.checkpoint.reliable=true` for a reliable
+    * checkpoint): an unrolled iterative plan otherwise re-derives the
+    * orders⋈lineitem join in every round's subtree.
     *
     * Returns (edges(src,dst), degrees(nd,d)). Degree does NOT ride on
     * the edges (an earlier shape joined it onto every edge row — that
@@ -71,11 +74,11 @@ object Analytics {
         (col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val eb = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     // one partial-aggregated pass over the checkpointed pairs; node-sized
     val deg = eb.groupBy(col("src").as("nd")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .materialized
     (eb, deg)
   }
 
@@ -170,7 +173,7 @@ object Analytics {
       lab = lab.join(nbr, Seq("nd"), "left")
         .select(col("nd"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
+        .materialized
     }
     lab.select(
       when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
@@ -595,7 +598,7 @@ object Analytics {
     val daily = Ingest.table(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("tot"))
-      .localCheckpoint(true)
+      .materialized
     val cal = daily
       .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
@@ -683,7 +686,7 @@ object Analytics {
     val daily = Ingest.table(s, dir, "orders")
       .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(true)
+      .materialized
     val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(expr("sequence(lo, hi)")).as("day"))
     cal.join(daily, Seq("day"), "left")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Data-audit operators (SURVEY.md §2 rows 70-72): column profiling,
@@ -161,7 +162,7 @@ object Audit {
     val hist = Ingest.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .materialized
     val med = weightedMedian(hist)
       .select(col("flag"), col("med").as("median_qty"), col("n").as("n_rows"))
     val devHist = hist.join(broadcast(med), "flag")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Deduplication operators for the LLM-training-data pipeline
@@ -358,7 +359,7 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .materialized
     // Seed labels with round 1's RESULT computed as a plain aggregate:
     // against identity labels, "min of my and my neighbors' labels" is
     // just least(id, min(neighbor)) — same one shuffle as the distinct
@@ -378,7 +379,7 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (col("nbr_comp") < col("comp")).as("moved"))
-        .localCheckpoint(true)
+        .materialized
       changed = updated.filter(col("moved")).count()
       labels = updated.drop("moved")
       i += 1
@@ -485,7 +486,7 @@ object Dedup {
     // durable across queries)
     val sets = docs(s, dir)
       .select(col("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
-      .localCheckpoint(true)
+      .materialized
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= RareDfCap)

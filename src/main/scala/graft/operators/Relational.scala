@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Core relational/analytic operators (SURVEY.md §2 rows 8-15, 18).
@@ -638,7 +639,7 @@ object Relational {
       .agg((sum(money(col("l_extendedprice")) *
         (lit(1).cast("decimal(4,2)") - rate(col("l_discount")))) * 10000)
         .cast("long").as("part_fp"))
-      .localCheckpoint(true)
+      .materialized
     val total = rev.agg(sum(col("part_fp")).cast("long").as("total_fp"))
     rev.crossJoin(broadcast(total))
       .filter(col("part_fp") * 2000 > col("total_fp"))

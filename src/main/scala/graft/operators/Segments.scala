@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.plans.Surrogate
 import graft.sources.Ingest
 
@@ -51,7 +52,7 @@ object Segments {
       // customer-sized, materialized ONCE: it feeds the corpus-stats
       // scalar AND the rank chain, and a shared DataFrame subtree is
       // re-derived per consumer (the corpus would scan twice)
-      .localCheckpoint(true)
+      .materialized
     val corpus = cust.agg(max("last_day").as("corpus_day"),
       count(lit(1)).as("n_cust"))
     val base = cust.crossJoin(broadcast(corpus))
@@ -116,7 +117,7 @@ object Segments {
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
       .withColumn("neg_cents", -col("cents"))
       // customer-sized, feeds both the total and the rank (see qRfm)
-      .localCheckpoint(true)
+      .materialized
     val ranked = Surrogate.rankedId(spend, Seq("neg_cents", "o_custkey"), "rk")
     val tot = spend.agg(sum("cents").cast("long").as("total_cents"),
       count(lit(1)).as("n_cust"))
@@ -222,7 +223,7 @@ object Segments {
         .groupBy(col("o_custkey"))
         .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as(cName))
         .withColumn("neg", -col(cName))
-        .localCheckpoint(true)
+        .materialized
       val n = spend.agg(count(lit(1)).as("n_cust"))
       Surrogate.rankedId(spend.crossJoin(broadcast(n)), Seq("neg", "o_custkey"), "rk")
         .select(col("o_custkey"), col(cName),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Text-analysis operators for the LLM-training-data pipeline
@@ -295,7 +296,7 @@ object TextOps {
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"))
       // lang-sized, feeds both the normalizer and the projection — a
       // shared subtree re-derives per consumer (corpus would scan 2×)
-      .localCheckpoint(true)
+      .materialized
     perLang
       .crossJoin(broadcast(perLang.agg(sum("w").as("denom"))))
       .select(col("lang"), col("n_tokens"),
@@ -510,17 +511,33 @@ object TextOps {
     * DIV on exact counts). One output row per k.
     *
     * Shape at scale: the corpus-sized stage is the same Zipf-safe
-    * word-frequency partial aggregate as vocab_topk; the rank window
-    * and the k-battery conditional sums run on the VOCABULARY-sized
-    * count table (the rank is total: (n DESC, w)).
+    * word-frequency partial aggregate as vocab_topk. Only `rk <=
+    * max(CoverageKs)` is ever consumed, so the rank is a top-maxK
+    * TakeOrdered (model-sized: bounded by the k battery, not data)
+    * collected and re-broadcast as a membership/rank table — NOT a
+    * full-vocabulary `row_number` window, which would funnel every
+    * distinct token (easily 10⁹ for 100 TB of web text) through one
+    * partition. The k-battery conditional sums then run on the
+    * vocabulary-sized count table with the broadcast rank attached.
     */
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    // materialized: both the TakeOrdered top-k and the battery
+    // aggregate consume the word-frequency table — without it each
+    // consumer re-runs the corpus explode+aggregate.
     val vocab = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+      .materialized
+    // (n DESC, w) is a total order, so TakeOrdered's boundary is
+    // deterministic; collect() after orderBy preserves sort order.
+    val top = vocab.orderBy(col("n").desc, col("w")).limit(CoverageKs.max)
+      .select(col("w")).collect().map(_.getString(0))
+    val ranks = broadcast(
+      s.createDataFrame(top.toSeq.zipWithIndex.map { case (w, i) => (w, (i + 1).toLong) })
+        .toDF("w", "rk"))
+    val ranked = vocab.join(ranks, Seq("w"), "left")
     val aggs = sum(col("n")).as("total_tokens") +:
       countDistinct(col("w")).as("vocab_size") +:
       CoverageKs.map(k =>
@@ -530,7 +547,7 @@ object TextOps {
     // whole corpus aggregate once per k)
     val battery = CoverageKs.map(k => s"struct(CAST($k AS BIGINT) AS k, cov_$k AS c)")
       .mkString("array(", ", ", ")")
-    vocab.agg(aggs.head, aggs.tail: _*)
+    ranked.agg(aggs.head, aggs.tail: _*)
       .select(col("total_tokens"), col("vocab_size"),
         explode(expr(battery)).as("kc"))
       .select(col("kc.k").as("k"), col("total_tokens"), col("vocab_size"),

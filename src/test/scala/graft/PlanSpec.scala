@@ -478,9 +478,11 @@ class PlanSpec extends SparkSpec {
     assert(corpusScans("q_rfm", "orders") === 0,
       "the customer aggregate must be checkpointed ahead of the rank chain")
     // the k-battery explodes from ONE aggregate row — a per-k union
-    // would scan documents once per k
-    assert(corpusScans("q_vocab_coverage", "documents") === 1,
-      "the coverage battery must share one corpus aggregate")
+    // would scan documents once per k; the word-frequency table is
+    // materialized (top-k probe + battery both consume it), so the
+    // final plan scans no documents at all
+    assert(corpusScans("q_vocab_coverage", "documents") === 0,
+      "the coverage battery must share one materialized corpus aggregate")
     // tiny-histogram / daily-series / lang-strata re-derivations
     // (q_mad_outlier's plan held SEVEN lineitem scans before the fix)
     assert(corpusScans("q_mad_outlier", "lineitem") === 0,
@@ -495,6 +497,19 @@ class PlanSpec extends SparkSpec {
     // not an aggregate-then-join re-derivation
     assert(corpusScans("q_retention", "events") === 1,
       "retention must scan the corpus exactly once")
+  }
+
+  test("q_vocab_coverage: no window anywhere — the rank is a broadcast top-k table") {
+    // the old shape ranked the ENTIRE vocabulary through an
+    // unpartitioned row_number window (one partition holding every
+    // distinct token — 10^9 at 100 TB) when only rk <= max(k) is ever
+    // consumed. The rank must come from a TakeOrdered top-k collected
+    // and re-broadcast, leaving NO Window operator in the plan.
+    val p = plan("q_vocab_coverage")
+    assert(!p.contains("Window"),
+      s"coverage must never rank the full vocabulary through a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the top-k rank table must broadcast onto the vocabulary:\n$p")
   }
 
   test("q_sample_uniform: hash-rank sample is TakeOrdered over a map-only scan") {

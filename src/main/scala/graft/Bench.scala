@@ -59,12 +59,25 @@ object Bench {
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: ms precision is far below the measured
+    // same-day machine variance (0.62-0.83 s/query across identical
+    // runs, BASELINE.md) and halves the JSON line's byte size — the
+    // driver's tail capture truncated the full-precision line (r8
+    // artifact held 67 of 130 queries).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failures are reported, never summed (a crash must not lower the total)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop FIRST so no shutdown logging can follow the JSON: the line
+    // must be the process's final stdout output for the driver's tail
+    // capture to always contain it whole.
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

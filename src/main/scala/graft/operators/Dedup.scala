@@ -547,6 +547,19 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Rows above which [[incrementalDedup]] stops FORCING broadcast of
+    * the increment-derived probe tables (session config
+    * `spark.graft.dedup.broadcastIncrementMaxRows`). A hinted
+    * broadcast is honored unconditionally — AQE never demotes it — so
+    * an unbounded hint turns a huge increment into an executor OOM
+    * instead of a slower shuffle. Under the cap the serve plan is
+    * GUARANTEED map-only over the index; over it the hints are
+    * dropped and Catalyst/AQE pick the join strategy from actual
+    * sizes.
+    */
+  private val IdxBroadcastMaxRowsKey = "spark.graft.dedup.broadcastIncrementMaxRows"
+  private val IdxBroadcastMaxRowsDefault = 4L * 1000 * 1000
+
   /** Dedup an increment of new documents against the persisted index:
     * per new doc, whether any indexed doc exceeds Jaccard
     * [[IdxThreshold]], the best-matching survivor and its similarity.
@@ -559,10 +572,12 @@ object Dedup {
     * collision rate) broadcasts back against the index `sig` table to
     * fetch corpus shingle sets; (3) the verify join against the new
     * docs' sets is increment-sized. The corpus moves ZERO times; at
-    * 10^9 indexed docs the serve cost is two index scans. (A huge
-    * increment degrades gracefully: AQE shuffles the probe joins
-    * instead of broadcasting — same plan text, still no signature
-    * recompute.) A boilerplate-degenerate index bucket contributes
+    * 10^9 indexed docs the serve cost is two index scans. The
+    * broadcast hints are GATED on the materialized increment's row
+    * count ([[IdxBroadcastMaxRowsKey]]): a huge increment degrades to
+    * AQE-chosen shuffled probe joins instead of an un-demotable
+    * broadcast blowing executor memory — still no signature
+    * recompute. A boilerplate-degenerate index bucket contributes
     * (bucket size) candidates per colliding new doc — linear in the
     * bucket, never quadratic, so the self-join hot-bucket salt is not
     * needed here.
@@ -570,29 +585,40 @@ object Dedup {
   private[graft] def incrementalDedup(
       s: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
     import graft.functions.{WordNgramMinHash, WordNgramHashes}
+    // materialized: the signature pass feeds both the band probe and
+    // the verify join — one pass per arriving doc, and the exact row
+    // count below is a metadata read off the materialization.
     val nsig = newDocs.select(
       col("doc_id"),
       WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"),
-      WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
+      WordNgramHashes.column(col("text"), IdxNgram).as("sh")).materialized
+    val maxRows = s.conf.getOption(IdxBroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(IdxBroadcastMaxRowsDefault)
+    val forceBroadcast = nsig.count() <= maxRows
+    def probe(df: DataFrame): DataFrame = if (forceBroadcast) broadcast(df) else df
     val nBands = sigBandRows(nsig.select(col("doc_id"), col("sig_arr")), IdxBands, IdxRows)
       .select(col("doc_id").as("id_new"), col("band"), col("bucket"))
     val idxBands = s.read.parquet(s"$path/bands")
     val cand = idxBands
-      .join(broadcast(nBands), Seq("band", "bucket"))
+      .join(probe(nBands), Seq("band", "bucket"))
       .select(col("doc_id").as("id_old"), col("id_new"))
       .distinct()
     val idxSig = s.read.parquet(s"$path/sig")
     val verified = idxSig
-      .join(broadcast(cand), idxSig("doc_id") === cand("id_old"))
-      .join(broadcast(nsig.select(col("doc_id").as("id_new"), col("sh").as("sh_new"))),
+      .join(probe(cand), idxSig("doc_id") === cand("id_old"))
+      .join(probe(nsig.select(col("doc_id").as("id_new"), col("sh").as("sh_new"))),
         "id_new")
       .withColumn("jaccard",
         graft.functions.SortedJaccard.column(col("sh"), col("sh_new")))
       .filter(col("jaccard") >= IdxThreshold)
       .groupBy(col("id_new"))
       .agg(
-        // canonical min-id survivor, same convention as qDedupExact
-        min(col("id_old")).as("dup_of"),
+        // dup_of IS the best match (ties to the smaller id): max_by on
+        // (jaccard, -id) keeps the reported similarity and the
+        // reported survivor coherent — min(id)+max(jaccard) aggregated
+        // independently could name one doc with another doc's score.
+        max_by(col("id_old"), struct(col("jaccard"), (-col("id_old")).as("inv")))
+          .as("dup_of"),
         max(col("jaccard")).as("best_jaccard"))
     newDocs.select(col("doc_id"))
       .join(verified.withColumnRenamed("id_new", "doc_id"), Seq("doc_id"), "left")

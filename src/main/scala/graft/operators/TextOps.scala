@@ -1251,8 +1251,12 @@ object TextOps {
         sum(col("words")).as("total_words"))
       .select(col("lang"), col("n_docs"), col("total_chars"),
         col("total_bpe_tokens"), col("total_words"),
-        expr("(total_chars * 1000) DIV total_bpe_tokens").as("chars_per_token_x1000"),
-        expr("(total_bpe_tokens * 1000) DIV total_words").as("tokens_per_word_x1000"))
+        // greatest(...,1): a language whose docs yield zero tokens/words
+        // must report 0, not NULL (Spark DIV) vs an aborting
+        // division-by-zero (DuckDB //) — same convention as
+        // q_share_threshold/q_pareto/q_changepoint
+        expr("(total_chars * 1000) DIV greatest(total_bpe_tokens, 1)").as("chars_per_token_x1000"),
+        expr("(total_bpe_tokens * 1000) DIV greatest(total_words, 1)").as("tokens_per_word_x1000"))
 
   val qTokenizerStatsSql: String =
     s"""WITH t AS (
@@ -1264,8 +1268,8 @@ object TextOps {
        |  CAST(SUM(chars) AS BIGINT) AS total_chars,
        |  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
        |  CAST(SUM(words) AS BIGINT) AS total_words,
-       |  (CAST(SUM(chars) AS BIGINT) * 1000) // CAST(SUM(bpe) AS BIGINT) AS chars_per_token_x1000,
-       |  (CAST(SUM(bpe) AS BIGINT) * 1000) // CAST(SUM(words) AS BIGINT) AS tokens_per_word_x1000
+       |  (CAST(SUM(chars) AS BIGINT) * 1000) // GREATEST(CAST(SUM(bpe) AS BIGINT), 1) AS chars_per_token_x1000,
+       |  (CAST(SUM(bpe) AS BIGINT) * 1000) // GREATEST(CAST(SUM(words) AS BIGINT), 1) AS tokens_per_word_x1000
        |FROM t GROUP BY lang
        |ORDER BY lang""".stripMargin
 

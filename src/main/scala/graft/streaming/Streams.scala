@@ -321,8 +321,15 @@ object Streams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (et: String, it: Iterator[TEv], st: GroupState[RateState]) => {
-          val arrived = it.toSeq.groupBy(_.ts_ms / 3600000L)
-            .map { case (h, es) => h -> es.size.toLong }
+          // fold the iterator into hour counts incrementally: per-group
+          // memory is |distinct hours in the batch|, never batch volume
+          // (a toSeq here made one hot event type cost the whole
+          // micro-batch in executor memory)
+          val arrived = scala.collection.mutable.LongMap.empty[Long]
+          it.foreach { e =>
+            val h = e.ts_ms / 3600000L
+            arrived(h) = arrived.getOrElse(h, 0L) + 1L
+          }
           val prev = st.getOption.getOrElse(RateState(Nil, Long.MinValue))
           var counts = prev.counts.map(hc => hc.hour -> hc.n).toMap
           arrived.foreach { case (h, c) =>
@@ -375,12 +382,18 @@ object Streams {
     * ([[graft.operators.TextOps.qualityKeep]] / `repetitive` — shared
     * by construction, like [[dedupe]]'s normalization contract),
     * evaluated map-side before any state. Duplicate marking is keyed
-    * state on the normalized content hash: the first-arriving (min-id
-    * within a micro-batch) doc per hash survives; everything later is
-    * 'duplicate'. Fed the corpus in id order this reproduces the batch
-    * min-id survivorship exactly (asserted in StreamsSpec); under
+    * state on the normalized content hash: the first-ARRIVING doc per
+    * hash survives (the stored survivor across batches; the first
+    * iterator element within one); everything later is 'duplicate'.
+    * Fed the corpus in id order this reproduces the batch min-id
+    * survivorship exactly (asserted in StreamsSpec); under
     * out-of-order arrival first-wins is the documented streaming
-    * divergence, reconciled by the batch twin.
+    * divergence, reconciled by the batch twin. The verdicts stream off
+    * the group iterator in ONE pass — per-group memory is O(1), so a
+    * hot content hash dominating a micro-batch costs nothing (the
+    * earlier toSeq+sort materialized the key's whole batch to make
+    * within-batch survivorship min-id rather than first-encountered;
+    * arrival order is the honest streaming contract anyway).
     *
     * State: one ~50-byte record per DISTINCT content hash, sharded by
     * the groupByKey partitioning — the price of exact global dedup on
@@ -405,19 +418,24 @@ object Streams {
       .groupByKey(_.content_md5)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (_: String, it: Iterator[DocIn], st: GroupState[DupState]) => {
-          val sorted = it.toSeq.sortBy(_.doc_id)
-          val survivor = st.getOption.map(_.survivorId)
-            .getOrElse(sorted.head.doc_id)
-          st.update(DupState(survivor))
-          sorted.iterator.map { d =>
-            val isDup = d.doc_id != survivor
-            val reason =
-              if (isDup) "duplicate"
-              else if (!d.is_keep) "low_quality"
-              else if (d.is_repetitive) "repetitive"
-              else "ok"
-            DocVerdict(d.doc_id, isDup, d.is_keep, d.is_repetitive,
-              reason, reason == "ok")
+          if (!it.hasNext) Iterator.empty
+          else {
+            // survivor = stored state, else the first arrival; state is
+            // updated EAGERLY (before the lazy verdict iterator is
+            // consumed) so the update never rides on sink consumption
+            val first = it.next()
+            val survivor = st.getOption.map(_.survivorId).getOrElse(first.doc_id)
+            st.update(DupState(survivor))
+            (Iterator.single(first) ++ it).map { d =>
+              val isDup = d.doc_id != survivor
+              val reason =
+                if (isDup) "duplicate"
+                else if (!d.is_keep) "low_quality"
+                else if (d.is_repetitive) "repetitive"
+                else "ok"
+              DocVerdict(d.doc_id, isDup, d.is_keep, d.is_repetitive,
+                reason, reason == "ok")
+            }
           }
         })
   }

@@ -166,8 +166,24 @@ class DedupSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!p.contains("SortMergeJoin"),
       s"increment joins must broadcast, never sort-merge the index:\n$p")
+    // under the row cap the hints FORCE the map-only serve plan — this
+    // is the guaranteed fast path for increment ≪ corpus
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
       s"band probe, sig fetch and verify must all be broadcast joins:\n$p")
+
+    // over the row cap the hints are dropped — an un-demotable
+    // broadcast of a huge increment would OOM executors, so the join
+    // strategy is left to Catalyst/AQE size estimates
+    spark.conf.set("spark.graft.dedup.broadcastIncrementMaxRows", "0")
+    try {
+      val unhinted = Dedup.incrementalDedup(spark, idx, arrivals)
+      assert(!unhinted.queryExecution.analyzed.toString.contains("hint"),
+        "over-cap serve must carry no broadcast hints")
+      val gotU = unhinted.collect().map(r => r.getLong(0) -> r).toMap
+      assert(gotU(10L).getBoolean(1) && gotU(10L).getLong(2) === 1L &&
+        !gotU(11L).getBoolean(1),
+        "verdicts are identical with and without the forced-broadcast path")
+    } finally spark.conf.unset("spark.graft.dedup.broadcastIncrementMaxRows")
   }
 
   test("embedding LSH dedup flags planted near-identical vectors") {

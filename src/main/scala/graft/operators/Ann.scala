@@ -36,7 +36,8 @@ object Ann {
   private def topK(scored: DataFrame): DataFrame =
     scored
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id")))
+        .cast("long"))
       .filter(col("rnk") <= K)
       .select("query_id", "neighbor_id", "rnk", "cosine")
 
@@ -53,6 +54,33 @@ object Ann {
         (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
     topK(scored)
   }
+
+  /** Oracle for [[qAnnBruteforce]] — fully hash-checked: DuckDB's
+    * `list_reduce` fold mirrors [[graft.functions.VectorDot]]'s
+    * left-to-right double accumulation bit-for-bit
+    * ([[Dedup.sqlDot]]/[[Dedup.sqlNorm]]), so cosines, rank
+    * tie-breaks and the top-k cut are identical cross-engine.
+    */
+  val qAnnBruteforceSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM base WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${Dedup.sqlDot("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosine
+       |FROM r WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
   // Row 25: LSH-bucketed ANN — L independent CROSS-POLYTOPE tables
@@ -585,14 +613,21 @@ object Ann {
     "q_embed_centroid" -> qEmbedCentroid _
   )
 
-  /** The four ANN top-k queries stay rows-only: their cosine arithmetic
-    * is float-sourced and the row_number tie-handling over double
-    * cosines is not reproducible bit-for-bit in DuckDB SQL without
-    * replicating the exact double accumulation order. The centroid
-    * aggregate IS oracle-checked — its fixed-point design removes the
-    * accumulation-order dependence.
+  /** q_ann_bruteforce is fully hash-checked: DuckDB's sequential
+    * list_reduce replicates the native dot/norm accumulation order
+    * exactly (see [[qAnnBruteforceSql]]). The approximate paths stay
+    * rows-only for structural reasons, not arithmetic ones —
+    * q_ann_lsh's cross-polytope rotations and q_ann_quantized's /
+    * q_ann_ivf's codebooks are model state (seeded gaussian matrices /
+    * Lloyd-round output) whose faithful SQL transliteration would be
+    * the same thousands-of-literals program under test, proving
+    * nothing the AnnSpec recall-vs-exact assertions don't already;
+    * q_ann_recall and q_hybrid_search compose those paths. The
+    * centroid aggregate IS oracle-checked — its fixed-point design
+    * removes the accumulation-order dependence.
     */
   val oracle: Map[String, String] = Map(
+    "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_norm_hist"       -> qNormHistSql,
     "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,

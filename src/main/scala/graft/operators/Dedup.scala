@@ -291,8 +291,30 @@ object Dedup {
   private[operators] def norm(emb: String): Column =
     graft.functions.VectorFunctions.vectorNorm(col(emb))
 
+  /** DuckDB-side mirrors of [[graft.functions.VectorDot]] /
+    * [[graft.functions.VectorNorm]]: `list_reduce` folds LEFT-TO-RIGHT
+    * by definition, and each product is a float widened to double
+    * before the multiply — the identical IEEE operation sequence, so
+    * cosines (and therefore rank tie-breaks) are bit-exact
+    * cross-engine. (The one divergence: list_reduce seeds the fold
+    * with element 0 where the JVM loop seeds 0.0 — indistinguishable
+    * unless every product is a signed zero.)
+    */
+  private[operators] def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private[operators] def sqlNorm(e: String): String =
+    s"sqrt(list_reduce(list_transform($e, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+
+  private val EmbSeed = 0x5EED0003L
+  private val EmbBits = 8
+  private val EmbDim = 64
+  private val EmbHotCap = 1000
+
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val hotBucketCap = 1000
+    val hotBucketCap = EmbHotCap
     // 8 sign bits, one table: bucket values identical to the previous
     // per-plane lambda formulation (same seeded gaussians, same packing).
     val base = Ingest.table(s, dir, "embeddings")
@@ -300,7 +322,7 @@ object Dedup {
         col("vec_id"),
         col("embedding"),
         graft.functions.VectorFunctions
-          .signBuckets(col("embedding"), seed = 0x5EED0003L, nTables = 1, nBits = 8, dim = 64)
+          .signBuckets(col("embedding"), seed = EmbSeed, nTables = 1, nBits = EmbBits, dim = EmbDim)
           .getItem(0).as("bucket"),
         norm("embedding").as("nrm"))
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bucket")))
@@ -331,6 +353,50 @@ object Dedup {
       .select("vec_id", "bucket", "n_bucket_mates")
       .join(best, Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("best_cosine") >= 0.95, lit(false)))
+  }
+
+  /** Oracle for [[qDedupEmbedding]] — fully hash-checked: the seeded
+    * gaussian hyperplanes are INTERPOLATED into the SQL as double
+    * literals (the same `scala.util.Random(seed).nextGaussian` stream
+    * [[graft.functions.SignBuckets]] materializes; Double.toString
+    * round-trips, so the parsed literals are bit-identical), each sign
+    * bit's plane·vec dot is the sequential [[sqlDot]]-style fold
+    * matching the JVM loop's operation order, and the best-mate pick
+    * replays the max(struct(cosine, -id)) tie-break as a window.
+    */
+  val qDedupEmbeddingSql: String = {
+    val r = new scala.util.Random(EmbSeed) // table t = 0, row-major fill
+    val flat = Array.fill(EmbBits * EmbDim)(r.nextGaussian())
+    def plane(b: Int): String =
+      flat.slice(b * EmbDim, (b + 1) * EmbDim).mkString("[", ", ", "]::DOUBLE[]")
+    val bucketExpr = (0 until EmbBits).map { b =>
+      val dot = s"list_reduce(list_transform(list_zip(${plane(b)}, embedding), " +
+        "x -> x[1] * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    CAST($bucketExpr AS INTEGER) AS bucket,
+       |    ${sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |sized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsize FROM base),
+       |mates AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM (SELECT * FROM sized WHERE bsize <= $EmbHotCap) a
+       |  JOIN (SELECT * FROM sized WHERE bsize <= $EmbHotCap) b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |best AS (
+       |  SELECT id_a AS vec_id, id_b AS best_mate_id, cosine AS best_cosine
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+       |                    ORDER BY cosine DESC, id_b) AS rn FROM mates)
+       |  WHERE rn = 1)
+       |SELECT s.vec_id, s.bucket, CAST(s.bsize - 1 AS BIGINT) AS n_bucket_mates,
+       |  b.best_mate_id, b.best_cosine,
+       |  COALESCE(b.best_cosine >= 0.95, false) AS is_dup
+       |FROM sized s LEFT JOIN best b ON s.vec_id = b.vec_id
+       |ORDER BY s.vec_id""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -639,8 +705,11 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_dup_summary" -> qDupSummarySql,
-    "q_dedup_exact" -> qDedupExactSql
-    // minhash/simhash/ngram/embedding: rows-only (xxhash64 signatures
-    // are not ANSI-SQL-reproducible in DuckDB).
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql
+    // minhash/simhash/ngram/clusters/containment: rows-only — their
+    // signatures are xxhash64 streams (not reproducible in DuckDB,
+    // which ships a different 64-bit hash), and every downstream
+    // verdict is a function of those hashes.
   )
 }

@@ -16,8 +16,8 @@ class AnnSpec extends SparkSpec {
     assert(byQ.size === 10, "sf0.001 has 10 query vectors (vec_id % 50 == 0)")
     byQ.foreach { case (q, rs) =>
       assert(rs.length === 5, s"query $q must have 5 neighbors")
-      assert(rs.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
-      val cosines = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val cosines = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
         "cosine must be non-increasing in rank")
       assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
@@ -87,9 +87,9 @@ class AnnSpec extends SparkSpec {
     val served = Ann.ivfServe(spark, sf0001, path)
     // same deterministic codebook (seeded Lloyd) → identical answers
     val inline = Ann.qAnnIvf(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val fromIndex = served.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(fromIndex === inline)
     val p = served.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("cell"),

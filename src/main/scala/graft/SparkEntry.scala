@@ -147,6 +147,8 @@ object SparkEntry {
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),
     "q_ngram_jaccard"   -> Seq("id_a", "id_b"),
     "q_dedup_embedding" -> Seq("vec_id"),
+    "q_semdedup"        -> Seq("vec_id"),
+    "q_prefix_dedup"    -> Seq("doc_id"),
     "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
     "q_ann_ivf"         -> Seq("query_id", "rnk"),

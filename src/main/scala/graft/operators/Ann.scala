@@ -419,7 +419,12 @@ object Ann {
     * on labels-per-vec rows. The corpus shuffles once (the explode
     * rollup), never all-pairs.
     */
-  def qCentroidAssign(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, assigned cluster, exact integer dist2) — the
+    * fixed-point nearest-centroid assignment shared by
+    * [[qCentroidAssign]] (adds the confusion column) and [[qSemdedup]]
+    * (uses the cluster as its pairwise-dedup cell).
+    */
+  private def centroidAssignments(s: SparkSession, dir: String): DataFrame = {
     val fp = Ingest.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
@@ -433,13 +438,21 @@ object Ann {
     d2.withColumn("r", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist2"), col("clabel"))))
       .filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("clabel"), col("dist2"))
+  }
+
+  def qCentroidAssign(s: SparkSession, dir: String): DataFrame =
+    centroidAssignments(s, dir)
       .select(col("vec_id"), col("label").as("true_label"),
         col("clabel").as("assigned_label"), col("dist2"),
         when(col("clabel") === col("label"), 1L).otherwise(0L).as("correct"))
-  }
 
-  val qCentroidAssignSql: String =
-    s"""WITH ex AS (
+  /** Shared CTE prefix: the fixed-point assignment pipeline of
+    * [[centroidAssignments]] in DuckDB SQL (consumed by both
+    * [[qCentroidAssignSql]] and [[qSemdedupSql]]).
+    */
+  private val centroidAssignCtes: String =
+    s"""ex AS (
        |  SELECT vec_id, label,
        |    unnest(range(1, len(embedding) + 1)) AS dim,
        |    unnest(embedding) AS v
@@ -459,11 +472,100 @@ object Ann {
        |rk AS (
        |  SELECT vec_id, label, clabel, dist2,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS r
-       |  FROM d2)
+       |  FROM d2)""".stripMargin
+
+  val qCentroidAssignSql: String =
+    s"""WITH $centroidAssignCtes
        |SELECT vec_id, label AS true_label, clabel AS assigned_label, dist2,
        |  CAST(CASE WHEN clabel = label THEN 1 ELSE 0 END AS BIGINT) AS correct
        |FROM rk WHERE r = 1
        |ORDER BY vec_id""".stripMargin
+
+  private val SemTau = 0.30
+  private val SemClusterCap = 1000
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then prune
+    * within-cluster pairs whose cosine exceeds [[SemTau]], keeping the
+    * CENTROID-CLOSEST member of each hot pair (ties to the smaller
+    * vec_id) — the deterministic variant of the paper's keep rule.
+    * Clusters here are the oracle-checked fixed-point label centroids
+    * ([[centroidAssignments]] — exact integer dist2, so the keep rank
+    * is bit-reproducible); a production run swaps in the IVF codebook
+    * cells ([[trainCodebook]]) at a k chosen so n/k keeps the
+    * within-cell join tractable — that k-vs-cluster-width trade IS the
+    * SemDeDup scaling story, and the [[SemClusterCap]] guard (same
+    * device as qDedupEmbedding's hot-bucket cap) bounds the damage of
+    * a degenerate cell. Pair verdicts are pair-local (A≈B marks the
+    * worse of the two; transitive families are [[qDedupClusters]]'
+    * job).
+    *
+    * Shape at scale: assignment is the one posexplode rollup +
+    * broadcast argmin (corpus shuffles once); the pairwise stage is an
+    * equi self-join on the cluster key — quadratic only in cluster
+    * width, which k controls. Fully hash-checked: cluster ids and
+    * dist2 are exact integers, cosines are the bit-exact
+    * [[Dedup.sqlDot]] mirror.
+    */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val assign = centroidAssignments(s, dir)
+      .select(col("vec_id"), col("clabel").as("cluster"), col("dist2"))
+    val base = Ingest.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), Dedup.norm("embedding").as("nrm"))
+      .join(assign, Seq("vec_id"))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+    val capped = base.filter(col("csize") <= SemClusterCap)
+    val a = capped.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"), col("cluster"), col("dist2").as("d_a"))
+    val b = capped.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"), col("cluster"), col("dist2").as("d_b"))
+    val verdict = a.join(b, Seq("cluster")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine", Dedup.dotExpr("e_a", "e_b") / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= SemTau)
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(
+        count(lit(1)).as("n_sem_mates"),
+        max(col("cosine")).as("max_cosine"),
+        // dropped iff some hot mate outranks this vector on
+        // (dist2, vec_id) — exactly one side of every pair drops
+        max(when(col("d_b") < col("d_a") ||
+            (col("d_b") === col("d_a") && col("id_b") < col("id_a")), 1L)
+          .otherwise(0L)).as("worse"))
+    base.select(col("vec_id"), col("cluster"), col("dist2"))
+      .join(verdict, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist2"),
+        coalesce(col("n_sem_mates"), lit(0L)).as("n_sem_mates"),
+        col("max_cosine"),
+        coalesce(col("worse") === 1L, lit(false)).as("is_dropped"))
+  }
+
+  val qSemdedupSql: String =
+    s"""WITH $centroidAssignCtes,
+       |asg AS (SELECT vec_id, clabel AS cluster, dist2 FROM rk WHERE r = 1),
+       |base AS (
+       |  SELECT e.vec_id, e.embedding, ${Dedup.sqlNorm("e.embedding")} AS nrm,
+       |    a.cluster, a.dist2
+       |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id),
+       |sized AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY cluster) AS csize FROM base),
+       |hot AS (
+       |  SELECT a.vec_id AS id_a, a.dist2 AS d_a, b.vec_id AS id_b, b.dist2 AS d_b,
+       |    ${Dedup.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM (SELECT * FROM sized WHERE csize <= $SemClusterCap) a
+       |  JOIN (SELECT * FROM sized WHERE csize <= $SemClusterCap) b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |verdict AS (
+       |  SELECT id_a AS vec_id, COUNT(*) AS n_sem_mates, MAX(cosine) AS max_cosine,
+       |    MAX(CASE WHEN d_b < d_a OR (d_b = d_a AND id_b < id_a)
+       |             THEN 1 ELSE 0 END) AS worse
+       |  FROM hot WHERE cosine >= $SemTau
+       |  GROUP BY id_a)
+       |SELECT s.vec_id, s.cluster, s.dist2,
+       |  CAST(COALESCE(v.n_sem_mates, 0) AS BIGINT) AS n_sem_mates,
+       |  v.max_cosine,
+       |  COALESCE(v.worse = 1, false) AS is_dropped
+       |FROM sized s LEFT JOIN verdict v ON s.vec_id = v.vec_id
+       |ORDER BY s.vec_id""".stripMargin
 
   /** Per-dimension embedding health audit: count, zero count, min/max
     * component, and the bit-exact fixed-point mean per dim — the first
@@ -604,6 +706,7 @@ object Ann {
     "q_norm_hist"       -> qNormHist _,
     "q_hybrid_search"   -> qHybridSearch _,
     "q_ann_recall"      -> qAnnRecall _,
+    "q_semdedup"        -> qSemdedup _,
     "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
@@ -628,6 +731,7 @@ object Ann {
     */
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
+    "q_semdedup"        -> qSemdedupSql,
     "q_norm_hist"       -> qNormHistSql,
     "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,

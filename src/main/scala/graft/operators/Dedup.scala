@@ -66,6 +66,48 @@ object Dedup {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val PrefixWords = 32
+
+  /** Leading-window exact dedup (prefix dedup): documents sharing the
+    * same normalized first-[[PrefixWords]]-word window form one
+    * boilerplate FAMILY — the template screen (RefinedWeb/Gopher-style
+    * leading-duplication filters) that whole-content hashing
+    * ([[qDedupExact]]) structurally misses: "same header, different
+    * tail" pages hash differently end-to-end but identically on the
+    * prefix. Families keep their min-id survivor, same convention as
+    * exact dedup. A doc shorter than the window uses all its words —
+    * short exact dups are prefix dups too, by design.
+    *
+    * Shape at scale: map-only prefix hash, ONE shuffle on it, and the
+    * partitioned count/min window rides that exchange — identical plan
+    * shape to [[qDedupExact]]; no pairwise stage anywhere.
+    */
+  def qPrefixDedup(s: SparkSession, dir: String): DataFrame = {
+    val pfx = md5(array_join(
+      slice(filter(split(lower(col("text")), " "), w => length(w) > 0),
+        1, PrefixWords), " "))
+    val w = Window.partitionBy("prefix_md5")
+    docs(s, dir)
+      .select(col("doc_id"), pfx.as("prefix_md5"))
+      .withColumn("family_size", count(lit(1)).over(w))
+      .withColumn("survivor_id", min("doc_id").over(w))
+      .withColumn("is_prefix_dup", col("doc_id") =!= col("survivor_id"))
+  }
+
+  val qPrefixDedupSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      (list_filter(string_split(lower(text), ' '), w -> len(w) > 0))[1:$PrefixWords],
+       |      ' ')) AS prefix_md5
+       |  FROM documents)
+       |SELECT doc_id, prefix_md5,
+       |  COUNT(*) OVER (PARTITION BY prefix_md5) AS family_size,
+       |  MIN(doc_id) OVER (PARTITION BY prefix_md5) AS survivor_id,
+       |  doc_id <> MIN(doc_id) OVER (PARTITION BY prefix_md5) AS is_prefix_dup
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   // Shared LSH machinery
   // ------------------------------------------------------------------
@@ -696,6 +738,7 @@ object Dedup {
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
+    "q_prefix_dedup"    -> qPrefixDedup _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_ngram_jaccard"   -> qNgramJaccard _,
@@ -706,6 +749,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_prefix_dedup" -> qPrefixDedupSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql
     // minhash/simhash/ngram/clusters/containment: rows-only — their
     // signatures are xxhash64 streams (not reproducible in DuckDB,

@@ -207,4 +207,26 @@ class DedupSpec extends SparkSpec {
     assert(r0.getDouble(4) > 0.99, "near-identical cosine")
     assert(r0.getBoolean(5), "is_dup must flag the planted pair")
   }
+
+  test("prefix dedup: shared-header pages family together; exact dedup misses them") {
+    val header = (1 to 32).map(i => s"boiler$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> s"$header and now a completely original article body",
+      2L -> s"$header followed by some entirely different tail text",
+      3L -> "no shared header here at all just ordinary content"))
+    val pfx = Dedup.qPrefixDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pfx(1L).getLong(2) === 2L && pfx(2L).getLong(2) === 2L,
+      "the two boilerplate docs form one family")
+    assert(!pfx(1L).getBoolean(4) && pfx(1L).getLong(3) === 1L,
+      "min-id doc survives")
+    assert(pfx(2L).getBoolean(4) && pfx(2L).getLong(3) === 1L,
+      "the later doc is the prefix dup")
+    assert(pfx(3L).getLong(2) === 1L && !pfx(3L).getBoolean(4),
+      "the unrelated doc is its own family")
+    // the capability gap this query exists for: whole-content hashing
+    // sees three distinct documents
+    val exact = Dedup.qDedupExact(spark, dir).collect()
+    assert(exact.forall(!_.getBoolean(4)), "exact dedup must NOT flag prefix-only dups")
+  }
 }

@@ -24,6 +24,22 @@ class InvariantSpec extends SparkSpec {
     assert(summary.getLong(3) === maxFamily, "largest_family")
   }
 
+  test("q_semdedup never drops a cluster's centroid-closest member; drops imply mates") {
+    val rows = Ann.qSemdedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    // the keep rule ranks on (dist2, vec_id): the minimum of that order
+    // within a cluster has no better mate by construction, so it can
+    // never be dropped — if it is, the rank and the verdict disagree
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      val champion = rs.minBy(r => (r._3, r._1))
+      assert(!champion._5, s"cluster $c dropped its centroid-closest member")
+    }
+    assert(rows.forall(r => !r._5 || r._4 > 0),
+      "every dropped vector must have at least one hot mate")
+    assert(rows.exists(_._5), "the sf0.001 corpus plants at least one semantic dup")
+  }
+
   test("q_pareto deciles partition the customer population; shares telescope") {
     val rows = Segments.qPareto(spark, sf0001).orderBy("decile").collect()
     val nCust = graft.sources.Ingest.table(spark, sf0001, "orders")

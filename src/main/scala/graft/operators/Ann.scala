@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -510,10 +511,14 @@ object Ann {
   def qSemdedup(s: SparkSession, dir: String): DataFrame = {
     val assign = centroidAssignments(s, dir)
       .select(col("vec_id"), col("clabel").as("cluster"), col("dist2"))
+    // materialized: both self-join sides AND the final verdict select
+    // consume this table — unmaterialized, the whole explode + argmin
+    // assignment pipeline re-derives three times
     val base = Ingest.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), Dedup.norm("embedding").as("nrm"))
       .join(assign, Seq("vec_id"))
       .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .materialized
     val capped = base.filter(col("csize") <= SemClusterCap)
     val a = capped.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
       col("nrm").as("n_a"), col("cluster"), col("dist2").as("d_a"))

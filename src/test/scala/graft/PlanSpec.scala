@@ -493,6 +493,9 @@ class PlanSpec extends SparkSpec {
       "the daily series must be checkpointed before the calendar join")
     assert(corpusScans("q_mix_temperature", "documents") === 0,
       "lang strata must be checkpointed before the normalizer crossJoin")
+    assert(corpusScans("q_semdedup", "embeddings") === 0,
+      "the assigned-cluster table must be materialized: both self-join " +
+        "sides and the verdict select consume it")
     // retention's cohort comes from a min window on the SAME shuffle,
     // not an aggregate-then-join re-derivation
     assert(corpusScans("q_retention", "events") === 1,

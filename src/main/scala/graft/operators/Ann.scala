@@ -347,6 +347,48 @@ object Ann {
     topK(scored)
   }
 
+  /** Oracle for [[qAnnQuantized]] — fully hash-checked: every step of
+    * the quantization is a single IEEE op or exact integer math, so no
+    * accumulation-order mirroring is even needed. scale = max|x|/127
+    * (max is order-invariant, one division); codes = rint(x/scale)
+    * clamped — DuckDB's `round_even(x, 0)` IS Math.rint (half-to-even,
+    * verified incl. -0.5 → -0.0); int8 MACs are exact BIGINT sums in
+    * any order; the final cosine is one multiply and one divide.
+    */
+  val qAnnQuantizedSql: String = {
+    def codes(emb: String): String =
+      s"""CASE WHEN list_max(list_transform($emb, x -> abs(CAST(x AS DOUBLE)))) = 0
+         |  THEN list_transform($emb, x -> CAST(0 AS BIGINT))
+         |  ELSE list_transform($emb, x -> CAST(LEAST(GREATEST(
+         |    round_even(CAST(x AS DOUBLE)
+         |      / (list_max(list_transform($emb, y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0),
+         |    -127.0), 127.0) AS BIGINT))
+         |  END""".stripMargin
+    def dot8(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS DOUBLE)"
+    s"""WITH coded AS (
+       |  SELECT vec_id, ${codes("embedding")} AS codes
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, codes, sqrt(${dot8("codes", "codes")}) AS n8 FROM coded),
+       |q AS (
+       |  SELECT vec_id AS query_id, codes AS q_codes, n8 AS qn8
+       |  FROM base WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${dot8("codes", "q_codes")} / (n8 * qn8) AS cosine
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosine
+       |FROM r WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Per-label embedding centroids — the class-prototype / cluster-seed
   // aggregate (nearest-centroid classification, IVF seeding, drift
@@ -721,14 +763,16 @@ object Ann {
     "q_embed_centroid" -> qEmbedCentroid _
   )
 
-  /** q_ann_bruteforce is fully hash-checked: DuckDB's sequential
-    * list_reduce replicates the native dot/norm accumulation order
-    * exactly (see [[qAnnBruteforceSql]]). The approximate paths stay
+  /** q_ann_bruteforce and q_ann_quantized are fully hash-checked:
+    * sequential list_reduce replicates the native dot/norm
+    * accumulation order exactly, and the int8 path is single-IEEE-op /
+    * exact-integer throughout (see [[qAnnBruteforceSql]] /
+    * [[qAnnQuantizedSql]]). The remaining approximate paths stay
     * rows-only for structural reasons, not arithmetic ones —
-    * q_ann_lsh's cross-polytope rotations and q_ann_quantized's /
-    * q_ann_ivf's codebooks are model state (seeded gaussian matrices /
-    * Lloyd-round output) whose faithful SQL transliteration would be
-    * the same thousands-of-literals program under test, proving
+    * q_ann_lsh's cross-polytope rotations and q_ann_ivf's codebook
+    * are model state (16 seeded 64×64 gaussian matrices / Lloyd-round
+    * output) whose faithful SQL transliteration would be the same
+    * tens-of-thousands-of-literals program under test, proving
     * nothing the AnnSpec recall-vs-exact assertions don't already;
     * q_ann_recall and q_hybrid_search compose those paths. The
     * centroid aggregate IS oracle-checked — its fixed-point design
@@ -736,6 +780,7 @@ object Ann {
     */
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
+    "q_ann_quantized"   -> qAnnQuantizedSql,
     "q_semdedup"        -> qSemdedupSql,
     "q_norm_hist"       -> qNormHistSql,
     "q_embed_stats"     -> qEmbedStatsSql,

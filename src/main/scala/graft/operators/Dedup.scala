@@ -460,9 +460,10 @@ object Dedup {
     * handful of rounds; `maxIter` bounds pathological chains. The
     * driver-side loop with one action per round is the standard Spark
     * formulation of iterative graph algorithms (GraphX/GraphFrames do
-    * the same); `localCheckpoint` truncates lineage each round so plan
-    * size stays constant (a production run on preemptible executors
-    * would use reliable `checkpoint` to a cluster store instead).
+    * the same); materialization truncates lineage each round so plan
+    * size stays constant ([[graft.plans.Materialize]] — flip
+    * `spark.graft.checkpoint.reliable=true` for the preemption-safe
+    * cluster-store checkpoint in production).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -44,6 +44,22 @@ class MaterializeSpec extends SparkSpec {
     } finally resetConf()
   }
 
+  test("an operator runs end-to-end under reliable mode with identical results") {
+    // the switch must be transparent to real query plans, not just toy
+    // frames: q_vocab_coverage exercises a materialization feeding both
+    // a driver collect (TakeOrdered top-k) and the main aggregate
+    val expected = operators.TextOps.qVocabCoverage(spark, sf0001)
+      .orderBy(col("k")).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-e2e").toString
+    spark.conf.set(Materialize.ReliableKey, "true")
+    spark.conf.set(Materialize.DirKey, dir)
+    try {
+      val got = operators.TextOps.qVocabCoverage(spark, sf0001)
+        .orderBy(col("k")).collect().toSeq
+      assert(got === expected, "reliable materialization must not change results")
+    } finally resetConf()
+  }
+
   test("reliable mode writes a real checkpoint under the configured dir and returns equal rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(Materialize.ReliableKey, "true")

@@ -83,9 +83,11 @@ object Dedup {
     * shape to [[qDedupExact]]; no pairwise stage anywhere.
     */
   def qPrefixDedup(s: SparkSession, dir: String): DataFrame = {
+    // same \s+ normalization as contentMd5, so exact dup ⇒ prefix dup
+    // holds for any whitespace (InvariantSpec pins the implication)
     val pfx = md5(array_join(
-      slice(filter(split(lower(col("text")), " "), w => length(w) > 0),
-        1, PrefixWords), " "))
+      slice(filter(split(regexp_replace(lower(col("text")), "\\s+", " "), " "),
+        w => length(w) > 0), 1, PrefixWords), " "))
     val w = Window.partitionBy("prefix_md5")
     docs(s, dir)
       .select(col("doc_id"), pfx.as("prefix_md5"))
@@ -98,7 +100,8 @@ object Dedup {
     s"""WITH p AS (
        |  SELECT doc_id,
        |    md5(array_to_string(
-       |      (list_filter(string_split(lower(text), ' '), w -> len(w) > 0))[1:$PrefixWords],
+       |      (list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+       |        w -> len(w) > 0))[1:$PrefixWords],
        |      ' ')) AS prefix_md5
        |  FROM documents)
        |SELECT doc_id, prefix_md5,

@@ -24,6 +24,21 @@ class InvariantSpec extends SparkSpec {
     assert(summary.getLong(3) === maxFamily, "largest_family")
   }
 
+  test("exact dup implies prefix dup (shared whitespace normalization)") {
+    // contentMd5 and the prefix window normalize \s+ identically, so an
+    // exact-dup pair can never straddle prefix families — including
+    // tab/newline variants of the same text
+    val exact = Dedup.qDedupExact(spark, sf0001)
+      .select(col("doc_id"), col("content_md5"))
+    val pfx = Dedup.qPrefixDedup(spark, sf0001)
+      .select(col("doc_id"), col("prefix_md5"))
+    val joined = exact.join(pfx, "doc_id")
+    val perContent = joined.groupBy("content_md5")
+      .agg(countDistinct("prefix_md5").as("n_pfx"))
+    assert(perContent.filter(col("n_pfx") > 1).count() === 0,
+      "every exact-dup family must live inside ONE prefix family")
+  }
+
   test("q_semdedup never drops a cluster's centroid-closest member; drops imply mates") {
     val rows = Ann.qSemdedup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),

@@ -82,15 +82,21 @@ object Dedup {
     * partitioned count/min window rides that exchange — identical plan
     * shape to [[qDedupExact]]; no pairwise stage anywhere.
     */
-  def qPrefixDedup(s: SparkSession, dir: String): DataFrame = {
-    // same \s+ normalization as contentMd5, so exact dup ⇒ prefix dup
-    // holds for any whitespace (InvariantSpec pins the implication)
-    val pfx = md5(array_join(
-      slice(filter(split(regexp_replace(lower(col("text")), "\\s+", " "), " "),
+  /** Normalized leading-window hash — THE prefix-dedup key. Shares
+    * [[contentMd5]]'s \s+ normalization (so exact dup ⇒ prefix dup
+    * holds for any whitespace — InvariantSpec pins the implication)
+    * and is shared with [[graft.streaming.Streams.prefixDedupe]] (the
+    * twins must never disagree on the key).
+    */
+  def prefixMd5(text: Column): Column =
+    md5(array_join(
+      slice(filter(split(regexp_replace(lower(text), "\\s+", " "), " "),
         w => length(w) > 0), 1, PrefixWords), " "))
+
+  def qPrefixDedup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("prefix_md5")
     docs(s, dir)
-      .select(col("doc_id"), pfx.as("prefix_md5"))
+      .select(col("doc_id"), prefixMd5(col("text")).as("prefix_md5"))
       .withColumn("family_size", count(lit(1)).over(w))
       .withColumn("survivor_id", min("doc_id").over(w))
       .withColumn("is_prefix_dup", col("doc_id") =!= col("survivor_id"))

@@ -140,6 +140,19 @@ object Streams {
       .withColumn("content_md5", graft.operators.Dedup.contentMd5(col("text")))
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming prefix dedup — the continuous twin of the batch
+    * `Dedup.qPrefixDedup` (boilerplate-family screen): same shared
+    * normalized leading-window key ([[graft.operators.Dedup.prefixMd5]]
+    * — the twins contract), same bounded-state watermarked machinery
+    * as [[dedupe]]. First arrival of a prefix family passes; later
+    * family members inside the horizon drop.
+    */
+  def prefixDedupe(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("prefix_md5", graft.operators.Dedup.prefixMd5(col("text")))
+      .dropDuplicatesWithinWatermark("prefix_md5")
+
   /** Scheduled-incremental file ingest — the closest Spark shape to
     * the reference's `schedule_interval` pipeline (ref dags/ELT.py:365:
     * re-download + re-load on a timer): a file-source stream with

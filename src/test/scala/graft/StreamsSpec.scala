@@ -121,6 +121,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prefixDedupe: shared-header docs with different tails dedup on the prefix key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val header = (1 to 32).map(i => s"tmpl$i").mkString(" ")
+    val ms = MemoryStream[(Long, String, Long)]
+    val docs = ms.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = Streams.prefixDedupe(docs)
+      .writeStream.format("memory").queryName("pfx_dedup").outputMode("append").start()
+    try {
+      val B = 24L * H
+      ms.addData(
+        (1L, s"$header original tail one", B),
+        (2L, s"$header a completely different tail", B + 1000), // prefix dup
+        (3L, "unrelated document with its own words entirely here", B + 2000))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM pfx_dedup ORDER BY doc_id").collect().map(_.getLong(0))
+      assert(ids.toSeq === Seq(1L, 3L),
+        s"the later family member must drop on the shared prefix, got ${ids.mkString(",")}")
+      // twins contract: the streamed survivors are exactly the batch
+      // query's survivors for the same rows
+      val dir = docsDir(Seq(
+        1L -> s"$header original tail one",
+        2L -> s"$header a completely different tail",
+        3L -> "unrelated document with its own words entirely here"))
+      val batchSurvivors = graft.operators.Dedup.qPrefixDedup(spark, dir)
+        .filter(!col("is_prefix_dup")).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(batchSurvivors === ids.toSeq, "stream and batch survivors must agree")
+    } finally q.stop()
+  }
+
   /** The horizon trade, pinned: dropDuplicatesWithinWatermark only
     * remembers hashes inside the watermark horizon, so a duplicate
     * arriving AFTER the horizon passes is re-admitted — that is the

@@ -129,6 +129,8 @@ object SparkEntry {
     "q_share_threshold" -> Seq("l_partkey"),
     "q_running_balance" -> Seq("l_partkey", "ship_day", "l_orderkey", "l_linenumber", "qty"),
     "q_dow_hour_heatmap" -> Seq("dow", "hour"),
+    "q_burstiness"      -> Seq("event_type"),
+    "q_seasonality"     -> Seq("event_type", "dow"),
     "q_session_stats"   -> Seq("dur_bucket_5m"),
     "q_tokenizer_stats" -> Seq("lang"),
     "q_media_pipeline"  -> Seq("media_type"),

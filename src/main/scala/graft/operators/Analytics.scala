@@ -849,8 +849,107 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY dow, hour""".stripMargin
 
+  /** Burstiness per event type: the Fano factor (variance-to-mean
+    * ratio) of OBSERVED hourly volumes — the dispersion summary beside
+    * [[graft.operators.Temporal.qRateAnomaly]]'s point spikes (Fano ≈ 1
+    * is Poisson-like arrival; ≫ 1 is bursty traffic that needs
+    * spike-tolerant watermarks and autoscaling headroom). Exact
+    * integer arithmetic end to end: with H observed hours, N events
+    * and Σn² the squared hourly sums,
+    *   fano_x1000 = 1000·(H·Σn² − N²) DIV (H·N)
+    * — one integral division, bit-identical cross-engine. Observed
+    * hours only (an all-gap hour contributes no bucket — same
+    * convention as the rate-anomaly trailing window); is_bursty flags
+    * fano > 2 (cross-multiplied, no division).
+    *
+    * Shape at scale: ONE partial-aggregated shuffle into (type, hour)
+    * buckets, then a |types|-sized rollup. Headroom: H·Σn² < 2^63
+    * up to ~10^5 observed hours × 10^7-events-per-hour types — audit
+    * before pointing at larger windows.
+    */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .select(col("event_type"), expr("ts_ms DIV 3600000").as("hour_id"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n")).as("n_events"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("(1000 * (n_hours * sum_n2 - n_events * n_events)) DIV (n_hours * n_events)")
+          .as("fano_x1000"),
+        expr("(n_hours * sum_n2 - n_events * n_events) > 2 * n_hours * n_events")
+          .as("is_bursty"))
+
+  val qBurstinessSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(n) AS BIGINT) AS n_events,
+      |    CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      |  FROM h GROUP BY event_type)
+      |SELECT event_type, n_hours, n_events,
+      |  (1000 * (n_hours * sum_n2 - n_events * n_events)) // (n_hours * n_events)
+      |    AS fano_x1000,
+      |  (n_hours * sum_n2 - n_events * n_events) > 2 * n_hours * n_events AS is_bursty
+      |FROM t
+      |ORDER BY event_type""".stripMargin
+
+  /** Day-of-week seasonality profile per event type: each type's
+    * within-week volume distribution vs the corpus-wide one, with an
+    * over-index flag — the "is checkout traffic weekend-heavy"
+    * dashboard answer, and the evidence for dow-aware alert baselines
+    * (companion to [[qDowHourHeatmap]], which shows absolute volume).
+    * Shares are overflow-safe fixed-point ppm (numerators ≤ n·10⁶) —
+    * the DIV-first device of q_pareto — so the comparison is
+    * deterministic in both engines.
+    *
+    * Shape at scale: ONE partial-aggregated corpus shuffle into
+    * |types|×7 keys; the per-type and per-dow totals come from window
+    * sums OVER THAT TINY TABLE (model-sized — no second corpus pass).
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Ingest.events(s, dir)
+      .select(col("event_type"),
+        dayofweek(timestamp_millis(col("ts_ms"))).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(Window.partitionBy("event_type")))
+      .withColumn("n_dow", sum(col("n")).over(Window.partitionBy("dow")))
+      .withColumn("n_all", sum(col("n")).over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(n * 1000000) DIV n_type").as("type_share_ppm"),
+        expr("(n_dow * 1000000) DIV n_all").as("dow_share_ppm"),
+        expr("(n * 1000000) DIV n_type > (n_dow * 1000000) DIV n_all")
+          .as("over_indexed"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH td AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT event_type, dow, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
+      |    CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS n_dow,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS n_all
+      |  FROM td)
+      |SELECT event_type, dow, n,
+      |  (n * 1000000) // n_type AS type_share_ppm,
+      |  (n_dow * 1000000) // n_all AS dow_share_ppm,
+      |  (n * 1000000) // n_type > (n_dow * 1000000) // n_all AS over_indexed
+      |FROM x
+      |ORDER BY event_type, dow""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr"   -> qAutocorr _,
+    "q_burstiness" -> qBurstiness _,
+    "q_seasonality" -> qSeasonality _,
     "q_changepoint" -> qChangepoint _,
     "q_funnel_rates" -> qFunnelRates _,
     "q_time_to_convert" -> qTimeToConvert _,
@@ -869,6 +968,8 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "q_autocorr"   -> qAutocorrSql,
+    "q_burstiness" -> qBurstinessSql,
+    "q_seasonality" -> qSeasonalitySql,
     "q_changepoint" -> qChangepointSql,
     "q_funnel_rates" -> qFunnelRatesSql,
     "q_time_to_convert" -> qTimeToConvertSql,

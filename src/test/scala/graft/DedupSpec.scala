@@ -208,6 +208,36 @@ class DedupSpec extends SparkSpec {
     assert(r0.getBoolean(5), "is_dup must flag the planted pair")
   }
 
+  test("prefixMd5 and contentMd5 agree on whitespace-insensitivity (normalization contract)") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val variants = Seq(
+      base,
+      base.replace(" ", "\t"),
+      base.replace(" ", "\n"),
+      base.replace(" ", "   "),
+      "  " + base.toUpperCase + "\t\n")
+    val hashed = variants.toDF("text")
+      .select(
+        graft.operators.Dedup.contentMd5(col("text")).as("c"),
+        graft.operators.Dedup.prefixMd5(col("text")).as("p"))
+      .collect()
+    assert(hashed.map(_.getString(1)).distinct.length === 1,
+      "all whitespace/case variants share one prefix hash")
+    // content hash: \s+ collapses but leading whitespace leaves one
+    // residual space, so the leading-" " variant hashes apart — the
+    // prefix key is strictly coarser (its empty-token filter eats it)
+    assert(hashed.map(_.getString(0)).distinct.length === 2,
+      "content hash distinguishes the leading-whitespace variant")
+    // therefore the invariant direction that matters: equal content
+    // hash => equal prefix hash, never the reverse
+    hashed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getString(1)).distinct.length === 1,
+        "exact-dup variants must share one prefix family")
+    }
+  }
+
   test("prefix dedup: shared-header pages family together; exact dedup misses them") {
     val header = (1 to 32).map(i => s"boiler$i").mkString(" ")
     val dir = docsDir(Seq(

@@ -62,23 +62,30 @@ object Ann {
     * ([[Dedup.sqlDot]]/[[Dedup.sqlNorm]]), so cosines, rank
     * tie-breaks and the top-k cut are identical cross-engine.
     */
-  val qAnnBruteforceSql: String =
-    s"""WITH base AS (
+  /** The brute-force program as prefixable CTEs, so
+    * [[qQuantRecallSql]] can instantiate it beside the quantized
+    * program without name collisions.
+    */
+  private def bruteforceCtes(p: String): String =
+    s"""${p}base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
-       |q AS (
+       |${p}q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM base WHERE vec_id % 50 = 0),
-       |scored AS (
+       |  FROM ${p}base WHERE vec_id % 50 = 0),
+       |${p}scored AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    ${Dedup.sqlDot("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
-       |  FROM base CROSS JOIN q
+       |  FROM ${p}base CROSS JOIN ${p}q
        |  WHERE vec_id <> query_id),
-       |r AS (
+       |${p}r AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)
+       |  FROM ${p}scored)""".stripMargin
+
+  val qAnnBruteforceSql: String =
+    s"""WITH ${bruteforceCtes("")}
        |SELECT query_id, neighbor_id, rnk, cosine
        |FROM r WHERE rnk <= $K
        |ORDER BY query_id, rnk""".stripMargin
@@ -355,7 +362,8 @@ object Ann {
     * verified incl. -0.5 → -0.0); int8 MACs are exact BIGINT sums in
     * any order; the final cosine is one multiply and one divide.
     */
-  val qAnnQuantizedSql: String = {
+  /** The quantized program as prefixable CTEs (see [[bruteforceCtes]]). */
+  private def quantizedCtes(p: String): String = {
     def codes(emb: String): String =
       s"""CASE WHEN list_max(list_transform($emb, x -> abs(CAST(x AS DOUBLE)))) = 0
          |  THEN list_transform($emb, x -> CAST(0 AS BIGINT))
@@ -366,28 +374,76 @@ object Ann {
          |  END""".stripMargin
     def dot8(a: String, b: String): String =
       s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS DOUBLE)"
-    s"""WITH coded AS (
+    s"""${p}coded AS (
        |  SELECT vec_id, ${codes("embedding")} AS codes
        |  FROM embeddings),
-       |base AS (
-       |  SELECT vec_id, codes, sqrt(${dot8("codes", "codes")}) AS n8 FROM coded),
-       |q AS (
+       |${p}base AS (
+       |  SELECT vec_id, codes, sqrt(${dot8("codes", "codes")}) AS n8 FROM ${p}coded),
+       |${p}q AS (
        |  SELECT vec_id AS query_id, codes AS q_codes, n8 AS qn8
-       |  FROM base WHERE vec_id % 50 = 0),
-       |scored AS (
+       |  FROM ${p}base WHERE vec_id % 50 = 0),
+       |${p}scored AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    ${dot8("codes", "q_codes")} / (n8 * qn8) AS cosine
-       |  FROM base CROSS JOIN q
+       |  FROM ${p}base CROSS JOIN ${p}q
        |  WHERE vec_id <> query_id),
-       |r AS (
+       |${p}r AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)
+       |  FROM ${p}scored)""".stripMargin
+  }
+
+  val qAnnQuantizedSql: String =
+    s"""WITH ${quantizedCtes("")}
        |SELECT query_id, neighbor_id, rnk, cosine
        |FROM r WHERE rnk <= $K
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** Quantization-quality monitor — the continuous audit of the int8
+    * path against the exact float baseline: per query, overlap@[[K]]
+    * (recall in basis points) and the worst cosine error over the
+    * agreed neighbors. The structural twin of [[qAnnRecall]] (which
+    * monitors LSH and stays rows-only because LSH rotations are model
+    * state); HERE both sides are bit-exact cross-engine, so the
+    * monitor itself is fully hash-checked — the quantization-quality
+    * claim lives in the driver gate, not just AnnSpec.
+    *
+    * Shape at scale: two broadcast-probed map-only scoring passes over
+    * the corpus (each the respective query's plan) into k-row-per-query
+    * top-k sets; the audit join and rollup are query-count-sized.
+    */
+  def qQuantRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = qAnnBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val q8 = qAnnQuantized(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos8"))
+    bf.join(q8, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        count(col("cos8")).as("n_overlap"),
+        max(when(col("cos8").isNotNull, abs(col("cosine") - col("cos8"))))
+          .as("max_cos_err"))
+      .select(col("query_id"), col("k"), col("n_overlap"),
+        expr("(n_overlap * 10000) DIV k").as("recall_bp"),
+        col("max_cos_err"))
   }
+
+  val qQuantRecallSql: String =
+    s"""WITH ${bruteforceCtes("bf_")},
+       |${quantizedCtes("q8_")},
+       |bfk AS (SELECT query_id, neighbor_id, cosine FROM bf_r WHERE rnk <= $K),
+       |q8k AS (SELECT query_id, neighbor_id, cosine AS cos8 FROM q8_r WHERE rnk <= $K),
+       |j AS (
+       |  SELECT bfk.query_id, bfk.cosine, q8k.cos8
+       |  FROM bfk LEFT JOIN q8k
+       |    ON bfk.query_id = q8k.query_id AND bfk.neighbor_id = q8k.neighbor_id)
+       |SELECT query_id, COUNT(*) AS k, COUNT(cos8) AS n_overlap,
+       |  (COUNT(cos8) * 10000) // COUNT(*) AS recall_bp,
+       |  MAX(CASE WHEN cos8 IS NOT NULL THEN abs(cosine - cos8) END) AS max_cos_err
+       |FROM j GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Per-label embedding centroids — the class-prototype / cluster-seed
@@ -754,6 +810,7 @@ object Ann {
     "q_hybrid_search"   -> qHybridSearch _,
     "q_ann_recall"      -> qAnnRecall _,
     "q_semdedup"        -> qSemdedup _,
+    "q_quant_recall"    -> qQuantRecall _,
     "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
@@ -781,6 +838,7 @@ object Ann {
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
+    "q_quant_recall"    -> qQuantRecallSql,
     "q_semdedup"        -> qSemdedupSql,
     "q_norm_hist"       -> qNormHistSql,
     "q_embed_stats"     -> qEmbedStatsSql,

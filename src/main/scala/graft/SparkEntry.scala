@@ -151,6 +151,7 @@ object SparkEntry {
     "q_dedup_embedding" -> Seq("vec_id"),
     "q_semdedup"        -> Seq("vec_id"),
     "q_prefix_dedup"    -> Seq("doc_id"),
+    "q_dup_source"      -> Seq("source"),
     "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
     "q_ann_ivf"         -> Seq("query_id", "rnk"),

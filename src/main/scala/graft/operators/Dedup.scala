@@ -564,6 +564,63 @@ object Dedup {
       |  (CAST(SUM(n) - COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS dup_ppm
       |FROM g""".stripMargin
 
+  /** Per-source duplicate attribution — the crawl-triage cut of
+    * [[qDupSummary]]: which SOURCE manufactures the duplicate rows,
+    * and whether it duplicates ITSELF or re-hosts other sources'
+    * content (`n_cross_source_dups` — dup rows whose min-id survivor
+    * lives under a different source). Verdicts are the GLOBAL
+    * exact-dedup family (same [[contentMd5]] key), so a mirror site
+    * reads as high-dup even when internally unique — the evidence for
+    * dropping a SOURCE rather than deduping it doc by doc (companion
+    * to `q_source_quality`, which cuts the quality verdicts the same
+    * way).
+    *
+    * Shape at scale: the survivor AND its source come from one
+    * min(struct(doc_id, source)) window riding the single content-hash
+    * exchange — no self-join to fetch the survivor's source; the
+    * rollup is |sources|-sized.
+    */
+  def qDupSource(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_md5")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), contentMd5(col("text")).as("content_md5"))
+      .withColumn("sv", min(struct(col("doc_id"), col("source"))).over(w))
+      .select(col("doc_id"), col("source"), col("content_md5"),
+        col("sv.doc_id").as("survivor_id"), col("sv.source").as("survivor_source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("survivor_id"), 1L).otherwise(0L))
+          .as("n_dup_rows"),
+        sum(when(col("doc_id") =!= col("survivor_id") &&
+            col("survivor_source") =!= col("source"), 1L).otherwise(0L))
+          .as("n_cross_source_dups"),
+        countDistinct(col("content_md5")).as("n_distinct_hashes"))
+      .withColumn("dup_ppm", expr("(n_dup_rows * 1000000) DIV n_docs"))
+  }
+
+  val qDupSourceSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, content_md5,
+      |    MIN(doc_id) OVER (PARTITION BY content_md5) AS survivor_id,
+      |    FIRST_VALUE(source) OVER (PARTITION BY content_md5 ORDER BY doc_id)
+      |      AS survivor_source
+      |  FROM v)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id <> survivor_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_rows,
+      |  CAST(SUM(CASE WHEN doc_id <> survivor_id AND survivor_source <> source
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_dups,
+      |  COUNT(DISTINCT content_md5) AS n_distinct_hashes,
+      |  (CAST(SUM(CASE WHEN doc_id <> survivor_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // COUNT(*) AS dup_ppm
+      |FROM w GROUP BY source
+      |ORDER BY source""".stripMargin
+
   private val RareDfCap = 20L
   private val MinRareHooks = 2L
   private val ContainThreshold = 0.8
@@ -749,6 +806,7 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_prefix_dedup"    -> qPrefixDedup _,
+    "q_dup_source"      -> qDupSource _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_ngram_jaccard"   -> qNgramJaccard _,
@@ -760,6 +818,7 @@ object Dedup {
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_prefix_dedup" -> qPrefixDedupSql,
+    "q_dup_source" -> qDupSourceSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql
     // minhash/simhash/ngram/clusters/containment: rows-only — their
     // signatures are xxhash64 streams (not reproducible in DuckDB,

@@ -24,6 +24,19 @@ class InvariantSpec extends SparkSpec {
     assert(summary.getLong(3) === maxFamily, "largest_family")
   }
 
+  test("q_dup_source totals reconcile with q_dup_summary") {
+    val perSource = Dedup.qDupSource(spark, sf0001)
+      .agg(sum("n_docs"), sum("n_dup_rows"), sum("n_cross_source_dups"))
+      .collect().head
+    val summary = Dedup.qDupSummary(spark, sf0001).collect().head
+    assert(perSource.getLong(0) === summary.getLong(0),
+      "per-source doc counts must sum to the corpus doc count")
+    assert(perSource.getLong(1) === summary.getLong(2),
+      "per-source dup rows must sum to the corpus dup-row count")
+    assert(perSource.getLong(2) <= perSource.getLong(1),
+      "cross-source dups are a subset of all dups")
+  }
+
   test("exact dup implies prefix dup (shared whitespace normalization)") {
     // contentMd5 and the prefix window normalize \s+ identically, so an
     // exact-dup pair can never straddle prefix families — including

@@ -102,6 +102,7 @@ object SparkEntry {
     "q_unpivot"         -> Seq("l_returnflag", "measure"),
     "q_range_frame"     -> Seq("o_orderkey"),
     "q_skew_report"     -> Seq("event_type"),
+    "q_fanout_audit"    -> Seq("fanout"),
     "q_profile"         -> Seq("col_name"),
     "q_checksum"        -> Seq("y"),
     "q_mad_outlier"     -> Seq("l_returnflag"),

@@ -502,6 +502,40 @@ object ScaleOps {
       |FROM c GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Join fan-out audit: the multiplicity histogram of the engine's
+    * hottest FK join (orders→lineitem) — how many orders carry 0, 1,
+    * …, n line items. This is the statistic that PREDICTS join output
+    * size (Σ fanout = join cardinality), flags explosion risk before a
+    * plan runs it, and justifies broadcast-vs-shuffle and skew-salt
+    * choices; the FK sibling of [[qSkewReport]] (which profiles
+    * grouping keys). Orders with no line items surface as fanout 0 —
+    * the referential tail [[graft.operators.Audit]]'s FK check counts
+    * from the other side.
+    *
+    * Shape at scale: one partial-aggregated shuffle on the FK, one
+    * orderkey-co-partitioned join against orders (AQE picks the
+    * strategy), and a fanout-domain-sized rollup.
+    */
+  def qFanoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val fan = Ingest.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fan"))
+    Ingest.table(s, dir, "orders").select(col("o_orderkey"))
+      .join(fan, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(coalesce(col("fan"), lit(0L)).as("fanout"))
+      .groupBy(col("fanout"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val qFanoutAuditSql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey, COUNT(*) AS fan FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT CAST(COALESCE(f.fan, 0) AS BIGINT) AS fanout
+      |  FROM orders LEFT JOIN f ON o_orderkey = l_orderkey)
+      |SELECT fanout, COUNT(*) AS n_orders
+      |FROM o GROUP BY fanout
+      |ORDER BY fanout""".stripMargin
+
   /** Explicit GROUPING SETS — the family member ROLLUP ([[qCube]]'s
     * sibling in Relational) and CUBE can't express: just the two
     * one-dimension marginals plus the grand total, WITHOUT the (y, p)
@@ -588,6 +622,7 @@ object ScaleOps {
     "q_grouping_sets"   -> qGroupingSets _,
     "q_hll_union"       -> qHllUnion _,
     "q_skew_report"     -> qSkewReport _,
+    "q_fanout_audit"    -> qFanoutAudit _,
     "q_winsorize"       -> qWinsorize _,
     "q_zorder_layout" -> qZorderLayout _,
     "q_approx_percentiles" -> qApproxPercentiles _,
@@ -604,6 +639,7 @@ object ScaleOps {
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_hll_union"       -> qHllUnionSql,
     "q_skew_report"     -> qSkewReportSql,
+    "q_fanout_audit"    -> qFanoutAuditSql,
     "q_winsorize"       -> qWinsorizeSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_approx_percentiles" -> qApproxPercentilesSql,

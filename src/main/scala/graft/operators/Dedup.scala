@@ -125,7 +125,7 @@ object Dedup {
     * `sig_arr`: `bands` slices of `rows` slots, each hashed (with the
     * band index) to a bucket id.
     */
-  private def sigBandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[graft] def sigBandRows(sigDf: DataFrame, bands: Int, rows: Int): DataFrame =
     sigDf.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig_arr, j * $rows + 1, $rows), j))"))
@@ -801,6 +801,128 @@ object Dedup {
         col("dup_of"), col("best_jaccard"))
   }
 
+  // ------------------------------------------------------------------
+  // Banded-family oracles: the FULL signature pipelines re-expressed in
+  // DuckDB SQL via [[OracleEmul]]'s HUGEINT wrapping-arithmetic
+  // emulation of the JVM kernels — bit-exact, so the whole near-dup
+  // family is hash-checked, not rows-only. One approximation is NOT
+  // emulated: the Spark plan's band bucket is xxhash64(slice, band)
+  // while the oracle joins on slice equality directly — they differ
+  // only on a 2^-64 hash collision (none on this corpus), and the
+  // hot-bucket salt guard is inert below its cap (DedupSpec pins
+  // max bucket size ≤ cap at both oracle scales).
+  // ------------------------------------------------------------------
+
+  /** Shared word-3-gram CTE prefix: docs → word hashes → features. */
+  private def wordFeatCtes: String =
+    s"""d AS (SELECT doc_id, text FROM documents),
+       |w AS (SELECT doc_id, ${OracleEmul.wordHashes("text")} AS wh FROM d),
+       |f AS (SELECT doc_id, ${OracleEmul.features("wh", IdxNgram)} AS feats FROM w)""".stripMargin
+
+  /** Word-minhash pipeline through verified candidate pairs —
+    * shared by [[qDedupMinhashSql]] and [[qDedupClustersSql]].
+    */
+  private def minhashPipelineCtes: String =
+    s"""$wordFeatCtes,
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(feats, f0 -> ${OracleEmul.floorMod("f0", "fm", "2147483647")}) AS fmod,
+       |  ${OracleEmul.hashSet("feats")} AS sh FROM f),
+       |s AS MATERIALIZED (SELECT doc_id, sh,
+       |  ${OracleEmul.minhashSig("fmod", IdxSeed, IdxK)} AS sig FROM fp),
+       |${OracleEmul.bandCandCtes("", "s", IdxBands, IdxRows)},
+       |pairs AS (SELECT id_a, id_b, ${OracleEmul.jaccard("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN s sa ON cand.id_a = sa.doc_id
+       |  JOIN s sb ON cand.id_b = sb.doc_id)""".stripMargin
+
+  val qDedupMinhashSql: String =
+    s"""WITH $minhashPipelineCtes
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $IdxThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Components oracle: the recursive CTE propagates every reachable
+    * label and the aggregate keeps the min — the FIXPOINT
+    * [[connectedComponents]] iterates to (it throws rather than return
+    * a non-converged labeling, so fixpoint equality is total).
+    */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPipelineCtes,
+       |edges AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= $IdxThreshold),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (SELECT src AS id, src AS lab FROM sym
+       |          UNION SELECT e.src, r.lab FROM sym e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+       |labeled AS (SELECT dd.doc_id, coalesce(c.comp, dd.doc_id) AS cluster_id
+       |  FROM d dd LEFT JOIN comp c ON dd.doc_id = c.id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_survivor
+       |FROM labeled ORDER BY doc_id""".stripMargin
+
+  /** SimHash oracle: per-bit majority over the multiset feature
+    * stream, byte-band candidates, popcount hamming — the banding is
+    * exact (byte extraction, no hashed bucket), so nothing here is
+    * even collision-approximate.
+    */
+  val qDedupSimhashSql: String =
+    s"""WITH $wordFeatCtes,
+       |s AS MATERIALIZED (SELECT doc_id,
+       |  list_aggregate(list_transform(range(64), bk ->
+       |    list_transform([(1::HUGEINT << bk)], shv ->
+       |      CASE WHEN 2*length(list_filter(feats, ff -> (ff // shv) % 2 = 1)) > length(feats)
+       |           THEN shv ELSE 0::HUGEINT END)[1]), 'sum') AS sig
+       |  FROM f),
+       |bnd AS (SELECT doc_id, sig, j, (sig // (1::HUGEINT << (j*8))) % 256 AS bucket
+       |  FROM s, range(8) t(j)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM bnd a JOIN bnd b ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+
+  val qDedupContainmentSql: String =
+    s"""WITH $wordFeatCtes,
+       |st AS MATERIALIZED (SELECT doc_id, ${OracleEmul.hashSet("feats")} AS sh FROM f),
+       |inv AS (SELECT doc_id, unnest(sh) AS g FROM st),
+       |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) >= 2 AND count(*) <= $RareDfCap),
+       |hooked AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hooked a JOIN hooked b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinRareHooks),
+       |v AS (SELECT id_a, id_b,
+       |    CAST(length(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(length(sa.sh) AS BIGINT) AS n_a, CAST(length(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand JOIN st sa ON cand.id_a = sa.doc_id JOIN st sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, inter, n_a, n_b,
+       |  CAST(inter AS DOUBLE) / least(n_a, n_b) AS containment
+       |FROM v WHERE CAST(inter AS DOUBLE) / least(n_a, n_b) >= $ContainThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Char-6-gram oracle: window hashes stay mod P at every step
+    * (no wrapping emulation needed), and the minhash PRE-FILTER —
+    * slot agreement ≥ threshold-0.25 — is reproduced exactly, since
+    * a borderline true pair dropped by the estimate must be dropped
+    * by the oracle too.
+    */
+  val qNgramJaccardSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |cd AS (SELECT doc_id,
+       |  list_transform(list_filter(string_split_regex(text, ''), c0 -> c0 <> ''),
+       |    c1 -> CAST(unicode(c1) AS BIGINT)) AS codes FROM d),
+       |f AS (SELECT doc_id,
+       |  list_transform(range(greatest(length(codes) - 5, 1)), wi ->
+       |    list_reduce(list_prepend(0::BIGINT, codes[wi+1:least(wi+6, length(codes))]),
+       |      (ha, hb) -> (ha * 31 + hb) % 2147483647)) AS feats FROM cd),
+       |s AS MATERIALIZED (SELECT doc_id, list_distinct(feats) AS sh,
+       |  ${OracleEmul.minhashSig("feats", 0x5EED0002L, 64)} AS sig FROM f),
+       |${OracleEmul.bandCandCtes("", "s", 16, 4)},
+       |pref AS (SELECT id_a, id_b FROM cand
+       |  JOIN s pa ON cand.id_a = pa.doc_id JOIN s pb ON cand.id_b = pb.doc_id
+       |  WHERE CAST(length(list_filter(range(64), tt -> pa.sig[tt+1] = pb.sig[tt+1])) AS DOUBLE) / 64
+       |        >= ${0.6 - 0.25}),
+       |v AS (SELECT id_a, id_b, ${OracleEmul.jaccard("sa.sh", "sb.sh")} AS jaccard
+       |  FROM pref JOIN s sa ON pref.id_a = sa.doc_id JOIN s sb ON pref.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
@@ -819,10 +941,11 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_prefix_dedup" -> qPrefixDedupSql,
     "q_dup_source" -> qDupSourceSql,
-    "q_dedup_embedding" -> qDedupEmbeddingSql
-    // minhash/simhash/ngram/clusters/containment: rows-only — their
-    // signatures are xxhash64 streams (not reproducible in DuckDB,
-    // which ships a different 64-bit hash), and every downstream
-    // verdict is a function of those hashes.
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_containment" -> qDedupContainmentSql,
+    "q_dedup_clusters" -> qDedupClustersSql
   )
 }

@@ -259,4 +259,30 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.qDedupExact(spark, dir).collect()
     assert(exact.forall(!_.getBoolean(4)), "exact dedup must NOT flag prefix-only dups")
   }
+
+  test("oracle equivalence precondition: no signature bucket tops the salt cap at oracle scales") {
+    // The banded-family DuckDB oracles join on signature-SLICE equality
+    // and skip the hot-bucket salt entirely — valid only while every
+    // (band, bucket) group stays at or under candidatePairs' default
+    // cap (salt = pmod(x, 1) = 0 → pair set unchanged). If corpus
+    // growth or a testdata refresh ever breaks this, the oracles would
+    // silently diverge from the salted Spark plan — fail HERE instead.
+    import graft.functions.{WordNgramMinHash, CharNgramFunctions}
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val d = graft.sources.Ingest.table(spark, dir, "documents")
+      val sigs = Seq(
+        "word" -> d.select(col("doc_id"),
+          WordNgramMinHash.column(col("text"), 3, 64, 0x5EED0001L).as("sig_arr")),
+        "char" -> d.select(col("doc_id"),
+          CharNgramFunctions.charMinHash(col("text"), 6, 64, 0x5EED0002L).as("sig_arr")))
+      for ((name, sig) <- sigs) {
+        val maxB = Dedup.sigBandRows(sig, 16, 4)
+          .groupBy("band", "bucket").count()
+          .agg(max("count")).collect()(0).getLong(0)
+        assert(maxB <= 1000,
+          s"$name-gram bucket of $maxB members tops the 1000 salt cap at $dir — " +
+            "the minhash oracles' slice-equality assumption no longer holds")
+      }
+    }
+  }
 }

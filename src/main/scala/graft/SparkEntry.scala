@@ -123,6 +123,8 @@ object SparkEntry {
     "q_interval_coalesce" -> Seq("user_id", "island_id"),
     "q_benford"         -> Seq("digit"),
     "q_bigram_topk"     -> Seq("lang", "rk"),
+    "q_colloc_lift"     -> Seq("lang", "rk"),
+    "q_cohort_ltv"      -> Seq("cohort_week", "week_offset"),
     "q_embed_stats"     -> Seq("dim"),
     "q_norm_hist"       -> Seq("norm2_bin"),
     "q_len_hist"        -> Seq("lang", "bin"),

@@ -259,14 +259,81 @@ object Segments {
        |ORDER BY q_from, q_to""".stripMargin
   }
 
+  /** Cohort lifetime-value curve: customers grouped by first-order
+    * week, revenue accumulated per cohort across week offsets — the
+    * money sibling of [[Analytics.qRetention]]'s activity matrix
+    * (dashboards plot LTV(t) per acquisition cohort off exactly this
+    * table). Revenue flows as exact integer cents; per-user LTV is
+    * cohort-cumulative cents DIV cohort size (integral DIV truncates
+    * identically cross-engine, negatives included — SURVEY §4).
+    *
+    * Cohort size needs no second pass: every customer's FIRST order
+    * lands at offset 0 by construction, so cohort size = the distinct
+    * active-user count the offset-0 row already carries, read back via
+    * FIRST_VALUE over the offset order. One consumption of the
+    * cohort-tagged orders — no shared subtree, nothing to checkpoint.
+    *
+    * Shape at scale: one shuffle on o_custkey (the cohort window),
+    * one partial-aggregated rollup to (cohort, offset) — output and
+    * all window inputs are bounded by weeks², independent of row
+    * count. o_orderdate is TIMESTAMP_NTZ — epoch arithmetic goes
+    * through `unix_millis(CAST(... AS TIMESTAMP))` (SURVEY §4).
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Ingest.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 DIV 7").as("week"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("cohort_week", min("week").over(Window.partitionBy("o_custkey")))
+    val roll = o
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("cents"))
+    val byOffset = Window.partitionBy("cohort_week").orderBy("week_offset")
+    roll
+      .withColumn("cum_cents", sum("cents").over(byOffset))
+      .withColumn("cohort_users", first("n_active").over(byOffset))
+      .select(col("cohort_week"), col("week_offset"), col("n_orders"),
+        col("n_active"), col("cents"), col("cum_cents"), col("cohort_users"),
+        expr("cum_cents DIV cohort_users").as("ltv_cents_per_user"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    epoch_ms(o_orderdate) // 86400000 // 7 AS week,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    MIN(epoch_ms(o_orderdate) // 86400000 // 7)
+      |      OVER (PARTITION BY o_custkey) AS cohort_week
+      |  FROM orders),
+      |roll AS (
+      |  SELECT cohort_week, week - cohort_week AS week_offset,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_active,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM o GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_orders, n_active, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS BIGINT)
+      |    AS cum_cents,
+      |  FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+      |    AS cohort_users,
+      |  CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS BIGINT)
+      |    // FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+      |    AS ltv_cents_per_user
+      |FROM roll ORDER BY cohort_week, week_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_migration" -> qSegmentMigration _,
+    "q_cohort_ltv" -> qCohortLtv _,
     "q_rfm"        -> qRfm _,
     "q_pareto"     -> qPareto _,
     "q_wow_change" -> qWowChange _)
 
   def oracle: Map[String, String] = Map(
     "q_segment_migration" -> qSegmentMigrationSql,
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm"        -> qRfmSql,
     "q_pareto"     -> qParetoSql,
     "q_wow_change" -> qWowChangeSql)

@@ -1425,7 +1425,108 @@ object TextOps {
        |FROM ranked WHERE rk <= $BigramTopK
        |ORDER BY lang, rk""".stripMargin
 
+  private val CollocMinSupport = 20L
+  private val CollocTopK       = 20
+
+  /** Per-language top-[[CollocTopK]] collocations by LIFT — observed
+    * bigram probability over the independence expectation from the
+    * unigram marginals (the PMI exponent, kept in ratio space so no
+    * transcendentals enter the plan). [[qBigramTopk]] ranks by raw
+    * count and so surfaces frequent-word pairs; lift surfaces pairs
+    * that co-occur far MORE than their word frequencies predict — the
+    * multi-word-expression signal tokenizer merge rules and phrase
+    * mining actually want. Support floor [[CollocMinSupport]] keeps
+    * one-off pairs from saturating the ratio.
+    *
+    * Determinism + overflow (SURVEY §4): all probabilities are ppm
+    * integers via integral DIV — pa/pb over the lang token total,
+    * pab over the lang bigram total — so every intermediate is
+    * ≤ 10¹² REGARDLESS of corpus size;
+    * lift_ppm = pab_ppm·10⁶ DIV max(pa_ppm·pb_ppm DIV 10⁶, 1).
+    * The only unbounded product is count·10⁶, safe while the hottest
+    * single word stays under ~9·10¹² occurrences — beyond that,
+    * promote the ppm scale to DECIMAL sums.
+    *
+    * Shape at scale: two map-only corpus passes (unigram explode,
+    * zip-shift bigram explode) each partial-aggregating into vocab- /
+    * vocab²-bounded tables; the unigram table is checkpointed ONCE
+    * (it feeds the token total and both marginal joins — a shared
+    * subtree re-derives per consumer otherwise) and the marginal
+    * joins + rank window run on the MODEL-sized count tables, never
+    * corpus rows. Lang totals ride in broadcast.
+    */
+  def qCollocLift(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("lang"), split(col("text"), " ").as("ws"))
+    val uni = tok.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("u"))
+      .materialized
+    val tot = uni.groupBy("lang").agg(sum("u").as("t_tokens"))
+    val bi = tok.filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= CollocMinSupport)
+      .materialized
+    val btot = bi.groupBy("lang").agg(sum("n").as("t_bigrams"))
+    val lifted = bi
+      .withColumn("wa", element_at(split(col("bigram"), " "), 1))
+      .withColumn("wb", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("lang"), col("w").as("wa"), col("u").as("ua")), Seq("lang", "wa"))
+      .join(uni.select(col("lang"), col("w").as("wb"), col("u").as("ub")), Seq("lang", "wb"))
+      .join(broadcast(tot), Seq("lang"))
+      .join(broadcast(btot), Seq("lang"))
+      .select(col("lang"), col("bigram"), col("n"),
+        expr("(n * 1000000) DIV t_bigrams").as("pab_ppm"),
+        expr("(ua * 1000000) DIV t_tokens").as("pa_ppm"),
+        expr("(ub * 1000000) DIV t_tokens").as("pb_ppm"))
+      .withColumn("lift_ppm",
+        expr("(pab_ppm * 1000000) DIV greatest((pa_ppm * pb_ppm) DIV 1000000, 1)"))
+    lifted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("lift_ppm").desc, col("bigram"))))
+      .filter(col("rk") <= CollocTopK)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("bigram"),
+        col("n"), col("lift_ppm"))
+  }
+
+  val qCollocLiftSql: String =
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+       |u AS (
+       |  SELECT lang, w, COUNT(*) AS u FROM (
+       |    SELECT lang, unnest(ws) AS w FROM d) GROUP BY lang, w),
+       |t AS (SELECT lang, CAST(SUM(u) AS BIGINT) AS t_tokens FROM u GROUP BY lang),
+       |b AS (
+       |  SELECT lang, bigram, COUNT(*) AS n FROM (
+       |    SELECT lang, unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       |    FROM d WHERE len(ws) >= 2) GROUP BY lang, bigram
+       |  HAVING COUNT(*) >= $CollocMinSupport),
+       |bt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t_bigrams FROM b GROUP BY lang),
+       |l AS (
+       |  SELECT b.lang, b.bigram, b.n,
+       |    (b.n * 1000000) // bt.t_bigrams AS pab_ppm,
+       |    (ua.u * 1000000) // t.t_tokens AS pa_ppm,
+       |    (ub.u * 1000000) // t.t_tokens AS pb_ppm
+       |  FROM b
+       |  JOIN u ua ON b.lang = ua.lang AND string_split(b.bigram, ' ')[1] = ua.w
+       |  JOIN u ub ON b.lang = ub.lang AND string_split(b.bigram, ' ')[2] = ub.w
+       |  JOIN t ON b.lang = t.lang
+       |  JOIN bt ON b.lang = bt.lang),
+       |ranked AS (
+       |  SELECT lang, bigram, n,
+       |    (pab_ppm * 1000000) // greatest((pa_ppm * pb_ppm) // 1000000, 1) AS lift_ppm,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+       |      (pab_ppm * 1000000) // greatest((pa_ppm * pb_ppm) // 1000000, 1) DESC,
+       |      bigram) AS rk
+       |  FROM l)
+       |SELECT lang, rk, bigram, n, lift_ppm
+       |FROM ranked WHERE rk <= $CollocTopK
+       |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_colloc_lift"       -> qCollocLift _,
     "q_sample_uniform"    -> qSampleUniform _,
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
@@ -1466,6 +1567,7 @@ object TextOps {
     "q_vocab_coverage"    -> qVocabCoverageSql,
     "q_source_quality"    -> qSourceQualitySql,
     "q_bigram_topk"       -> qBigramTopkSql,
+    "q_colloc_lift"       -> qCollocLiftSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,
     "q_shard_plan"        -> qShardPlanSql,

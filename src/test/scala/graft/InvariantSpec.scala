@@ -135,6 +135,48 @@ class InvariantSpec extends SparkSpec {
     assert(total === nVecs, "every vector lands in exactly one norm bucket")
   }
 
+  test("q_cohort_ltv reconciles with the raw orders table") {
+    val ltv = Segments.qCohortLtv(spark, sf0001).collect()
+    val orders = graft.sources.Ingest.table(spark, sf0001, "orders")
+    assert(ltv.map(_.getLong(2)).sum === orders.count(),
+      "cohort cells must partition the order rows")
+    assert(ltv.map(_.getLong(6)).toSet.size ===
+      ltv.map(_.getLong(0)).toSet.size ||
+      ltv.groupBy(_.getLong(0)).forall { case (_, rs) =>
+        rs.map(_.getLong(6)).distinct.size === 1 },
+      "cohort_users must be constant within a cohort")
+    ltv.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) === 0L,
+        s"cohort $cw must start at offset 0 (the first order defines it)")
+      assert(sorted.head.getLong(3) === sorted.head.getLong(6),
+        s"cohort $cw size must equal offset-0 active users")
+      val cum = sorted.scanLeft(0L)(_ + _.getLong(4)).drop(1)
+      assert(sorted.map(_.getLong(5)).toSeq === cum.toSeq,
+        s"cohort $cw cumulative cents must telescope over the offsets")
+    }
+  }
+
+  test("q_colloc_lift agrees with q_bigram_topk counts on shared bigrams") {
+    val colloc = TextOps.qCollocLift(spark, sf0001)
+      .select(col("lang"), col("bigram"), col("n").as("n_lift"))
+    val topk = TextOps.qBigramTopk(spark, sf0001)
+      .select(col("lang"), col("bigram"), col("n").as("n_cnt"))
+    val joined = colloc.join(topk, Seq("lang", "bigram")).collect()
+    assert(joined.forall(r => r.getLong(2) === r.getLong(3)),
+      "the same (lang, bigram) must carry the same corpus count in both rankings")
+    val all = TextOps.qCollocLift(spark, sf0001).collect()
+    assert(all.nonEmpty)
+    assert(all.forall(_.getLong(3) >= 20L), "support floor must hold")
+    all.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.size).toSeq,
+        s"ranks must be dense 1..k within $lang")
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b },
+        s"lift must be non-increasing in rank within $lang")
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

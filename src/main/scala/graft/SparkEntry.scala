@@ -140,6 +140,8 @@ object SparkEntry {
     "q_vocab_coverage"  -> Seq("k"),
     "q_source_quality"  -> Seq("source"),
     "q_hll_union"       -> Seq("event_type"),
+    "q_sliding_reach"   -> Seq("event_type", "day"),
+    "q_centroid_shift"  -> Seq("label"),
     "q_chunk_docs"      -> Seq("doc_id", "chunk_id"),
     "q_tfidf_keywords"  -> Seq("doc_id", "rk"),
     "q_streak_islands"  -> Seq("user_id"),

@@ -805,8 +805,83 @@ object Ann {
        |ORDER BY norm2_bin""".stripMargin
   }
 
+  /** Embedding-space DRIFT audit: the corpus split into two halves by
+    * vec_id parity (the stand-in for "yesterday's export vs today's"),
+    * per-label centroids computed for each half in the
+    * [[CentroidFp]] fixed point, and the squared L2 gap between the
+    * two half-centroids reported per label. A re-run export whose
+    * encoder drifted (or whose pooling changed) moves every centroid;
+    * this is the model-sized screen that catches it before a 100 TB
+    * re-embed lands in production — the embedding sibling of
+    * [[graft.operators.Audit]]'s qKsDrift.
+    *
+    * Bit-exact by the [[qCentroidAssign]] rules: components
+    * fixed-pointed, half-centroids are INTEGER quotients
+    * (sum DIV count — both engines truncate toward zero), the gap an
+    * exact BIGINT sum of squared quotient deltas (headroom: dims ×
+    * (2·2²⁰)² ≪ 2⁶³). The only IEEE op is the final unit rescale.
+    * Degenerate halves (a label present in one parity only) keep the
+    * query total via greatest(n, 1) + COALESCE — both engines agree.
+    *
+    * Shape at scale: ONE corpus pass — the parity split rides as a
+    * grouping key beside (label, dim) with conditional aggregation, so
+    * there is no self-join of two filtered scans; the dist2 rollup
+    * runs on the label×dim model table.
+    */
+  def qCentroidShift(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("half"), col("pos"),
+        expr(s"CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT)").as("f"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        coalesce(sum(when(col("half") === 0, col("f"))), lit(0L)).as("s_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(col("half") === 1, col("f"))), lit(0L)).as("s_b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (expr("s_a DIV greatest(n_a, 1)") - expr("s_b DIV greatest(n_b, 1)")).as("dq"))
+      .groupBy(col("label"))
+      .agg(
+        max("n_a").as("n_a"),
+        max("n_b").as("n_b"),
+        sum(col("dq") * col("dq")).as("dist2_fp"))
+      .select(col("label"), col("n_a"), col("n_b"), col("dist2_fp"),
+        (col("dist2_fp").cast("double") /
+          lit((CentroidFp * CentroidFp).toDouble)).as("shift_sq"))
+
+  val qCentroidShiftSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |    unnest(range(1, len(embedding) + 1)) AS dim,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |fp AS (
+       |  SELECT label, half, dim,
+       |    CAST(round(CAST(v AS DOUBLE) * $CentroidFp) AS BIGINT) AS f
+       |  FROM ex),
+       |g AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(COALESCE(SUM(CASE WHEN half = 0 THEN f END), 0) AS BIGINT) AS s_a,
+       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(COALESCE(SUM(CASE WHEN half = 1 THEN f END), 0) AS BIGINT) AS s_b
+       |  FROM fp GROUP BY label, dim),
+       |d AS (
+       |  SELECT label, n_a, n_b,
+       |    s_a // greatest(n_a, 1) - s_b // greatest(n_b, 1) AS dq
+       |  FROM g)
+       |SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       |  CAST(SUM(dq * dq) AS BIGINT) AS dist2_fp,
+       |  CAST(CAST(SUM(dq * dq) AS BIGINT) AS DOUBLE)
+       |    / ${(CentroidFp * CentroidFp).toDouble} AS shift_sq
+       |FROM d GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_norm_hist"       -> qNormHist _,
+    "q_centroid_shift"  -> qCentroidShift _,
     "q_hybrid_search"   -> qHybridSearch _,
     "q_ann_recall"      -> qAnnRecall _,
     "q_semdedup"        -> qSemdedup _,
@@ -841,6 +916,7 @@ object Ann {
     "q_quant_recall"    -> qQuantRecallSql,
     "q_semdedup"        -> qSemdedupSql,
     "q_norm_hist"       -> qNormHistSql,
+    "q_centroid_shift"  -> qCentroidShiftSql,
     "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,
     "q_centroid_assign" -> qCentroidAssignSql)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** Scale-pattern operators (SURVEY.md §2 rows 41-44): the aggregation
@@ -618,8 +619,67 @@ object ScaleOps {
       |FROM e GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Trailing-7-day distinct reach per (event_type, day) — the sliding
+    * sibling of [[qHllUnion]], and the op that makes the sketch-table
+    * contract pay off: each DAILY sketch is fanned out to the ≤7
+    * target days it serves (map-only ×7 on the day-bounded sketch
+    * table) and merged per target, so the trailing window NEVER
+    * re-scans raw events and never recounts — the naive per-day
+    * COUNT(DISTINCT trailing 7d) re-touches every event 7×. Targets
+    * are kept only for days that themselves have events (the join back
+    * to the sketch table's key set).
+    *
+    * Oracle contract as [[qHllUnion]]: the row carries the exact
+    * trailing distinct and a boolean asserting the merged estimate
+    * landed within 5% (lgConfigK=14 → σ ≈ 0.8%); the exact branch here
+    * is the audit, not the production path.
+    */
+  def qSlidingReach(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir)
+      .select(col("event_type"), expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+    // day×type-bounded sketch table; consumed by the fan-out AND the
+    // present-day filter — checkpointed once (shared subtrees re-derive)
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .materialized
+    val est = daily
+      .select(col("event_type"), col("sk"),
+        explode(expr("sequence(day, day + 6)")).as("day_t"))
+      .groupBy(col("event_type"), col("day_t"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .join(daily.select(col("event_type"), col("day").as("day_t")),
+        Seq("event_type", "day_t"))
+    val exact = e
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("day_t"))
+      .distinct()
+      .groupBy(col("event_type"), col("day_t"))
+      .agg(count(lit(1)).as("n_exact_users"))
+    est.join(exact, Seq("event_type", "day_t"))
+      .select(col("event_type"), col("day_t").as("day"), col("n_exact_users"),
+        (abs(col("est") - col("n_exact_users")).cast("double")
+          <= col("n_exact_users").cast("double") * 0.05).as("reach_within_5pct"))
+  }
+
+  val qSlidingReachSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+      |present AS (SELECT DISTINCT event_type, day FROM e),
+      |x AS (
+      |  SELECT DISTINCT e.event_type, e.user_id, e.day + o.ofs AS day_t
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS ofs) o),
+      |cnt AS (
+      |  SELECT event_type, day_t, COUNT(*) AS n_exact_users
+      |  FROM x GROUP BY event_type, day_t)
+      |SELECT c.event_type, c.day_t AS day, c.n_exact_users,
+      |  TRUE AS reach_within_5pct
+      |FROM cnt c JOIN present p
+      |  ON c.event_type = p.event_type AND c.day_t = p.day
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grouping_sets"   -> qGroupingSets _,
+    "q_sliding_reach"   -> qSlidingReach _,
     "q_hll_union"       -> qHllUnion _,
     "q_skew_report"     -> qSkewReport _,
     "q_fanout_audit"    -> qFanoutAudit _,
@@ -638,6 +698,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_hll_union"       -> qHllUnionSql,
+    "q_sliding_reach"   -> qSlidingReachSql,
     "q_skew_report"     -> qSkewReportSql,
     "q_fanout_audit"    -> qFanoutAuditSql,
     "q_winsorize"       -> qWinsorizeSql,

@@ -177,6 +177,55 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_centroid_shift: identical halves shift zero; counts partition the corpus") {
+    val s = spark
+    import s.implicits._
+    // paired corpus: vec 2k and 2k+1 carry the SAME embedding+label, so
+    // the parity halves are identical populations — shift must be 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val base = (0L until 40L).map { k =>
+      (k, Array.tabulate(8)(d => ((k * 7 + d * 3) % 11).toFloat / 11f), (k % 3).toInt)
+    }
+    base.flatMap { case (k, e, l) => Seq((2 * k, e, l), (2 * k + 1, e, l)) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Ann.qCentroidShift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "paired halves must be equal-sized")
+      assert(r.getLong(3) === 0L, s"identical halves must have zero shift: $r")
+    }
+    // real corpus: half sizes partition each label's population
+    val shift = Ann.qCentroidShift(spark, sf0001).collect()
+    val byLabel = graft.sources.Ingest.table(spark, sf0001, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    shift.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byLabel(r.getInt(0)),
+        "parity halves must partition the label population")
+    }
+  }
+
+  test("q_sliding_reach brackets daily and total distinct reach") {
+    val daily = graft.sources.Ingest.events(spark, sf0001)
+      .select(col("event_type"), expr("ts_ms DIV 86400000").as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("n_day"))
+    val total = ScaleOps.qHllUnion(spark, sf0001)
+      .select(col("event_type"), col("n_exact_users").as("n_total"))
+    val joined = ScaleOps.qSlidingReach(spark, sf0001)
+      .join(daily, Seq("event_type", "day"))
+      .join(total, Seq("event_type"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (reach, day, tot) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(reach >= day, s"trailing reach can't undercut the same-day distinct: $r")
+      assert(reach <= tot, s"trailing reach can't exceed the all-time distinct: $r")
+      assert(r.getBoolean(3), s"sketch estimate must sit within 5% of exact: $r")
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

@@ -150,6 +150,7 @@ object SparkEntry {
     "q_centroid_assign" -> Seq("vec_id"),
     "q_histogram"       -> Seq("bin"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),
+    "q_minhash_error"   -> Seq("id_a", "id_b"),
     "q_dedup_containment" -> Seq("id_a", "id_b"),
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),
     "q_ngram_jaccard"   -> Seq("id_a", "id_b"),

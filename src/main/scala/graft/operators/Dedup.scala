@@ -923,7 +923,74 @@ object Dedup {
        |  FROM pref JOIN s sa ON pref.id_a = sa.doc_id JOIN s sb ON pref.id_b = sb.doc_id)
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash estimator-quality audit — the dedup sibling of
+    * [[Ann.qQuantRecall]]: for every banded candidate pair, the k-slot
+    * signature agreement (the estimate LSH banding and the verify
+    * pre-filter act on) side by side with the TRUE shingle-set
+    * Jaccard, and the signed error between them. This is the monitor
+    * that validates k=64 / the 0.25 pre-filter margin on a real
+    * corpus before a 100 TB dedup commits to them — estimator drift
+    * (short docs, skewed shingle distributions) shows up here first.
+    *
+    * Fully hash-checked: slot agreement is an integer match count and
+    * both similarities are integer basis points via integral DIV
+    * (true Jaccard as inter·10⁴ DIV union from the allocation-free
+    * [[graft.functions.SortedOverlap]] merge — no IEEE division
+    * anywhere), so the audit rides the same HUGEINT splitmix oracle
+    * emulation as q_dedup_minhash.
+    *
+    * Shape at scale: identical to [[qDedupMinhash]]'s candidate step
+    * (banded equi self-join, hot buckets salt-split) plus the four
+    * model-column joins the verify step already pays — the audit adds
+    * zero new corpus passes over running the dedup itself.
+    */
+  def qMinhashError(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{WordNgramMinHash, WordNgramHashes}
+    val (n, k, bands, rows) = (3, 64, 16, 4)
+    val d = docs(s, dir)
+    val sig = d.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), n, k, seed = 0x5EED0001L).as("sig_arr"))
+    val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), n).as("sh"))
+    candidatePairs(sigBandRows(sig, bands, rows))
+      .join(sig.select(col("doc_id").as("id_a"), col("sig_arr").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig_arr").as("sig_b")), "id_b")
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS BIGINT)")
+          .as("slot_matches"),
+        graft.functions.SortedOverlap.column(col("sh_a"), col("sh_b")).as("inter"),
+        expr("CAST(size(sh_a) + size(sh_b) AS BIGINT)").as("szsum"))
+      .select(col("id_a"), col("id_b"), col("slot_matches"),
+        expr(s"(slot_matches * 10000) DIV $k").as("est_bp"),
+        expr("(inter * 10000) DIV greatest(szsum - inter, 1)").as("jac_bp"))
+      .withColumn("err_bp", col("est_bp") - col("jac_bp"))
+  }
+
+  val qMinhashErrorSql: String =
+    s"""WITH $wordFeatCtes,
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(feats, f0 -> ${OracleEmul.floorMod("f0", "fm", "2147483647")}) AS fmod,
+       |  ${OracleEmul.hashSet("feats")} AS sh FROM f),
+       |s AS MATERIALIZED (SELECT doc_id, sh,
+       |  ${OracleEmul.minhashSig("fmod", IdxSeed, IdxK)} AS sig FROM fp),
+       |${OracleEmul.bandCandCtes("", "s", IdxBands, IdxRows)},
+       |m AS (SELECT id_a, id_b,
+       |    CAST(length(list_filter(range($IdxK), tt -> sa.sig[tt+1] = sb.sig[tt+1])) AS BIGINT)
+       |      AS slot_matches,
+       |    CAST(length(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(length(sa.sh) + length(sb.sh) AS BIGINT) AS szsum
+       |  FROM cand JOIN s sa ON cand.id_a = sa.doc_id
+       |  JOIN s sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, slot_matches,
+       |  (slot_matches * 10000) // $IdxK AS est_bp,
+       |  (inter * 10000) // greatest(szsum - inter, 1) AS jac_bp,
+       |  (slot_matches * 10000) // $IdxK
+       |    - (inter * 10000) // greatest(szsum - inter, 1) AS err_bp
+       |FROM m ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_error"   -> qMinhashError _,
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
@@ -937,6 +1004,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_minhash_error" -> qMinhashErrorSql,
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_prefix_dedup" -> qPrefixDedupSql,

@@ -226,6 +226,27 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_minhash_error covers the dedup's pairs and respects banding floors") {
+    val audit = Dedup.qMinhashError(spark, sf0001).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (m, est, jac) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // a candidate shares at least one full band => >= 4 equal slots
+      assert(m >= 4L && m <= 64L, s"slot matches out of band range: $r")
+      assert(est === m * 10000 / 64, s"estimate must be the slot share: $r")
+      assert(jac >= 0L && jac <= 10000L, s"jaccard bp out of range: $r")
+      assert(r.getLong(5) === est - jac, "err must be the signed gap")
+    }
+    val auditPairs = audit.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = Dedup.qDedupMinhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(reported.nonEmpty)
+    reported.foreach { p =>
+      assert(auditPairs.contains(p),
+        s"every reported dup pair must appear in the estimator audit: $p")
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

@@ -151,6 +151,8 @@ object SparkEntry {
     "q_histogram"       -> Seq("bin"),
     "q_dedup_minhash"   -> Seq("id_a", "id_b"),
     "q_minhash_error"   -> Seq("id_a", "id_b"),
+    "q_dup_by_batch"    -> Seq("batch"),
+    "q_repeat_purchase" -> Seq("gap_week_bucket"),
     "q_dedup_containment" -> Seq("id_a", "id_b"),
     "q_dedup_simhash"   -> Seq("id_a", "id_b"),
     "q_ngram_jaccard"   -> Seq("id_a", "id_b"),

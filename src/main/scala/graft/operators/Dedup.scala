@@ -989,8 +989,68 @@ object Dedup {
        |    - (inter * 10000) // greatest(szsum - inter, 1) AS err_bp
        |FROM m ORDER BY id_a, id_b""".stripMargin
 
+  private val IngestBatch = 50L
+
+  /** Duplicate-rate trend per ingest batch (doc_id DIV
+    * [[IngestBatch]] as the arrival-order proxy): for each batch, how
+    * many docs duplicate content first seen in an EARLIER batch
+    * (prior dups — re-crawls, mirrors) vs within the batch itself
+    * (intra dups — a looping crawler), with the combined rate in ppm.
+    * This is the time axis [[qDupSummary]] flattens: a healthy corpus
+    * shows prior-dup rates CLIMBING batch over batch (more history to
+    * collide with); a crawler loop shows an intra spike in one batch.
+    * The monitor that says "stop the crawl" before a 100 TB ingest
+    * finishes.
+    *
+    * Shape at scale: one shuffle on the content hash; both windows
+    * (first batch per hash, first doc per hash×batch) ride that
+    * exchange — hash clustering co-locates the (hash, batch) keys, so
+    * the second window adds a sort, not a shuffle. The rollup output
+    * is batch-count-sized.
+    */
+  def qDupByBatch(s: SparkSession, dir: String): DataFrame = {
+    val h = docs(s, dir).select(col("doc_id"),
+      expr(s"doc_id DIV $IngestBatch").as("batch"),
+      contentMd5(col("text")).as("ch"))
+    val byHash      = Window.partitionBy("ch")
+    val byHashBatch = Window.partitionBy("ch", "batch")
+    h.withColumn("first_batch", min("batch").over(byHash))
+      .withColumn("first_in_batch", min("doc_id").over(byHashBatch))
+      .select(col("batch"),
+        (col("batch") > col("first_batch")).as("prior"),
+        (col("batch") === col("first_batch") &&
+          col("doc_id") =!= col("first_in_batch")).as("intra"))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("prior"), 1L).otherwise(0L)).as("n_prior_dup"),
+        sum(when(col("intra"), 1L).otherwise(0L)).as("n_intra_dup"))
+      .withColumn("dup_ppm",
+        expr("((n_prior_dup + n_intra_dup) * 1000000) DIV n_docs"))
+  }
+
+  val qDupByBatchSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, doc_id // $IngestBatch AS batch,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ch
+       |  FROM documents),
+       |w AS (
+       |  SELECT batch,
+       |    batch > MIN(batch) OVER (PARTITION BY ch) AS prior,
+       |    batch = MIN(batch) OVER (PARTITION BY ch)
+       |      AND doc_id <> MIN(doc_id) OVER (PARTITION BY ch, batch) AS intra
+       |  FROM h)
+       |SELECT batch, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN prior THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_dup,
+       |  CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS n_intra_dup,
+       |  ((CAST(SUM(CASE WHEN prior THEN 1 ELSE 0 END) AS BIGINT)
+       |    + CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT)) * 1000000)
+       |    // COUNT(*) AS dup_ppm
+       |FROM w GROUP BY batch ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_error"   -> qMinhashError _,
+    "q_dup_by_batch"    -> qDupByBatch _,
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
@@ -1005,6 +1065,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_minhash_error" -> qMinhashErrorSql,
+    "q_dup_by_batch" -> qDupByBatchSql,
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_prefix_dedup" -> qPrefixDedupSql,

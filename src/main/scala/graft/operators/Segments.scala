@@ -324,8 +324,77 @@ object Segments {
       |    AS ltv_cents_per_user
       |FROM roll ORDER BY cohort_week, week_offset""".stripMargin
 
+  private val RepeatGapCapWeeks = 8L
+
+  /** Repeat-purchase latency: per customer, the gap between the first
+    * and second order, bucketed into weeks (capped at
+    * [[RepeatGapCapWeeks]], with -1 = never repeated) and shared
+    * against the whole customer population in basis points — the
+    * "how long until a customer comes back" distribution that sets
+    * retargeting windows and the repeat-rate KPI (its -1 row's
+    * complement). Companion to [[qCohortLtv]]: LTV says how much
+    * cohorts spend, this says how fast they return.
+    *
+    * Determinism: same-day second orders tie-break on o_orderkey in
+    * the rank, landing them in bucket 0 identically cross-engine;
+    * shares are integral-DIV basis points.
+    *
+    * Shape at scale: one shuffle on o_custkey (rank window, rn ≤ 2
+    * keeps two rows per customer), rollup to ≤10 bucket rows —
+    * checkpointed once, since the population total and the share join
+    * both consume it (a re-derived subtree would re-aggregate the
+    * corpus twice). The total rides in broadcast.
+    */
+  def qRepeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    val o = Ingest.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))))
+      .filter(col("rn") <= 2)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(when(col("rn") === 1, col("day"))).as("d1"),
+        min(when(col("rn") === 2, col("day"))).as("d2"))
+    val bucketed = o
+      .select(
+        when(col("d2").isNull, lit(-1L))
+          .otherwise(least(expr("(d2 - d1) DIV 7"), lit(RepeatGapCapWeeks)))
+          .as("gap_week_bucket"))
+      .groupBy(col("gap_week_bucket"))
+      .agg(count(lit(1)).as("n_customers"))
+      .materialized
+    val total = bucketed.agg(sum("n_customers").as("n_total"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("gap_week_bucket"), col("n_customers"),
+        expr("(n_customers * 10000) DIV n_total").as("pct_bp"))
+  }
+
+  val qRepeatPurchaseSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    epoch_ms(o_orderdate) // 86400000 AS day,
+       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY epoch_ms(o_orderdate) // 86400000, o_orderkey) AS rn
+       |  FROM orders),
+       |ft AS (
+       |  SELECT o_custkey,
+       |    MIN(CASE WHEN rn = 1 THEN day END) AS d1,
+       |    MIN(CASE WHEN rn = 2 THEN day END) AS d2
+       |  FROM o WHERE rn <= 2 GROUP BY o_custkey),
+       |b AS (
+       |  SELECT CASE WHEN d2 IS NULL THEN -1
+       |              ELSE least((d2 - d1) // 7, $RepeatGapCapWeeks) END AS gap_week_bucket,
+       |    COUNT(*) AS n_customers
+       |  FROM ft GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n_total FROM b)
+       |SELECT gap_week_bucket, n_customers,
+       |  (n_customers * 10000) // n_total AS pct_bp
+       |FROM b CROSS JOIN t ORDER BY gap_week_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_migration" -> qSegmentMigration _,
+    "q_repeat_purchase" -> qRepeatPurchase _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_rfm"        -> qRfm _,
     "q_pareto"     -> qPareto _,
@@ -333,6 +402,7 @@ object Segments {
 
   def oracle: Map[String, String] = Map(
     "q_segment_migration" -> qSegmentMigrationSql,
+    "q_repeat_purchase" -> qRepeatPurchaseSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm"        -> qRfmSql,
     "q_pareto"     -> qParetoSql,

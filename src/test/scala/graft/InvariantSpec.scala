@@ -247,6 +247,30 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_dup_by_batch totals reconcile with q_dup_summary") {
+    val perBatch = Dedup.qDupByBatch(spark, sf0001)
+      .agg(sum("n_docs"), sum("n_prior_dup"), sum("n_intra_dup"))
+      .collect().head
+    val summary = Dedup.qDupSummary(spark, sf0001).collect().head
+    assert(perBatch.getLong(0) === summary.getLong(0),
+      "batch doc counts must sum to the corpus doc count")
+    assert(perBatch.getLong(1) + perBatch.getLong(2) === summary.getLong(2),
+      "prior + intra dups across batches must equal the corpus dup-row count " +
+        "(every non-survivor is exactly one of the two)")
+  }
+
+  test("q_repeat_purchase buckets partition the customer population") {
+    val rows = Segments.qRepeatPurchase(spark, sf0001).collect()
+    val nCust = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust,
+      "every customer lands in exactly one gap bucket")
+    assert(rows.forall(r => r.getLong(0) >= -1L && r.getLong(0) <= 8L))
+    val bpSum = rows.map(_.getLong(2)).sum
+    assert(bpSum >= 10000 - rows.length && bpSum <= 10000L,
+      s"truncated shares must sum to within one bp per bucket of 100%: $bpSum")
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

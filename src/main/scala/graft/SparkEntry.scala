@@ -159,6 +159,8 @@ object SparkEntry {
     "q_dedup_embedding" -> Seq("vec_id"),
     "q_semdedup"        -> Seq("vec_id"),
     "q_prefix_dedup"    -> Seq("doc_id"),
+    "q_suffix_dedup"    -> Seq("doc_id"),
+    "q_lang_confusion"  -> Seq("lang", "lang_pred"),
     "q_dup_source"      -> Seq("source"),
     "q_ann_bruteforce"  -> Seq("query_id", "rnk"),
     "q_ann_lsh"         -> Seq("query_id", "rnk"),

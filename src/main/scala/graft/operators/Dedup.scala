@@ -117,6 +117,53 @@ object Dedup {
        |FROM p
        |ORDER BY doc_id""".stripMargin
 
+  /** Normalized TRAILING-window hash — the suffix-dedup key, mirror of
+    * [[prefixMd5]] for the tail end: shared footers / signatures /
+    * license blocks that template screens on the head miss. Same \s+
+    * normalization as [[contentMd5]], so exact dup ⇒ suffix dup holds
+    * (InvariantSpec pins the implication alongside the prefix one).
+    * A doc shorter than the window uses all its words.
+    */
+  def suffixMd5(text: Column): Column = {
+    val ws = filter(split(regexp_replace(lower(text), "\\s+", " "), " "),
+      w => length(w) > 0)
+    md5(array_join(
+      slice(ws, greatest(size(ws) - lit(PrefixWords - 1), lit(1)), lit(PrefixWords)),
+      " "))
+  }
+
+  /** Trailing-[[PrefixWords]]-word boilerplate-family dedup — the
+    * footer screen beside [[qPrefixDedup]]'s header screen. Identical
+    * plan shape: map-only suffix hash, ONE shuffle on it, count/min
+    * window riding the exchange.
+    */
+  def qSuffixDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("suffix_md5")
+    docs(s, dir)
+      .select(col("doc_id"), suffixMd5(col("text")).as("suffix_md5"))
+      .withColumn("family_size", count(lit(1)).over(w))
+      .withColumn("survivor_id", min("doc_id").over(w))
+      .withColumn("is_suffix_dup", col("doc_id") =!= col("survivor_id"))
+  }
+
+  val qSuffixDedupSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      list_transform(range(greatest(len(wl) - ${PrefixWords - 1}, 1), len(wl) + 1),
+       |        i -> wl[i]),
+       |      ' ')) AS suffix_md5
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+       |        w -> len(w) > 0) AS wl
+       |    FROM documents))
+       |SELECT doc_id, suffix_md5,
+       |  COUNT(*) OVER (PARTITION BY suffix_md5) AS family_size,
+       |  MIN(doc_id) OVER (PARTITION BY suffix_md5) AS survivor_id,
+       |  doc_id <> MIN(doc_id) OVER (PARTITION BY suffix_md5) AS is_suffix_dup
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   // Shared LSH machinery
   // ------------------------------------------------------------------
@@ -1055,6 +1102,7 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainment _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_prefix_dedup"    -> qPrefixDedup _,
+    "q_suffix_dedup"    -> qSuffixDedup _,
     "q_dup_source"      -> qDupSource _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
@@ -1069,6 +1117,7 @@ object Dedup {
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_prefix_dedup" -> qPrefixDedupSql,
+    "q_suffix_dedup" -> qSuffixDedupSql,
     "q_dup_source" -> qDupSourceSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_minhash" -> qDedupMinhashSql,

@@ -74,6 +74,81 @@ object TextOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Language-ID ACCURACY audit: the labeled `lang` column crossed
+    * with [[qLangId]]'s prediction — the confusion matrix every
+    * production lang-ID deployment reads before trusting per-lang mix
+    * budgets downstream. Each cell carries the doc count plus the
+    * vote-margin evidence (winner minus runner-up stopword votes, and
+    * how many decisions were outright ties broken only by the
+    * en>es>de>fr priority): a big off-diagonal cell with margin ≈ 0
+    * says the marker lists can't separate that pair on this corpus —
+    * grow the lists, don't trust the split.
+    *
+    * The prediction replays [[qLangId]]'s argmax EXACTLY (the same
+    * non-ASCII route, then the same vote order) as one lexicographic
+    * struct array_sort per doc — both engines sort struct fields in
+    * declaration order, so pred here equals lang_pred there by
+    * construction (InvariantSpec pins it). zh-routed docs carry no
+    * vote margin (the vote never ran); their cell still counts docs.
+    *
+    * Shape at scale: map-only scoring, one partial-aggregated shuffle
+    * into a ≤ langs² rollup.
+    */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        stopCount(enStops).as("s_en"),
+        stopCount(esStops).as("s_es"),
+        stopCount(deStops).as("s_de"),
+        stopCount(frStops).as("s_fr"),
+        expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("n_nonascii"))
+      .withColumn("ranked", expr(
+        "array_sort(array(" +
+          "struct(-s_en AS ns, 0 AS p, 'en' AS lang), " +
+          "struct(-s_es AS ns, 1 AS p, 'es' AS lang), " +
+          "struct(-s_de AS ns, 2 AS p, 'de' AS lang), " +
+          "struct(-s_fr AS ns, 3 AS p, 'fr' AS lang)))"))
+      .select(col("lang"),
+        when(col("n_nonascii") > 0, "zh").otherwise(expr("ranked[0].lang"))
+          .as("lang_pred"),
+        (col("n_nonascii") === 0).as("voted"),
+        expr("ranked[1].ns - ranked[0].ns").as("margin"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("voted"), 1L).otherwise(0L)).as("n_voted"),
+        sum(when(col("voted") && col("margin") === 0, 1L).otherwise(0L)).as("n_ties"),
+        coalesce(sum(when(col("voted"), col("margin"))), lit(0L)).as("sum_margin"))
+
+  val qLangConfusionSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)}))) AS BIGINT) AS s_de,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) AS BIGINT) AS s_fr,
+       |    CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS n_nonascii
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, n_nonascii, list_sort([
+       |    {'ns': -s_en, 'p': 0, 'lang': 'en'},
+       |    {'ns': -s_es, 'p': 1, 'lang': 'es'},
+       |    {'ns': -s_de, 'p': 2, 'lang': 'de'},
+       |    {'ns': -s_fr, 'p': 3, 'lang': 'fr'}]) AS ranked
+       |  FROM sc),
+       |m AS (
+       |  SELECT lang,
+       |    CASE WHEN n_nonascii > 0 THEN 'zh' ELSE ranked[1].lang END AS lang_pred,
+       |    n_nonascii = 0 AS voted,
+       |    ranked[2].ns - ranked[1].ns AS margin
+       |  FROM r)
+       |SELECT lang, lang_pred, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN voted THEN 1 ELSE 0 END) AS BIGINT) AS n_voted,
+       |  CAST(SUM(CASE WHEN voted AND margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+       |  CAST(COALESCE(SUM(CASE WHEN voted THEN margin END), 0) AS BIGINT) AS sum_margin
+       |FROM m GROUP BY lang, lang_pred
+       |ORDER BY lang, lang_pred""".stripMargin
+
   /** The quality keep rule as a pure function of the text column —
     * SHARED by the batch [[qQualityScore]] / [[qFilterPipeline]] and
     * the streaming twin ([[graft.streaming.Streams.corpusFilter]]):
@@ -1527,6 +1602,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_colloc_lift"       -> qCollocLift _,
+    "q_lang_confusion"    -> qLangConfusion _,
     "q_sample_uniform"    -> qSampleUniform _,
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
@@ -1568,6 +1644,7 @@ object TextOps {
     "q_source_quality"    -> qSourceQualitySql,
     "q_bigram_topk"       -> qBigramTopkSql,
     "q_colloc_lift"       -> qCollocLiftSql,
+    "q_lang_confusion"    -> qLangConfusionSql,
     "q_train_test_split"  -> qTrainTestSplitSql,
     "q_oov_rate"          -> qOovRateSql,
     "q_shard_plan"        -> qShardPlanSql,

@@ -247,6 +247,36 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("exact dup implies suffix dup (shared whitespace normalization)") {
+    val exact = Dedup.qDedupExact(spark, sf0001)
+      .select(col("doc_id"), col("content_md5"))
+    val sfx = Dedup.qSuffixDedup(spark, sf0001)
+      .select(col("doc_id"), col("suffix_md5"))
+    val perContent = exact.join(sfx, "doc_id").groupBy("content_md5")
+      .agg(countDistinct("suffix_md5").as("n_sfx"))
+    assert(perContent.filter(col("n_sfx") > 1).count() === 0,
+      "every exact-dup family must live inside ONE suffix family")
+  }
+
+  test("q_lang_confusion replays q_lang_id's verdict cell for cell") {
+    val docs = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val perDoc = TextOps.qLangId(spark, sf0001)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(docs, "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cells = TextOps.qLangConfusion(spark, sf0001).collect()
+    assert(cells.map(_.getLong(2)).sum === docs.count(),
+      "confusion cells must partition the corpus")
+    cells.foreach { r =>
+      assert(perDoc((r.getString(0), r.getString(1))) === r.getLong(2),
+        s"cell must match the per-doc lang_id rollup: $r")
+      assert(r.getLong(4) <= r.getLong(3), "ties are a subset of voted docs")
+    }
+    assert(cells.map(_.getLong(2)).sum === perDoc.values.sum)
+  }
+
   test("q_dup_by_batch totals reconcile with q_dup_summary") {
     val perBatch = Dedup.qDupByBatch(spark, sf0001)
       .agg(sum("n_docs"), sum("n_prior_dup"), sum("n_intra_dup"))

@@ -392,9 +392,84 @@ object Segments {
        |  (n_customers * 10000) // n_total AS pct_bp
        |FROM b CROSS JOIN t ORDER BY gap_week_bucket""".stripMargin
 
+  /** Supplier revenue concentration per nation — the Herfindahl-
+    * Hirschman index (Σ share², shares in basis points so 10⁸ =
+    * monopoly) plus the hottest single-supplier share: the
+    * market-structure / supply-risk report beside [[qPareto]]'s
+    * customer-side concentration. An HHI over ~2500bp² per the usual
+    * antitrust reading (≈0.25 of 10⁸ here) flags a nation whose supply
+    * would crater if one supplier churns.
+    *
+    * Determinism + overflow: revenue is the house discounted-price
+    * fixed point (DECIMAL(12,2)·(1−DECIMAL(4,2)) is scale-4 → ×10⁴
+    * exact integer, SURVEY §4); shares are DIV-FIRST basis points
+    * (rev4 DIV (total4 DIV 10⁴) — the numerator never multiplies, so
+    * no overflow at any corpus size) and HHI is an exact integer sum
+    * of their squares (≤ 10⁸).
+    *
+    * Shape at scale: one partial-aggregated corpus shuffle to
+    * supplier grain, checkpointed once (it feeds the nation totals
+    * AND the share rows); everything after runs on supplier/nation-
+    * sized tables with broadcast dims.
+    */
+  def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val perSupp = Ingest.table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg((sum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))) * 10000)
+        .cast("long").as("rev4"))
+      .join(broadcast(Ingest.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Ingest.table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation_name"), col("rev4"))
+      .materialized
+    val totals = perSupp.groupBy(col("nation_name"))
+      .agg(sum("rev4").as("tot4"), count(lit(1)).as("n_suppliers"))
+    perSupp.join(broadcast(totals), Seq("nation_name"))
+      .select(col("nation_name"), col("tot4"), col("n_suppliers"),
+        expr("rev4 DIV greatest(tot4 DIV 10000, 1)").as("share_bp"))
+      .groupBy(col("nation_name"))
+      .agg(
+        max("n_suppliers").as("n_suppliers"),
+        (max("tot4").cast("double") / 10000d).as("rev_total"),
+        sum(col("share_bp") * col("share_bp")).as("hhi"),
+        max("share_bp").as("top_share_bp"))
+      .orderBy(col("nation_name"))
+  }
+
+  val qHhiSql: String =
+    """WITH ps AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT)
+      |      AS rev4
+      |  FROM lineitem GROUP BY l_suppkey),
+      |j AS (
+      |  SELECT n.n_name AS nation_name, rev4
+      |  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      |t AS (
+      |  SELECT nation_name, CAST(SUM(rev4) AS BIGINT) AS tot4,
+      |    COUNT(*) AS n_suppliers
+      |  FROM j GROUP BY nation_name),
+      |sh AS (
+      |  SELECT j.nation_name, n_suppliers, tot4,
+      |    rev4 // greatest(tot4 // 10000, 1) AS share_bp
+      |  FROM j JOIN t ON j.nation_name = t.nation_name)
+      |SELECT nation_name, MAX(n_suppliers) AS n_suppliers,
+      |  CAST(MAX(tot4) AS DOUBLE) / 10000 AS rev_total,
+      |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+      |  MAX(share_bp) AS top_share_bp
+      |FROM sh GROUP BY nation_name
+      |ORDER BY nation_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_migration" -> qSegmentMigration _,
     "q_repeat_purchase" -> qRepeatPurchase _,
+    "q_hhi"        -> qHhi _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_rfm"        -> qRfm _,
     "q_pareto"     -> qPareto _,
@@ -402,6 +477,7 @@ object Segments {
 
   def oracle: Map[String, String] = Map(
     "q_segment_migration" -> qSegmentMigrationSql,
+    "q_hhi"        -> qHhiSql,
     "q_repeat_purchase" -> qRepeatPurchaseSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm"        -> qRfmSql,

@@ -537,7 +537,83 @@ object StarSchema {
       |  AND l.l_shipdate < TIMESTAMP '1995-04-01'
       |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin
 
+  /** Holiday order-volume lift per year — the first report a
+    * deployment of the reference's DimDate actually runs with its
+    * holiday attributes (ref ELT.py:129-145 computes IsHoliday /
+    * HolidayName; nothing downstream consumes them there — this is
+    * that missing consumer): holiday vs regular days compared on
+    * per-day order rate and per-day revenue, as basis-point lifts.
+    *
+    * Determinism + overflow: order rates are counts ×10⁴ DIV days
+    * (counts are small — scale BEFORE dividing), revenue rates are
+    * cents DIV days (cents are large — divide BEFORE scaling), so
+    * every intermediate stays under 2⁶³ at any corpus size and both
+    * engines truncate identically; greatest(…, 1) keeps a year with
+    * no holiday orders total rather than NULL.
+    *
+    * Shape at scale: one partial-aggregated shuffle to the DAY level
+    * (the same grain qDimDate materializes), then a years-sized
+    * conditional rollup — the holiday tag is a pure expression on the
+    * day key, never a join.
+    */
+  def qHolidayLift(s: SparkSession, dir: String): DataFrame =
+    Ingest.table(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_ord"),
+        (sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .select(year(col("d")).cast("int").as("cal_year"),
+        holidayNameCol(col("d")).isNotNull.as("is_holiday"),
+        col("n_ord"), col("cents"))
+      .groupBy(col("cal_year"))
+      .agg(
+        sum(when(col("is_holiday"), 1L).otherwise(0L)).as("n_holiday_days"),
+        sum(when(!col("is_holiday"), 1L).otherwise(0L)).as("n_regular_days"),
+        coalesce(sum(when(col("is_holiday"), col("n_ord"))), lit(0L)).as("n_holiday_orders"),
+        coalesce(sum(when(!col("is_holiday"), col("n_ord"))), lit(0L)).as("n_regular_orders"),
+        coalesce(sum(when(col("is_holiday"), col("cents"))), lit(0L)).as("holiday_cents"),
+        coalesce(sum(when(!col("is_holiday"), col("cents"))), lit(0L)).as("regular_cents"))
+      .select(col("cal_year"), col("n_holiday_days"), col("n_regular_days"),
+        col("n_holiday_orders"), col("n_regular_orders"),
+        expr("""((n_holiday_orders * 10000) DIV greatest(n_holiday_days, 1) * 10000)
+                 DIV greatest((n_regular_orders * 10000) DIV greatest(n_regular_days, 1), 1)""")
+          .as("order_lift_bp"),
+        expr("""(holiday_cents DIV greatest(n_holiday_days, 1) * 10000)
+                 DIV greatest(regular_cents DIV greatest(n_regular_days, 1), 1)""")
+          .as("rev_lift_bp"))
+      .orderBy(col("cal_year"))
+
+  val qHolidayLiftSql: String = {
+    val hol = holidaySql("d")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_ord,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |tagged AS (
+       |  SELECT CAST(year(d) AS INT) AS cal_year,
+       |    ($hol) IS NOT NULL AS is_holiday, n_ord, cents
+       |  FROM daily),
+       |y AS (
+       |  SELECT cal_year,
+       |    CAST(SUM(CASE WHEN is_holiday THEN 1 ELSE 0 END) AS BIGINT) AS n_holiday_days,
+       |    CAST(SUM(CASE WHEN NOT is_holiday THEN 1 ELSE 0 END) AS BIGINT) AS n_regular_days,
+       |    CAST(COALESCE(SUM(CASE WHEN is_holiday THEN n_ord END), 0) AS BIGINT) AS n_holiday_orders,
+       |    CAST(COALESCE(SUM(CASE WHEN NOT is_holiday THEN n_ord END), 0) AS BIGINT) AS n_regular_orders,
+       |    CAST(COALESCE(SUM(CASE WHEN is_holiday THEN cents END), 0) AS BIGINT) AS holiday_cents,
+       |    CAST(COALESCE(SUM(CASE WHEN NOT is_holiday THEN cents END), 0) AS BIGINT) AS regular_cents
+       |  FROM tagged GROUP BY cal_year)
+       |SELECT cal_year, n_holiday_days, n_regular_days,
+       |  n_holiday_orders, n_regular_orders,
+       |  ((n_holiday_orders * 10000) // greatest(n_holiday_days, 1) * 10000)
+       |    // greatest((n_regular_orders * 10000) // greatest(n_regular_days, 1), 1)
+       |    AS order_lift_bp,
+       |  (holiday_cents // greatest(n_holiday_days, 1) * 10000)
+       |    // greatest(regular_cents // greatest(n_regular_days, 1), 1)
+       |    AS rev_lift_bp
+       |FROM y ORDER BY cal_year""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holiday_lift"    -> qHolidayLift _,
     "q_asof_dim"        -> qAsofDim _,
     "q_scd2"            -> qScd2 _,
     "q_ingest_typecast" -> qIngestTypecast _,
@@ -550,6 +626,7 @@ object StarSchema {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_holiday_lift"    -> qHolidayLiftSql,
     "q_asof_dim"        -> qAsofDimSql,
     "q_scd2"            -> qScd2Sql,
     "q_ingest_typecast" -> qIngestTypecastSql,

@@ -301,6 +301,41 @@ class InvariantSpec extends SparkSpec {
       s"truncated shares must sum to within one bp per bucket of 100%: $bpSum")
   }
 
+  test("q_hhi is a coherent concentration index and conserves corpus revenue") {
+    val rows = Segments.qHhi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(n >= 1L)
+      assert(top >= 1L && top <= 10000L, s"top share must be a bp share: $top")
+      assert(hhi >= top * top, "HHI is a sum of squares that includes the top share")
+      assert(hhi <= 100000000L, "HHI is capped by the monopoly value 10^8")
+    }
+    val total4 = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .agg((sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))")) * 10000)
+        .cast("long")).collect().head.getLong(0)
+    assert(rows.map(r => math.round(r.getDouble(2) * 10000)).sum === total4,
+      "nation revenue totals must conserve the corpus discounted revenue")
+  }
+
+  test("q_holiday_lift day and order counts partition each year") {
+    val rows = StarSchema.qHolidayLift(spark, sf0001).collect()
+    val expected = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .groupBy(year(to_date(col("o_orderdate"))).cast("int").as("y"))
+      .agg(countDistinct(to_date(col("o_orderdate"))).as("days"),
+        count(lit(1)).as("orders"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.length === expected.size, "one row per order year")
+    rows.foreach { r =>
+      val (days, orders) = expected(r.getInt(0))
+      assert(r.getLong(1) + r.getLong(2) === days,
+        "holiday + regular days = distinct order days in the year")
+      assert(r.getLong(3) + r.getLong(4) === orders,
+        "holiday + regular orders = all orders in the year")
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

@@ -523,6 +523,21 @@ class PlanSpec extends SparkSpec {
       s"no shuffle anywhere in a hash-rank sample:\n$p")
   }
 
+  test("q_hhi: nation-sized totals broadcast back onto suppliers — no SortMergeJoin") {
+    val p = plan("q_hhi")
+    assert(!p.contains("SortMergeJoin"),
+      s"dims and the nation totals table must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_holiday_lift: the holiday tag is an expression — no join; day rollup partial-aggregates") {
+    val p = plan("q_holiday_lift")
+    assert(!p.contains("Join"),
+      s"the holiday calendar is a pure expression on the day key, never a join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the day-grain rollup must combine map-side:\n$p")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

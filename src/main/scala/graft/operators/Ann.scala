@@ -151,6 +151,87 @@ object Ann {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     topK(lshScored(s, dir, LshTables, LshProbes))
 
+  /** Oracle for [[qAnnLsh]] — fully hash-checked (VERDICT r9 #3,
+    * promoted from rows-only). The cross-polytope "model state" is 16
+    * seeded 64×64 gaussian rotations, but the stream is the SAME
+    * `scala.util.Random(seed + t).nextGaussian` fill
+    * [[graft.functions.CrossPolytopeKeys]] materializes, and
+    * Double.toString round-trips — so the matrices INTERPOLATE as a
+    * literal `DOUBLE[][]` VALUES table (the qDedupEmbeddingSql device
+    * at 128× the literal count; ~1.3 MB of SQL parses fine). Each
+    * rotated coordinate u_j is the sequential [[Dedup.sqlDot]]-style
+    * fold (JVM operation order), so u is bit-exact cross-engine, and
+    * the kernel's probes-pass argmax-with-exclusion (strict `>`,
+    * scan order = lowest j wins ties) is EXACTLY a rank over
+    * (|u| DESC, j ASC): pass p selects the not-yet-taken max — rank
+    * p+1 in that order. Corpus keys take rank 1 (probes=1), query
+    * keys ranks 1..[[LshProbes]]; queries being a corpus subset, both
+    * come from ONE rotation CTE. Key encoding, candidate equi-join,
+    * DISTINCT pair set, cosine and the (cosine DESC, id) top-k cut
+    * then replay the Spark plan exactly.
+    */
+  val qAnnLshSql: String = {
+    // the identical gaussian stream as CrossPolytopeKeys.planesFlat:
+    // table t seeded LshSeed + t, row-major fill, row j = slice j
+    val rotValues = (0 until LshTables).map { t =>
+      val r = new scala.util.Random(LshSeed + t)
+      val flat = Array.fill(Dim * Dim)(r.nextGaussian())
+      val rows = (0 until Dim)
+        .map(j => flat.slice(j * Dim, (j + 1) * Dim).mkString("[", ", ", "]::DOUBLE[]"))
+        .mkString("[", ",\n    ", "]")
+      s"($t, $rows)"
+    }.mkString(",\n  ")
+    val rowDot = "list_reduce(list_transform(list_zip(rr, b.embedding), " +
+      "z -> z[1] * CAST(z[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH rot AS (
+       |  SELECT * FROM (VALUES
+       |  $rotValues) AS rm(t, m)),
+       |base AS (
+       |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM base WHERE vec_id % 50 = 0),
+       |cu AS (
+       |  SELECT b.vec_id, rm.t,
+       |    unnest(range(0, $Dim)) AS j,
+       |    unnest(list_transform(rm.m, rr -> $rowDot)) AS u
+       |  FROM base b CROSS JOIN rot rm),
+       |ranked AS (
+       |  SELECT vec_id, t, j, u,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, t
+       |      ORDER BY abs(u) DESC, j) AS pr
+       |  FROM cu),
+       |ck AS (
+       |  SELECT vec_id,
+       |    CAST(t * ${2 * Dim} + 2 * j + CASE WHEN u > 0 THEN 1 ELSE 0 END
+       |      AS INTEGER) AS bkey
+       |  FROM ranked WHERE pr = 1),
+       |qk AS (
+       |  SELECT vec_id AS query_id,
+       |    CAST(t * ${2 * Dim} + 2 * j + CASE WHEN u > 0 THEN 1 ELSE 0 END
+       |      AS INTEGER) AS bkey
+       |  FROM ranked WHERE pr <= $LshProbes AND vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT k.query_id, c.vec_id AS neighbor_id
+       |  FROM ck c JOIN qk k ON c.bkey = k.bkey
+       |  WHERE c.vec_id <> k.query_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    ${Dedup.sqlDot("n.embedding", "qq.q_emb")} / (n.nrm * qq.q_nrm) AS cosine
+       |  FROM cand cd
+       |  JOIN base n ON n.vec_id = cd.neighbor_id
+       |  JOIN q qq ON qq.query_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosine
+       |FROM r WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Row 46: IVF — inverted-file ANN, the OTHER standard scale path
   // (FAISS/ScaNN lineage; Jégou et al. 2011's coarse quantizer without
@@ -193,8 +274,12 @@ object Ann {
     * re-shuffles every embedding once per round).
     */
   private[graft] def trainCodebook(corpus: DataFrame, iters: Int): Array[Double] = {
+    // hash-spread seed pick. md5 (not xxhash64): same spread quality,
+    // but a STANDARD hash both engines implement identically, so the
+    // whole training loop is SQL-emulable (see qAnnIvfSql's oracle —
+    // VERDICT r9 #4 promoted q_ann_ivf from rows-only to hash-checked)
     val seeds = corpus
-      .withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(IvfCells) // TakeOrdered over k tiny rows
       .select(col("embedding").cast("array<double>").as("e"))
       .collect()
@@ -263,6 +348,118 @@ object Ann {
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     topK(ivfScored(s, dir, IvfProbes))
+
+  /** Oracle for [[qAnnIvf]] — fully hash-checked (VERDICT r9 #4,
+    * promoted from rows-only). Unlike the LSH rotations (code
+    * constants → literal interpolation), the codebook is DATA-derived,
+    * so a literal-codebook SQL would pin one scale factor; instead the
+    * oracle RE-TRAINS inside DuckDB, which works because every
+    * training step was already built deterministic:
+    *   - seed pick = TakeOrdered on (md5(vec_id), vec_id) — a standard
+    *     hash both engines compute identically;
+    *   - cell assignment = argmax of (sequential-fold dot) × invNorm,
+    *     strict `>` keeping the lowest cell — a rank over
+    *     (score DESC, cell ASC), the [[qAnnLshSql]] argmax device;
+    *   - Lloyd means = exact BIGINT fixed-point sums (order-free) with
+    *     the JVM's two-division rescale replayed literally, empty
+    *     cells COALESCEd to the previous round's centroid;
+    * then the serve path (float-cast probe ranking, nProbe cut, exact
+    * rerank, top-k) replays [[ivfScored]]'s plan. The float32 probe
+    * copies round-trip through `CAST(x AS FLOAT)` — the same IEEE
+    * double→float rounding as `Double.toFloat`.
+    */
+  val qAnnIvfSql: String = {
+    // fold devices (Dedup.sqlDot shape, but the centroid side is
+    // already DOUBLE[] — only the embedding side needs widening)
+    def dDot(cv: String, emb: String): String =
+      s"list_reduce(list_transform(list_zip($cv, $emb), " +
+        "z -> z[1] * CAST(z[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    def dNorm2(cv: String): String =
+      s"list_reduce(list_transform($cv, x -> x * x), (acc, v) -> acc + v)"
+    // one Lloyd round: assign corpus to `cin`, roll exact fixed-point
+    // means, emit `cout` (empty cells keep cin's centroid)
+    def lloydRound(cin: String, cout: String, n: Int): String =
+      s"""asg$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dDot("c.cvec", "b.embedding")}
+         |          * (CASE WHEN ${dNorm2("c.cvec")} > 0
+         |             THEN 1.0 / sqrt(${dNorm2("c.cvec")}) ELSE 0.0 END) DESC,
+         |        c.cell) AS rk
+         |    FROM base b CROSS JOIN $cin c) z
+         |  WHERE rk = 1),
+         |m$n AS (
+         |  SELECT a.cell, fp.pos, SUM(fp.f) AS s, COUNT(*) AS c
+         |  FROM asg$n a JOIN fpos fp USING (vec_id)
+         |  GROUP BY a.cell, fp.pos),
+         |$cout AS (
+         |  SELECT ce.cell,
+         |    list(COALESCE((CAST(m$n.s AS DOUBLE) / $FpScale.0)
+         |                    / CAST(m$n.c AS DOUBLE), ce.cv)
+         |         ORDER BY ce.pos) AS cvec
+         |  FROM (SELECT cell, unnest(range(0, $Dim)) AS pos, unnest(cvec) AS cv
+         |        FROM $cin) ce
+         |  LEFT JOIN m$n ON ce.cell = m$n.cell AND ce.pos = m$n.pos
+         |  GROUP BY ce.cell)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM base WHERE vec_id % 50 = 0),
+       |fpos AS (
+       |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $FpScale) AS BIGINT) AS f
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT cell, cvec FROM (
+       |    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |        AS cell
+       |    FROM embeddings) z
+       |  WHERE cell < $IvfCells),
+       |${lloydRound("cent0", "cent1", 1)},
+       |${lloydRound("cent1", "cent2", 2)},
+       |idx AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dDot("c.cvec", "b.embedding")}
+       |          * (CASE WHEN ${dNorm2("c.cvec")} > 0
+       |             THEN 1.0 / sqrt(${dNorm2("c.cvec")}) ELSE 0.0 END) DESC,
+       |        c.cell) AS rk
+       |    FROM base b CROSS JOIN cent2 c) z
+       |  WHERE rk = 1),
+       |centf AS (
+       |  SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS centroid
+       |  FROM cent2),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qq.query_id, cf.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
+       |        ${Dedup.sqlDot("qq.q_emb", "cf.centroid")}
+       |          / (qq.q_nrm * ${Dedup.sqlNorm("cf.centroid")}) DESC,
+       |        cf.cell) AS prk
+       |    FROM q qq CROSS JOIN centf cf) z
+       |  WHERE prk <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${Dedup.sqlDot("b.embedding", "qq.q_emb")} / (b.nrm * qq.q_nrm) AS cosine
+       |  FROM idx i
+       |  JOIN probed p ON i.cell = p.cell
+       |  JOIN base b ON b.vec_id = i.vec_id
+       |  JOIN q qq ON qq.query_id = p.query_id
+       |  WHERE i.vec_id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cosine
+       |FROM r WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Build the IVF index ONCE — the production shape (the `q_ann_ivf`
     * bench row re-trains per invocation; a deployment amortizes:
@@ -895,22 +1092,19 @@ object Ann {
     "q_embed_centroid" -> qEmbedCentroid _
   )
 
-  /** q_ann_bruteforce and q_ann_quantized are fully hash-checked:
-    * sequential list_reduce replicates the native dot/norm
-    * accumulation order exactly, and the int8 path is single-IEEE-op /
-    * exact-integer throughout (see [[qAnnBruteforceSql]] /
-    * [[qAnnQuantizedSql]]). The remaining approximate paths stay
-    * rows-only for structural reasons, not arithmetic ones —
-    * q_ann_lsh's cross-polytope rotations and q_ann_ivf's codebook
-    * are model state (16 seeded 64×64 gaussian matrices / Lloyd-round
-    * output) whose faithful SQL transliteration would be the same
-    * tens-of-thousands-of-literals program under test, proving
-    * nothing the AnnSpec recall-vs-exact assertions don't already;
-    * q_ann_recall and q_hybrid_search compose those paths. The
-    * centroid aggregate IS oracle-checked — its fixed-point design
-    * removes the accumulation-order dependence.
+  /** Every scoring path here is hash-checked: sequential list_reduce
+    * replicates the native dot/norm accumulation order exactly, the
+    * int8 path is single-IEEE-op / exact-integer throughout, the LSH
+    * rotations interpolate as literal matrices and the IVF codebook
+    * re-trains inside the oracle SQL itself (see [[qAnnLshSql]] /
+    * [[qAnnIvfSql]]). Only q_ann_recall and q_hybrid_search remain
+    * rows-only — pure compositions of the already-checked LSH and
+    * brute-force programs (their own SQL would re-state both, proving
+    * nothing new at 2× the oracle runtime).
     */
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh"         -> qAnnLshSql,
+    "q_ann_ivf"         -> qAnnIvfSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
     "q_quant_recall"    -> qQuantRecallSql,

@@ -194,5 +194,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
       Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle ++ Audit.oracle ++
-      Segments.oracle
+      Segments.oracle ++ Multimodal.oracle
 }

@@ -375,13 +375,11 @@ object ScaleOps {
 
   /** Σ_{i<16} interleaved shift-mask terms: part bit i → z bit 2i+1,
     * supp bit i → z bit 2i. Valid SQL in Spark AND DuckDB (`&`, `|`
-    * need no dialect translation; `>>`/`<<` shift BIGINT in both). */
-  private[graft] def zorderExpr(a: String, b: String): String = {
-    val terms =
-      (0 until 16).map(i => s"((($a >> $i) & 1) << ${2 * i + 1})") ++
-        (0 until 16).map(i => s"((($b >> $i) & 1) << ${2 * i})")
-    terms.mkString("(", " | ", ")")
-  }
+    * need no dialect translation; `>>`/`<<` shift BIGINT in both).
+    * Shared with the write path ([[Ingest.zorderWrite]] clusters files
+    * on the same key this statistic plans for). */
+  private[graft] def zorderExpr(a: String, b: String): String =
+    Ingest.zorderKeyExpr(Seq(a, b))
 
   val qZorderLayoutSql: String =
     s"""WITH z AS (

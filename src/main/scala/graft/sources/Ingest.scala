@@ -100,6 +100,68 @@ object Ingest {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 
+  /** Interleaved Morton (Z-order) key over the low 16 bits of each
+    * column: column j's bit i lands at z bit `i·k + (k−1−j)`, so for
+    * two columns (a, b): a→odd bits, b→even bits. Pure integer
+    * shift-mask-or terms, valid SQL in Spark AND DuckDB — the same
+    * expression backs the `q_zorder_layout` planning statistic and
+    * its oracle.
+    */
+  def zorderKeyExpr(cols: Seq[String], nBits: Int = 16): String = {
+    val k = cols.size
+    require(k >= 2, s"z-order interleave needs >= 2 columns, got $k")
+    require(k * nBits <= 62, s"z key overflows a BIGINT: $k cols x $nBits bits")
+    val terms = cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until nBits).map(i => s"((($c >> $i) & 1) << ${i * k + (k - 1 - j)})")
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Z-order clustered parquet writer — the APPLY half of the
+    * `q_zorder_layout` planning statistic (VERDICT r9 #6): normalize
+    * each column to an 8-bit bucket rank, interleave the ranks into a
+    * Morton key, range-partition the rows on that key (each output
+    * file owns a contiguous curve range) and sort within partitions —
+    * so every file's parquet footer min/max is narrow in ALL
+    * interleaved columns at once and point/range predicates on ANY of
+    * them skip most files. This is `OPTIMIZE ... ZORDER BY` table
+    * maintenance without the table format, including its key insight:
+    * interleaving RAW bits breaks when column domains are asymmetric
+    * (a 10-value dimension's bits sit below a 10⁶-value key's bits
+    * and file-granularity splits never reach them — measured: zero
+    * pruning on the narrow column), so what gets interleaved is each
+    * column's rank. Ranks here are equi-width min/max buckets (exact,
+    * one tiny agg job); heavily skewed keys would want approxQuantile
+    * boundaries instead — same interleave, different rank map.
+    * IngestSpec pins the skipping ratio against an unclustered write
+    * of the same data.
+    *
+    * Shape at scale: one min/max agg (driver-sized model), one
+    * range-partitioning shuffle (sampled bounds, size-balanced
+    * files) + an in-partition sort — the cost every layout rewrite
+    * pays; `nFiles` maps 1:1 to output files. NULL keys rank 0 and
+    * cluster together at the curve's origin.
+    */
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[String], nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val nBins = 256 // 8 rank bits per column, ample at file granularity
+    val stats = df.select(cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c"))): _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+      // hi+1 so the max value stays in bucket nBins (width_bucket's
+      // upper bound is exclusive of the last in-range bucket)
+      s"coalesce(width_bucket(CAST($c AS DOUBLE), $lo, ${hi + 1.0}, $nBins) - 1, 0)"
+    }
+    val zc = "__graft_z"
+    df.withColumn(zc, expr(zorderKeyExpr(ranks, nBits = 8)))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into
     * ~`targetBytes` files — the table-maintenance pass every streaming
     * or incremental sink needs (thousands of kilobyte files per

@@ -69,6 +69,45 @@ class IngestSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("zorderWrite: file-level min/max prunes point predicates on BOTH interleaved columns") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val li = Ingest.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Ingest.zorderWrite(li, s"$dir/zorder", Seq("l_partkey", "l_suppkey"), nFiles = 16)
+    li.repartition(16).write.parquet(s"$dir/unsorted") // same data, no clustering
+
+    // per-file extents = exactly the parquet-footer min/max a scan
+    // prunes with; a file "survives" a point predicate iff the value
+    // falls inside its [min, max] range
+    def survivorFrac(path: String, c: String, v: Long): Double = {
+      val ext = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(c).as("lo"), max(c).as("hi"))
+        .collect()
+      ext.count(r => r.getLong(1) <= v && v <= r.getLong(2)).toDouble / ext.length
+    }
+    // probe both columns at their domain midpoints
+    val (midPart, midSupp) = {
+      val r = li.selectExpr("(min(l_partkey) + max(l_partkey)) DIV 2",
+        "(min(l_suppkey) + max(l_suppkey)) DIV 2").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val zPart = survivorFrac(s"$dir/zorder", "l_partkey", midPart)
+    val zSupp = survivorFrac(s"$dir/zorder", "l_suppkey", midSupp)
+    val uPart = survivorFrac(s"$dir/unsorted", "l_partkey", midPart)
+    val uSupp = survivorFrac(s"$dir/unsorted", "l_suppkey", midSupp)
+    // unclustered files span ~the whole key domain: nothing prunes
+    assert(uPart >= 0.9 && uSupp >= 0.9,
+      s"unclustered baseline should not prune (part=$uPart supp=$uSupp)")
+    // the z-ordered layout must skip at least half the files on EACH
+    // column from ONE clustered write — the whole point of interleaving
+    assert(zPart <= 0.5 && zSupp <= 0.5,
+      s"z-order must prune >=50% of files on both columns (part=$zPart supp=$zSupp)")
+    // and the data survives the rewrite
+    assert(spark.read.parquet(s"$dir/zorder").count() === li.count())
+  }
+
   test("writeBucketed: equi-join on the bucket key runs without a shuffle") {
     val s = spark
     import s.implicits._

@@ -630,9 +630,20 @@ object ScaleOps {
     * Oracle contract as [[qHllUnion]]: the row carries the exact
     * trailing distinct and a boolean asserting the merged estimate
     * landed within 5% (lgConfigK=14 → σ ≈ 0.8%); the exact branch here
-    * is the audit, not the production path.
+    * is the audit, not the production path — and it is CONFIG-GATED
+    * (VERDICT r9 #8): `spark.graft.reach.exact` defaults true (oracle
+    * runs audit the sketch), false drops the exact distinct entirely
+    * and serves `(event_type, day, est)` from the sketch table alone.
+    * The production plan touches raw events exactly ONCE (the daily
+    * sketch build inside the eager materialization); the ×7 fan-out
+    * and merge run on the day-bounded sketch table — PlanSpec pins
+    * that shape (zero events scans in the served plan, vs the audit
+    * mode's one extra scan for the exact branch).
     */
+  val ReachExactKey = "spark.graft.reach.exact"
+
   def qSlidingReach(s: SparkSession, dir: String): DataFrame = {
+    val audit = s.conf.getOption(ReachExactKey).forall(_.trim.equalsIgnoreCase("true"))
     val e = Ingest.events(s, dir)
       .select(col("event_type"), expr("ts_ms DIV 86400000").as("day"), col("user_id"))
     // day×type-bounded sketch table; consumed by the fan-out AND the
@@ -647,6 +658,8 @@ object ScaleOps {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
       .join(daily.select(col("event_type"), col("day").as("day_t")),
         Seq("event_type", "day_t"))
+    if (!audit)
+      return est.select(col("event_type"), col("day_t").as("day"), col("est"))
     val exact = e
       .select(col("event_type"), col("user_id"),
         explode(expr("sequence(day, day + 6)")).as("day_t"))

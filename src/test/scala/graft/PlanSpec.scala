@@ -538,6 +538,27 @@ class PlanSpec extends SparkSpec {
       s"the day-grain rollup must combine map-side:\n$p")
   }
 
+  test("q_sliding_reach: production mode serves from the sketch table alone — zero raw-event scans") {
+    // audit mode (default): the exact-distinct branch adds the ONE
+    // events scan visible in the served plan (the sketch build's own
+    // single scan already ran inside the eager materialization)
+    def eventsScans(p: String): Int =
+      p.split("== Initial Plan ==")(0).linesIterator
+        .count(l => l.contains("FileScan parquet") && l.contains("events.parquet"))
+    val auditPlan = plan("q_sliding_reach")
+    assert(eventsScans(auditPlan) === 1,
+      s"audit mode: exactly the exact-branch scan:\n$auditPlan")
+    spark.conf.set(graft.operators.ScaleOps.ReachExactKey, "false")
+    try {
+      val prod = SparkEntry.plans("q_sliding_reach")(spark, sf0001)
+      val prodPlan = prod.queryExecution.executedPlan.toString
+      assert(eventsScans(prodPlan) === 0,
+        s"production mode must never re-touch raw events:\n$prodPlan")
+      assert(prod.columns.toSeq === Seq("event_type", "day", "est"))
+      assert(prod.count() > 0)
+    } finally spark.conf.set(graft.operators.ScaleOps.ReachExactKey, "true")
+  }
+
   test("graph queries share one materialized co-purchase checkpoint per session") {
     import org.apache.spark.sql.execution.LogicalRDD
     def rddIds(name: String): Set[Int] =

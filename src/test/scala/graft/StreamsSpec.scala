@@ -98,6 +98,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingUsers: trailing-7-day sketch reach matches the exact batch fan-out") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val D = 86400000L
+    val rows = Seq(
+      (0 * D + 3600000L, "click", 7L), (0 * D + 7200000L, "click", 8L),
+      (1 * D + 3600000L, "click", 7L), (3 * D + 3600000L, "purchase", 7L),
+      (8 * D + 3600000L, "click", 9L))
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("user_id"))
+    val q = Streams.slidingUsers(events)
+      .writeStream.format("memory").queryName("susers").outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((FarFuture, "sentinel", 0L)) // advance watermark
+      q.processAllAvailable()
+      val streamed = s.sql(
+        """SELECT day_start_ms, event_type, n_users_est FROM susers
+          |WHERE event_type <> 'sentinel' ORDER BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // exact batch twin: the qSlidingReach fan-out (each event serves
+      // target days d..d+6), exact distinct per (target day, type) —
+      // the sketch is exact at these cardinalities, so strict equality
+      val batch = rows.toDF("ts_ms", "event_type", "user_id")
+        .select(expr("ts_ms DIV 86400000").as("day"), col("event_type"), col("user_id"))
+        .select(explode(expr("sequence(day, day + 6)")).as("day_t"),
+          col("event_type"), col("user_id"))
+        .groupBy("day_t", "event_type")
+        .agg(countDistinct("user_id").as("n"))
+        .collect().map(r => (r.getLong(0) * D, r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dedupe: normalized duplicates within the watermark horizon are dropped") {
     val s = spark
     import s.implicits._
@@ -503,6 +542,31 @@ class StreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got === Seq(10L -> "ok", 11L -> "duplicate"),
         "dedup state must survive micro-batch boundaries")
+    } finally q.stop()
+  }
+
+  test("corpusFilter: within one out-of-order batch the FIRST ARRIVAL survives, not min-id") {
+    // pins the documented streaming divergence (ADVICE r9): the O(1)-
+    // state rewrite made within-batch survivorship arrival-order, so a
+    // batch arriving out of id order keeps the earlier-ARRIVING doc
+    // even when a smaller id follows in the same batch
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = Streams.corpusFilter(docs)
+      .writeStream.format("memory").queryName("corpus_filter3").outputMode("append").start()
+    try {
+      ms.addData(
+        42L -> "a perfectly ordinary duplicate sentence with enough words",
+        7L  -> "a perfectly ordinary duplicate sentence with enough words")
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT doc_id, reject_reason FROM corpus_filter3 ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq(7L -> "duplicate", 42L -> "ok"),
+        "first arrival (id 42) must survive; the later-arriving smaller id is the duplicate")
     } finally q.stop()
   }
 

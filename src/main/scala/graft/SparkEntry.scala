@@ -66,6 +66,7 @@ object SparkEntry {
     "q_stream_sliding"  -> Seq("window_start_ms", "event_type"),
     "q_repetition"      -> Seq("doc_id"),
     "q_dedup_segment"   -> Seq("doc_id"),
+    "q_span_dedup"      -> Seq("doc_id"),
     "q_pack_sequences"  -> Seq("lang", "lane", "pack_id"),
     "q_pii_scrub"       -> Seq("event_id"),
     "q_normalize_text"  -> Seq("doc_id"),

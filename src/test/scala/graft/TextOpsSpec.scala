@@ -265,6 +265,25 @@ class TextOpsSpec extends SparkSpec {
         s"spread ${weights.max - weights.min} vs maxDoc $maxDoc")
   }
 
+  test("qSpanDedup: arbitrary-offset repeated spans merge to maximal islands; short docs report zeros") {
+    // a 25-word span shared at DIFFERENT offsets (3 vs 10) — segment
+    // hashing with fixed windows can straddle it; span dedup must
+    // report exactly one maximal 25-token span per doc (the 6 dup
+    // windows merge — a naive per-window sum would claim 6×20 tokens)
+    val span = (1 to 25).map("s" + _)
+    val aText = ((1 to 3).map("a" + _) ++ span ++ (4 to 33).map("a" + _)).mkString(" ")
+    val bText = ((1 to 10).map("b" + _) ++ span ++ (1 to 8).map("c" + _)).mkString(" ")
+    val cText = (1 to 12).map("z" + _).mkString(" ") // below the 20-word threshold
+    val dir = docsDir(Seq(1L -> aText, 2L -> bText, 3L -> cText))
+    val got = TextOps.qSpanDedup(spark, dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(6))).toSeq
+    assert(got === Seq(
+      (1L, 58L, 1L, 25L, 25L, true),   // 25/58 ≤ 0.5 → kept
+      (2L, 43L, 1L, 25L, 25L, false),  // 25/43 > 0.5 → dropped
+      (3L, 12L, 0L, 0L, 0L, true)))    // sub-threshold doc still reported
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

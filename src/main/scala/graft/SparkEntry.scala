@@ -67,6 +67,7 @@ object SparkEntry {
     "q_repetition"      -> Seq("doc_id"),
     "q_dedup_segment"   -> Seq("doc_id"),
     "q_span_dedup"      -> Seq("doc_id"),
+    "q_span_excise"     -> Seq("doc_id"),
     "q_pack_sequences"  -> Seq("lang", "lane", "pack_id"),
     "q_pii_scrub"       -> Seq("event_id"),
     "q_normalize_text"  -> Seq("doc_id"),

@@ -284,6 +284,28 @@ class TextOpsSpec extends SparkSpec {
       (3L, 12L, 0L, 0L, 0L, true)))    // sub-threshold doc still reported
   }
 
+  test("qSpanExcise: survivor keeps its span, foreign copies are cut, exact dups empty out") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val span = (1 to 25).map("s" + _)
+    val aText = ((1 to 3).map("a" + _) ++ span ++ (4 to 33).map("a" + _)).mkString(" ")
+    val bKept = (1 to 10).map("b" + _) ++ (1 to 8).map("c" + _)
+    val bText = ((1 to 10).map("b" + _) ++ span ++ (1 to 8).map("c" + _)).mkString(" ")
+    val cText = (1 to 12).map("z" + _).mkString(" ")
+    val eText = (1 to 20).map("e" + _).mkString(" ") // exact dup pair, = spanW tokens
+    val dir = docsDir(Seq(1L -> aText, 2L -> bText, 3L -> cText, 4L -> eText, 5L -> eText))
+    val got = TextOps.qSpanExcise(spark, dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 58L, 0L, 58L, md5(aText)),               // min-id survivor: untouched
+      (2L, 43L, 25L, 18L, md5(bKept.mkString(" "))), // foreign span cut, rebuild exact
+      (3L, 12L, 0L, 12L, md5(cText)),               // sub-threshold: untouched
+      (4L, 20L, 0L, 20L, md5(eText)),               // dup-pair survivor keeps its copy
+      (5L, 20L, 20L, 0L, md5(""))))                 // exact dup fully excised
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

@@ -137,9 +137,19 @@ object Ingest {
     * of the same data.
     *
     * Shape at scale: one min/max agg (driver-sized model), one
-    * range-partitioning shuffle (sampled bounds, size-balanced
-    * files) + an in-partition sort — the cost every layout rewrite
-    * pays; `nFiles` maps 1:1 to output files. NULL keys rank 0 and
+    * shuffle + an in-partition sort — the cost every layout rewrite
+    * pays. File assignment is DETERMINISTIC: file id = the z key
+    * linearly scaled to `nFiles` slabs of the rank space (an exact
+    * identity partitioner, not `repartitionByRange`'s sampled
+    * bounds — those are seeded by the run-dependent shuffle id, so
+    * two rewrites of identical data could land different file
+    * geometry and pruning ratios; a layout pass must be
+    * rebuild-stable or every incremental maintenance diff churns).
+    * Each output file owns the same contiguous curve slab every run;
+    * under the equi-width rank map's uniform-domain assumption the
+    * slabs are also size-balanced (skewed domains want quantile
+    * ranks — same interleave, same slabs). Curve slabs with no rows
+    * write no file, so output files ≤ `nFiles`. NULL keys rank 0 and
     * cluster together at the curve's origin.
     */
   def zorderWrite(df: DataFrame, path: String, cols: Seq[String], nFiles: Int = 32): Unit = {
@@ -155,10 +165,23 @@ object Ingest {
       s"coalesce(width_bucket(CAST($c AS DOUBLE), $lo, ${hi + 1.0}, $nBins) - 1, 0)"
     }
     val zc = "__graft_z"
-    df.withColumn(zc, expr(zorderKeyExpr(ranks, nBits = 8)))
-      .repartitionByRange(nFiles, col(zc))
+    val fc = "__graft_zfile"
+    val zBits = 8 * cols.size // rank space: z in [0, 2^zBits)
+    val keyed = df
+      .withColumn(zc, expr(zorderKeyExpr(ranks, nBits = 8)))
+      .withColumn(fc, expr(s"CAST(($zc * ${nFiles}L) DIV ${1L << zBits} AS INT)"))
+    val schema = keyed.schema
+    val fIdx = schema.fieldIndex(fc)
+    val placed = keyed.rdd
+      .keyBy(_.getInt(fIdx))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nFiles
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    df.sparkSession.createDataFrame(placed, schema)
       .sortWithinPartitions(zc)
-      .drop(zc)
+      .drop(zc, fc)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_rate_anomaly"    -> Seq("event_type", "hour_id"),
     "q_cdc_apply"       -> Seq("user_id"),
     "q_skew_agg"        -> Seq("event_type"),
+    "q_bloom_join"      -> Seq("o_orderpriority"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
     "q_stats_moments"   -> Seq("l_returnflag"),
     "q_cube"            -> Seq("year_g", "priority_g"),

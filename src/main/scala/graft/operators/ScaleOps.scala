@@ -688,7 +688,123 @@ object ScaleOps {
       |  ON c.event_type = p.event_type AND c.day_t = p.day
       |ORDER BY 1, 2""".stripMargin
 
+  /** Bloom-filter parameters for [[qBloomJoin]]. m is deliberately
+    * small at test SF so the false-positive audit measures a non-zero
+    * rate at BOTH oracle scales (sf0.01 load ≈ 0.06 → fp ~10⁻⁴;
+    * sf0.1 load ≈ 0.5 → fp ~6%); a production deployment sizes m to
+    * the build-side cardinality (bits-per-key × n), still driver-tiny
+    * at 10⁹ keys × 10 bits = ~1.2 GB worst case, or per-partition
+    * OR-merged if that ever mattered.
+    */
+  val BloomM = 8192
+  val BloomK = 3
+  val BloomSeed = 0xB100FL
+
+  /** Bloom-filter semi-join reduction with a false-positive audit —
+    * the explicit, auditable version of the runtime filter every
+    * 100 TB join optimizer wants: build a k-hash m-bit filter over the
+    * keys of a selective build side (customers with negative account
+    * balance), probe the big fact side (orders) with a map-only
+    * codegen membership expression, and score the filter against the
+    * exact semi-join.
+    *
+    * Shape at scale: the build side collapses to AT MOST m distinct
+    * bit positions (explode + partial-agg distinct — the collect is
+    * bounded by config, never by data), the packed bitmap ships inside
+    * the [[graft.functions.BloomContains]] expression (the NearestCell
+    * codebook pattern — no join, no shuffle, no broadcast exchange on
+    * the probe side), and the ONLY shuffle is the final 5-group
+    * aggregate. The exact left join against the build keys is the
+    * AUDIT branch: production keeps the bloom_pass column alone as the
+    * shuffle-avoiding pre-filter and lets the residual exact join run
+    * on the ~fp_ppm survivors. Spark's own InjectRuntimeFilter does
+    * this invisibly and unauditedly; this operator MEASURES what that
+    * filter would save (n_pass vs n_probe) and what it costs
+    * (n_false_pos) — and its splitmix64 bit layout is deterministic,
+    * so the DuckDB oracle hash-checks the exact false-positive SET,
+    * not just counts.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomContains, BloomHashing, BloomPositions}
+    import org.apache.spark.sql.GraftBridge
+    val salts = BloomHashing.salts(BloomK, BloomSeed).toSeq
+    val build = Ingest.table(s, dir, "customer")
+      .filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey").as("bk"))
+      .materialized // consumed twice: filter build + audit join
+    val posArr = GraftBridge.column(
+      BloomPositions(GraftBridge.expression(col("bk")), salts, BloomM))
+    // ≤ m rows however large the build side — a config-bounded model,
+    // like the IVF codebook collect
+    val bits = build.select(explode(posArr).as("p")).distinct()
+      .collect().map(_.getInt(0))
+    val words = BloomHashing.pack(BloomM, bits).toSeq
+    val passCol = GraftBridge.column(
+      BloomContains(GraftBridge.expression(col("o_custkey")), salts, BloomM, words))
+    val flagged = Ingest.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .withColumn("bloom_pass", passCol)
+      .join(build, col("o_custkey") === col("bk"), "left")
+    flagged.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("bk").isNotNull, 1L).otherwise(0L)).as("n_member"),
+        sum(when(col("bloom_pass") && col("bk").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("fp_ppm",
+        when(col("n_probe") === col("n_member"), 0L)
+          .otherwise(expr("n_false_pos * 1000000 DIV (n_probe - n_member)")))
+  }
+
+  /** DuckDB mirror: the identical splitmix64 positions in HUGEINT
+    * (OracleEmul.mix — same constants as BloomHashing.mix), the bit
+    * set as a DISTINCT position CTE, membership as "all k probe
+    * positions join the set" (duplicate positions within one key's k
+    * slots each match independently, so HAVING count = k is exact).
+    */
+  val qBloomJoinSql: String = {
+    val salts = graft.functions.BloomHashing.salts(BloomK, BloomSeed)
+    def posList(key: String): String =
+      salts.map { salt =>
+        val u = java.lang.Long.toUnsignedString(salt)
+        "CAST(" + OracleEmul.floorMod(
+          OracleEmul.mix(s"xor($key::HUGEINT, ${u}::HUGEINT)"),
+          "bmv", s"$BloomM::HUGEINT") + " AS INTEGER)"
+      }.mkString("[", ",\n      ", "]")
+    s"""WITH build AS (
+       |  SELECT c_custkey AS bk FROM customer WHERE c_acctbal < 0.0),
+       |bits AS (
+       |  SELECT DISTINCT unnest(${posList("bk")}) AS p FROM build),
+       |probe AS (
+       |  SELECT o_orderkey, unnest(${posList("o_custkey")}) AS p FROM orders),
+       |hit AS (
+       |  SELECT o_orderkey FROM probe JOIN bits USING (p)
+       |  GROUP BY o_orderkey HAVING count(*) = $BloomK),
+       |flag AS (
+       |  SELECT o.o_orderpriority,
+       |    h.o_orderkey IS NOT NULL AS bloom_pass,
+       |    b.bk IS NOT NULL AS is_member
+       |  FROM orders o
+       |  LEFT JOIN hit h ON o.o_orderkey = h.o_orderkey
+       |  LEFT JOIN build b ON o.o_custkey = b.bk),
+       |agg AS (
+       |  SELECT o_orderpriority,
+       |    count(*) AS n_probe,
+       |    CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+       |    CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos
+       |  FROM flag GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, n_probe, n_pass, n_member, n_false_pos,
+       |  CASE WHEN n_probe = n_member THEN 0
+       |       ELSE n_false_pos * 1000000 // (n_probe - n_member) END AS fp_ppm
+       |FROM agg
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join"      -> qBloomJoin _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sliding_reach"   -> qSlidingReach _,
     "q_hll_union"       -> qHllUnion _,
@@ -707,6 +823,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_join"      -> qBloomJoinSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_hll_union"       -> qHllUnionSql,
     "q_sliding_reach"   -> qSlidingReachSql,

@@ -217,6 +217,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_join: zero false negatives, pass = member + fp, map-only probe") {
+    import graft.functions.{BloomContains, BloomHashing, BloomPositions}
+    import org.apache.spark.sql.GraftBridge
+    val rows = SparkEntry.plans("q_bloom_join")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (probe, pass, member, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // a Bloom filter can lie only one way: every member must pass
+      assert(pass === member + fp, s"pass must decompose into member + fp: $r")
+      assert(member <= pass && pass <= probe, s"pass bracketed by member and probe: $r")
+    }
+    // row-level no-false-negative check against an exact recompute
+    val salts = BloomHashing.salts(ScaleOps.BloomK, ScaleOps.BloomSeed).toSeq
+    val build = graft.sources.Ingest.table(spark, sf0001, "customer")
+      .filter(col("c_acctbal") < 0.0).select(col("c_custkey").as("bk"))
+    val posArr = GraftBridge.column(
+      BloomPositions(GraftBridge.expression(col("bk")), salts, ScaleOps.BloomM))
+    val words = BloomHashing.pack(ScaleOps.BloomM,
+      build.select(explode(posArr).as("p")).distinct().collect().map(_.getInt(0))).toSeq
+    val passCol = GraftBridge.column(
+      BloomContains(GraftBridge.expression(col("o_custkey")), salts, ScaleOps.BloomM, words))
+    val probe = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .select(col("o_custkey")).withColumn("bloom_pass", passCol)
+    val missed = probe.join(build, col("o_custkey") === col("bk"), "left_semi")
+      .filter(!col("bloom_pass")).count()
+    assert(missed === 0L, "a member key must never fail the filter")
+    // production probe shape: the membership test is a map-only codegen
+    // expression — no join, no exchange, no broadcast on the probe side
+    val prod = probe.filter(col("bloom_pass"))
+    val p = prod.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"bloom probe must not shuffle or join:\n$p")
+    assert(p.contains("*(1) Filter"), s"probe must stay inside one codegen stage:\n$p")
+    assert(prod.count() > 0L)
+  }
+
   test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
     // The distinct-count scale path when even (key, user) pairs are too
     // many to shuffle: HLL sketches merge map-side, the shuffle carries

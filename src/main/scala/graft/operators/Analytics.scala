@@ -946,7 +946,108 @@ object Analytics {
       |FROM x
       |ORDER BY event_type, dow""".stripMargin
 
+  /** Minimum co-occurrence count for a part pair to become a
+    * [[qTriangles]] graph edge — thins one-off basket noise exactly
+    * like [[BasketMinSupport]] does for the pair lattice.
+    */
+  val TriMinSupport = 2
+
+  /** Triangle count + global clustering coefficient over the part
+    * co-occurrence graph (parts linked when ≥ [[TriMinSupport]] orders
+    * contain both) — the graph-cohesion statistic beside
+    * [[qPagerank]]'s centrality and [[qComponents]]'s reachability:
+    * how CLIQUISH is the product catalog, not just how connected.
+    *
+    * Shape at scale — the standard distributed triangle algorithm
+    * (node-iterator with degree ordering, MapReduce-folklore a.k.a.
+    * Cohen's method / Suri-Vassilvitskii):
+    *   1. edge build: one self-join of the (order, part) list on the
+    *      order key (basket-bounded fan-out) + one pair-key aggregate
+    *      with the support threshold;
+    *   2. each undirected edge is ORIENTED low→high by the total order
+    *      (degree, node id) — every triangle then materializes as
+    *      EXACTLY ONE wedge e1=(a,b), e2=(b,c) plus its closure (a,c),
+    *      and the per-node wedge fan-out is bounded by out-degree
+    *      ≤ O(√m) regardless of hub size (a 10⁶-degree hub generates
+    *      no wedges at all — every edge points INTO it), capping the
+    *      intermediate at O(m^{3/2}) instead of Σdeg²;
+    *   3. the closure is one equi-join of the wedge set back on the
+    *      oriented edge list.
+    * The oriented edge list is materialized once and scanned three
+    * times (self-joins re-derive their subtree otherwise); degrees
+    * live in a node-sized table that AQE broadcasts while it fits.
+    * All arithmetic integer → bit-reproducible on any partitioning.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Ingest.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TriMinSupport)
+      .select("p1", "p2")
+      .materialized // consumed by degrees + orientation
+    val deg = edges.select(col("p1").as("nd"))
+      .unionAll(edges.select(col("p2").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("d"))
+      .materialized // node-sized; orientation (×2) + wedge/node rollup
+    val oriented = edges
+      .join(deg.select(col("nd").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("nd").as("p2"), col("d").as("d2")), "p2")
+      .select(
+        // p1 < p2 by construction, so the (deg, id) tie-break on equal
+        // degrees always orients p1 → p2
+        when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2")).as("src"),
+        when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1")).as("dst"))
+      .materialized // scanned three times by the wedge + closure joins
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri) // three 1-row sides
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN 0" +
+          " ELSE n_triangles * 3 * 1000000 DIV n_wedges END").as("global_cc_ppm"))
+  }
+
+  val qTrianglesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |nd AS (
+       |  SELECT nd, count(*) AS d
+       |  FROM (SELECT p1 AS nd FROM e UNION ALL SELECT p2 FROM e)
+       |  GROUP BY nd),
+       |o AS (
+       |  SELECT CASE WHEN da.d <= db.d THEN e.p1 ELSE e.p2 END AS src,
+       |         CASE WHEN da.d <= db.d THEN e.p2 ELSE e.p1 END AS dst
+       |  FROM e JOIN nd da ON e.p1 = da.nd JOIN nd db ON e.p2 = db.nd),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM o e1
+       |  JOIN o e2 ON e1.dst = e2.src
+       |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |ns AS (
+       |  SELECT count(*) AS n_nodes,
+       |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM nd),
+       |es AS (SELECT count(*) AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN 0
+       |       ELSE n_triangles * 3 * 1000000 // n_wedges END AS global_cc_ppm
+       |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles"  -> qTriangles _,
     "q_autocorr"   -> qAutocorr _,
     "q_burstiness" -> qBurstiness _,
     "q_seasonality" -> qSeasonality _,
@@ -967,6 +1068,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_triangles"  -> qTrianglesSql,
     "q_autocorr"   -> qAutocorrSql,
     "q_burstiness" -> qBurstinessSql,
     "q_seasonality" -> qSeasonalitySql,

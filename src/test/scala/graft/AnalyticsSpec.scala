@@ -10,6 +10,30 @@ import graft.operators.{Analytics, TextOps}
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("q_triangles: counts match a brute-force adjacency enumeration") {
+    val r = Analytics.qTriangles(spark, sf0001).head()
+    val (nNodes, nEdges, nWedges, nTri) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // brute-force reference on the same thresholded edge set
+    val li = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= Analytics.TriMinSupport)
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    assert(nNodes === adj.size.toLong)
+    assert(nEdges === edges.length.toLong)
+    assert(nWedges === adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum)
+    // count each triangle once via the id order a < b < c
+    val bruteTri = edges.map { case (a, b) => (adj(a) & adj(b)).count(_ > b).toLong }.sum
+    assert(nTri === bruteTri, s"degree-oriented count $nTri vs brute-force $bruteTri")
+    assert(nTri > 0L, "the sf0.001 basket graph must contain triangles")
+  }
+
   test("q_pagerank: rank mass is conserved within DIV-truncation leakage, bit-deterministic") {
     def run() = Analytics.qPagerank(spark, sf0001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).sortBy(_._1)

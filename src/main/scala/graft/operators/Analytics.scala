@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.Materialize._
@@ -1046,7 +1047,103 @@ object Analytics {
        |       ELSE n_triangles * 3 * 1000000 // n_wedges END AS global_cc_ppm
        |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
 
+  /** Exponentially-weighted moving average of daily revenue per order
+    * priority (α = 0.2) — the recursive time-series smoother none of
+    * the window frames can express (every output depends on ALL prior
+    * inputs, not a bounded frame): the forecasting/monitoring
+    * baseline next to [[qMovingAvg]]'s flat window.
+    *
+    * Shape at scale: the corpus collapses FIRST to (priority, day)
+    * partial-aggregated decimal sums — one shuffle on the
+    * high-cardinality composite, exactly associative — and only the
+    * calendar-bounded series (≤ elapsed days per group, never
+    * data-sized) is collected into an array and folded sequentially.
+    * The recursion s′ = 0.8·s + 0.2·x runs in ONE deterministic
+    * left-to-right double fold per group; DuckDB's `list_reduce` folds
+    * the identical value sequence with the identical literals, so the
+    * smoothed values are BIT-EXACT cross-engine (SURVEY §4 rule 7) —
+    * this is the device that keeps a float recursion oracle-checkable.
+    */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Ingest.table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("tot"))
+      .select(col("o_orderpriority"), col("day"), col("tot").cast("double").as("v"))
+    daily.groupBy(col("o_orderpriority"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, v))), e -> e.v)").as("vals"))
+      .select(
+        col("o_orderpriority"),
+        expr("size(vals)").as("n_days"),
+        expr("aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+          "element_at(vals, 1), " +
+          "(acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE))").as("ewma"))
+  }
+
+  val qEwmaSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |    epoch_ms(o_orderdate) // 86400000 AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (
+      |  SELECT o_orderpriority, list(v ORDER BY day) AS vals
+      |  FROM d GROUP BY 1)
+      |SELECT o_orderpriority,
+      |  CAST(length(vals) AS INTEGER) AS n_days,
+      |  list_reduce(vals,
+      |    (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)) AS ewma
+      |FROM s ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact 7-observation rolling MEDIAN of daily revenue per order
+    * priority — the robust twin of [[qMovingAvg]] (one outlier day
+    * drags a mean for a week; the median shrugs) and a holistic
+    * window statistic no algebraic frame aggregate computes. Emitted
+    * as `med2_cents` = the SUM of the two central order statistics
+    * (= 2×median, an integer): exact cents all the way — no float
+    * division, no engine rounding-mode trap.
+    *
+    * Shape at scale: the corpus collapses first to the (priority, day)
+    * daily table (one partial-agged shuffle, exact decimal sums), and
+    * the window runs over that CALENDAR-SIZED series — collecting and
+    * sorting ≤ 7 values per row. The window is observed-day row-based
+    * by design (a gap week compresses); a calendar-true variant
+    * composes with [[qGapFill]] upstream, same window.
+    */
+  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    Ingest.table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      .withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .select(
+        col("o_orderpriority"), col("day"),
+        expr("size(win)").as("n_win"),
+        expr("element_at(win, CAST((size(win) + 1) DIV 2 AS INT))" +
+          " + element_at(win, CAST(size(win) DIV 2 + 1 AS INT))").as("med2_cents"))
+  }
+
+  val qRollingMedianSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |    epoch_ms(o_orderdate) // 86400000 AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT o_orderpriority, day,
+      |    list_sort(list(cents) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM d)
+      |SELECT o_orderpriority, day,
+      |  CAST(length(win) AS INTEGER) AS n_win,
+      |  win[(length(win) + 1) // 2] + win[length(win) // 2 + 1] AS med2_cents
+      |FROM w ORDER BY o_orderpriority, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> qRollingMedian _,
+    "q_ewma"       -> qEwma _,
     "q_triangles"  -> qTriangles _,
     "q_autocorr"   -> qAutocorr _,
     "q_burstiness" -> qBurstiness _,
@@ -1068,6 +1165,8 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_rolling_median" -> qRollingMedianSql,
+    "q_ewma"       -> qEwmaSql,
     "q_triangles"  -> qTrianglesSql,
     "q_autocorr"   -> qAutocorrSql,
     "q_burstiness" -> qBurstinessSql,

@@ -1095,7 +1095,62 @@ object Dedup {
        |    // COUNT(*) AS dup_ppm
        |FROM w GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** Maximum edit distance for an [[qEntityMatch]] candidate pair to
+    * count as a probable same-entity link.
+    */
+  val EntityMaxDist = 2
+
+  /** Blocked entity resolution (record linkage) over the customer
+    * register: LSH-style BLOCKING on (nation, market segment) bounds
+    * the candidate set, a cheap length pre-filter discards pairs no
+    * edit script of length ≤ [[EntityMaxDist]] could join, and the
+    * survivor pairs are verified with exact Levenshtein distance —
+    * codegen'd `levenshtein`, the same classic DP DuckDB runs, so the
+    * match SET is hash-checked, not a similarity estimate.
+    *
+    * Shape at scale: the quadratic lives ONLY inside a block (the
+    * within-block self-join shuffles once on the block key); block
+    * cardinality is the tuning knob exactly as in the banded-minhash
+    * family — production stacks multiple blocking passes (phonetic
+    * key, q-gram buckets, sorted-neighborhood windows) and unions the
+    * candidate sets, each pass this same one-shuffle shape. The length
+    * gate is the standard edit-distance kill switch:
+    * |len(a) − len(b)| > d implies distance > d, so the expensive DP
+    * never runs on hopeless pairs.
+    */
+  def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Ingest.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    val a = c.as("a")
+    val b = c.as("b")
+    a.join(b,
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          abs(length(col("a.c_name")) - length(col("b.c_name"))) <= EntityMaxDist)
+      .select(
+        col("a.c_nationkey").as("nationkey"),
+        col("a.c_mktsegment").as("mktsegment"),
+        col("a.c_custkey").as("cust_a"),
+        col("b.c_custkey").as("cust_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("edit_dist"))
+      .filter(col("edit_dist") <= EntityMaxDist)
+  }
+
+  val qEntityMatchSql: String =
+    s"""SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+       |  a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+       |FROM customer a JOIN customer b
+       |  ON a.c_nationkey = b.c_nationkey
+       | AND a.c_mktsegment = b.c_mktsegment
+       | AND a.c_custkey < b.c_custkey
+       | AND abs(length(a.c_name) - length(b.c_name)) <= $EntityMaxDist
+       |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
+       |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_match"    -> qEntityMatch _,
     "q_minhash_error"   -> qMinhashError _,
     "q_dup_by_batch"    -> qDupByBatch _,
     "q_dup_summary"     -> qDupSummary _,
@@ -1112,6 +1167,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_entity_match" -> qEntityMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,
     "q_dup_by_batch" -> qDupByBatchSql,
     "q_dup_summary" -> qDupSummarySql,

@@ -61,6 +61,7 @@ object SparkEntry {
     "q_entity_match"    -> Seq("nationkey", "mktsegment", "cust_a", "cust_b"),
     "q_ewma"            -> Seq("o_orderpriority"),
     "q_rolling_median"  -> Seq("o_orderpriority", "day"),
+    "q_cms_audit"       -> Seq("user_id"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
     "q_stats_moments"   -> Seq("l_returnflag"),
     "q_cube"            -> Seq("year_g", "priority_g"),

@@ -803,7 +803,95 @@ object ScaleOps {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Count-Min Sketch geometry for [[qCmsAudit]]: width sized near the
+    * test-SF user cardinality so counter collisions — the thing the
+    * audit measures — actually occur at oracle scales.
+    */
+  val CmsM = 2048
+  val CmsK = 3
+  val CmsSeed = 0xC0DE5EEDL
+
+  /** Count-Min Sketch frequency estimation with an exact-error audit —
+    * the point-query sketch beside [[qApproxDistinct]]'s cardinality
+    * HLL: estimate per-user event counts from a k×m counter grid and
+    * score the top-20 heavy hitters against their exact counts
+    * (overestimate_ppm; CMS can only overestimate, pinned in spec).
+    *
+    * Fully distributed, no driver model: the corpus collapses to
+    * per-user counts first (one partial-agged shuffle on user_id),
+    * positions fan out k-fold over that USER-sized table (the
+    * [[graft.functions.BloomPositions]] splitmix kernel — same
+    * bit-exact HUGEINT oracle device), and the counter grid is a
+    * (row, position)-keyed aggregate bounded by k·m regardless of
+    * data size. The probe is a broadcast join of the 20 hitters'
+    * positions against that grid + a min-fold per user. Merging two
+    * grids is elementwise add — the sketch is distributive, the same
+    * contract [[qHllUnion]] pins for HLL.
+    */
+  def qCmsAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomHashing, BloomPositions}
+    import org.apache.spark.sql.GraftBridge
+    val salts = BloomHashing.salts(CmsK, CmsSeed).toSeq
+    def positions(key: org.apache.spark.sql.Column) =
+      GraftBridge.column(BloomPositions(GraftBridge.expression(key), salts, CmsM))
+    val perUser = Ingest.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .materialized // consumed by the grid build AND the top-20 probe
+    val grid = perUser
+      .select(col("n"), posexplode(positions(col("user_id"))).as(Seq("j", "p")))
+      .groupBy(col("j"), col("p")).agg(sum(col("n")).as("c"))
+    val top = perUser
+      .orderBy(col("n").desc, col("user_id")).limit(20)
+    val est = top
+      .select(col("user_id"), col("n").as("n_exact"),
+        posexplode(positions(col("user_id"))).as(Seq("j", "p")))
+      .join(grid, Seq("j", "p"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+    est.select(col("user_id"), col("n_exact"), col("n_est"),
+      expr("(n_est - n_exact) * 1000000 DIV n_exact").as("over_ppm"))
+  }
+
+  /** DuckDB mirror: identical splitmix positions (OracleEmul), the
+    * grid as a (j, p) GROUP BY, parallel unnest zipping position and
+    * row index. j is 1-based here and 0-based in Spark — it never
+    * leaves the plan; only (j, p) key CONSISTENCY within each engine
+    * matters.
+    */
+  val qCmsAuditSql: String = {
+    val salts = graft.functions.BloomHashing.salts(CmsK, CmsSeed)
+    def posList(key: String): String =
+      salts.map { salt =>
+        val u = java.lang.Long.toUnsignedString(salt)
+        "CAST(" + OracleEmul.floorMod(
+          OracleEmul.mix(s"xor($key::HUGEINT, ${u}::HUGEINT)"),
+          "cmv", s"$CmsM::HUGEINT") + " AS INTEGER)"
+      }.mkString("[", ",\n      ", "]")
+    val js = (1 to CmsK).mkString("[", ",", "]")
+    s"""WITH uc AS (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |up AS (
+       |  SELECT user_id, n, unnest($js) AS j, unnest(${posList("user_id")}) AS p
+       |  FROM uc),
+       |grid AS (
+       |  SELECT j, p, CAST(SUM(n) AS BIGINT) AS c FROM up GROUP BY j, p),
+       |top AS (
+       |  SELECT user_id, n FROM uc ORDER BY n DESC, user_id LIMIT 20),
+       |tp AS (
+       |  SELECT user_id, n AS n_exact, unnest($js) AS j, unnest(${posList("user_id")}) AS p
+       |  FROM top),
+       |est AS (
+       |  SELECT tp.user_id, tp.n_exact, MIN(g.c) AS n_est
+       |  FROM tp JOIN grid g ON tp.j = g.j AND tp.p = g.p
+       |  GROUP BY tp.user_id, tp.n_exact)
+       |SELECT user_id, n_exact, n_est,
+       |  (n_est - n_exact) * 1000000 // n_exact AS over_ppm
+       |FROM est
+       |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_audit"       -> qCmsAudit _,
     "q_bloom_join"      -> qBloomJoin _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_sliding_reach"   -> qSlidingReach _,
@@ -823,6 +911,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cms_audit"       -> qCmsAuditSql,
     "q_bloom_join"      -> qBloomJoinSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_hll_union"       -> qHllUnionSql,

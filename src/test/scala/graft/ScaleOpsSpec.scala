@@ -254,6 +254,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(prod.count() > 0L)
   }
 
+  test("q_cms_audit: one-sided error (est >= exact) and per-row grid mass conservation") {
+    import graft.functions.{BloomHashing, BloomPositions}
+    import org.apache.spark.sql.GraftBridge
+    val rows = SparkEntry.plans("q_cms_audit")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20) // sf0.001 has < 20 users
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS must never underestimate: $r")
+      assert(r.getLong(3) >= 0L, s"over_ppm must be non-negative: $r")
+    }
+    // every grid row receives the full event mass — the property that
+    // makes two grids mergeable by elementwise add
+    val salts = BloomHashing.salts(ScaleOps.CmsK, ScaleOps.CmsSeed).toSeq
+    val posArr = GraftBridge.column(
+      BloomPositions(GraftBridge.expression(col("user_id")), salts, ScaleOps.CmsM))
+    val total = graft.sources.Ingest.events(spark, sf0001).count()
+    val perRow = graft.sources.Ingest.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(col("n"), posexplode(posArr).as(Seq("j", "p")))
+      .groupBy(col("j")).agg(sum(col("n")).as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(perRow.keySet === (0 until ScaleOps.CmsK).toSet)
+    perRow.values.foreach(m => assert(m === total, "each sketch row carries all mass"))
+  }
+
   test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
     // The distinct-count scale path when even (key, user) pairs are too
     // many to shuffle: HLL sketches merge map-side, the shuffle carries

@@ -960,6 +960,84 @@ object Ann {
         col("cosine"), col("n_words"))
   }
 
+  /** RRF dampening constant (Cormack et al. 2009's k = 60). */
+  private val RrfK0 = 60
+  private val RrfScale = 1000000L
+
+  /** Reciprocal-rank fusion of two retrievers — the ensemble device
+    * every hybrid retrieval stack ends with, as an ORACLE-CHECKED
+    * member of the hybrid family (q_hybrid_search composes rows-only
+    * programs; this one is exact end to end). Retriever A ranks by
+    * COSINE (norm-invariant), retriever B by raw DOT product
+    * (magnitude-weighted) — genuinely different rankings wherever
+    * vector norms vary — and each neighbor in either top-[[K]] scores
+    * Σ [[RrfScale]] DIV ([[RrfK0]] + rank): integer arithmetic, so
+    * the fused ranking is bit-reproducible even though it fuses
+    * float-scored lists (the ranks themselves are pinned by the
+    * bit-exact sequential-fold cosine/dot device).
+    *
+    * Shape at scale: ONE scored pass (the broadcast-query crossJoin
+    * the brute-force baseline already pays — a production stack feeds
+    * LSH/IVF candidate lists instead, same fusion), both rank windows
+    * ride the SAME query_id exchange (two Window nodes, one shuffle),
+    * and the fused cut is per-query top-[[K]].
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = split(s, dir)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Dedup.dotExpr("embedding", "q_emb").as("dot"),
+        (col("nrm") * col("q_nrm")).as("nn"))
+      .withColumn("cosine", col("dot") / col("nn"))
+    val wCos = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val wDot = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    val wFused = Window.partitionBy("query_id").orderBy(col("rrf_fp").desc, col("neighbor_id"))
+    scored
+      .withColumn("ra", row_number().over(wCos).cast("long"))
+      .withColumn("rb", row_number().over(wDot).cast("long"))
+      .filter(col("ra") <= K || col("rb") <= K)
+      .withColumn("rrf_fp",
+        when(col("ra") <= K, expr(s"$RrfScale DIV (${RrfK0}L + ra)")).otherwise(0L)
+          + when(col("rb") <= K, expr(s"$RrfScale DIV (${RrfK0}L + rb)")).otherwise(0L))
+      .withColumn("fused_rnk", row_number().over(wFused).cast("long"))
+      .filter(col("fused_rnk") <= K)
+      .select(col("query_id"), col("fused_rnk"), col("neighbor_id"), col("rrf_fp"))
+  }
+
+  val qRrfFusionSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM base WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${Dedup.sqlDot("embedding", "q_emb")} AS dot,
+       |    (nrm * q_nrm) AS nn
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / nn DESC, neighbor_id) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rb
+       |  FROM scored),
+       |fused AS (
+       |  SELECT query_id, neighbor_id,
+       |    (CASE WHEN ra <= $K THEN $RrfScale // ($RrfK0 + ra) ELSE 0 END
+       |     + CASE WHEN rb <= $K THEN $RrfScale // ($RrfK0 + rb) ELSE 0 END) AS rrf_fp
+       |  FROM ranked WHERE ra <= $K OR rb <= $K),
+       |cut AS (
+       |  SELECT query_id, neighbor_id, rrf_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, neighbor_id) AS fused_rnk
+       |  FROM fused)
+       |SELECT query_id, fused_rnk, neighbor_id, rrf_fp
+       |FROM cut WHERE fused_rnk <= $K
+       |ORDER BY query_id, fused_rnk""".stripMargin
+
   /** Vector-norm histogram — the corrupted-export screen
     * ([[qEmbedStats]]'s per-vector sibling): zeroed, clipped or
     * double-scaled vectors land in histogram bins far from the
@@ -1080,6 +1158,7 @@ object Ann {
     "q_norm_hist"       -> qNormHist _,
     "q_centroid_shift"  -> qCentroidShift _,
     "q_hybrid_search"   -> qHybridSearch _,
+    "q_rrf_fusion"      -> qRrfFusion _,
     "q_ann_recall"      -> qAnnRecall _,
     "q_semdedup"        -> qSemdedup _,
     "q_quant_recall"    -> qQuantRecall _,
@@ -1103,6 +1182,7 @@ object Ann {
     * nothing new at 2× the oracle runtime).
     */
   val oracle: Map[String, String] = Map(
+    "q_rrf_fusion"      -> qRrfFusionSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,

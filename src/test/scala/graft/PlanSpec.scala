@@ -103,6 +103,19 @@ class PlanSpec extends SparkSpec {
       s"one shuffle, on (window, event_type):\n$p")
   }
 
+  test("q_rrf_fusion: both rank windows and the fused cut share ONE query_id exchange") {
+    val p = plan("q_rrf_fusion")
+    // AQE appends the initial plan — judge the final plan only
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size === 1,
+      s"cosine-rank, dot-rank and fused-rank windows must ride one shuffle:\n$finalPlan")
+    assert(exchanges.head.contains("query_id"), s"the one shuffle keys on query_id:\n$finalPlan")
+    assert(finalPlan.linesIterator.count(_.contains("Window [row_number()")) === 3,
+      s"three window passes (ra, rb, fused) expected:\n$finalPlan")
+  }
+
   test("q_repetition: map-only — one projection over the scan, zero shuffles") {
     val p = plan("q_repetition")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Generate"),

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_rolling_median"  -> Seq("o_orderpriority", "day"),
     "q_cms_audit"       -> Seq("user_id"),
     "q_rrf_fusion"      -> Seq("query_id", "fused_rnk"),
+    "q_kcore"           -> Seq("round"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
     "q_stats_moments"   -> Seq("l_returnflag"),
     "q_cube"            -> Seq("year_g", "priority_g"),

@@ -979,17 +979,26 @@ object Analytics {
     * live in a node-sized table that AQE broadcasts while it fits.
     * All arithmetic integer → bit-reproducible on any partitioning.
     */
-  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The support-thresholded part co-occurrence edge list (p1 < p2)
+    * shared by [[qTriangles]] and [[qKcore]]: one order-key self-join
+    * (basket-bounded fan-out) + one pair-key aggregate, materialized
+    * because every consumer scans it repeatedly.
+    */
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Ingest.table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= TriMinSupport)
       .select("p1", "p2")
-      .materialized // consumed by degrees + orientation
+      .materialized
+  }
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = partCoEdges(s, dir) // consumed by degrees + orientation
     val deg = edges.select(col("p1").as("nd"))
       .unionAll(edges.select(col("p2").as("nd")))
       .groupBy("nd").agg(count(lit(1)).as("d"))
@@ -1016,6 +1025,97 @@ object Analytics {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("CASE WHEN n_wedges = 0 THEN 0" +
           " ELSE n_triangles * 3 * 1000000 DIV n_wedges END").as("global_cc_ppm"))
+  }
+
+  /** [[qKcore]] parameters: the core order and the FIXED peel-round
+    * budget (the bounded-iteration contract [[qPagerank]] also uses —
+    * a static plan the oracle can unroll; production reruns until the
+    * final two rounds agree).
+    */
+  val KcoreK = 3
+  val KcoreRounds = 6
+
+  /** Bounded k-core decomposition of the part co-occurrence graph:
+    * [[KcoreRounds]] synchronous peel rounds, each removing every
+    * node of current degree < [[KcoreK]], emitting the (nodes, edges)
+    * census after every round — the densest-backbone extraction that
+    * complements [[qTriangles]]' cohesion statistic (triangles say how
+    * clustered the graph is, the k-core says WHERE the dense part
+    * lives). Convergence is observable in the output (two equal
+    * consecutive rounds = fixpoint), spec-pinned at test SF.
+    *
+    * Shape at scale: each round is one node-sized degree aggregate +
+    * two semi-joins of the edge list against the surviving nodes (AQE
+    * broadcasts the node side while it fits) — edge data moves once
+    * per round, never the corpus; lineitem is long gone after the
+    * shared [[partCoEdges]] build. Each round's edge list is
+    * materialized: an unrolled 6-round lazy plan re-derives every
+    * earlier round per consumer (the [[qPagerank]] lesson). The
+    * per-round census rows are DRIVER-SIZED scalars (2·R counts) —
+    * collecting them is bounded by the round budget, not data.
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    var edges = partCoEdges(s, dir)
+    def census(e: DataFrame): (Long, Long) = {
+      val nNodes = e.select(col("p1").as("nd"))
+        .unionAll(e.select(col("p2").as("nd"))).distinct().count()
+      (nNodes, e.count())
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val c0 = census(edges)
+    rows += ((0, c0._1, c0._2))
+    for (r <- 1 to KcoreRounds) {
+      val keep = edges.select(col("p1").as("nd"))
+        .unionAll(edges.select(col("p2").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK)
+        .select("nd")
+      edges = edges
+        .join(keep.withColumnRenamed("nd", "p1"), Seq("p1"), "left_semi")
+        .join(keep.withColumnRenamed("nd", "p2"), Seq("p2"), "left_semi")
+        .select("p1", "p2")
+        .materialized
+      val c = census(edges)
+      rows += ((r, c._1, c._2))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  /** DuckDB mirror: the peel unrolled into [[KcoreRounds]] static CTE
+    * layers (degree → survivors → filtered edges), census scalars per
+    * layer UNION ALLed.
+    */
+  val qKcoreSql: String = {
+    // AS MATERIALIZED throughout: DuckDB inlines a CTE per consumer,
+    // and every round reads its predecessor 3× (degree union twice +
+    // the edge filter) — an inlined unroll re-reads lineitem 3^R times
+    // (observed: "Too many open files" at R=6)
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT nd, count(*) AS d
+         |  FROM (SELECT p1 AS nd FROM e${r - 1} UNION ALL SELECT p2 FROM e${r - 1})
+         |  GROUP BY nd),
+         |k$r AS MATERIALIZED (SELECT nd FROM d$r WHERE d >= $KcoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT p1, p2 FROM e${r - 1}
+         |  WHERE p1 IN (SELECT nd FROM k$r) AND p2 IN (SELECT nd FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to KcoreRounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT nd FROM (SELECT p1 AS nd FROM e$r UNION ALL SELECT p2 FROM e$r)))
+         |    AS n_nodes,
+         |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |$rounds
+       |$census
+       |ORDER BY round""".stripMargin
   }
 
   val qTrianglesSql: String =
@@ -1142,6 +1242,7 @@ object Analytics {
       |FROM w ORDER BY o_orderpriority, day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"      -> qKcore _,
     "q_rolling_median" -> qRollingMedian _,
     "q_ewma"       -> qEwma _,
     "q_triangles"  -> qTriangles _,
@@ -1165,6 +1266,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_kcore"      -> qKcoreSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ewma"       -> qEwmaSql,
     "q_triangles"  -> qTrianglesSql,

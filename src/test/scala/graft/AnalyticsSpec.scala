@@ -34,6 +34,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(nTri > 0L, "the sf0.001 basket graph must contain triangles")
   }
 
+  test("q_kcore: census matches a local peel simulation round for round") {
+    val rows = Analytics.qKcore(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === Analytics.KcoreRounds + 1)
+    // independent reference: simulate the synchronous peel on the
+    // collected edge list (tiny at sf0.001)
+    val li = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    var edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= Analytics.TriMinSupport)
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1))).toVector
+    def census(e: Vector[(Long, Long)]) =
+      (e.flatMap(x => Seq(x._1, x._2)).distinct.size.toLong, e.size.toLong)
+    var expect = Vector((0, census(edges)._1, census(edges)._2))
+    for (r <- 1 to Analytics.KcoreRounds) {
+      val deg = edges.flatMap(x => Seq(x._1, x._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.collect { case (nd, d) if d >= Analytics.KcoreK => nd }.toSet
+      edges = edges.filter(x => keep(x._1) && keep(x._2))
+      val c = census(edges)
+      expect :+= ((r, c._1, c._2))
+    }
+    assert(rows.toVector === expect, "distributed peel must match the local simulation")
+    // sf0.001's basket graph is dense enough that the 3-core may be the
+    // whole graph — the invariants are monotone shrink + nonempty start
+    assert(rows.head._2 > 0L && rows.head._3 > 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"peel can only shrink: $a -> $b")
+    }
+  }
+
   test("q_pagerank: rank mass is conserved within DIV-truncation leakage, bit-deterministic") {
     def run() = Analytics.qPagerank(spark, sf0001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).sortBy(_._1)

@@ -70,6 +70,29 @@ object BloomHashing {
   }
 }
 
+/** splitmix64 finalizer of a BIGINT key as a signed BIGINT — the
+  * deterministic uniform-hash primitive behind weighted sampling
+  * (`TextOps.qWeightedSample` uses `mix >>> 1` as a 63-bit uniform).
+  * SQL arithmetic can't express it under ANSI overflow semantics
+  * (wrapping multiplies throw); as a codegen expression it stays
+  * map-only, and OracleEmul.mix replays it in HUGEINT.
+  */
+case class SplitMix64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_splitmix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomHashing.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomHashing.mix($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64 =
+    copy(child = newChild)
+}
+
 /** array<int> of the k filter bit positions for a BIGINT key — the
   * BUILD side's map-only projection (explode + distinct gives the set
   * bits, at most m rows however large the build table is).

@@ -1035,6 +1035,60 @@ object Analytics {
   val KcoreK = 3
   val KcoreRounds = 6
 
+  /** Per-type OLS trend fit of the daily event-count series — "is this
+    * event type growing?" as a REGRESSION SLOPE, not eyeballing
+    * [[qMovingAvg]]: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    * x = epoch day, y = daily count. Numerator/denominator are EXACT
+    * BIGINT moment sums (the [[qStatsMoments]] device — associative,
+    * partition-count-invariant), emitted alongside the fixed-point
+    * quotient so the fit is auditable and bit-reproducible; no float
+    * enters the plan.
+    *
+    * Shape at scale: the corpus collapses to (type, day) counts in one
+    * partial-agged shuffle; moments aggregate the calendar-sized
+    * series per type. Headroom: n·Σx² at 10⁵ days of epoch-day ~2·10⁴
+    * is ~10¹⁴ ≪ 2⁶³.
+    */
+  def qTrendFit(s: SparkSession, dir: String): DataFrame = {
+    Ingest.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("day * y")).as("sxy"),
+        sum(expr("day * day")).as("sxx"))
+      .select(
+        col("event_type"), col("n_days"),
+        expr("n_days * sxy - sx * sy").as("slope_num"),
+        expr("n_days * sxx - sx * sx").as("slope_den"))
+      .withColumn("slope_fp",
+        expr("CASE WHEN slope_den = 0 THEN 0" +
+          " ELSE slope_num * 1000000 DIV slope_den END"))
+  }
+
+  val qTrendFitSql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    count(*) AS n_days,
+      |    CAST(SUM(day) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(day * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(day * day) AS BIGINT) AS sxx
+      |  FROM d GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  n_days * sxy - sx * sy AS slope_num,
+      |  n_days * sxx - sx * sx AS slope_den,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+      |       ELSE (n_days * sxy - sx * sy) * 1000000 // (n_days * sxx - sx * sx) END
+      |    AS slope_fp
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Bounded k-core decomposition of the part co-occurrence graph:
     * [[KcoreRounds]] synchronous peel rounds, each removing every
     * node of current degree < [[KcoreK]], emitting the (nodes, edges)
@@ -1242,6 +1296,7 @@ object Analytics {
       |FROM w ORDER BY o_orderpriority, day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_fit"  -> qTrendFit _,
     "q_kcore"      -> qKcore _,
     "q_rolling_median" -> qRollingMedian _,
     "q_ewma"       -> qEwma _,
@@ -1266,6 +1321,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_trend_fit"  -> qTrendFitSql,
     "q_kcore"      -> qKcoreSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ewma"       -> qEwmaSql,

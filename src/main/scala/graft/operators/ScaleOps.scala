@@ -890,7 +890,85 @@ object ScaleOps {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Sketch-based JOIN CARDINALITY estimation — the optimizer
+    * statistic a 100 TB planner needs before committing to a join
+    * strategy, computed WITHOUT running the join: the Count-Min inner
+    * product Σ_p gridA[j][p]·gridB[j][p], minimized over the k rows,
+    * upper-bounds |A ⋈ B| = Σ_key n_A·n_B (AMS/CMS estimate — counts
+    * are non-negative, so collisions only ADD; one-sided like
+    * [[qCmsAudit]], spec-pinned). The audit joins the estimate with
+    * the exact size and reports over_ppm.
+    *
+    * Shape at scale: each side collapses to its per-key count table
+    * (one partial-agged shuffle each), grids are k·m-bounded
+    * aggregates, and the estimate itself is a k·m-sized equi-join —
+    * the ESTIMATE never touches corpus-sized data again. The exact
+    * branch (key-count join) is the audit gate, same contract as
+    * q_bloom_join's exact side.
+    */
+  def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomHashing, BloomPositions}
+    import org.apache.spark.sql.GraftBridge
+    val salts = BloomHashing.salts(CmsK, CmsSeed).toSeq
+    def grid(df: DataFrame, key: String, out: String): DataFrame = {
+      val pos = GraftBridge.column(
+        BloomPositions(GraftBridge.expression(col(key)), salts, CmsM))
+      df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .select(col(key), col("n"), posexplode(pos).as(Seq("j", "p")))
+        .groupBy(col("j"), col("p")).agg(sum(col("n")).as(out))
+    }
+    val e = Ingest.events(s, dir).select(col("user_id"))
+    val o = Ingest.table(s, dir, "orders").select(col("o_custkey"))
+    val est = grid(e, "user_id", "ce")
+      .join(grid(o, "o_custkey", "co"), Seq("j", "p"))
+      .groupBy(col("j")).agg(sum(expr("ce * co")).as("rowEst"))
+      .agg(min(col("rowEst")).as("n_est"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("ne"))
+      .join(o.groupBy(col("o_custkey")).agg(count(lit(1)).as("no")),
+        col("user_id") === col("o_custkey"))
+      .agg(coalesce(sum(expr("ne * no")), lit(0L)).as("n_exact"))
+    exact.crossJoin(est) // two 1-row sides
+      .select(col("n_exact"), col("n_est"),
+        expr("CASE WHEN n_exact = 0 THEN 0" +
+          " ELSE (n_est - n_exact) * 1000000 DIV n_exact END").as("over_ppm"))
+  }
+
+  val qJoinEstimateSql: String = {
+    val salts = graft.functions.BloomHashing.salts(CmsK, CmsSeed)
+    def posList(key: String, v: String): String =
+      salts.map { salt =>
+        val u = java.lang.Long.toUnsignedString(salt)
+        "CAST(" + OracleEmul.floorMod(
+          OracleEmul.mix(s"xor($key::HUGEINT, ${u}::HUGEINT)"),
+          v, s"$CmsM::HUGEINT") + " AS INTEGER)"
+      }.mkString("[", ",\n      ", "]")
+    val js = (1 to CmsK).mkString("[", ",", "]")
+    s"""WITH ue AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+       |uo AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+       |ge AS (
+       |  SELECT j, p, CAST(SUM(n) AS BIGINT) AS ce FROM (
+       |    SELECT n, unnest($js) AS j, unnest(${posList("k", "jev")}) AS p FROM ue)
+       |  GROUP BY j, p),
+       |go AS (
+       |  SELECT j, p, CAST(SUM(n) AS BIGINT) AS co FROM (
+       |    SELECT n, unnest($js) AS j, unnest(${posList("k", "jov")}) AS p FROM uo)
+       |  GROUP BY j, p),
+       |est AS (
+       |  SELECT MIN(rowEst) AS n_est FROM (
+       |    SELECT ge.j, CAST(SUM(ce * co) AS BIGINT) AS rowEst
+       |    FROM ge JOIN go ON ge.j = go.j AND ge.p = go.p
+       |    GROUP BY ge.j)),
+       |ex AS (
+       |  SELECT CAST(coalesce(SUM(ue.n * uo.n), 0) AS BIGINT) AS n_exact
+       |  FROM ue JOIN uo ON ue.k = uo.k)
+       |SELECT n_exact, n_est,
+       |  CASE WHEN n_exact = 0 THEN 0
+       |       ELSE (n_est - n_exact) * 1000000 // n_exact END AS over_ppm
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_estimate"   -> qJoinEstimate _,
     "q_cms_audit"       -> qCmsAudit _,
     "q_bloom_join"      -> qBloomJoin _,
     "q_grouping_sets"   -> qGroupingSets _,
@@ -911,6 +989,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_estimate"   -> qJoinEstimateSql,
     "q_cms_audit"       -> qCmsAuditSql,
     "q_bloom_join"      -> qBloomJoinSql,
     "q_grouping_sets"   -> qGroupingSetsSql,

@@ -1609,6 +1609,45 @@ object TextOps {
        |ORDER BY hkey
        |LIMIT $UniformSampleK""".stripMargin
 
+  private val WeightedSampleK = 20
+
+  /** Deterministic SIZE-WEIGHTED document sample — the
+    * length-proportional pick every token-budgeted curation pass
+    * wants ([[qSampleUniform]] favors nothing; a token budget should
+    * favor the docs that carry the tokens): priority sampling with
+    * rank = u63 DIV weight, where u63 = splitmix64(doc_id) >>> 1 is a
+    * 63-bit deterministic uniform and weight = n_chars. A doc twice
+    * as long halves its expected rank — selection odds proportional
+    * to size in the large-weight limit — yet the draw is a pure
+    * function of doc_id: rebuild-stable across runs, partitions and
+    * engines (OracleEmul replays the mix in HUGEINT; >>> 1 = `// 2`
+    * on the unsigned value).
+    *
+    * Shape at scale: map-only rank projection + TakeOrdered top-k.
+    * Zero shuffles, like the uniform sampler.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val mixed = GraftBridge.column(graft.functions.SplitMix64(
+      GraftBridge.expression(col("doc_id"))))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u63", shiftrightunsigned(mixed, 1))
+      .withColumn("rank_key", expr("u63 DIV greatest(n_chars, 1)"))
+      .drop("u63")
+      .orderBy(col("rank_key"), col("doc_id"))
+      .limit(WeightedSampleK)
+  }
+
+  val qWeightedSampleSql: String = {
+    val u63 = s"(${OracleEmul.mix("doc_id::HUGEINT")} // 2)"
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST($u63 // greatest(n_chars, 1)::HUGEINT AS BIGINT) AS rank_key
+       |FROM documents
+       |ORDER BY rank_key, doc_id
+       |LIMIT $WeightedSampleK""".stripMargin
+  }
+
   private val LenHistBin = 25L
 
   /** Per-language token-length histogram ([[LenHistBin]]-token bins):
@@ -1836,6 +1875,7 @@ object TextOps {
     "q_colloc_lift"       -> qCollocLift _,
     "q_lang_confusion"    -> qLangConfusion _,
     "q_sample_uniform"    -> qSampleUniform _,
+    "q_weighted_sample"   -> qWeightedSample _,
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
     "q_vocab_coverage"    -> qVocabCoverage _,
@@ -1872,6 +1912,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_sample_uniform"    -> qSampleUniformSql,
+    "q_weighted_sample"   -> qWeightedSampleSql,
     "q_len_hist"          -> qLenHistSql,
     "q_tokenizer_stats"   -> qTokenizerStatsSql,
     "q_vocab_coverage"    -> qVocabCoverageSql,

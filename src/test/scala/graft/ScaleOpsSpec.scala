@@ -278,6 +278,20 @@ class ScaleOpsSpec extends SparkSpec {
     perRow.values.foreach(m => assert(m === total, "each sketch row carries all mass"))
   }
 
+  test("q_join_estimate: CMS inner product upper-bounds the exact join size") {
+    val r = SparkEntry.plans("q_join_estimate")(spark, sf0001).head()
+    val (exact, est, over) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the true join is non-empty at every test SF; the sketch may only
+    // overestimate (counts are non-negative — collisions only add)
+    assert(exact > 0L)
+    assert(est >= exact, s"CMS join estimate must never underestimate: $r")
+    assert(over >= 0L)
+    // and the estimate equals the exact size when the grid is
+    // collision-free for these keys — not asserted, just documented:
+    // sf0.001's 15 users can't saturate a 2048-wide grid
+    assert(est === exact || over > 0L)
+  }
+
   test("approx_count_distinct (HLL) stays within rsd of the exact two-phase distinct") {
     // The distinct-count scale path when even (key, user) pairs are too
     // many to shuffle: HLL sketches merge map-side, the shuffle carries

@@ -1027,6 +1027,72 @@ object Analytics {
           " ELSE n_triangles * 3 * 1000000 DIV n_wedges END").as("global_cc_ppm"))
   }
 
+  /** Degree assortativity of the part co-occurrence graph — Newman's
+    * r: the Pearson correlation of endpoint degrees over edges.
+    * r > 0 = hub-to-hub wiring (assortative), r < 0 = hub-to-leaf
+    * (disassortative, the typical catalog/basket shape). Completes the
+    * graph-statistics shelf: [[qDegreeStats]] (how degrees distribute)
+    * → [[qTriangles]] (how clustered) → [[qKcore]] (where the dense
+    * part is) → this (how the dense part WIRES).
+    *
+    * Both edge directions contribute once (the standard undirected
+    * convention). All five moment sums are exact BIGINT (headroom:
+    * Σd² per edge end ≤ 2m·dmax² — 10⁹ edges at dmax 10⁴ is 10¹⁷ <
+    * 2⁶³); the final r is one double expression over those exact
+    * integers (the symmetric fold makes both marginals equal, so
+    * Pearson needs no sqrt — one division) — IEEE-defined on
+    * identical inputs, bit-reproducible cross-engine.
+    *
+    * Shape at scale: the degree table joins onto the edge list twice
+    * (node-sized side — AQE broadcasts), then ONE scalar aggregate.
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = partCoEdges(s, dir)
+    val deg = edges.select(col("p1").as("nd"))
+      .unionAll(edges.select(col("p2").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("d"))
+    val both = edges
+      .join(deg.select(col("nd").as("p1"), col("d").as("da")), "p1")
+      .join(deg.select(col("nd").as("p2"), col("d").as("db")), "p2")
+      .select(col("da"), col("db"))
+    // undirected: fold each edge in both orientations
+    val sym = both.unionAll(both.select(col("db").as("da"), col("da").as("db")))
+    sym.agg(
+        count(lit(1)).as("m2"), // 2·edges
+        sum(col("da")).as("sa"),
+        sum(expr("da * da")).as("saa"),
+        sum(expr("da * db")).as("sab"))
+      .select(col("m2"), col("sa"), col("saa"), col("sab"),
+        expr("CAST(m2 * sab - sa * sa AS DOUBLE)" +
+          " / CAST(m2 * saa - sa * sa AS DOUBLE)").as("r"))
+  }
+
+  val qAssortativitySql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+       |nd AS (
+       |  SELECT nd, count(*) AS d
+       |  FROM (SELECT p1 AS nd FROM e UNION ALL SELECT p2 FROM e)
+       |  GROUP BY nd),
+       |pairs AS (
+       |  SELECT da.d AS da, db.d AS db
+       |  FROM e JOIN nd da ON e.p1 = da.nd JOIN nd db ON e.p2 = db.nd),
+       |sym AS (
+       |  SELECT da, db FROM pairs
+       |  UNION ALL SELECT db AS da, da AS db FROM pairs),
+       |m AS (
+       |  SELECT count(*) AS m2,
+       |    CAST(SUM(da) AS BIGINT) AS sa,
+       |    CAST(SUM(da * da) AS BIGINT) AS saa,
+       |    CAST(SUM(da * db) AS BIGINT) AS sab
+       |  FROM sym)
+       |SELECT m2, sa, saa, sab,
+       |  CAST(m2 * sab - sa * sa AS DOUBLE) / CAST(m2 * saa - sa * sa AS DOUBLE) AS r
+       |FROM m""".stripMargin
+
   /** [[qKcore]] parameters: the core order and the FIXED peel-round
     * budget (the bounded-iteration contract [[qPagerank]] also uses —
     * a static plan the oracle can unroll; production reruns until the
@@ -1296,6 +1362,7 @@ object Analytics {
       |FROM w ORDER BY o_orderpriority, day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> qAssortativity _,
     "q_trend_fit"  -> qTrendFit _,
     "q_kcore"      -> qKcore _,
     "q_rolling_median" -> qRollingMedian _,
@@ -1321,6 +1388,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_assortativity" -> qAssortativitySql,
     "q_trend_fit"  -> qTrendFitSql,
     "q_kcore"      -> qKcoreSql,
     "q_rolling_median" -> qRollingMedianSql,

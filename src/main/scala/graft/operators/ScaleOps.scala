@@ -910,21 +910,26 @@ object ScaleOps {
     import graft.functions.{BloomHashing, BloomPositions}
     import org.apache.spark.sql.GraftBridge
     val salts = BloomHashing.salts(CmsK, CmsSeed).toSeq
-    def grid(df: DataFrame, key: String, out: String): DataFrame = {
+    def grid(counts: DataFrame, key: String, out: String): DataFrame = {
       val pos = GraftBridge.column(
         BloomPositions(GraftBridge.expression(col(key)), salts, CmsM))
-      df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      counts
         .select(col(key), col("n"), posexplode(pos).as(Seq("j", "p")))
         .groupBy(col("j"), col("p")).agg(sum(col("n")).as(out))
     }
-    val e = Ingest.events(s, dir).select(col("user_id"))
-    val o = Ingest.table(s, dir, "orders").select(col("o_custkey"))
-    val est = grid(e, "user_id", "ce")
-      .join(grid(o, "o_custkey", "co"), Seq("j", "p"))
+    // per-key count tables materialized ONCE: the grid build and the
+    // exact audit branch both consume them (unmaterialized, each side
+    // re-scanned its corpus per consumer — scan-audit finding)
+    val ue = Ingest.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).materialized
+    val uo = Ingest.table(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n")).materialized
+    val est = grid(ue, "user_id", "ce")
+      .join(grid(uo, "o_custkey", "co"), Seq("j", "p"))
       .groupBy(col("j")).agg(sum(expr("ce * co")).as("rowEst"))
       .agg(min(col("rowEst")).as("n_est"))
-    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("ne"))
-      .join(o.groupBy(col("o_custkey")).agg(count(lit(1)).as("no")),
+    val exact = ue.select(col("user_id"), col("n").as("ne"))
+      .join(uo.select(col("o_custkey"), col("n").as("no")),
         col("user_id") === col("o_custkey"))
       .agg(coalesce(sum(expr("ne * no")), lit(0L)).as("n_exact"))
     exact.crossJoin(est) // two 1-row sides

@@ -1648,6 +1648,59 @@ object TextOps {
        |LIMIT $WeightedSampleK""".stripMargin
   }
 
+  private val IndexBitsMinDf = 20L
+
+  /** Posting-list delta-compression planning for the inverted index
+    * ([[qInvertedIndex]]'s storage-cost sibling): per frequent term,
+    * the docID postings are delta-encoded (sorted gaps) and costed at
+    * ⌈log2⌉+1 bits per gap — the varint/Elias-γ estimate every search
+    * index sizes storage with — against the raw 64-bit encoding.
+    * The bit count uses `length(bin(gap))`: EXACT integer bit-length
+    * in both engines (no float log2, whose rounding at power-of-two
+    * boundaries differs by engine), so the ratio is hash-checked.
+    *
+    * Shape at scale: one (term, doc) distinct shuffle, the gap window
+    * rides the same term partitioning, and the per-term rollup is
+    * partial-aggregated; output bounded by the df floor.
+    */
+  def qIndexBits(s: SparkSession, dir: String): DataFrame = {
+    val byTerm = Window.partitionBy(col("w")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), col("doc_id")).distinct()
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(byTerm),
+          col("doc_id") + lit(1L)))
+      .withColumn("bits", length(bin(col("gap"))).cast("long"))
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("bits")).as("gap_bits"))
+      .filter(col("df") >= IndexBitsMinDf)
+      .select(col("w"), col("df"), col("gap_bits"),
+        expr("df * 64").as("raw_bits"),
+        expr("gap_bits * 1000000 DIV (df * 64)").as("ratio_ppm"))
+  }
+
+  val qIndexBitsSql: String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT w, doc_id
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |g AS (
+       |  SELECT w, coalesce(doc_id - LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id),
+       |                     doc_id + 1) AS gap
+       |  FROM p),
+       |b AS (
+       |  SELECT w, CAST(length(bin(gap)) AS BIGINT) AS bits FROM g),
+       |agg AS (
+       |  SELECT w, count(*) AS df, CAST(SUM(bits) AS BIGINT) AS gap_bits
+       |  FROM b GROUP BY w HAVING count(*) >= $IndexBitsMinDf)
+       |SELECT w, df, gap_bits, df * 64 AS raw_bits,
+       |  gap_bits * 1000000 // (df * 64) AS ratio_ppm
+       |FROM agg ORDER BY w""".stripMargin
+
   private val LenHistBin = 25L
 
   /** Per-language token-length histogram ([[LenHistBin]]-token bins):
@@ -1876,6 +1929,7 @@ object TextOps {
     "q_lang_confusion"    -> qLangConfusion _,
     "q_sample_uniform"    -> qSampleUniform _,
     "q_weighted_sample"   -> qWeightedSample _,
+    "q_index_bits"        -> qIndexBits _,
     "q_len_hist"          -> qLenHist _,
     "q_tokenizer_stats"   -> qTokenizerStats _,
     "q_vocab_coverage"    -> qVocabCoverage _,
@@ -1913,6 +1967,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_sample_uniform"    -> qSampleUniformSql,
     "q_weighted_sample"   -> qWeightedSampleSql,
+    "q_index_bits"        -> qIndexBitsSql,
     "q_len_hist"          -> qLenHistSql,
     "q_tokenizer_stats"   -> qTokenizerStatsSql,
     "q_vocab_coverage"    -> qVocabCoverageSql,

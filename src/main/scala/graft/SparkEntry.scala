@@ -66,6 +66,7 @@ object SparkEntry {
     "q_kcore"           -> Seq("round"),
     "q_trend_fit"       -> Seq("event_type"),
     "q_index_bits"      -> Seq("w"),
+    "q_user_overlap"    -> Seq("type_a", "type_b"),
     "q_group_topk"      -> Seq("brand", "rk", "partkey"),
     "q_stats_moments"   -> Seq("l_returnflag"),
     "q_cube"            -> Seq("year_g", "priority_g"),

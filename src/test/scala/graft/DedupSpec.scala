@@ -10,6 +10,44 @@ import graft.operators.Dedup
   */
 class DedupSpec extends SparkSpec {
 
+  test("q_entity_match: pairs stay in-block, banded distance equals a local DP") {
+    import org.apache.spark.sql.functions.col
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = graft.sources.Ingest.table(spark, sf0001, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    val rows = graft.operators.Dedup.qEntityMatch(spark, sf0001).collect()
+    assert(rows.nonEmpty, "sf0.001 must produce candidate links")
+    rows.foreach { r =>
+      val (nat, seg) = (r.getInt(0), r.getString(1))
+      val (a, b, d) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      val (na, nata, sega) = cust(a)
+      val (nb, natb, segb) = cust(b)
+      assert(a < b, s"pair must be ordered: $r")
+      assert(nata === nat && natb === nat && sega === seg && segb === seg,
+        s"both members must live in the reported block: $r")
+      assert(d === lev(na, nb), s"banded distance must equal the full DP: $r")
+      assert(d >= 1 && d <= graft.operators.Dedup.EntityMaxDist)
+    }
+    // completeness within one spot-checked block: every qualifying pair
+    // of the block is reported
+    val (nat0, seg0) = (rows.head.getInt(0), rows.head.getString(1))
+    val block = cust.toSeq.collect { case (k, (nm, n, s)) if n == nat0 && s == seg0 => (k, nm) }
+    val expect = (for {
+      (ka, na) <- block; (kb, nb) <- block
+      if ka < kb && lev(na, nb) <= graft.operators.Dedup.EntityMaxDist
+    } yield (ka, kb)).toSet
+    val got = rows.filter(r => r.getInt(0) == nat0 && r.getString(1) == seg0)
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect, s"block ($nat0,$seg0) must report exactly the qualifying pairs")
+  }
+
   // ~160-word base text (40 words × 4); nearDup differs in ONE word
   // occurrence → 3 of ~158 word-3gram shingles change (J ≈ 0.96,
   // simhash hamming small and stable).

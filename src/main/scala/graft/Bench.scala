@@ -81,13 +81,23 @@ object Bench {
     //   3. a <200-byte summary as the FINAL line, which always fits
     //      the capture window and parses even with sbt's epilogue.
     println(full)
+    // Anchor the artifact to the repo (SPARK_GRAFT_BENCH_OUT overrides;
+    // falls back to CWD) so runs launched elsewhere don't scatter it —
+    // and swallow only NonFatal with a visible warning: an OOM or
+    // interrupt must propagate, not vanish (ADVICE r10 #2).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(benchOut),
       (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // bench results still on stdout
+    catch { case scala.util.control.NonFatal(e) =>
+      Console.err.println(s"[bench] WARN: could not write $benchOut: $e")
+    } // bench results still on stdout
     // stop BEFORE the summary so no shutdown logging can follow it;
     // a failed stop must not eat the results (ADVICE r9 #4).
-    try spark.stop() catch { case _: Throwable => () }
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      Console.err.println(s"[bench] WARN: spark.stop() failed: $e")
+    }
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     Console.out.flush()

@@ -127,8 +127,8 @@ case class BloomPositions(child: Expression, salts: Seq[Long], m: Int)
   * bitmap (m/64 longs — a config-bounded model parameter shipped via a
   * codegen reference object, the [[NearestCell]] codebook pattern). The
   * probe side therefore stays map-only inside whole-stage codegen: no
-  * join, no shuffle, no broadcast exchange — the 8 KB filter rides the
-  * serialized expression itself.
+  * join, no shuffle, no broadcast exchange — the m/8-byte filter (1 KB
+  * at the default m=8192 bits) rides the serialized expression itself.
   */
 case class BloomContains(child: Expression, salts: Seq[Long], m: Int, words: Seq[Long])
     extends UnaryExpression {

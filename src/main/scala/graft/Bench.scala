@@ -38,11 +38,21 @@ object Bench {
         println(s"===== $n =====")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       }
+    // First failure reason per query, logged ONCE to stderr (VERDICT r11
+    // #4: 39 crashes shipped as bare -1s with no recorded error). The -1
+    // sentinel semantics are unchanged; this only makes the cause visible
+    // in the round log.
+    val reported = scala.collection.mutable.Set.empty[String]
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        if (reported.add(name))
+          Console.err.println(
+            s"[bench] FAIL $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -99,7 +109,7 @@ object Bench {
       Console.err.println(s"[bench] WARN: spark.stop() failed: $e")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries_file":"$benchOut","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

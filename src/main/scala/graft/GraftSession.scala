@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   *     star schema (region/nation/supplier/part/customer at test SF) should
   *     broadcast so fact-side joins stay map-only.
   *   - parquet filter pushdown + UTC session time zone (oracle parity).
-  *   - `nanosAsLong`: the driver-generated events.parquet stores
-  *     TIMESTAMP(NANOS) which Spark 4 cannot read natively; we read the
-  *     raw int64 nanos and normalize in [[graft.sources.Ingest.events]].
+  *   - `nanosAsLong`: kept for older driver-generated events.parquet
+  *     snapshots that stored TIMESTAMP(NANOS) (unreadable natively in
+  *     Spark 4; read as raw int64 nanos instead). Current snapshots use
+  *     TIMESTAMP(MICROS) NTZ — both encodings are normalized in
+  *     [[graft.sources.Ingest.events]].
   */
 object GraftSession {
 

@@ -16,19 +16,26 @@ object Ingest {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events table with its TIMESTAMP(NANOS) column normalized.
+  /** events table with its `ts` column normalized across physical encodings.
     *
-    * With `spark.sql.legacy.parquet.nanosAsLong=true` the ts column arrives
-    * as int64 nanos; we derive `ts_ms` (epoch millis, the cross-engine-safe
-    * representation — DuckDB's `epoch_ms(ts)` truncates identically) and
-    * rebuild `ts` as a millisecond-precision TimestampType. Integer `div`
-    * (not `/`) — nanos exceed 2^53 so double division would lose bits.
+    * The generated events.parquet has shipped with three encodings over
+    * time: int64 TIMESTAMP(NANOS) (read as raw longs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), and plain UTC
+    * TIMESTAMP. All three normalize to `ts_ms` (epoch millis, the
+    * cross-engine-safe representation — DuckDB's `epoch_ms(ts)` truncates
+    * identically) and `ts` rebuilt as a millisecond-precision
+    * TimestampType. The NTZ wall-clock equals the oracle's naive timestamp
+    * because the session time zone is pinned to UTC (GraftSession), so
+    * casting NTZ→TIMESTAMP is exact. Integer `div` (not `/`) for the nanos
+    * branch — nanos exceed 2^53 so double division would lose bits.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     val tsMs = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000")
-      case _        => unix_millis(col("ts"))
+      case LongType           => expr("ts div 1000000")
+      case TimestampNTZType   => unix_millis(col("ts").cast(TimestampType))
+      case _                  => unix_millis(col("ts"))
     }
     raw
       .withColumn("ts_ms", tsMs)

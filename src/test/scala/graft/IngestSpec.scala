@@ -108,6 +108,24 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/zorder").count() === li.count())
   }
 
+  test("zorderWrite: empty input and all-NULL cluster columns write without stats NPE") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-edge").toString
+    // empty input: no min/max stats at all
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Ingest.zorderWrite(empty, s"$dir/empty", Seq("a", "b"), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/empty").count() === 0)
+    // an all-NULL cluster column: stats exist for one dimension only
+    val someNull = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    Ingest.zorderWrite(someNull, s"$dir/null", Seq("a", "b"), nFiles = 4)
+    val back = spark.read.parquet(s"$dir/null")
+    assert(back.count() === 2 &&
+      back.filter(org.apache.spark.sql.functions.col("b").isNull).count() === 2,
+      "rows and NULLs must survive the degenerate-stats rewrite")
+  }
+
   test("writeBucketed: equi-join on the bucket key runs without a shuffle") {
     val s = spark
     import s.implicits._

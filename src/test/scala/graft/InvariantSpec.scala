@@ -336,6 +336,55 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_recall recall_bp recomputes from q_ann_lsh x q_ann_bruteforce outputs") {
+    // the rows-only row's cross-query contract (VERDICT r10 #3): its
+    // recall measurement must be EXACTLY the top-K overlap of the two
+    // materialized programs it claims to compare
+    val bf = Ann.qAnnBruteforce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val lsh = Ann.qAnnLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = Ann.qAnnRecall(spark, sf0001).collect()
+    assert(recall.nonEmpty)
+    assert(recall.map(_.getLong(0)).toSet === bf.keySet,
+      "recall reports exactly the brute-force query set")
+    recall.foreach { r =>
+      val (q, k, overlap, bp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = bf(q).intersect(lsh.getOrElse(q, Set.empty)).size.toLong
+      assert(k === bf(q).size.toLong, s"query $q: k must be the baseline list size")
+      assert(overlap === expect, s"query $q: n_overlap must be the true top-K overlap")
+      assert(bp === overlap * 10000L / k, s"query $q: recall_bp must be fixed-point overlap/k")
+    }
+  }
+
+  test("q_hybrid_search is q_ann_lsh filtered by the quality verdict, re-cut to top 3") {
+    // the other rows-only row: its output must be derivable row for row
+    // from the two hash-checked programs it composes
+    val keep = TextOps.qQualityScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(r.fieldIndex("is_keep")),
+        r.getLong(r.fieldIndex("n_words")))).toMap
+    val lsh = Ann.qAnnLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expect: Map[(Long, Int, Long), Double] = lsh
+      .filter { case (_, n, _) => keep.get(n).exists(_._1) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy { case (_, n, cos) => (-cos, n) }.take(3).zipWithIndex
+          .map { case ((_, n, cos), i) => (q, i + 1, n) -> cos }
+      }.toMap
+    val got = Ann.qHybridSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) ->
+        (r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty, "hybrid search returns hits at sf0.001")
+    assert(got.map(_._1).toSet === expect.keySet,
+      "hybrid rows must be exactly the kept LSH hits re-ranked to top 3")
+    got.foreach { case (key, (cos, nWords)) =>
+      assert(cos === expect(key), s"$key: cosine must carry through unchanged")
+      assert(nWords === keep(key._3)._2, s"$key: n_words must come from the quality row")
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

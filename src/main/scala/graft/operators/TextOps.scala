@@ -697,6 +697,129 @@ object TextOps {
       |ORDER BY n DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** Merge rounds for [[qBpeTrain]] — FIXED so the oracle can unroll
+    * one CTE block per round (the q_kcore bounded-iteration device);
+    * production trains to a vocab-size target with the same loop.
+    */
+  private val BpeRounds = 6
+
+  /** Iterative BPE tokenizer training (Sennrich et al. 2016), the
+    * full loop [[qBpePairs]] is round one of: [[BpeRounds]] rounds of
+    * (count adjacent symbol pairs corpus-weighted → take the most
+    * frequent pair, ties broken lexicographically → merge it greedily
+    * left-to-right in every vocabulary word). Output is the learned
+    * merge table — one row per round with the pair, the merged symbol
+    * and its frequency at selection time — i.e. exactly the artifact
+    * a BPE tokenizer ships.
+    *
+    * Shape at scale: the ONLY corpus-sized stage is the word-frequency
+    * aggregate (Zipf-safe partial-agg shuffle, shared with
+    * [[qVocabTopk]]); every round after that runs on the VOCABULARY
+    * table — one pair-explode + bounded-key aggregate, a 1-ROW collect
+    * (the chosen merge — the same driver-side bounded-model contract
+    * as `Ann.trainCodebook`'s Lloyd rounds), and one map-only greedy
+    * re-segmentation fold. The corpus is never touched again, and each
+    * round's vocab is checkpointed so lineage stays R-shallow.
+    *
+    * The greedy left-to-right merge is a sequential fold per word
+    * (`aggregate` HOF): append each symbol, and when the accumulator's
+    * last symbol equals pa and the incoming equals pb, replace the
+    * last with the merged symbol — overlapping occurrences resolve
+    * left-to-right exactly like the reference BPE implementation. The
+    * DuckDB oracle replays the same semantics with a window
+    * formulation (runs of candidate positions, even offsets merge),
+    * which is equivalent because candidates can only be consecutive
+    * when pa = pb.
+    */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{aggregate => arrFold}
+    var vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        expr("transform(sequence(1, char_length(w)), i -> substr(w, i, 1))").as("syms"))
+      .materialized
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1).collect()(0)
+      val (pa, pb, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, pa, pb, n))
+      vocab = vocab.withColumn("syms",
+          arrFold(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(pa) && x === lit(pb),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(pa + pb))))
+              .otherwise(concat(acc, array(x)))))
+        .materialized
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "n")
+      .select(col("round"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("merged"), col("n"))
+      .orderBy("round")
+  }
+
+  /** Oracle for [[qBpeTrain]]: the R-round loop unrolled into one CTE
+    * block per round (pair counts → best pair → candidate positions →
+    * greedy-run selection → rebuilt vocabulary), all MATERIALIZED so
+    * DuckDB evaluates each round once.
+    */
+  val qBpeTrainSql: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i AS INT) + 1] AS pb,
+         |    CAST(SUM(f) AS BIGINT) AS n
+         |  FROM $prev, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
+         |e$r AS MATERIALIZED (
+         |  SELECT v.w, v.f, CAST(t.i AS INT) AS i, v.syms[CAST(t.i AS INT)] AS s,
+         |    (CAST(t.i AS INT) < len(v.syms)
+         |      AND v.syms[CAST(t.i AS INT)] = b.pa
+         |      AND v.syms[CAST(t.i AS INT) + 1] = b.pb) AS cand,
+         |    b.pa AS pa, b.pb AS pb
+         |  FROM $prev v CROSS JOIN b$r b, unnest(range(1, len(v.syms) + 1)) AS t(i)),
+         |g$r AS MATERIALIZED (
+         |  SELECT *, SUM(CASE WHEN cand THEN 0 ELSE 1 END)
+         |    OVER (PARTITION BY w ORDER BY i) AS grp
+         |  FROM e$r),
+         |m$r AS MATERIALIZED (
+         |  SELECT *, cand AND
+         |    (ROW_NUMBER() OVER (PARTITION BY w, grp, cand ORDER BY i) - 1) % 2 = 0 AS mstart
+         |  FROM g$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT w, f, list(CASE WHEN mstart THEN pa || pb ELSE s END ORDER BY i) AS syms
+         |  FROM (SELECT *, COALESCE(LAG(mstart) OVER (PARTITION BY w ORDER BY i), false)
+         |          AS consumed
+         |        FROM m$r)
+         |  WHERE NOT consumed
+         |  GROUP BY w, f)""".stripMargin
+    }
+    val rows = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, pa AS sym_a, pb AS sym_b, pa || pb AS merged, n FROM b$r")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |  FROM wf),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   // Segment width (words) for C4-style segment-level dedup. Published
   // recipes dedup on lines/paragraphs; this corpus has no newlines, so
   // fixed 10-word windows stand in for the segmentation function.
@@ -1951,6 +2074,7 @@ object TextOps {
     "q_normalize_text"    -> qNormalizeText _,
     "q_vocab_topk"        -> qVocabTopk _,
     "q_bpe_pairs"         -> qBpePairs _,
+    "q_bpe_train"         -> qBpeTrain _,
     "q_mix_budget"        -> qMixBudget _,
     "q_mix_temperature"   -> qMixTemperature _,
     "q_curriculum"        -> qCurriculum _,
@@ -1991,6 +2115,7 @@ object TextOps {
     "q_normalize_text"    -> qNormalizeTextSql,
     "q_vocab_topk"        -> qVocabTopkSql,
     "q_bpe_pairs"         -> qBpePairsSql,
+    "q_bpe_train"         -> qBpeTrainSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,

@@ -306,6 +306,44 @@ class TextOpsSpec extends SparkSpec {
       (5L, 20L, 20L, 0L, md5(""))))                 // exact dup fully excised
   }
 
+  test("q_bpe_train: merge table equals a reference driver-side BPE trainer") {
+    // reference implementation: exact greedy left-to-right BPE over the
+    // same word-frequency table, entirely independent of the DataFrame
+    // fold (covers the overlapping-pair chain case by construction —
+    // any a=b run resolves left-to-right)
+    val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ", -1) if w.length >= 2)
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    var vocab: Map[Vector[String], Long] = wf.toSeq
+      .map { case (w, f) => w.toVector.map(_.toString) -> f }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    def mergeWord(syms: Vector[String], pa: String, pb: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+          out += pa + pb; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    val expect = (1 to 6).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts(syms(i) -> syms(i + 1)) = counts.getOrElse(syms(i) -> syms(i + 1), 0L) + f
+      val ((pa, pb), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.toSeq.map { case (syms, f) => mergeWord(syms, pa, pb) -> f }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (r, pa, pb, pa + pb, n)
+    }
+    val got = TextOps.qBpeTrain(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expect, "learned merge table must equal the reference trainer's")
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

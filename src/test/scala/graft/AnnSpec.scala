@@ -96,6 +96,32 @@ class AnnSpec extends SparkSpec {
       s"the probed-cell isin must prune index partitions at the scan:\n$p")
   }
 
+  test("ivfUpsert: serve-after-upsert == one-shot build serve; assignment plan has no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+    // one-shot reference index over the whole corpus
+    Ann.buildIvfIndex(spark, sf0001, full)
+    // partial build (codebook still trains on the full corpus) + upsert
+    // of the held-out arrivals — the incremental-maintenance path
+    Ann.buildIvfIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val arrivals = corpus.filter(col("vec_id") % 7 === 0)
+    Ann.ivfUpsert(spark, incr, arrivals)
+    // identical codebook + exact assignment → identical serving answers
+    val ref = Ann.ivfServe(spark, sf0001, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ann.ivfServe(spark, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref, "upserted index must serve exactly what a rebuild serves")
+    // the maintenance pass is map-only: no Exchange anywhere in the
+    // assignment plan (the codebook ships inside the expression)
+    val plan = Ann.ivfAssign(arrivals, Ann.readCodebook(spark, incr))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsert assignment must never reshuffle the arrivals (or the corpus):\n$plan")
+  }
+
   /** Int8 quantization costs 4× less memory; this pins what it costs
     * in ANSWER quality. 127 levels over a 64-dim unit-ish vector
     * perturbs each cosine by ~1e-3 — far below the corpus's typical

@@ -159,6 +159,13 @@ object ScaleOps {
         sqrt((nD * sqqD - sqD * sqD) * (nD * sppD - spD * spD))).as("corr_qty_price"))
   }
 
+  // DECIMAL→DOUBLE parity note (r12): DuckDB casts decimal to double
+  // as (double)unscaled / (double)10^scale — TWO roundings, so a sum
+  // past 2^53 (spp here) can land 1 ULP off the correctly-rounded
+  // conversion the JVM's BigDecimal.doubleValue produces (observed at
+  // sf0.001 after the r11 data regen). VARCHAR-mediated casts take
+  // DuckDB's correctly-rounded string→double path instead, matching
+  // Spark bit for bit at every scale.
   val qStatsMomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
@@ -167,17 +174,22 @@ object ScaleOps {
       |    SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS sqq,
       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
       |    SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
-      |  FROM lineitem GROUP BY l_returnflag)
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nD,
+      |    CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqD,
+      |    CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS spD,
+      |    CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqqD,
+      |    CAST(CAST(spp AS VARCHAR) AS DOUBLE) AS sppD,
+      |    CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS sqpD
+      |  FROM g)
       |SELECT l_returnflag, n,
-      |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-      |  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
-      |  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
-      |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-      |    / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-      |         * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qty_price
-      |FROM g
+      |  sqD / nD AS mean_qty,
+      |  (sqqD - sqD * sqD / nD) / (nD - 1.0) AS var_qty,
+      |  sqrt((sqqD - sqD * sqD / nD) / (nD - 1.0)) AS std_qty,
+      |  (nD * sqpD - sqD * spD)
+      |    / sqrt((nD * sqqD - sqD * sqD) * (nD * sppD - spD * spD)) AS corr_qty_price
+      |FROM d
       |ORDER BY l_returnflag""".stripMargin
 
   /** Typed semi-structured extraction: parse the JSON `props` column

@@ -1141,6 +1141,15 @@ object Dedup {
     * scan's matches, so the verified output is IDENTICAL.
     * DedupSpec pins the per-block bound and the linear candidate
     * volume.
+    *
+    * Scan-audit adjudication: the plan scans customer 4× (both
+    * self-join sides RECOMPUTE the signature explode; two pruned
+    * (custkey, name, nation, mkt) probes re-attach attributes). This
+    * is deliberate: signatures are cheap to recompute (native O(L²)
+    * arithmetic) and L²/2-per-record expensive to STORE, so
+    * materializing the exploded side table would trade a thin
+    * column-pruned scan for a shuffle-file write ~85× the input —
+    * the wrong trade at any scale.
     */
   def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
     val c = Ingest.table(s, dir, "customer")

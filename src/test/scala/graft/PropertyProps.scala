@@ -237,6 +237,60 @@ object PropertyProps extends Properties("graft-primitives") {
         })
     }
 
+  // --- DeletionHashes (entity-match blocking signatures) ---
+
+  /** Reference deletion neighborhood as explicit variant STRINGS. */
+  private def delVariants(s: String, d: Int): Set[String] = {
+    def del1(t: String): Set[String] =
+      t.indices.map(i => t.substring(0, i) + t.substring(i + 1)).toSet
+    var out = Set(s)
+    var frontier = Set(s)
+    for (_ <- 1 to d) {
+      frontier = frontier.flatMap(del1)
+      out ++= frontier
+    }
+    out
+  }
+
+  private def sigSet(s: String): Set[Long] =
+    graft.functions.DeletionHashes.hashes(s, 2).toLongArray().toSet
+
+  private def alphaNumOfLen(lo: Int, hi: Int): Gen[String] = for {
+    n <- Gen.choose(lo, hi)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  property("deletion hashes = one hash per distinct variant string") =
+    forAll(alphaNumOfLen(0, 12)) { s =>
+      // count parity with the string-level neighborhood (polynomial
+      // collisions inside ONE record's <=79 variants are ~2^-57)
+      sigSet(s).size == delVariants(s, 2).size
+    }
+
+  property("pigeonhole: strings within lev<=2 share a signature") = {
+    val edit = for {
+      s <- alphaNumOfLen(2, 12)
+      nEdits <- Gen.choose(0, 2)
+      ops <- Gen.listOfN(nEdits, Gen.choose(0, 2))
+      chars <- Gen.listOfN(nEdits, Gen.alphaNumChar)
+      positions <- Gen.listOfN(nEdits, Gen.choose(0, 100))
+    } yield {
+      var t = s
+      for (((op, c), p0) <- ops.zip(chars).zip(positions)) {
+        val p = if (t.isEmpty) 0 else p0 % t.length
+        op match {
+          case 0 => t = t.substring(0, p) + c + t.substring(p)            // insert
+          case 1 => if (t.nonEmpty) t = t.substring(0, p) + t.substring(p + 1) // delete
+          case 2 => if (t.nonEmpty) t = t.substring(0, p) + c + t.substring(p + 1) // substitute
+        }
+      }
+      (s, t)
+    }
+    forAll(edit) { case (a, b) =>
+      sigSet(a).intersect(sigSet(b)).nonEmpty
+    }
+  }
+
   property("dot8 is symmetric, exact vs BigInt reference, throws on mismatch") =
     forAll(finiteFloats, finiteFloats) { (xs0, ys0) =>
       val n = math.min(xs0.length, ys0.length)

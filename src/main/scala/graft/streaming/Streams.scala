@@ -215,6 +215,38 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming ANN index maintenance — the streaming twin of
+    * `Ann.ivfUpsert` (r12): embedding arrivals on the wire are
+    * assigned to their nearest frozen-codebook cell and appended under
+    * the matching `cell=N` partition of a served IVF index. Per
+    * micro-batch this is `foreachBatch(ivfUpsert)`: a map-only
+    * assignment (the codebook ships inside the expression — no join,
+    * no state store, no corpus reshuffle) plus a partitioned append,
+    * so serving keeps its partition-pruning discount continuously as
+    * the corpus grows. Exactly-once at the sink comes from the
+    * checkpointed source offsets + idempotent directory appends per
+    * batch id (the [[incrementalIngest]] contract); recall decay under
+    * distribution drift is the monitored retrain trigger, same as the
+    * batch path. Arrivals must carry the index row shape
+    * (vec_id, embedding, nrm).
+    */
+  def ivfIndexMaintenance(
+      spark: SparkSession,
+      arrivals: DataFrame,
+      indexPath: String,
+      checkpointDir: String): Unit = {
+    val q = arrivals
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ann.ivfUpsert(batch.sparkSession, indexPath, batch.toDF())
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static fact enrichment — the streaming twin of the batch
     * fact build (`StarSchema.qFactBuild`): events on the wire get
     * their date/time surrogate keys (pure expressions of the event

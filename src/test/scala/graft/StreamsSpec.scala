@@ -647,6 +647,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfIndexMaintenance: streamed arrivals serve identically to a one-shot build") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-sivf-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-sivf-incr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sivf-ckpt").toString
+    graft.operators.Ann.buildIvfIndex(s, sf0001, full)
+    graft.operators.Ann.buildIvfIndex(s, sf0001, incr, col("vec_id") % 5 =!= 0)
+    val (corpus, _) = graft.operators.Ann.split(s, sf0001)
+    val arrivals = corpus.filter(col("vec_id") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val ms = MemoryStream[(Long, Array[Float], Double)]
+    // two micro-batches so the append path runs more than once
+    ms.addData(arrivals.take(arrivals.length / 2).toSeq)
+    ms.addData(arrivals.drop(arrivals.length / 2).toSeq)
+    Streams.ivfIndexMaintenance(s,
+      ms.toDF().toDF("vec_id", "embedding", "nrm"), incr, ckpt)
+    val ref = graft.operators.Ann.ivfServe(s, sf0001, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.operators.Ann.ivfServe(s, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref,
+      "continuously-maintained index must serve exactly what a rebuild serves")
+  }
+
   test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
     val s = spark
     import s.implicits._

@@ -947,7 +947,7 @@ object TextOps {
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, CAST((size(ws) + ${segW - 1}) DIV $segW AS INT) - 1),
-           |  i -> md5(array_join(slice(ws, i * $segW + 1, $segW), ' ')))""".stripMargin))
+           |  i -> unhex(md5(array_join(slice(ws, i * $segW + 1, $segW), ' '))))""".stripMargin))
         .as("gm"))
     val freq = segs.groupBy("gm").agg(count(lit(1)).as("f"))
     segs.join(freq, Seq("gm"))
@@ -1028,8 +1028,8 @@ object TextOps {
         posexplode_outer(expr(
           s"""CASE WHEN size(ws) >= $spanW
              |  THEN transform(sequence(0, size(ws) - $spanW),
-             |         i -> md5(array_join(slice(ws, i + 1, $spanW), ' ')))
-             |  ELSE CAST(array() AS array<string>) END""".stripMargin))
+             |         i -> unhex(md5(array_join(slice(ws, i + 1, $spanW), ' '))))
+             |  ELSE CAST(array() AS array<binary>) END""".stripMargin))
           .as(Seq("pos", "h")))
 
   def qSpanDedup(s: SparkSession, dir: String): DataFrame = {

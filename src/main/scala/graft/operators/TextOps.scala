@@ -800,8 +800,35 @@ object TextOps {
     * self-contained; a production pipeline feeds a persisted merge
     * table instead.
     */
-  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = trainBpe(s, dir)
+  /** Persist the trained merge table — build once, encode many (the
+    * [[graft.operators.Dedup.buildDedupIndex]] /
+    * [[graft.operators.Ann.buildIvfIndex]] contract applied to the
+    * tokenizer: a production pipeline trains offline and every encode
+    * job reads the frozen model instead of retraining).
+    */
+  private[graft] def buildBpeModel(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    trainBpe(s, dir).toDF("round", "sym_a", "sym_b", "n")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Encode the corpus against a persisted [[buildBpeModel]] merge
+    * table: the frozen merges (a driver-sized model, R rows) apply to
+    * the distinct-word vocabulary exactly as in [[qBpeEncode]] — the
+    * training loop never runs.
+    */
+  private[graft] def bpeEncodeWith(s: SparkSession, dir: String, modelPath: String): DataFrame = {
+    val merges = s.read.parquet(modelPath)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    encodeCorpus(s, dir, merges)
+  }
+
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    encodeCorpus(s, dir, trainBpe(s, dir))
+
+  private def encodeCorpus(s: SparkSession, dir: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     // ALL distinct words (the len>=2 training filter only affects which
     // pairs exist — merges are identical; encoding must cover every word)
     var vocab = docs(s, dir)

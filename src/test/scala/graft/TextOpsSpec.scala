@@ -378,6 +378,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted BPE model: encode-from-model == train-and-encode") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    TextOps.buildBpeModel(spark, sf0001, path)
+    // the frozen model round-trips: same merges, same order, same counts
+    val persisted = spark.read.parquet(path).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(persisted === TextOps.trainBpe(spark, sf0001))
+    val fromModel = TextOps.bpeEncodeWith(spark, sf0001, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = TextOps.qBpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromModel === inline,
+      "serving from the persisted merge table must encode identically")
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

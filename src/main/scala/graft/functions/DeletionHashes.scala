@@ -9,8 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit hashes of every string obtainable by deleting at most
-  * `maxDel` characters from the input — the SymSpell
+  * `maxDel` code points from the input — the SymSpell
   * deletion-neighborhood signature set, in one generated-Java pass.
+  * Deletion units are Unicode code points, matching the code-point
+  * Levenshtein that verifies candidates, so the pigeonhole recall
+  * guarantee holds for non-BMP input too (ADVICE r12).
   *
   * Replaces a `transform(array_distinct(concat(array(s), transform(...,
   * delete-1), flatten(transform(..., delete-2)))), v -> xxhash64(v))`
@@ -68,14 +71,31 @@ object DeletionHashes {
 
   /** Callable from generated code (static forwarder on the object). */
   def hashes(s: String, maxDel: Int): ArrayData = {
-    val n = s.length
-    // pre(i) = H(s[0..i)); pow(i) = B^i  (mod 2^64, natural wrap)
+    // Deletion units are CODE POINTS, not UTF-16 chars (ADVICE r12):
+    // the verifying Levenshtein counts code points, so the pigeonhole
+    // guarantee (every lev ≤ maxDel pair shares a signature) must
+    // treat a surrogate pair as ONE deletable unit — char-indexed
+    // deletion would burn both maxDel slots on a single non-BMP edit.
+    // For BMP input the code-point value equals the char value, so
+    // hashes on existing ASCII/BMP data are bit-identical to the
+    // char-indexed formulation.
+    val n = s.codePointCount(0, s.length)
+    val cp = new Array[Int](n)
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val c = s.codePointAt(ci)
+      cp(k) = c
+      k += 1
+      ci += Character.charCount(c)
+    }
+    // pre(i) = H(cp[0..i)); pow(i) = B^i  (mod 2^64, natural wrap)
     val pre = new Array[Long](n + 1)
     val pow = new Array[Long](n + 1)
     pow(0) = 1L
     var i = 0
     while (i < n) {
-      pre(i + 1) = pre(i) * B + s.charAt(i)
+      pre(i + 1) = pre(i) * B + cp(i)
       pow(i + 1) = pow(i) * B
       i += 1
     }

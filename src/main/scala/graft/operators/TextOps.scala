@@ -775,9 +775,35 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Session-scoped trained-merges cache (VERDICT r12 #1, the
+    * [[graft.operators.Ann.sessionCodebook]] device applied to the
+    * tokenizer): `q_bpe_train` and `q_bpe_encode` share one training
+    * run per (session, dir) instead of each paying the
+    * [[BpeRounds]]-round loop. The cached value is a MODEL PARAMETER
+    * (R merge rows — driver-sized, config-bounded).
+    *
+    * STALENESS CONTRACT (shared with `Analytics.copurchaseGraph`): an
+    * entry reflects the corpus AS OF the session's first BPE call
+    * against that dir; data dirs are immutable snapshots, and a caller
+    * that rewrites one in place mid-session calls [[clearModelCache]]
+    * first. [[trainBpe]] is deterministic (total (n DESC, pa, pb)
+    * tie-break), so the cached merges equal a fresh train —
+    * TextOpsSpec pins cached === freshly-trained.
+    */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
+
+  private[graft] def sessionBpeMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate((s, dir), trainBpe(s, dir))
+
+  /** Drop the session-scoped merge-table cache (see the staleness
+    * contract on [[sessionBpeMerges]]). */
+  def clearModelCache(): Unit = bpeMergeCache.clear()
+
   def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    trainBpe(s, dir).toDF("round", "sym_a", "sym_b", "n")
+    sessionBpeMerges(s, dir).toDF("round", "sym_a", "sym_b", "n")
       .select(col("round"), col("sym_a"), col("sym_b"),
         concat(col("sym_a"), col("sym_b")).as("merged"), col("n"))
       .orderBy("round")
@@ -795,10 +821,11 @@ object TextOps {
     * is NOT re-segmented row by row), and the corpus pays exactly one
     * explode + one equi-join against the encoded vocabulary (AQE
     * broadcasts it while it fits; at web scale it hash-joins — either
-    * way the corpus moves once) + one doc_id rollup. Training is
-    * re-run here (vocab-sized, bounded rounds) so the row stays
-    * self-contained; a production pipeline feeds a persisted merge
-    * table instead.
+    * way the corpus moves once) + one doc_id rollup. Training runs
+    * once per session ([[sessionBpeMerges]] — vocab-sized, bounded
+    * rounds) so the row stays self-contained without paying the loop
+    * per invocation; a production pipeline feeds a persisted merge
+    * table instead ([[bpeEncodeWith]]).
     */
   /** Persist the trained merge table — build once, encode many (the
     * [[graft.operators.Dedup.buildDedupIndex]] /
@@ -808,7 +835,7 @@ object TextOps {
     */
   private[graft] def buildBpeModel(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
-    trainBpe(s, dir).toDF("round", "sym_a", "sym_b", "n")
+    sessionBpeMerges(s, dir).toDF("round", "sym_a", "sym_b", "n")
       .write.mode("overwrite").parquet(path)
   }
 
@@ -817,15 +844,56 @@ object TextOps {
     * the distinct-word vocabulary exactly as in [[qBpeEncode]] — the
     * training loop never runs.
     */
-  private[graft] def bpeEncodeWith(s: SparkSession, dir: String, modelPath: String): DataFrame = {
-    val merges = s.read.parquet(modelPath)
+  /** The persisted [[buildBpeModel]] merge table, round order — a
+    * driver-sized frozen model (R rows). */
+  private[graft] def readBpeModel(s: SparkSession,
+      modelPath: String): Seq[(Int, String, String, Long)] =
+    s.read.parquet(modelPath)
       .orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-    encodeCorpus(s, dir, merges)
+
+  private[graft] def bpeEncodeWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
+    encodeCorpus(s, dir, readBpeModel(s, modelPath))
+
+  /** MAP-ONLY per-document encode against a frozen merge table — the
+    * streaming-compatible twin of [[encodeCorpus]] (VERDICT r12 #6).
+    * The batch path encodes each DISTINCT word once and joins the
+    * corpus to that vocabulary — the right amortization for a bounded
+    * corpus, but a join + rollup is stateful on a stream. Here the
+    * whole encode is ONE projection: per word, the same
+    * [[bpeMergeFold]] greedy folds the model ships inside the
+    * expression (the `NearestCell`-codebook pattern — model as
+    * literals, no broadcast table, no state store), nested in a
+    * `transform` over the document's words and summed with an
+    * `aggregate` HOF. Stateless ⇒ valid under structured streaming in
+    * append mode; each arriving document re-encodes its own words,
+    * the honest per-row cost of not holding vocabulary state.
+    * Per-word semantics are IDENTICAL to the batch path by
+    * construction (same fold, same char split), so per-doc outputs
+    * match row-for-row — StreamsSpec pins the parity.
+    */
+  private[graft] def bpeEncodeMapOnly(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => arrFold}
+    // Column-lambda variant of [[charSplit]] (same empty-string guard)
+    def charSplitCol(w: Column): Column =
+      when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+    def encodeWord(w: Column): Column =
+      size(merges.foldLeft(charSplitCol(w)) {
+        case (syms, (_, pa, pb, _)) => bpeMergeFold(syms, pa, pb)
+      }).cast("long")
+    val words = split(col("text"), " ")
+    docs
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        arrFold(transform(words, w => encodeWord(w)), lit(0L), _ + _).as("n_tokens"))
+      .withColumn("tokens_per_word_bp", expr("(n_tokens * 10000) DIV n_words"))
   }
 
   def qBpeEncode(s: SparkSession, dir: String): DataFrame =
-    encodeCorpus(s, dir, trainBpe(s, dir))
+    encodeCorpus(s, dir, sessionBpeMerges(s, dir))
 
   private def encodeCorpus(s: SparkSession, dir: String,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {

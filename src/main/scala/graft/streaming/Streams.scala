@@ -217,17 +217,24 @@ object Streams {
 
   /** Streaming ANN index maintenance — the streaming twin of
     * `Ann.ivfUpsert` (r12): embedding arrivals on the wire are
-    * assigned to their nearest frozen-codebook cell and appended under
-    * the matching `cell=N` partition of a served IVF index. Per
-    * micro-batch this is `foreachBatch(ivfUpsert)`: a map-only
-    * assignment (the codebook ships inside the expression — no join,
-    * no state store, no corpus reshuffle) plus a partitioned append,
-    * so serving keeps its partition-pruning discount continuously as
-    * the corpus grows. Exactly-once at the sink comes from the
-    * checkpointed source offsets + idempotent directory appends per
-    * batch id (the [[incrementalIngest]] contract); recall decay under
-    * distribution drift is the monitored retrain trigger, same as the
-    * batch path. Arrivals must carry the index row shape
+    * assigned to their nearest frozen-codebook cell and landed beside
+    * the served IVF index. Per micro-batch this is
+    * `foreachBatch(ivfUpsertBatch)`: a map-only assignment (the
+    * codebook ships inside the expression — no join, no state store,
+    * no corpus reshuffle) plus a partitioned write, so serving keeps
+    * its partition-pruning discount continuously as the corpus grows.
+    *
+    * Exactly-once (ADVICE r12): foreachBatch BYPASSES the streaming
+    * file sink's commit log, so a crash between a sink write and the
+    * checkpoint offset commit replays the micro-batch on restart. A
+    * plain append would double-land those rows (and duplicates would
+    * occupy top-k slots at serve time); instead each batch writes to
+    * a deterministic batchId-derived directory with OVERWRITE
+    * (`Ann.ivfUpsertBatch`), so the replay rewrites the same
+    * directory and the index converges to exactly-once contents.
+    * Recall decay under distribution drift is the monitored retrain
+    * trigger, same as the batch path (a retrain folds the batch dirs
+    * away). Arrivals must carry the index row shape
     * (vec_id, embedding, nrm).
     */
   def ivfIndexMaintenance(
@@ -237,8 +244,8 @@ object Streams {
       checkpointDir: String): Unit = {
     val q = arrivals
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Ann.ivfUpsert(batch.sparkSession, indexPath, batch.toDF())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Ann.ivfUpsertBatch(batch.sparkSession, indexPath, batch.toDF(), batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -246,6 +253,25 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming tokenizer encode — the streaming twin of
+    * `TextOps.bpeEncodeWith` (VERDICT r12 #6): documents arriving on
+    * the wire are encoded against a persisted `buildBpeModel` merge
+    * table. The frozen model (R merge rows, read once on the driver)
+    * ships as literals inside the fold expressions
+    * (`TextOps.bpeEncodeMapOnly`), so the whole encode is one
+    * STATELESS projection per micro-batch — no state store, no join,
+    * no shuffle, the [[corpusFilter]]-style pure-transform shape —
+    * and it scales with the stream alone. Input needs
+    * (doc_id, text); output is the batch row shape
+    * (doc_id, n_words, n_tokens, tokens_per_word_bp), emitted in the
+    * arrival micro-batch. Retraining ships a new model path; the
+    * encode job restarts on it (model changes mid-stream are a
+    * tokenizer-versioning event, not a hot swap).
+    */
+  def bpeEncode(docs: DataFrame, modelPath: String): DataFrame =
+    graft.operators.TextOps.bpeEncodeMapOnly(docs,
+      graft.operators.TextOps.readBpeModel(docs.sparkSession, modelPath))
 
   /** Stream-static fact enrichment — the streaming twin of the batch
     * fact build (`StarSchema.qFactBuild`): events on the wire get

@@ -81,6 +81,19 @@ class AnnSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("sessionCodebook: cached model bit-identical to a fresh train; second lookup serves cached") {
+    // VERDICT r12 #1: the session cache must be a pure memoization —
+    // trainCodebook is bit-deterministic (fixed-point Lloyd sums), so
+    // the cached array equals a fresh train on the same immutable dir.
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val cached = Ann.sessionCodebook(spark, sf0001, corpus)
+    val fresh = Ann.trainCodebook(corpus, Ann.IvfIters)
+    assert(cached.toSeq === fresh.toSeq,
+      "session-cached codebook must equal a freshly trained one")
+    assert(Ann.sessionCodebook(spark, sf0001, corpus) eq cached,
+      "second lookup must return the cached model, not retrain")
+  }
+
   test("persisted IVF index: serve == train-and-serve; scan prunes to the probed cells") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Ann.buildIvfIndex(spark, sf0001, path)
@@ -120,6 +133,38 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"upsert assignment must never reshuffle the arrivals (or the corpus):\n$plan")
+  }
+
+  test("ivfUpsertBatch: micro-batch replay is idempotent; empty batch is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfb-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfb-incr").toString
+    Ann.buildIvfIndex(spark, sf0001, full)
+    Ann.buildIvfIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val arrivals = corpus.filter(col("vec_id") % 7 === 0)
+    Ann.ivfUpsertBatch(spark, incr, arrivals, 3L)
+    // crash-replay (ADVICE r12): foreachBatch re-delivers the SAME
+    // batch id after a failure — the deterministic overwrite path must
+    // converge to exactly-once contents, not double-append
+    Ann.ivfUpsertBatch(spark, incr, arrivals, 3L)
+    val residentN = spark.read.parquet(s"$incr/index.parquet").count()
+    val streamN = spark.read.parquet(s"$incr/index-stream/batch-000000003").count()
+    assert(residentN + streamN === corpus.count(),
+      "replayed batch must not duplicate rows in the index")
+    val ref = Ann.ivfServe(spark, sf0001, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ann.ivfServe(spark, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref, "post-replay index must serve exactly what a rebuild serves")
+    // empty micro-batch: no directory, no schema-less read hazard
+    Ann.ivfUpsertBatch(spark, incr, arrivals.filter(col("vec_id") < 0), 4L)
+    assert(!new java.io.File(s"$incr/index-stream/batch-000000004").exists(),
+      "an empty batch must not leave an unreadable directory behind")
+    // a rebuild folds the streamed increments away
+    Ann.buildIvfIndex(spark, sf0001, incr)
+    assert(!new java.io.File(s"$incr/index-stream").exists(),
+      "a full rebuild must clear streamed batch directories")
   }
 
   /** Int8 quantization costs 4× less memory; this pins what it costs

@@ -94,6 +94,17 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle must be the per-doc rollup, nothing more:\n$p")
   }
 
+  test("q_basket_pairs: a-priori semi-join prunes basket rows before the pair self-join") {
+    // VERDICT r12 #2: support(a,b) <= min(n_a, n_b), so suppliers
+    // below MinSupport can never appear in a surviving pair — the
+    // qualifying-supplier semi-join must sit in the plan, shrinking
+    // pair volume at the source. Absence = the pre-filter regressed
+    // and the pair shuffle carries the full long tail again.
+    val p = plan("q_basket_pairs")
+    assert(p.contains("LeftSemi"),
+      s"the qualifying-supplier a-priori pre-filter must plan as a semi join:\n$p")
+  }
+
   test("q_stream_sliding: windows assign via bounded Expand, not a range join") {
     val p = plan("q_stream_sliding")
     assert(p.contains("Expand"),

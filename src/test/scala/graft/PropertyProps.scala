@@ -291,6 +291,28 @@ object PropertyProps extends Properties("graft-primitives") {
     }
   }
 
+  property("pigeonhole survives non-BMP input: code-point edits share a signature") = {
+    // ADVICE r12: deletion units are code points, so a surrogate-pair
+    // character (here astral emoji/CJK) consumes ONE of the maxDel=2
+    // slots, not two. Build strings over mixed BMP + astral code
+    // points, apply up to 2 code-point deletions, require a shared
+    // signature.
+    val astral = Seq(0x1F600, 0x1F680, 0x20000).map(cp => new String(Character.toChars(cp)))
+    val unit: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf(astral))
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      us <- Gen.listOfN(n, unit)
+      nDel <- Gen.choose(0, 2)
+      picks <- Gen.listOfN(nDel, Gen.choose(0, 100))
+    } yield {
+      var v = us.toVector
+      for (p <- picks if v.nonEmpty) v = v.patch(p % v.length, Nil, 1)
+      (us.mkString, v.mkString)
+    }
+    forAll(gen) { case (a, b) => sigSet(a).intersect(sigSet(b)).nonEmpty }
+  }
+
   property("dot8 is symmetric, exact vs BigInt reference, throws on mismatch") =
     forAll(finiteFloats, finiteFloats) { (xs0, ys0) =>
       val n = math.min(xs0.length, ys0.length)

@@ -674,6 +674,35 @@ class StreamsSpec extends SparkSpec {
       "continuously-maintained index must serve exactly what a rebuild serves")
   }
 
+  test("bpeEncode: streamed docs encode identically to the persisted-model batch path") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // freeze the model once (the production contract: train offline,
+    // encode on the wire)
+    val model = java.nio.file.Files.createTempDirectory("graft-sbpe").toString + "/merges"
+    graft.operators.TextOps.buildBpeModel(s, sf0001, model)
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.bpeEncode(ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("sbpe").outputMode("append").start()
+    try {
+      // two micro-batches so the map-only path runs more than once
+      ms.addData(docRows.take(docRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(docRows.drop(docRows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM sbpe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      val ref = graft.operators.TextOps.bpeEncodeWith(s, sf0001, model).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === ref,
+        "streamed per-doc token counts must equal the batch persisted-model encode")
+    } finally q.stop()
+  }
+
   test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
     val s = spark
     import s.implicits._

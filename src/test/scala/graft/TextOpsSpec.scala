@@ -360,8 +360,9 @@ class TextOpsSpec extends SparkSpec {
       }
       syms.length
     }
-    val expect = graft.sources.Ingest.table(spark, sf0001, "documents")
+    val docRows = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
+    val expect = docRows
       .map { r =>
         val ws = r.getString(1).split(" ", -1)
         (r.getLong(0), ws.length.toLong, ws.map(encode(_).toLong).sum)
@@ -370,10 +371,16 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expect,
       "vocab-encoded token counts must equal per-word greedy re-encoding")
-    // fertility sanity: merges can only shrink, never below 1 token per
-    // non-empty word, and at least one document must actually compress
+    // fertility sanity (ADVICE r12): merges only ever SHRINK a word's
+    // symbol sequence, so each document's token count is bounded above
+    // by its pre-merge token count — its character count — and below
+    // by one token per (non-empty) word. Bound against the INDEPENDENT
+    // char count, not the already-asserted expected value.
+    val nChars = docRows.map { r =>
+      (r.getLong(0), r.getString(1).split(" ", -1).map(_.length.toLong).sum)
+    }.toMap
     got.foreach { case (id, nw, nt) =>
-      assert(nt <= expect.find(_._1 == id).get._3 && nt >= nw,
+      assert(nt <= nChars(id) && nt >= nw,
         s"doc $id: token count out of [n_words, n_chars] bounds")
     }
   }
@@ -381,10 +388,15 @@ class TextOpsSpec extends SparkSpec {
   test("persisted BPE model: encode-from-model == train-and-encode") {
     val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
     TextOps.buildBpeModel(spark, sf0001, path)
-    // the frozen model round-trips: same merges, same order, same counts
+    // the frozen model round-trips: same merges, same order, same
+    // counts. buildBpeModel serves from the session cache
+    // (sessionBpeMerges), so the fresh trainBpe on the right also pins
+    // cached === freshly-trained (VERDICT r12 #1).
     val persisted = spark.read.parquet(path).orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(persisted === TextOps.trainBpe(spark, sf0001))
+    assert(TextOps.sessionBpeMerges(spark, sf0001) === persisted,
+      "second session-cache lookup must serve the same frozen merges")
     val fromModel = TextOps.bpeEncodeWith(spark, sf0001, path).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val inline = TextOps.qBpeEncode(spark, sf0001).collect()

@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
   *   - per-query MEDIAN over 3 measured passes, so a GC pause or
   *     position artifact in one pass (r3: q1_pricing billed 3.4× its
   *     own plan cost for running first) doesn't pollute the round
-  *     comparison.
+  *     comparison;
+  *   - per-query shuffle/spill/input BYTES via [[BenchMetricsListener]]
+  *     (VERDICT r12 #3) recorded into the JSON next to the wall
+  *     numbers, plus a shuffle-amplification tripwire — bytes are
+  *     machine-independent plan facts, so a wall-clock delta with
+  *     unchanged bytes is environment noise, not a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,7 +48,12 @@ object Bench {
     // sentinel semantics are unchanged; this only makes the cause visible
     // in the round log.
     val reported = scala.collection.mutable.Set.empty[String]
-    def runOne(name: String): Double = {
+    // per-query byte accounting (VERDICT r12 #3) — attribution by job
+    // group, drained via a marker job before totals are read
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def runOne(name: String, pass: Int): Double = {
+      spark.sparkContext.setJobGroup(s"$name#$pass", name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -52,12 +62,12 @@ object Bench {
           Console.err.println(
             s"[bench] FAIL $name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}")
         return -1.0
-      }
+      } finally spark.sparkContext.clearJobGroup()
       (System.nanoTime() - t0) / 1e9
     }
 
-    names.foreach(runOne) // warmup pass (discarded)
-    val passes = Seq.fill(3)(names.map(n => n -> runOne(n)).toMap)
+    names.foreach(runOne(_, 0)) // warmup pass (discarded)
+    val passes = (1 to 3).map(p => names.map(n => n -> runOne(n, p)).toMap)
     // median of 3: a query counts as failed only if it failed in EVERY
     // pass (a transient flake shouldn't zero an otherwise-working query,
     // but it must not silently shrink the median population either).
@@ -68,6 +78,48 @@ object Bench {
       n -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
+
+    // Drain the listener bus: the marker job's job-start is processed
+    // strictly after every event the measured passes emitted, so once
+    // flushSeen flips, byGroup is complete. Bounded poll — a wedged
+    // bus must not hang the bench (bytes just come up partial).
+    spark.sparkContext.setJobGroup(BenchMetricsListener.FlushGroup, "flush", false)
+    spark.sparkContext.parallelize(1 to 1, 1).count()
+    spark.sparkContext.clearJobGroup()
+    val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!metrics.flushSeen && System.nanoTime() < drainDeadline) Thread.sleep(20)
+    if (!metrics.flushSeen)
+      Console.err.println("[bench] WARN: listener bus did not drain; byte totals may be partial")
+
+    // Per-query bytes from the LAST pass that succeeded for that query
+    // (bytes are plan facts — far more stable than wall clock — so one
+    // representative pass beats averaging in a flaked partial run).
+    val bytesFor: Map[String, Option[metrics.Bytes]] = names.map { n =>
+      n -> (3 to 1 by -1).collectFirst {
+        case p if passes(p - 1)(n) >= 0 && metrics.byGroup.contains(s"$n#$p") =>
+          metrics.byGroup(s"$n#$p")
+      }
+    }.toMap
+    // Shuffle-amplification tripwire (VERDICT r12 #3): a query whose
+    // shuffle write exceeds 4× its input scan bytes (and is big enough
+    // to matter, >64 MB) is moving more data than it reads — either an
+    // intentional explode (document it) or a plan regression (fix it).
+    val AmpFactor = 4L
+    val AmpFloor = 64L * 1024 * 1024
+    val ampFlags = names.filter { n =>
+      bytesFor(n).exists(b =>
+        b.shuffleWrite > AmpFloor && b.shuffleWrite > AmpFactor * math.max(b.input, 1L))
+    }
+    ampFlags.foreach { n =>
+      val b = bytesFor(n).get
+      Console.err.println(
+        s"[bench] SHUFFLE-AMP $n: wrote ${b.shuffleWrite} shuffle bytes vs ${b.input} input bytes (> ${AmpFactor}x)")
+    }
+    val bytesJson = names.flatMap { n =>
+      bytesFor(n).map(b =>
+        s""""$n":{"shuffle_read":${b.shuffleRead},"shuffle_write":${b.shuffleWrite},"spill_disk":${b.spillDisk},"spill_mem":${b.spillMem},"input":${b.input}}""")
+    }.mkString("{", ",", "}")
+    val ampJson = ampFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // 3-decimal seconds: ms precision is far below the measured
     // same-day machine variance (0.62-0.83 s/query across identical
@@ -80,7 +132,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"bytes":$bytesJson,"shuffle_amp_flags":$ampJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and sbt
     // appends its own "[success]" line after ours, so the ~4 KB
     // per-query line can never arrive whole (BENCH_r09 parsed:null,

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Deterministic stride-offset scale replica (VERDICT r12 #8).
+
+Builds an N-times replica of a driver-generated testdata dir for
+stress sweeps (e.g. sf0.1 x10 ~= sf1) so scale evidence is
+reproducible from a clean checkout. Driver-side tooling only (duckdb,
+like tools/check_oracle.py) -- NOT part of the engine.
+
+Construction (round-12 sweep design, now committed):
+  - fixed dims (region, nation) stay single-copy;
+  - every other table is unioned F times with each replica's keys
+    offset by i * (max_key + 1) per key family, so uniqueness and
+    referential integrity (orders->customer, lineitem->orders/part/
+    supplier, events.user_id) hold exactly;
+  - content columns (names, document text, embeddings) replicate
+    VERBATIM -- deliberately planting F-deep exact-duplicate families,
+    the duplicate-key/skew class the sweep hunts;
+  - no randomness anywhere: same inputs -> byte-identical replica.
+
+Optional adversarial hot-key skew (VERDICT r12 #7): --hot-pct P
+additionally rewrites the text of every (100/P)-th document (by final
+doc_id) to ONE fixed string, so a single content hash covers ~P% of
+the corpus -- the worst case for content-hash bucketing
+(incrementalDedup, q_span_dedup, q_dedup_exact).
+
+Usage:
+  python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P]
+  python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1 10
+  python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1hot 10 --hot-pct 1
+"""
+import os
+import sys
+
+import duckdb
+
+FIXED = ["region", "nation"]
+# per-table select template; {oc}/{os}/{op}/{oo}/{oe}/{ou}/{od}/{ov}
+# are the per-replica key offsets (customer/supplier/part/order/
+# event/user/doc/vec families)
+TEMPLATES = {
+    "customer": "SELECT c_custkey + {oc} AS c_custkey, c_name, c_nationkey,"
+                " c_acctbal, c_mktsegment FROM src",
+    "supplier": "SELECT s_suppkey + {os} AS s_suppkey, s_name, s_nationkey,"
+                " s_acctbal FROM src",
+    "part": "SELECT p_partkey + {op} AS p_partkey, p_name, p_brand, p_type,"
+            " p_size, p_retailprice FROM src",
+    "orders": "SELECT o_orderkey + {oo} AS o_orderkey, o_custkey + {oc} AS o_custkey,"
+              " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM src",
+    "lineitem": "SELECT l_orderkey + {oo} AS l_orderkey, l_partkey + {op} AS l_partkey,"
+                " l_suppkey + {os} AS l_suppkey, l_linenumber, l_quantity,"
+                " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+                " l_shipdate FROM src",
+    "events": "SELECT event_id + {oe} AS event_id, ts, user_id + {ou} AS user_id,"
+              " event_type, value, props FROM src",
+    "documents": "SELECT doc_id + {od} AS doc_id, text, lang, source, n_chars FROM src",
+    "embeddings": "SELECT vec_id + {ov} AS vec_id, embedding, label FROM src",
+}
+# key family -> (table, column) that defines its stride
+STRIDES = {
+    "oc": ("customer", "c_custkey"),
+    "os": ("supplier", "s_suppkey"),
+    "op": ("part", "p_partkey"),
+    "oo": ("orders", "o_orderkey"),
+    "oe": ("events", "event_id"),
+    "ou": ("events", "user_id"),
+    "od": ("documents", "doc_id"),
+    "ov": ("embeddings", "vec_id"),
+}
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("src")
+    ap.add_argument("dest")
+    ap.add_argument("factor", type=int)
+    ap.add_argument("--hot-pct", type=float, default=None,
+                    help="rewrite every (100/P)-th document to one fixed text")
+    a = ap.parse_args()
+    src, dest, factor, hot_pct = a.src, a.dest, a.factor, a.hot_pct
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+
+    strides = {}
+    for fam, (t, c) in STRIDES.items():
+        strides[fam] = con.execute(
+            f"SELECT max({c}) + 1 FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+    print("strides:", strides)
+
+    for t in FIXED:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"{t}: single copy")
+
+    for t, tpl in TEMPLATES.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS"
+            f" SELECT * FROM read_parquet('{src}/{t}.parquet')")
+        selects = [
+            tpl.format(**{f: i * strides[f] for f in strides}) for i in range(factor)
+        ]
+        union = " UNION ALL ".join(f"({s})" for s in selects)
+        out = f"SELECT * FROM ({union})"
+        if t == "documents" and hot_pct:
+            # one fixed text on every k-th doc: a single content hash
+            # covering ~hot_pct% of the corpus (worst case for
+            # content-hash bucketing)
+            k = max(1, round(100.0 / hot_pct))
+            hot_text = con.execute(
+                f"SELECT text FROM read_parquet('{src}/{t}.parquet')"
+                f" ORDER BY doc_id LIMIT 1").fetchone()[0].replace("'", "''")
+            out = (f"SELECT doc_id, CASE WHEN doc_id % {k} = 0 THEN '{hot_text}'"
+                   f" ELSE text END AS text, lang, source,"
+                   f" CASE WHEN doc_id % {k} = 0 THEN CAST(length('{hot_text}') AS BIGINT)"
+                   f" ELSE n_chars END AS n_chars FROM ({union})")
+            print(f"documents: hot key on every {k}-th doc (~{hot_pct}%)")
+        con.execute(f"COPY ({out}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dest}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows (x{factor})")
+
+
+if __name__ == "__main__":
+    main()

@@ -743,11 +743,11 @@ object Dedup {
   // shape as [[Ann.buildIvfIndex]]/[[Ann.ivfServe]].
   // ------------------------------------------------------------------
 
-  private val IdxNgram = 3
-  private val IdxK = 64
-  private val IdxBands = 16
-  private val IdxRows = 4
-  private val IdxSeed = 0x5EED0001L
+  private[graft] val IdxNgram = 3
+  private[graft] val IdxK = 64
+  private[graft] val IdxBands = 16
+  private[graft] val IdxRows = 4
+  private[graft] val IdxSeed = 0x5EED0001L
   private val IdxThreshold = 0.6
 
   /** Build the signature index: one map-only pass over the corpus

@@ -362,4 +362,81 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("incrementalDedup under a degenerate hot family: candidates linear, verdicts exact") {
+    // VERDICT r12 #7 (small-scale twin of graft.StressDedup): one
+    // content hash dominating the corpus puts the WHOLE family in one
+    // LSH bucket per band. The serve path joins arrivals against the
+    // index bands — candidates per colliding arrival are |family|
+    // (linear), never the |family|² a self-join would pay, and the
+    // verdict must still name the family's min-id survivor exactly.
+    val s = spark
+    import s.implicits._
+    val hotFamily = (1L to 40L).map(_ -> base)
+    val distinct = (100L to 109L).map(i =>
+      i -> (s"standalone document $i carrying tokens ${i * 7} ${i * 13} ${i * 17} " +
+        s"plus filler vocabulary item${i}a item${i}b item${i}c item${i}d item${i}e"))
+    val dir = docsDir(hotFamily ++ distinct)
+    val idx = java.nio.file.Files.createTempDirectory("graft-hot-idx").toString
+    Dedup.buildDedupIndex(spark, dir, idx)
+
+    val arrivals = Seq(
+      500L -> base, 501L -> base,
+      502L -> "entirely novel arrival text with zero shingle overlap against anything indexed"
+    ).toDF("doc_id", "text")
+    val served = Dedup.incrementalDedup(spark, idx, arrivals).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(500L, 501L)) {
+      assert(served(id).getBoolean(1) && served(id).getLong(2) === 1L,
+        s"hot arrival $id must dedup to the family's min-id survivor")
+      assert(served(id).getDouble(3) >= 0.999, "identical text must verify at Jaccard 1")
+    }
+    assert(!served(502L).getBoolean(1), "the novel arrival must pass clean")
+
+    // Linearity witness: recompute the serve plan's candidate join from
+    // the persisted band table. Each hot arrival collides with all 40
+    // family members (and nothing else); the novel arrival with nobody.
+    import graft.functions.WordNgramMinHash
+    val nsig = arrivals.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), Dedup.IdxNgram, Dedup.IdxK, Dedup.IdxSeed)
+        .as("sig_arr"))
+    val cand = spark.read.parquet(s"$idx/bands")
+      .join(Dedup.sigBandRows(nsig, Dedup.IdxBands, Dedup.IdxRows)
+        .select(col("doc_id").as("id_new"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id").as("id_old"), col("id_new")).distinct()
+      .groupBy("id_new").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cand(500L) === 40L && cand(501L) === 40L,
+      s"hot-arrival candidates must be exactly the family (linear), got $cand")
+    assert(!cand.contains(502L), "the novel arrival must surface zero candidates")
+  }
+
+  test("qSpanDedup under a hot family: duplicated docs fully flagged, distinct docs untouched") {
+    // Same adversarial class for the substring-level dedup: identical
+    // docs make every stride-1 window hash corpus-duplicated, so the
+    // window-frequency rollup sees one hash family at |family| count
+    // (partial-agg absorbs it) and the per-doc verdict must be
+    // dup_frac 1.0 / dropped, while distinct docs stay clean.
+    val hot = (1L to 6L).map(_ -> words40) // 40 words ≥ spanW
+    val clean = Seq(
+      11L -> ("ember quartz willow fjord saber nimbus oracle zephyr cobalt raven " +
+        "tundra vortex prism lagoon cinder meadow onyx harbor glacier summit " +
+        "boulder canyon delta ridge grove"),
+      12L -> ("apple banana cherry dates elder figs grape honey iris jasmine " +
+        "kiwi lemon mango nectar olive peach quince rose sage thyme " +
+        "umber violet walnut xenia yarrow"))
+    val dir = docsDir(hot ++ clean)
+    val got = graft.operators.TextOps.qSpanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 8)
+    for (id <- 1L to 6L) {
+      assert(got(id).getDouble(5) === 1.0, s"hot doc $id must be fully duplicated")
+      assert(!got(id).getBoolean(6), s"hot doc $id must be dropped")
+    }
+    for (id <- Seq(11L, 12L)) {
+      assert(got(id).getLong(2) === 0L, s"clean doc $id must report zero dup spans")
+      assert(got(id).getBoolean(6), s"clean doc $id must be kept")
+    }
+  }
 }

@@ -2244,7 +2244,115 @@ object TextOps {
        |FROM ranked WHERE rk <= $CollocTopK
        |ORDER BY lang, rk""".stripMargin
 
+  // Backoff charge (bits) for a bigram the train-split LM never saw.
+  // 20 bits ≈ a one-in-a-million event — deliberately harsher than any
+  // seen bigram can score (counts would need c1/c12 > 2^19 per lang at
+  // this SF), so OOV mass dominates the tail band exactly like CCNet's
+  // "perplexity tail" bucket.
+  private val LmBackoffBits = 20L
+  // Band width: 4 bits-per-bigram per band (ppm fixed-point → DIV).
+  private val LmBandPpm = 4000000L
+
+  /** Bigram-LM perplexity filter (CCNet-style): train a per-language
+    * word-bigram model on the deterministic TRAIN split (the
+    * [[qTrainTestSplit]] key-hash device, so the reference corpus is
+    * reproducible across rebuilds), then score EVERY document by its
+    * average per-bigram surprise and bucket into perplexity bands —
+    * the classic "head/middle/tail" quality triage a web corpus gets
+    * before pretraining (CCNet scores against a held-out-domain KenLM;
+    * the integer-bits device below replaces its float log-probs).
+    *
+    * Determinism (SURVEY §4): surprise is measured in INTEGER bits via
+    * the [[qIndexBits]] `length(bin(x))` device —
+    * `bits(w1,w2) = bitlen(c1) - bitlen(c12)` is floor-log2 of the
+    * conditional c1/c12 within ±1 bit, exact in both engines, no
+    * transcendentals. Unseen bigrams charge [[LmBackoffBits]].
+    * `bpb_ppm` is fixed-point bits-per-bigram (×10⁶, integral DIV);
+    * `ppl_band = bpb_ppm DIV` [[LmBandPpm]] is the 4-bit-wide band.
+    *
+    * Shape at scale: two corpus passes — (1) the zip-shift bigram
+    * explode of the train split partial-aggregates into the
+    * vocab²-bounded c12 / vocab-bounded c1 model tables (Zipf-safe:
+    * hot bigrams condense map-side, same argument as [[qVocabTopk]]);
+    * (2) the score pass left-joins corpus bigrams to the model on
+    * (lang, w1, w2) / (lang, w1) — model-sized shuffle joins whose
+    * hot-key side partial-aggregates per doc AFTER the join, with AQE
+    * skew split handling the "the the" class of hot keys. The bigram
+    * relation is materialized ONCE (train counts and score pass both
+    * consume it; re-deriving would re-split the corpus three times).
+    * Model state lives in executors, never on the driver.
+    */
+  def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .materialized
+    val isTrain =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < splitHexLt
+    val train = bg.filter(isTrain)
+    val c12 = train.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    bg
+      .join(c12, Seq("lang", "w1", "w2"), "left")
+      .join(c1, Seq("lang", "w1"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("c12").isNull, lit(LmBackoffBits))
+          .otherwise(expr("CAST(length(bin(c1)) - length(bin(c12)) AS BIGINT)"))
+          .as("bits"),
+        when(col("c12").isNull, lit(1L)).otherwise(lit(0L)).as("oov"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("bpb_ppm", expr("(sum_bits * 1000000) DIV n_bigrams"))
+      .withColumn("ppl_band", expr(s"bpb_ppm DIV $LmBandPpm"))
+  }
+
+  val qLmPerplexitySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+       |  FROM d WHERE len(ws) >= 2),
+       |tr AS (
+       |  SELECT * FROM bg
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt'),
+       |c12 AS (
+       |  SELECT lang, w1, w2, COUNT(*) AS c12 FROM tr GROUP BY lang, w1, w2),
+       |c1 AS (
+       |  SELECT lang, w1, COUNT(*) AS c1 FROM tr GROUP BY lang, w1),
+       |scored AS (
+       |  SELECT bg.doc_id, bg.lang,
+       |    CASE WHEN c12.c12 IS NULL THEN $LmBackoffBits
+       |         ELSE CAST(length(bin(c1.c1)) - length(bin(c12.c12)) AS BIGINT)
+       |    END AS bits,
+       |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bg
+       |  LEFT JOIN c12 ON bg.lang = c12.lang AND bg.w1 = c12.w1 AND bg.w2 = c12.w2
+       |  LEFT JOIN c1 ON bg.lang = c1.lang AND bg.w1 = c1.w1),
+       |agg AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+       |    CAST(SUM(bits) AS BIGINT) AS sum_bits
+       |  FROM scored GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_bigrams, oov_bigrams, sum_bits,
+       |  (sum_bits * 1000000) // n_bigrams AS bpb_ppm,
+       |  ((sum_bits * 1000000) // n_bigrams) // $LmBandPpm AS ppl_band
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_perplexity"     -> qLmPerplexity _,
     "q_colloc_lift"       -> qCollocLift _,
     "q_lang_confusion"    -> qLangConfusion _,
     "q_sample_uniform"    -> qSampleUniform _,
@@ -2287,6 +2395,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lm_perplexity"     -> qLmPerplexitySql,
     "q_sample_uniform"    -> qSampleUniformSql,
     "q_weighted_sample"   -> qWeightedSampleSql,
     "q_index_bits"        -> qIndexBitsSql,

@@ -157,6 +157,30 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_lm_perplexity: train docs never back off; bits and bands reconcile") {
+    val rows = TextOps.qLmPerplexity(spark, sf0001).collect()
+    val nScorable = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong === nScorable,
+      "one row per document with at least one bigram")
+    rows.foreach { r =>
+      val (id, n, oov, bits, bpb, band) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(oov >= 0 && oov <= n, s"doc $id: oov count out of range")
+      assert(bits >= 20L * oov && bits <= 63L * (n - oov) + 20L * oov,
+        s"doc $id: sum_bits outside the bitlen-device bounds")
+      assert(bpb === bits * 1000000L / n, s"doc $id: bpb_ppm drift")
+      assert(band === bpb / 4000000L, s"doc $id: band drift")
+      // a TRAIN doc's bigrams are in the model by construction
+      val isTrain = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1)
+        .map(b => f"${b & 0xff}%02x").head < "e6"
+      if (isTrain) assert(oov === 0L, s"train doc $id must never hit the backoff")
+    }
+    assert(rows.exists(_.getLong(3) > 0L),
+      "some held-out doc should exercise the backoff path")
+  }
+
   test("q_colloc_lift agrees with q_bigram_topk counts on shared bigrams") {
     val colloc = TextOps.qCollocLift(spark, sf0001)
       .select(col("lang"), col("bigram"), col("n").as("n_lift"))

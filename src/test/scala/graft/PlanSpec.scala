@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
       s"hot words must be condensed map-side before the shuffle:\n$p")
   }
 
+  test("q_lm_perplexity: LM counts condense map-side; model joins never go cartesian") {
+    val p = plan("q_lm_perplexity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the score pass must stay an equi-join on the model keys:\n$p")
+    // the c12 model shuffle must carry partial counts, not raw bigrams:
+    // the operator directly under the (lang, w1, w2) exchange is the
+    // map-side partial aggregate
+    val lines = p.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(lang") && l.contains("w2"))
+    assert(exchangeIdx >= 0, s"no (lang, w1, w2) model shuffle found:\n$p")
+    val below = lines.drop(exchangeIdx + 1).find(_.contains("HashAggregate"))
+    assert(below.exists(_.contains("partial_count")),
+      s"hot bigrams must be condensed map-side before the model shuffle:\n$p")
+  }
+
   test("q_ann_lsh: probe side broadcasts; corpus side carries no pre-join exchange") {
     val exec = SparkEntry.plans("q_ann_lsh")(spark, sf0001).queryExecution.executedPlan.toString
     assert(exec.contains("BroadcastHashJoin") || exec.contains("BroadcastExchange"),

@@ -405,6 +405,28 @@ class TextOpsSpec extends SparkSpec {
       "serving from the persisted merge table must encode identically")
   }
 
+  test("lm_perplexity: hand-computed bits on a corpus with a known train/test split") {
+    // md5 split (splitHexLt device): docs 1,2,4 train; doc 3 test.
+    val dir = docsDir(Seq(
+      1L -> "a b a b",
+      2L -> "a b c",
+      3L -> "a b z c",
+      4L -> "c a"))
+    // Train model: c12 = {(a,b):3, (b,a):1, (b,c):1, (c,a):1},
+    //              c1  = {a:3, b:3, c:1}  (bitlen 2 / 2 / 1).
+    val got = TextOps.qLmPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // doc 1: (a,b)=0, (b,a)=2-1=1, (a,b)=0 → sum 1 over 3 bigrams
+    assert(got(1L) === ((3L, 0L, 1L, 333333L, 0L)))
+    // doc 2: (a,b)=0, (b,c)=2-1=1 → sum 1 over 2
+    assert(got(2L) === ((2L, 0L, 1L, 500000L, 0L)))
+    // doc 3 (test): (a,b)=0 seen; (b,z),(z,c) unseen → 20 bits each
+    assert(got(3L) === ((3L, 2L, 40L, 13333333L, 3L)))
+    // doc 4: (c,a)=bitlen(1)-bitlen(1)=0
+    assert(got(4L) === ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

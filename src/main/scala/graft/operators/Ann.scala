@@ -912,6 +912,86 @@ object Ann {
        |FROM rk WHERE r = 1
        |ORDER BY vec_id""".stripMargin
 
+  private val ClusterKwK = 10
+  private val ClusterKwFp = 1000000L
+
+  /** c-TF-IDF cluster labeling (the BERTopic device, Grootendorst
+    * 2022, arXiv:2203.05794): name each embedding-space cluster by its
+    * most DISTINCTIVE terms — term frequency within the cluster's
+    * documents over the number of clusters the term appears in (the
+    * class-based idf), top-[[ClusterKwK]] per cluster. This is the
+    * human-readable half of the clustering shelf: [[qCentroidAssign]]
+    * says which cluster a doc is in, [[qSemdedup]] prunes within it,
+    * this row says what the cluster IS — the report a curation team
+    * reads before deciding to keep, down-weight, or drop a cluster.
+    * Clusters are the same fixed-point nearest-centroid assignment the
+    * rest of the shelf uses (exact integer dist2, bit-reproducible);
+    * the doc side joins on doc_id = vec_id (the corpus contract).
+    * Scoring is the [[TextOps.qTfidfKeywords]] integer device at
+    * cluster granularity: score_fp = tf_c·10⁶ DIV cdf.
+    *
+    * Shape at scale: assignment is the audited centroid pipeline (one
+    * posexplode rollup + broadcast argmin); the doc join is ONE
+    * co-partitioned doc_id equi-join BEFORE the token explode (a
+    * token-side join would multiply the probe by avg doc length); term
+    * counts partial-aggregate into a |clusters|×vocab-bounded table,
+    * its cluster-df is a rollup of that same table, and the rank
+    * window runs on the MODEL-sized count table, never corpus rows
+    * (the [[TextOps.qBigramTopk]] precedent).
+    */
+  /** The (cluster, term) count table — exposed un-materialized so
+    * PlanSpec can pin its shape (the query materializes it: both the
+    * score join and its cluster-df rollup consume it).
+    */
+  private[graft] def clusterTermCounts(s: SparkSession, dir: String): DataFrame = {
+    val assign = centroidAssignments(s, dir)
+      .select(col("vec_id").as("doc_id"), col("clabel").as("cluster"))
+    Ingest.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(assign, "doc_id")
+      .select(col("cluster"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("cluster"), col("w"))
+      .agg(count(lit(1)).as("tf_c"))
+  }
+
+  def qClusterKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = clusterTermCounts(s, dir).materialized
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
+    tf.join(df, "w")
+      .select(col("cluster"), col("w").as("term"), col("tf_c"), col("cdf"),
+        expr(s"(tf_c * $ClusterKwFp) DIV cdf").as("score_fp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("score_fp").desc, col("term"))))
+      .filter(col("rk") <= ClusterKwK)
+      .select(col("cluster"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf_c"), col("cdf"), col("score_fp"))
+  }
+
+  val qClusterKeywordsSql: String =
+    s"""WITH $centroidAssignCtes,
+       |asg AS (SELECT vec_id AS doc_id, clabel AS cluster FROM rk WHERE r = 1),
+       |tok AS (
+       |  SELECT a.cluster, unnest(string_split(d.text, ' ')) AS w
+       |  FROM documents d JOIN asg a ON d.doc_id = a.doc_id),
+       |tf AS (
+       |  SELECT cluster, w, COUNT(*) AS tf_c
+       |  FROM tok WHERE len(w) > 0 GROUP BY cluster, w),
+       |cdf AS (SELECT w, COUNT(*) AS cdf FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT tf.cluster, tf.w AS term, tf.tf_c, cdf.cdf,
+       |    (tf.tf_c * $ClusterKwFp) // cdf.cdf AS score_fp
+       |  FROM tf JOIN cdf ON tf.w = cdf.w),
+       |rkd AS (
+       |  SELECT cluster, term, tf_c, cdf, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |                       ORDER BY score_fp DESC, term) AS rk
+       |  FROM sc)
+       |SELECT cluster, rk, term, tf_c, cdf, score_fp
+       |FROM rkd WHERE rk <= $ClusterKwK
+       |ORDER BY cluster, rk""".stripMargin
+
   private val SemTau = 0.30
   private val SemClusterCap = 1000
 
@@ -1299,6 +1379,7 @@ object Ann {
     "q_quant_recall"    -> qQuantRecall _,
     "q_embed_stats"     -> qEmbedStats _,
     "q_centroid_assign" -> qCentroidAssign _,
+    "q_cluster_keywords" -> qClusterKeywords _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
     "q_ann_ivf"        -> qAnnIvf _,
@@ -1328,5 +1409,6 @@ object Ann {
     "q_centroid_shift"  -> qCentroidShiftSql,
     "q_embed_stats"     -> qEmbedStatsSql,
     "q_embed_centroid"  -> qEmbedCentroidSql,
-    "q_centroid_assign" -> qCentroidAssignSql)
+    "q_centroid_assign" -> qCentroidAssignSql,
+    "q_cluster_keywords" -> qClusterKeywordsSql)
 }

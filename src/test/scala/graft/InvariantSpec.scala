@@ -181,6 +181,29 @@ class InvariantSpec extends SparkSpec {
       "some held-out doc should exercise the backoff path")
   }
 
+  test("q_cluster_keywords matches a driver-side recount over q_centroid_assign") {
+    val assign = Ann.qCentroidAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val docs = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+    val tf = scala.collection.mutable.Map.empty[(Int, String), Long]
+    for (r <- docs; w <- r.getString(1).split(" ", -1) if w.nonEmpty)
+      tf((assign(r.getLong(0)), w)) = tf.getOrElse((assign(r.getLong(0)), w), 0L) + 1L
+    val cdf = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val want = tf.toSeq
+      .map { case ((c, w), n) => (c, w, n, cdf(w), n * 1000000L / cdf(w)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, w, _, _, s) => (-s, w) }.take(10).zipWithIndex
+          .map { case ((c, w, n, d, s), i) => (c, (i + 1).toLong, w, n, d, s) }
+      }.sortBy(t => (t._1, t._2))
+    val got = Ann.qClusterKeywords(spark, sf0001)
+      .orderBy("cluster", "rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want,
+      "cluster keywords must equal the exact recount over the assignment")
+  }
+
   test("q_colloc_lift agrees with q_bigram_topk counts on shared bigrams") {
     val colloc = TextOps.qCollocLift(spark, sf0001)
       .select(col("lang"), col("bigram"), col("n").as("n_lift"))

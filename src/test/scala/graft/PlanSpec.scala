@@ -73,6 +73,31 @@ class PlanSpec extends SparkSpec {
       s"hot bigrams must be condensed map-side before the model shuffle:\n$p")
   }
 
+  test("q_cluster_keywords: doc join precedes the token explode; counts condense map-side") {
+    // the final plan: top-10 cuts early, nothing goes cartesian
+    val p = plan("q_cluster_keywords")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"assignment and scoring must stay equi-joins:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-cluster top-10 must cut before the full vocab sorts:\n$p")
+    // the materialized term-count stage (invisible above as ExistingRDD):
+    // partial-agg before the (cluster, w) shuffle, explode AFTER the join
+    val tfp = operators.Ann.clusterTermCounts(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val lines = tfp.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(cluster") && l.contains("w#"))
+    assert(exchangeIdx >= 0, s"no (cluster, w) term shuffle found:\n$tfp")
+    val below = lines.drop(exchangeIdx + 1).find(_.contains("HashAggregate"))
+    assert(below.exists(_.contains("partial_count")),
+      s"hot terms must be condensed map-side before the shuffle:\n$tfp")
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    val docJoinIdx = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("doc_id"))
+    assert(genIdx >= 0 && docJoinIdx > genIdx,
+      s"token explode must sit ABOVE the doc_id join in the plan tree:\n$tfp")
+  }
+
   test("q_ann_lsh: probe side broadcasts; corpus side carries no pre-join exchange") {
     val exec = SparkEntry.plans("q_ann_lsh")(spark, sf0001).queryExecution.executedPlan.toString
     assert(exec.contains("BroadcastHashJoin") || exec.contains("BroadcastExchange"),

@@ -2282,8 +2282,12 @@ object TextOps {
     * consume it; re-deriving would re-split the corpus three times).
     * Model state lives in executors, never on the driver.
     */
-  def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val bg = docs(s, dir)
+  /** (doc_id, lang, w1, w2) — one row per adjacent word pair, built
+    * map-only by zipping the word array against its shift (shared by
+    * the query row, [[buildLmModel]] and [[lmScoreDocs]]).
+    */
+  private def lmBigrams(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -2291,7 +2295,21 @@ object TextOps {
           "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .materialized
+
+  /** Per-doc rollup of scored bigram rows (doc_id, lang, bits, oov) —
+    * the shared tail of the query row and the serve path. */
+  private def lmRollup(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("bpb_ppm", expr("(sum_bits * 1000000) DIV n_bigrams"))
+      .withColumn("ppl_band", expr(s"bpb_ppm DIV $LmBandPpm"))
+
+  def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bg = lmBigrams(docs(s, dir)).materialized
     val isTrain =
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < splitHexLt
     val train = bg.filter(isTrain)
@@ -2307,14 +2325,48 @@ object TextOps {
           .otherwise(expr("CAST(length(bin(c1)) - length(bin(c12)) AS BIGINT)"))
           .as("bits"),
         when(col("c12").isNull, lit(1L)).otherwise(lit(0L)).as("oov"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("oov")).as("oov_bigrams"),
-        sum(col("bits")).as("sum_bits"))
-      .withColumn("bpb_ppm", expr("(sum_bits * 1000000) DIV n_bigrams"))
-      .withColumn("ppl_band", expr(s"bpb_ppm DIV $LmBandPpm"))
+      .transform(lmRollup)
   }
+
+  /** Persist the trained bigram LM as a single (lang, w1, w2, bits)
+    * table — the [[buildBpeModel]]/`buildIvfIndex` frozen-model
+    * contract applied to the perplexity filter: the c1 join happens
+    * ONCE at build time (bits are precomputed per pair), so serving
+    * pays a single left join instead of two. The model is vocab²-
+    * bounded (an executor-side table, not driver state).
+    */
+  private[graft] def buildLmModel(s: SparkSession, dir: String, path: String): Unit = {
+    val bg = lmBigrams(docs(s, dir))
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        < splitHexLt)
+      .materialized
+    val c12 = bg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    c12.join(c1, Seq("lang", "w1"))
+      .select(col("lang"), col("w1"), col("w2"),
+        expr("CAST(length(bin(c1)) - length(bin(c12)) AS BIGINT)").as("bits"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score arbitrary documents (doc_id, lang, text) against a frozen
+    * LM model table — ONE left equi-join on (lang, w1, w2) + the
+    * per-doc rollup; unseen pairs charge [[LmBackoffBits]]. Identical
+    * row semantics to [[qLmPerplexity]] when the model was built from
+    * the same corpus (spec-pinned), but the model can come from any
+    * reference corpus — the actual CCNet deployment shape.
+    */
+  private[graft] def lmScoreDocs(docsDf: DataFrame, model: DataFrame): DataFrame =
+    lmRollup(lmBigrams(docsDf)
+      .join(model, Seq("lang", "w1", "w2"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("bits"), lit(LmBackoffBits)).as("bits"),
+        when(col("bits").isNull, lit(1L)).otherwise(lit(0L)).as("oov")))
+
+  /** Batch serve against a persisted [[buildLmModel]] table. */
+  private[graft] def lmScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
+    lmScoreDocs(docs(s, dir), s.read.parquet(modelPath))
 
   val qLmPerplexitySql: String =
     s"""WITH d AS (

@@ -273,6 +273,40 @@ object Streams {
     graft.operators.TextOps.bpeEncodeMapOnly(docs,
       graft.operators.TextOps.readBpeModel(docs.sparkSession, modelPath))
 
+  /** Streaming perplexity scoring — the streaming twin of
+    * `TextOps.lmScoreWith`: documents arriving on the wire are scored
+    * against a persisted `buildLmModel` bigram table. The model is
+    * vocab²-bounded (too big for expression literals, unlike the BPE
+    * merge fold), so each micro-batch runs the BATCH scorer — one
+    * stream-static left join + a batch-local per-doc rollup, valid
+    * because a document arrives WHOLE in one row: its bigrams never
+    * span micro-batches, so no state store and no watermark are
+    * needed. Scores land under a DETERMINISTIC batchId-derived
+    * directory with OVERWRITE semantics (the `ivfUpsertBatch` replay
+    * contract): a crash-replayed micro-batch rewrites the same
+    * directory and the output converges to exactly-once contents.
+    * Re-training ships a new model path; the scoring job restarts on
+    * it (mid-stream model swaps are a versioning event).
+    */
+  def lmScore(
+      arrivals: DataFrame,
+      modelPath: String,
+      outPath: String,
+      checkpointDir: String): Unit = {
+    val q = arrivals
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.operators.TextOps.lmScoreDocs(batch.toDF(), s.read.parquet(modelPath))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static fact enrichment — the streaming twin of the batch
     * fact build (`StarSchema.qFactBuild`): events on the wire get
     * their date/time surrogate keys (pure expressions of the event

@@ -703,6 +703,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmScore: streamed docs score identically to the batch serve; replays converge") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val model = java.nio.file.Files.createTempDirectory("graft-slm").toString + "/model"
+    val out = java.nio.file.Files.createTempDirectory("graft-slm-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-slm-ckpt").toString
+    graft.operators.TextOps.buildLmModel(s, sf0001, model)
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ms = MemoryStream[(Long, String, String)]
+    // two micro-batches so the foreachBatch path runs more than once
+    ms.addData(docRows.take(docRows.length / 2).toSeq)
+    ms.addData(docRows.drop(docRows.length / 2).toSeq)
+    Streams.lmScore(ms.toDF().toDF("doc_id", "lang", "text"), model, out, ckpt)
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    val got = s.read.parquet(out)
+      .select("doc_id", "lang", "n_bigrams", "oov_bigrams", "sum_bits",
+        "bpb_ppm", "ppl_band")
+      .collect().map(shape).sortBy(_._1).toSeq
+    val ref = graft.operators.TextOps.lmScoreWith(s, sf0001, model)
+      .collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref,
+      "streamed per-doc scores must equal the batch persisted-model serve")
+    // replay convergence: rewriting the first batch directory with the
+    // same rows (the crash-replay case foreachBatch exposes) is a no-op
+    val firstDir = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).min
+    val firstIds = s.read.parquet(s"$out/$firstDir")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val firstRows = docRows.filter(t => firstIds(t._1)).toSeq
+    graft.operators.TextOps.lmScoreDocs(
+      firstRows.toDF("doc_id", "lang", "text"), s.read.parquet(model))
+      .write.mode("overwrite").parquet(s"$out/$firstDir")
+    val again = s.read.parquet(out).collect().length
+    assert(again === got.length, "a replayed micro-batch must not duplicate rows")
+  }
+
   test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
     val s = spark
     import s.implicits._

@@ -427,6 +427,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) === ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("lm model serve: persisted model scores identically to the self-contained query") {
+    val model = java.nio.file.Files.createTempDirectory("graft-lm").toString + "/model"
+    TextOps.buildLmModel(spark, sf0001, model)
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    val got = TextOps.lmScoreWith(spark, sf0001, model).collect().map(shape).sortBy(_._1).toSeq
+    val ref = TextOps.qLmPerplexity(spark, sf0001).collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref,
+      "one-join serve against the frozen pair-bits table must equal the inline train+score")
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

@@ -181,6 +181,23 @@ class InvariantSpec extends SparkSpec {
       "some held-out doc should exercise the backoff path")
   }
 
+  test("q_ppl_source_mix partitions the scored corpus; shares telescope per source") {
+    val mix = TextOps.qPplSourceMix(spark, sf0001).collect()
+    val scored = TextOps.qLmPerplexity(spark, sf0001)
+    assert(mix.map(_.getLong(2)).sum === scored.count(),
+      "mix cells must partition the scored docs")
+    assert(mix.map(_.getLong(3)).sum ===
+      scored.agg(sum("n_bigrams")).collect().head.getLong(0),
+      "bigram mass must reconcile with the per-doc scores")
+    mix.groupBy(_.getString(0)).foreach { case (src, cells) =>
+      val shares = cells.map(_.getLong(5)).sum
+      // integral DIV floors each cell: the telescoped total can only
+      // fall short of 10^6 by at most (cells - 1)
+      assert(shares <= 1000000L && shares > 1000000L - cells.length,
+        s"source $src: band shares must telescope to ~1 (got $shares ppm)")
+    }
+  }
+
   test("q_cluster_keywords matches a driver-side recount over q_centroid_assign") {
     val assign = Ann.qCentroidAssign(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap

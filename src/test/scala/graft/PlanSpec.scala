@@ -58,19 +58,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_lm_perplexity: LM counts condense map-side; model joins never go cartesian") {
+    // the serve plan (model arrives session-cached as ExistingRDD):
+    // equi-join only, per-doc rollup partial-aggregates after the join
     val p = plan("q_lm_perplexity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"the score pass must stay an equi-join on the model keys:\n$p")
-    // the c12 model shuffle must carry partial counts, not raw bigrams:
-    // the operator directly under the (lang, w1, w2) exchange is the
-    // map-side partial aggregate
     val lines = p.linesIterator.toVector
-    val exchangeIdx = lines.indexWhere(l =>
+    val docExchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(doc_id"))
+    assert(docExchangeIdx >= 0, s"no per-doc rollup shuffle found:\n$p")
+    val rollupBelow = lines.drop(docExchangeIdx + 1).find(_.contains("HashAggregate"))
+    assert(rollupBelow.exists(_.contains("partial_count")),
+      s"the per-doc rollup must partial-aggregate after the score join:\n$p")
+    // the training stage (cached, so invisible above): the c12 model
+    // shuffle must carry partial counts, not raw bigrams
+    val tp = operators.TextOps.lmTrainModel(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val tl = tp.linesIterator.toVector
+    val exchangeIdx = tl.indexWhere(l =>
       l.contains("Exchange hashpartitioning(lang") && l.contains("w2"))
-    assert(exchangeIdx >= 0, s"no (lang, w1, w2) model shuffle found:\n$p")
-    val below = lines.drop(exchangeIdx + 1).find(_.contains("HashAggregate"))
+    assert(exchangeIdx >= 0, s"no (lang, w1, w2) model shuffle found:\n$tp")
+    val below = tl.drop(exchangeIdx + 1).find(_.contains("HashAggregate"))
     assert(below.exists(_.contains("partial_count")),
-      s"hot bigrams must be condensed map-side before the model shuffle:\n$p")
+      s"hot bigrams must be condensed map-side before the model shuffle:\n$tp")
   }
 
   test("q_cluster_keywords: doc join precedes the token explode; counts condense map-side") {

@@ -139,6 +139,7 @@ object SparkEntry {
     "q_lm_perplexity"   -> Seq("doc_id"),
     "q_cluster_keywords" -> Seq("cluster", "rk"),
     "q_ppl_source_mix"  -> Seq("source", "ppl_band"),
+    "q_dup_flow"        -> Seq("from_source", "to_source"),
     "q_cohort_ltv"      -> Seq("cohort_week", "week_offset"),
     "q_embed_stats"     -> Seq("dim"),
     "q_norm_hist"       -> Seq("norm2_bin"),

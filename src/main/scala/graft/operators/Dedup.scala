@@ -646,6 +646,55 @@ object Dedup {
       .withColumn("dup_ppm", expr("(n_dup_rows * 1000000) DIV n_docs"))
   }
 
+  /** Source→source duplication-flow matrix — the "who copies from
+    * whom" report [[qDupSource]]'s per-source totals can't answer: for
+    * every (family survivor's source → family member's source) pair,
+    * the member count and the number of distinct families involved.
+    * Families are the [[prefixMd5]] boilerplate key (shared headers —
+    * the syndication signal; the full-content key degenerates to
+    * near-empty matrices until the corpus actually mirrors whole
+    * docs). Diagonal cells are WITHIN-source boilerplate; off-diagonal
+    * cells are syndication direction — the evidence behind dropping a
+    * mirror feed instead of paying dedup for it forever. Survivor rule
+    * is min (doc_id, source), so the matrix reconciles exactly with
+    * [[qPrefixDedup]]'s is_prefix_dup census (InvariantSpec pins it).
+    *
+    * Shape at scale: the SAME single prefix-hash window shuffle as
+    * qPrefixDedup (family-bounded partitions), then a
+    * partial-aggregated rollup into the |sources|²-bounded matrix.
+    */
+  def qDupFlow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("prefix_md5")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), prefixMd5(col("text")).as("prefix_md5"))
+      .withColumn("sv", min(struct(col("doc_id"), col("source"))).over(w))
+      .filter(col("doc_id") =!= col("sv.doc_id"))
+      .groupBy(col("sv.source").as("from_source"), col("source").as("to_source"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("prefix_md5")).as("n_families"))
+  }
+
+  val qDupFlowSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(
+       |      (list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+       |        w -> len(w) > 0))[1:$PrefixWords],
+       |      ' ')) AS prefix_md5
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, source, prefix_md5,
+       |    MIN(doc_id) OVER (PARTITION BY prefix_md5) AS survivor_id,
+       |    FIRST_VALUE(source) OVER (PARTITION BY prefix_md5 ORDER BY doc_id)
+       |      AS survivor_source
+       |  FROM p)
+       |SELECT survivor_source AS from_source, source AS to_source,
+       |  COUNT(*) AS n_dups, COUNT(DISTINCT prefix_md5) AS n_families
+       |FROM w WHERE doc_id <> survivor_id
+       |GROUP BY survivor_source, source
+       |ORDER BY from_source, to_source""".stripMargin
+
   val qDupSourceSql: String =
     """WITH v AS (
       |  SELECT doc_id, source,
@@ -1230,6 +1279,7 @@ object Dedup {
     "q_prefix_dedup"    -> qPrefixDedup _,
     "q_suffix_dedup"    -> qSuffixDedup _,
     "q_dup_source"      -> qDupSource _,
+    "q_dup_flow"        -> qDupFlow _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_ngram_jaccard"   -> qNgramJaccard _,
@@ -1246,6 +1296,7 @@ object Dedup {
     "q_prefix_dedup" -> qPrefixDedupSql,
     "q_suffix_dedup" -> qSuffixDedupSql,
     "q_dup_source" -> qDupSourceSql,
+    "q_dup_flow" -> qDupFlowSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

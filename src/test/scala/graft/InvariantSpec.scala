@@ -24,6 +24,28 @@ class InvariantSpec extends SparkSpec {
     assert(summary.getLong(3) === maxFamily, "largest_family")
   }
 
+  test("q_dup_flow marginals reconcile with q_prefix_dedup's family census") {
+    val flow = Dedup.qDupFlow(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(flow.nonEmpty, "sf0.001 has planted prefix families — the matrix must not be empty")
+    val pd = Dedup.qPrefixDedup(spark, sf0001)
+      .join(graft.sources.Ingest.table(spark, sf0001, "documents")
+        .select("doc_id", "source"), "doc_id")
+    val dupBySource = pd.filter(col("is_prefix_dup"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // column marginal: flows INTO a source = its prefix-dup doc count
+    flow.groupBy(_._2).foreach { case (src, cells) =>
+      assert(cells.map(_._3).sum === dupBySource(src),
+        s"$src: inbound flow must equal its prefix-dup row count")
+    }
+    assert(flow.map(_._3).sum === dupBySource.values.sum,
+      "total flow must equal the total prefix-dup rows")
+    flow.foreach { case (f, t, n, fam) =>
+      assert(fam >= 1L && fam <= n, s"($f->$t): family count out of range")
+    }
+  }
+
   test("q_dup_source totals reconcile with q_dup_summary") {
     val perSource = Dedup.qDupSource(spark, sf0001)
       .agg(sum("n_docs"), sum("n_dup_rows"), sum("n_cross_source_dups"))

@@ -140,6 +140,8 @@ object SparkEntry {
     "q_cluster_keywords" -> Seq("cluster", "rk"),
     "q_ppl_source_mix"  -> Seq("source", "ppl_band"),
     "q_dup_flow"        -> Seq("from_source", "to_source"),
+    "q_novelty_curve"   -> Seq("bucket"),
+    "q_vocab_growth"    -> Seq("bucket"),
     "q_cohort_ltv"      -> Seq("cohort_week", "week_offset"),
     "q_embed_stats"     -> Seq("dim"),
     "q_norm_hist"       -> Seq("norm2_bin"),

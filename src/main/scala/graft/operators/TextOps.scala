@@ -2459,7 +2459,124 @@ object TextOps {
        |ORDER BY b.source, b.ppl_band""".stripMargin
   }
 
+  // Fixed bucket count for the growth/novelty curves: output is always
+  // ~GrowthBuckets rows REGARDLESS of corpus size (bucket width derives
+  // from max doc_id via a 1-row broadcast, the gap-fill bounds device).
+  private val GrowthBuckets = 20L
+
+  /** Corpus novelty curve — "is new data still new": per ingestion
+    * bucket (doc_id order as the ingestion proxy, [[GrowthBuckets]]
+    * equal-width buckets), the share of [[spanW]]-token window hashes
+    * whose FIRST corpus occurrence is in that bucket. A flattening
+    * curve is the data-exhaustion signal (each marginal crawl slice
+    * adds fewer unseen passages); a cliff marks the bucket where a
+    * mirrored dump entered the feed. The window vocabulary is the
+    * same one [[qSpanDedup]] keys on, so the curve explains WHERE the
+    * span-dedup mass comes from.
+    *
+    * Shape at scale: the one stride-1 window-hash pass (the honest
+    * RefinedWeb cost, shared shape with span dedup), a min-doc_id
+    * partial aggregate into the window-vocabulary-bounded first-seen
+    * table, one equi-join back, and a rollup into ≤[[GrowthBuckets]]
+    * rows. No windows over corpus rows anywhere.
+    */
+  def qNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val wins = spanWins(s, dir).filter(col("h").isNotNull)
+      .select(col("doc_id"), col("h")).materialized
+    val bounds = wins.agg(max("doc_id").as("max_id"))
+      .select(expr(s"(max_id DIV $GrowthBuckets) + 1").as("bw"))
+    val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    wins.join(first, "h")
+      .crossJoin(broadcast(bounds))
+      .select(expr("doc_id DIV bw").as("bucket"),
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L).as("novel"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_windows"))
+  }
+
+  val qNoveltyCurveSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(ws, i + 1, i + $spanW), ' ')) AS h
+       |  FROM d, unnest(generate_series(0, len(ws) - $spanW)) AS t(i)
+       |  WHERE len(ws) >= $spanW),
+       |b AS (SELECT (MAX(doc_id) // $GrowthBuckets) + 1 AS bw FROM w),
+       |f AS (SELECT h, MIN(doc_id) AS first_doc FROM w GROUP BY h),
+       |j AS (
+       |  SELECT w.doc_id // b.bw AS bucket,
+       |    CASE WHEN w.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+       |  FROM w JOIN f ON w.h = f.h CROSS JOIN b)
+       |SELECT bucket, COUNT(*) AS n_windows,
+       |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+       |  (CAST(SUM(novel) AS BIGINT) * 1000000) // COUNT(*) AS novelty_ppm
+       |FROM j GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** Heaps-law vocabulary growth curve: per ingestion bucket (the
+    * [[qNoveltyCurve]] bucket device), token mass, NEW word types
+    * (first corpus occurrence), and the cumulative type/token curve
+    * with fixed-point types-per-million-tokens. The sublinear bend of
+    * cum_types vs cum_tokens is Heaps' law; where it flattens, added
+    * data repeats the existing vocabulary — the diversity-budget twin
+    * of [[qVocabCoverage]]'s static Zipf summary.
+    *
+    * Shape at scale: one token explode partial-aggregated twice
+    * (per-bucket mass; vocab-bounded first-seen table), and the
+    * cumulative window runs on the ≤[[GrowthBuckets]]-row bucket
+    * table — bounded, so its single-partition window is free.
+    */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).materialized
+    val bounds = tok.agg(max("doc_id").as("max_id"))
+      .select(expr(s"(max_id DIV $GrowthBuckets) + 1").as("bw"))
+    val perBucket = tok.crossJoin(broadcast(bounds))
+      .groupBy(expr("doc_id DIV bw").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(expr("first_doc DIV bw").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("cum_types", sum(col("new_types")).over(cum))
+      .withColumn("types_per_mtok", expr("(cum_types * 1000000) DIV cum_tokens"))
+  }
+
+  val qVocabGrowthSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |b AS (SELECT (MAX(doc_id) // $GrowthBuckets) + 1 AS bw FROM t),
+       |pb AS (
+       |  SELECT t.doc_id // b.bw AS bucket, COUNT(*) AS n_tokens
+       |  FROM t CROSS JOIN b GROUP BY 1),
+       |ft AS (SELECT w, MIN(doc_id) AS first_doc FROM t GROUP BY w),
+       |nt AS (
+       |  SELECT ft.first_doc // b.bw AS bucket, COUNT(*) AS new_types
+       |  FROM ft CROSS JOIN b GROUP BY 1),
+       |j AS (
+       |  SELECT pb.bucket, pb.n_tokens,
+       |    CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+       |  FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket)
+       |SELECT bucket, n_tokens, new_types,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+       |  (CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) * 1000000)
+       |    // CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS types_per_mtok
+       |FROM j ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty_curve"     -> qNoveltyCurve _,
+    "q_vocab_growth"      -> qVocabGrowth _,
     "q_ppl_source_mix"    -> qPplSourceMix _,
     "q_lm_perplexity"     -> qLmPerplexity _,
     "q_colloc_lift"       -> qCollocLift _,
@@ -2504,6 +2621,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_novelty_curve"     -> qNoveltyCurveSql,
+    "q_vocab_growth"      -> qVocabGrowthSql,
     "q_ppl_source_mix"    -> qPplSourceMixSql,
     "q_lm_perplexity"     -> qLmPerplexitySql,
     "q_sample_uniform"    -> qSampleUniformSql,

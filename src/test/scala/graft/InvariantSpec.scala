@@ -179,6 +179,40 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_vocab_growth: cumulative curve telescopes to the exact corpus census") {
+    val rows = TextOps.qVocabGrowth(spark, sf0001).orderBy("bucket").collect()
+    val tok = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    assert(rows.map(_.getLong(2)).sum === tok.select("w").distinct().count(),
+      "new-type counts must sum to the exact vocabulary size")
+    assert(rows.map(_.getLong(1)).sum === tok.count(),
+      "bucket token masses must sum to the corpus token count")
+    val cumT = rows.map(_.getLong(1)).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getLong(3)).toSeq === cumT.toSeq, "cum_tokens must telescope")
+    val cumY = rows.map(_.getLong(2)).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getLong(4)).toSeq === cumY.toSeq, "cum_types must telescope")
+  }
+
+  test("q_novelty_curve: novel mass equals the distinct window vocabulary") {
+    val rows = TextOps.qNoveltyCurve(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every distinct window hash is novel exactly once... per instance
+    // in its FIRST doc (ties within the min doc each count novel), so
+    // novel >= distinct-hash count and <= total instances
+    val total = rows.map(_.getLong(1)).sum
+    val novel = rows.map(_.getLong(2)).sum
+    assert(novel >= 1L && novel <= total)
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1),
+        s"bucket ${r.getLong(0)}: novelty_ppm drift")
+    }
+    // the first populated bucket starts maximally novel: its windows
+    // can only have been seen within the bucket itself
+    val firstBucket = rows.minBy(_.getLong(0))
+    assert(firstBucket.getLong(2) > 0L, "the first bucket must introduce windows")
+  }
+
   test("q_lm_perplexity: train docs never back off; bits and bands reconcile") {
     val rows = TextOps.qLmPerplexity(spark, sf0001).collect()
     val nScorable = graft.sources.Ingest.table(spark, sf0001, "documents")

@@ -2426,6 +2426,9 @@ object TextOps {
   def qPplSourceMix(s: SparkSession, dir: String): DataFrame = {
     val scored = qLmPerplexity(s, dir).select(col("doc_id"),
       col("n_bigrams"), col("oov_bigrams"), col("ppl_band"))
+    // materialized: consumed twice (directly + via the source totals);
+    // un-checkpointed, each consumer re-derives the whole score chain
+    // — the r13 scan audit caught documents scanned 4× here
     val bySrc = docs(s, dir).select(col("doc_id"), col("source"))
       .join(scored, "doc_id")
       .groupBy(col("source"), col("ppl_band"))
@@ -2433,6 +2436,7 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bigrams"),
         sum(col("oov_bigrams")).as("oov_bigrams"))
+      .materialized
     val tot = bySrc.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("src_docs"))
     bySrc.join(tot, "source")

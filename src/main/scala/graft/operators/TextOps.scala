@@ -1117,10 +1117,14 @@ object TextOps {
   /** (doc_id, n_toks, pos, h): every stride-1 [[spanW]]-word window
     * hash, position-tagged; sub-threshold docs keep one (null, null)
     * row so per-doc rollups see the whole corpus. Shared by
-    * [[qSpanDedup]] and [[qSpanExcise]].
+    * [[qSpanDedup]] and [[qSpanExcise]]; the docs-DataFrame form
+    * ([[windowHashes]]) also feeds the streaming novelty path.
     */
   private def spanWins(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    windowHashes(docs(s, dir))
+
+  private[graft] def windowHashes(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"),
         posexplode_outer(expr(
@@ -2517,6 +2521,47 @@ object TextOps {
        |  (CAST(SUM(novel) AS BIGINT) * 1000000) // COUNT(*) AS novelty_ppm
        |FROM j GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  /** Persist the window-hash first-seen index — the frozen-state half
+    * of continuous novelty monitoring (`Streams.noveltyMaintenance`
+    * scores arrivals against it and appends their new hashes).
+    */
+  private[graft] def buildNoveltyIndex(s: SparkSession, dir: String, path: String): Unit =
+    windowHashes(docs(s, dir)).filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      .write.mode("overwrite").parquet(s"$path/resident.parquet")
+
+  /** Score one batch of (doc_id, text) docs for window novelty against
+    * a seen-hash table, and emit the batch's OWN new hashes for index
+    * maintenance. A window instance is novel iff its hash is absent
+    * from `seen` AND its doc is the batch-local first carrier (the
+    * within-batch analog of the corpus first-doc rule, so streamed
+    * batches in ingestion order reproduce [[qNoveltyCurve]]'s verdicts
+    * exactly — StreamsSpec pins it).
+    *
+    * Shape: the batch-sized window pass, one vocab-bounded batch-first
+    * aggregate, one left join against the seen table (stream-static,
+    * no state store), per-doc rollup. The flagged relation is
+    * materialized once for its two consumers (per-doc scores + new
+    * hashes).
+    */
+  private[graft] def noveltyBatch(batch: DataFrame, seen: DataFrame): (DataFrame, DataFrame) = {
+    val wins = windowHashes(batch).filter(col("h").isNotNull)
+    val flagged = wins
+      .join(wins.groupBy(col("h")).agg(min(col("doc_id")).as("bfirst")), "h")
+      .join(seen.select("h").distinct().withColumn("known", lit(1L)), Seq("h"), "left")
+      .materialized
+    val perDoc = flagged
+      .select(col("doc_id"),
+        when(col("known").isNull && col("doc_id") === col("bfirst"), 1L)
+          .otherwise(0L).as("novel"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_windows"))
+    val newHashes = flagged.filter(col("known").isNull)
+      .select(col("h"), col("bfirst").as("first_doc")).distinct()
+    (perDoc, newHashes)
+  }
 
   /** Heaps-law vocabulary growth curve: per ingestion bucket (the
     * [[qNoveltyCurve]] bucket device), token mass, NEW word types

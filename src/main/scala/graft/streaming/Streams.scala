@@ -288,6 +288,74 @@ object Streams {
     * Re-training ships a new model path; the scoring job restarts on
     * it (mid-stream model swaps are a versioning event).
     */
+  /** Continuous novelty monitoring — the streaming twin of
+    * `TextOps.qNoveltyCurve`: arriving documents are scored for the
+    * share of window hashes never seen before (resident index + all
+    * PRIOR micro-batches), and their own new hashes extend the index.
+    * This is the live data-exhaustion dial: when arriving batches'
+    * novelty_ppm decays toward zero, the feed has stopped paying for
+    * itself.
+    *
+    * State lives in parquet, not a state store: the seen set for
+    * batch N is `indexPath/resident.parquet` plus
+    * `indexPath/stream/batch=M` for M < N — batch N's OWN directory
+    * is deliberately EXCLUDED, so a crash-replayed batch scores
+    * against exactly the same seen set and rewrites identical output
+    * (the `ivfUpsertBatch`/`lmScore` deterministic-directory replay
+    * contract, spec-pinned). Scores land under `outPath/batch=N`,
+    * new hashes under the index; both OVERWRITE.
+    *
+    * Streamed in ingestion order, per-doc verdicts are IDENTICAL to
+    * the batch rule (a hash's corpus-first carrier precedes every
+    * other carrier, so batch-local-first = corpus-first) — StreamsSpec
+    * pins one-batch and two-batch parity.
+    */
+  def noveltyMaintenance(
+      arrivals: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String): Unit = {
+    val q = arrivals
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val streamRoot = new org.apache.hadoop.fs.Path(s"$indexPath/stream")
+        val fs = streamRoot.getFileSystem(conf)
+        val prior =
+          if (fs.exists(streamRoot))
+            fs.listStatus(streamRoot).map(_.getPath)
+              .filter { p =>
+                val n = p.getName
+                n.startsWith("batch=") && n.stripPrefix("batch=").toLong < batchId
+              }.map(_.toString).toSeq
+          else Seq.empty[String]
+        val residentPath = new org.apache.hadoop.fs.Path(s"$indexPath/resident.parquet")
+        val seenPaths =
+          (if (residentPath.getFileSystem(conf).exists(residentPath))
+             Seq(residentPath.toString)
+           else Seq.empty[String]) ++ prior
+        val seen =
+          if (seenPaths.nonEmpty) s.read.parquet(seenPaths: _*)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.types.StructField("first_doc",
+                org.apache.spark.sql.types.LongType))))
+        val (perDoc, newHashes) =
+          graft.operators.TextOps.noveltyBatch(batch.toDF(), seen)
+        perDoc.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        newHashes.write.mode("overwrite").parquet(s"$indexPath/stream/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def lmScore(
       arrivals: DataFrame,
       modelPath: String,

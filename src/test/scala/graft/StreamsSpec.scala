@@ -703,6 +703,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("noveltyMaintenance: ordered batches reproduce the corpus novelty rule; replays converge") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-nov-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-nov-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nov-ckpt").toString
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (h1, h2) = docRows.splitAt(docRows.length / 2)
+    // two AvailableNow runs off one checkpoint → deterministic batch
+    // ids 0 and 1 (also the restart story: run 2 resumes and sees
+    // only the new arrivals)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(h1.toSeq)
+    Streams.noveltyMaintenance(ms.toDF().toDF("doc_id", "text"), idx, out, ckpt)
+    ms.addData(h2.toSeq)
+    Streams.noveltyMaintenance(ms.toDF().toDF("doc_id", "text"), idx, out, ckpt)
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = s.read.parquet(out).collect().map(shape).sortBy(_._1).toSeq
+    // reference: the whole corpus as ONE batch against an empty seen
+    // set — the batch-local first rule then IS the corpus first rule
+    val emptySeen = s.range(0).selectExpr("CAST(NULL AS BINARY) AS h")
+    val (refDf, _) = graft.operators.TextOps.noveltyBatch(
+      docRows.toSeq.toDF("doc_id", "text"), emptySeen)
+    val ref = refDf.collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref,
+      "ordered streaming must reproduce the corpus-wide first-seen verdicts")
+    // and those verdicts must roll up to the batch curve exactly
+    val curve = graft.operators.TextOps.qNoveltyCurve(s, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bw = got.map(_._1).max / 20L + 1L
+    val rolled = got.groupBy(_._1 / bw)
+      .map { case (b, rs) => b -> (rs.map(_._2).sum, rs.map(_._3).sum) }
+    assert(rolled === curve, "streamed per-doc scores must roll up to q_novelty_curve")
+    // replay convergence: batch 0 rescored against the same seen set
+    // (its own index dir excluded) rewrites identical rows
+    val before = s.read.parquet(s"$out/batch=0").collect().map(shape).sortBy(_._1).toSeq
+    val (replay, _) = graft.operators.TextOps.noveltyBatch(
+      h1.toSeq.toDF("doc_id", "text"), emptySeen)
+    replay.write.mode("overwrite").parquet(s"$out/batch=0")
+    val after = s.read.parquet(s"$out/batch=0").collect().map(shape).sortBy(_._1).toSeq
+    assert(after === before, "a replayed micro-batch must rewrite identical scores")
+  }
+
   test("lmScore: streamed docs score identically to the batch serve; replays converge") {
     val s = spark
     import s.implicits._

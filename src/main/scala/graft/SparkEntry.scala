@@ -137,6 +137,7 @@ object SparkEntry {
     "q_bigram_topk"     -> Seq("lang", "rk"),
     "q_colloc_lift"     -> Seq("lang", "rk"),
     "q_lm_perplexity"   -> Seq("doc_id"),
+    "q_dsir_weights"    -> Seq("doc_id"),
     "q_cluster_keywords" -> Seq("cluster", "rk"),
     "q_ppl_source_mix"  -> Seq("source", "ppl_band"),
     "q_dup_flow"        -> Seq("from_source", "to_source"),

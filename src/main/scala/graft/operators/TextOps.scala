@@ -2623,7 +2623,216 @@ object TextOps {
        |    // CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS types_per_mtok
        |FROM j ORDER BY bucket""".stripMargin
 
+  // DSIR feature space: hashed word n-grams (unigrams + bigrams)
+  // bucketed by the first 3 hex chars of md5 → 4096 buckets (the
+  // paper's 10k-bucket hashed n-gram space at this corpus scale).
+  // The bucket KEY stays a hex string — identical in both engines
+  // (the qTrainTestSplit md5-prefix device), no int conversion.
+  private val DsirSmoothBits = 4L // unseen-in-slice charge: bitlen(T)+4
+  // Per-feature shift that keeps the fixed-point average non-negative
+  // in BOTH engines (Spark DIV truncates toward zero, DuckDB // floors
+  // — they only agree on non-negatives): ratio ≥ −(bitlen(Tt)+4) and
+  // bitlen of a BIGINT total is ≤ 63, so +128 covers any corpus size.
+  private val DsirShiftBits = 128L
+  // Band width 0.05 bits/feature: the integer-bits device quantizes
+  // per-feature ratios to whole bits, so after per-doc averaging the
+  // corpus-level spread lives in fractions of a bit — bands must
+  // resolve that, not the ±128-bit theoretical range.
+  private val DsirBandPpm = 50000L
+
+  /** (doc_id, [carry...], f) — one row per hashed n-gram feature
+    * OCCURRENCE (unigrams + adjacent-word bigrams), built map-only:
+    * both n-gram arrays assemble inside one `concat` so the corpus
+    * pays a single Generate, no join between the gram orders.
+    */
+  private def dsirFeats(docsDf: DataFrame, carry: Seq[String]): DataFrame =
+    docsDf
+      .select((col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("ws")): _*)
+      .select((col("doc_id") +: carry.map(col) :+ explode(expr(
+        "concat(" +
+          "transform(filter(ws, w -> length(w) > 0), " +
+          "  w -> substring(md5(cast(w AS binary)), 1, 3)), " +
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "  (a, b) -> substring(md5(cast(concat(a, ' ', b) AS binary)), 1, 3)))"
+      )).as("f")): _*)
+
+  /** Train the DSIR importance model: over the md5-split TRAIN docs,
+    * count each feature bucket's occurrences in the RAW slice (all
+    * train docs) and the TARGET slice (train docs matching the
+    * `target` predicate — the "curated corpus" stand-in; the query
+    * row uses `lang = 'en'`, the paper's English-quality-corpus
+    * setting and the only axis with distributional signal in the
+    * synthetic corpus — the [[qualityKeep]] rule passes every doc
+    * here, which would degenerate the model to all-zero ratios), and
+    * fold both into one per-bucket log-importance table
+    * `ratio_bits ≈ log2(p_target(f) / p_raw(f))` in the integer-bits
+    * device (`bitlen(T) − bitlen(c)` = −floor-log2 p within ±1 bit —
+    * the [[qLmPerplexity]] arithmetic, no transcendentals). Features
+    * unseen in the target slice charge `bitlen(Tt) +`
+    * [[DsirSmoothBits]] (a 1/16-of-a-singleton smoothing mass that
+    * scales with the corpus, so the penalty stays harsher than any
+    * seen feature at EVERY corpus size — a fixed backoff would invert
+    * at 100 TB where bitlen(T) > 20).
+    *
+    * Returns (model, default): `model` is the ≤4096-row bucket table
+    * (f, ratio_bits); `default` is the 1-row unseen-feature ratio
+    * (both-slice smoothing, = bitlen(Tr) − bitlen(Tt)). Both are
+    * executor-side tables — nothing corpus-sized, no driver collect.
+    */
+  private[graft] def dsirTrainModel(s: SparkSession, dir: String,
+      target: Column = col("lang") === "en"): (DataFrame, DataFrame) = {
+    val tr = docs(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        < splitHexLt)
+      .withColumn("tgt", target)
+    val m = dsirFeats(tr, Seq("tgt"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      .materialized
+    val tot = m.agg(
+      sum(col("cr")).as("tr_tot"),
+      sum(col("ct")).as("tt_tot"))
+    val model = m.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (expr("CAST(length(bin(tr_tot)) - length(bin(cr)) AS BIGINT)") -
+          when(col("ct") === 0L,
+            expr(s"CAST(length(bin(tt_tot)) + $DsirSmoothBits AS BIGINT)"))
+            .otherwise(expr("CAST(length(bin(tt_tot)) - length(bin(ct)) AS BIGINT)")))
+          .as("ratio_bits"))
+    val dflt = tot.select(
+      expr("CAST(length(bin(tr_tot)) - length(bin(tt_tot)) AS BIGINT)")
+        .as("default_bits"))
+    (model, dflt)
+  }
+
+  /** Session cache for the trained DSIR model (keyed (session, dir) —
+    * the [[lmSessionModel]] staleness contract: data dirs are
+    * immutable snapshots within a session). The MODEL is cached, never
+    * the scored result — every invocation of the query row pays the
+    * honest corpus score pass.
+    */
+  private val dsirModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def dsirSessionModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dsirModelCache.getOrElseUpdate((s, dir), {
+      val (m, d) = dsirTrainModel(s, dir)
+      (m.materialized, d.materialized)
+    })
+
+  /** Persist the trained DSIR model (bucket table + 1-row default as
+    * one parquet: the default rides as the `f IS NULL` row) — the
+    * [[buildLmModel]] frozen-model contract for the importance
+    * sampler; [[dsirScoreWith]] / `Streams.dsirScore` serve from it.
+    */
+  private[graft] def buildDsirModel(s: SparkSession, dir: String, path: String): Unit = {
+    val (m, d) = dsirTrainModel(s, dir)
+    m.unionByName(d.select(lit(null).cast("string").as("f"),
+        col("default_bits").as("ratio_bits")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score arbitrary documents against a trained DSIR model: one
+    * Generate + one broadcast left join (the model is ≤4096 + 1 rows)
+    * + a per-doc partial-aggregated rollup — map-side-combine-only at
+    * any corpus size. `sum_bits` is the doc's summed log importance
+    * ratio (positive = target-like); `slr_ppm` the
+    * [[DsirShiftBits]]-shifted fixed-point per-feature average;
+    * `dsir_band` the [[DsirBandPpm]] band the selection policy keys
+    * on (DSIR resamples ∝ exp(score); ranking, not the absolute sign,
+    * carries the signal — floor-log2 rounding shifts all scores by a
+    * model-wide constant).
+    */
+  private[graft] def dsirScoreDocs(docsDf: DataFrame, model: DataFrame,
+      dflt: DataFrame): DataFrame =
+    dsirFeats(docsDf, Nil)
+      .join(broadcast(model), Seq("f"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col("doc_id"),
+        coalesce(col("ratio_bits"), col("default_bits")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r")).as("sum_bits"))
+      .withColumn("slr_ppm",
+        expr(s"((sum_bits + $DsirShiftBits * n_feats) * 1000000) DIV n_feats"))
+      .withColumn("dsir_band", expr(s"slr_ppm DIV $DsirBandPpm"))
+
+  /** Batch serve against a persisted [[buildDsirModel]] table. */
+  private[graft] def dsirScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame = {
+    val m = s.read.parquet(modelPath)
+    dsirScoreDocs(docs(s, dir),
+      m.filter(col("f").isNotNull),
+      m.filter(col("f").isNull).select(col("ratio_bits").as("default_bits")))
+  }
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, arXiv:2302.03169): score every document by how much
+    * more likely its hashed-n-gram profile is under the TARGET
+    * distribution (the English slice of the train split — the paper's
+    * curated-corpus setting) than under the RAW distribution — the
+    * published scale path for "find web data that looks like the good
+    * corpus" without training a classifier. The importance weight is
+    * the per-doc sum of per-feature log ratios; this row reports it
+    * in integer bits with a fixed-point per-feature average and a
+    * band label.
+    *
+    * Shape at scale: training is ONE corpus Generate partial-
+    * aggregated into a 4096-bucket table (session-cached per (session,
+    * dir) — the [[lmSessionModel]] precedent); scoring is ONE corpus
+    * Generate + a broadcast join against that table + a map-side-
+    * combined per-doc rollup. No shuffle ever carries more than the
+    * feature rows, and the model is bucket-bounded regardless of
+    * corpus size — the reason DSIR (unlike classifier selection)
+    * runs at 100 TB.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val (model, dflt) = dsirSessionModel(s, dir)
+    dsirScoreDocs(docs(s, dir), model, dflt)
+  }
+
+  val qDsirWeightsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |af AS (
+       |  SELECT doc_id, substr(md5(w), 1, 3) AS f
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM d) WHERE len(w) > 0
+       |  UNION ALL
+       |  SELECT doc_id, substr(md5(bg), 1, 3) AS f
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |        FROM d WHERE len(ws) >= 2)),
+       |tr AS (
+       |  SELECT doc_id, lang = 'en' AS tgt
+       |  FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt'),
+       |m AS MATERIALIZED (
+       |  SELECT af.f, COUNT(*) AS cr,
+       |    CAST(SUM(CASE WHEN tr.tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM af JOIN tr ON af.doc_id = tr.doc_id
+       |  GROUP BY af.f),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS tr_tot,
+       |    CAST(SUM(ct) AS BIGINT) AS tt_tot FROM m),
+       |scored AS (
+       |  SELECT af.doc_id,
+       |    CASE WHEN m.f IS NULL
+       |         THEN length(bin(tot.tr_tot)) - length(bin(tot.tt_tot))
+       |         ELSE (length(bin(tot.tr_tot)) - length(bin(m.cr)))
+       |            - (CASE WHEN m.ct = 0
+       |                    THEN length(bin(tot.tt_tot)) + $DsirSmoothBits
+       |                    ELSE length(bin(tot.tt_tot)) - length(bin(m.ct)) END)
+       |    END AS r
+       |  FROM af LEFT JOIN m ON af.f = m.f CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(r) AS BIGINT) AS sum_bits,
+       |  ((CAST(SUM(r) AS BIGINT) + $DsirShiftBits * COUNT(*)) * 1000000)
+       |    // COUNT(*) AS slr_ppm,
+       |  (((CAST(SUM(r) AS BIGINT) + $DsirShiftBits * COUNT(*)) * 1000000)
+       |    // COUNT(*)) // $DsirBandPpm AS dsir_band
+       |FROM scored GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights"      -> qDsirWeights _,
     "q_novelty_curve"     -> qNoveltyCurve _,
     "q_vocab_growth"      -> qVocabGrowth _,
     "q_ppl_source_mix"    -> qPplSourceMix _,
@@ -2670,6 +2879,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights"      -> qDsirWeightsSql,
     "q_novelty_curve"     -> qNoveltyCurveSql,
     "q_vocab_growth"      -> qVocabGrowthSql,
     "q_ppl_source_mix"    -> qPplSourceMixSql,

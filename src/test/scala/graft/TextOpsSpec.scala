@@ -439,6 +439,76 @@ class TextOpsSpec extends SparkSpec {
       "one-join serve against the frozen pair-bits table must equal the inline train+score")
   }
 
+  test("q_dsir_weights: exact driver-side recount of the importance arithmetic") {
+    // Full independent reimplementation of the DSIR program in plain
+    // Scala (features, split, keep rule, bits model, rollup) — any
+    // drift in the distributed plan vs the published arithmetic fails.
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(text: String): Seq[String] = {
+      val ws = text.split(" ", -1).toSeq
+      ws.filter(_.nonEmpty).map(w => md5hex(w).take(3)) ++
+        ws.zip(ws.drop(1)).map { case (a, b) => md5hex(a + " " + b).take(3) }
+    }
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docRows = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docRows.filter { case (id, _, _) => md5hex(id.toString).take(2) < "e6" }
+    val cr = scala.collection.mutable.Map.empty[String, Long]
+    val ct = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t, lang) <- train; f <- feats(t)) {
+      cr(f) = cr.getOrElse(f, 0L) + 1L
+      if (lang == "en") ct(f) = ct.getOrElse(f, 0L) + 1L
+    }
+    val (trTot, ttTot) = (cr.values.sum, ct.values.sum)
+    def ratio(f: String): Long = cr.get(f) match {
+      case None => bitlen(trTot) - bitlen(ttTot)
+      case Some(c) => (bitlen(trTot) - bitlen(c)) - (ct.get(f) match {
+        case None | Some(0L) => bitlen(ttTot) + 4L
+        case Some(c2)        => bitlen(ttTot) - bitlen(c2)
+      })
+    }
+    val want = docRows.map { case (id, t, _) =>
+      val fs = feats(t)
+      val sum = fs.map(ratio).sum
+      val slr = (sum + 128L * fs.size) * 1000000L / fs.size
+      id -> ((fs.size.toLong, sum, slr, slr / 50000L))
+    }.toMap
+    val got = TextOps.qDsirWeights(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want, "distributed DSIR must equal the exact recount")
+    assert(want.values.map(_._4).toSet.size > 1,
+      "corpus must spread across importance bands or the row is degenerate")
+    // The discrimination property DSIR exists for: the target-language
+    // slice must rank more target-like than the rest on average.
+    val byLang = docRows.map { case (id, _, lang) => (lang, want(id)._3) }
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    val en = mean(byLang.collect { case ("en", s) => s })
+    val rest = mean(byLang.collect { case (l, s) if l != "en" => s })
+    assert(en > rest, s"en avg $en must exceed non-en avg $rest")
+  }
+
+  test("dsir model serve: persisted model scores identically to the self-contained query") {
+    val model = java.nio.file.Files.createTempDirectory("graft-dsir").toString + "/model"
+    TextOps.buildDsirModel(spark, sf0001, model)
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = TextOps.dsirScoreWith(spark, sf0001, model).collect().map(shape).sortBy(_._1).toSeq
+    val ref = TextOps.qDsirWeights(spark, sf0001).collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref,
+      "broadcast-join serve against the frozen bucket table must equal the inline train+score")
+  }
+
+  test("q_dsir_weights plan: model join broadcasts, no sort-merge join in the score pass") {
+    val plan = TextOps.qDsirWeights(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 4096-bucket model join must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the score pass may shuffle-sort corpus rows for a join")
+  }
+
   test("q_bpe_pairs: top-20 matches an exact driver-side recount") {
     val texts = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select("text").collect().map(_.getString(0))

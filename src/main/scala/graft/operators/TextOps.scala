@@ -2831,7 +2831,270 @@ object TextOps {
        |FROM scored GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Readability battery (Flesch-Kincaid grade, fixed-point milli):
+    * per doc, word count (nonempty whitespace tokens), sentence count
+    * (runs of `[.!?]`, floored at 1 so fragments still score), and a
+    * syllable proxy (runs of `[aeiouy]` in the lowercased text — the
+    * standard dictionary-free estimator). FK grade = 0.39·(W/S) +
+    * 11.8·(Syl/W) − 15.59, carried as integers scaled ×1000 with
+    * positive-only DIVs (the [[DsirShiftBits]] cross-engine rule);
+    * wordless docs get NULL derived columns rather than a fake grade.
+    * Readability is a stock corpus-quality signal (e.g. the
+    * textbook-quality filters behind phi-class data curation).
+    *
+    * Shape at scale: pure map-only expression work, no shuffle at all
+    * (the oracle's ORDER BY is presentation) — scales with executors
+    * like the rest of the [[qQualityScore]] family.
+    */
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("n_words"),
+        expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)").as("n_sents"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)").as("n_syll"))
+      .withColumn("wps_milli", expr("(n_words * 1000) DIV n_sents"))
+      .withColumn("spw_milli",
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE (n_syll * 1000) DIV n_words END"))
+      .withColumn("fk_milli",
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE " +
+          "(390 * n_words) DIV n_sents + (11800 * n_syll) DIV n_words - 15590 END"))
+
+  val qReadabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sents, n_syll,
+      |  (n_words * 1000) // n_sents AS wps_milli,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE (n_syll * 1000) // n_words END AS spw_milli,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE
+      |    (390 * n_words) // n_sents + (11800 * n_syll) // n_words - 15590 END AS fk_milli
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Character-distribution diversity per doc: distinct characters,
+    * modal-character count/share, and the char-level Simpson index
+    * (repeat probability Σn_c²/N², exact integer ppm — no logs, so no
+    * cross-engine float risk). Near-1e6 Simpson or top-share flags
+    * gibberish / separator floods / single-char padding that
+    * word-level filters ([[qRepetition]], [[qQualityScore]]) miss
+    * because such docs often tokenize into few "words". Spaces are
+    * excluded (both engines), and splitting is per UTF-16 unit on the
+    * Spark side vs per code point in DuckDB — identical for BMP text,
+    * which is all the corpus contains (the [[graft.functions]]
+    * DeletionHashes BMP note applies here too).
+    *
+    * Shape at scale: one char explode partial-aggregated on
+    * (doc_id, ch) — combiner-friendly since per-doc char cardinality
+    * is alphabet-bounded — then a doc-key rollup. Two shuffles whose
+    * row count is ≤ docs × alphabet, far below token counts.
+    */
+  def qCharDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ''), c -> c <> ' ' AND c <> '')")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum("nc").as("n_chars_tot"),
+        count(lit(1)).as("n_uniq_chars"),
+        max("nc").as("top_char_cnt"),
+        sum(col("nc") * col("nc")).as("sq"))
+      .select(col("doc_id"), col("n_chars_tot"), col("n_uniq_chars"), col("top_char_cnt"),
+        expr("(sq * 1000000) DIV (n_chars_tot * n_chars_tot)").as("simpson_ppm"),
+        expr("(top_char_cnt * 1000000) DIV n_chars_tot").as("top_share_ppm"))
+      .orderBy("doc_id")
+
+  val qCharDiversitySql: String =
+    """WITH cs AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ''), c -> c <> ' ')) AS ch
+      |  FROM documents),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS nc FROM cs GROUP BY doc_id, ch)
+      |SELECT doc_id,
+      |  CAST(SUM(nc) AS BIGINT) AS n_chars_tot,
+      |  CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
+      |  CAST(MAX(nc) AS BIGINT) AS top_char_cnt,
+      |  CAST((SUM(nc * nc) * 1000000) // (SUM(nc) * SUM(nc)) AS BIGINT) AS simpson_ppm,
+      |  CAST((MAX(nc) * 1000000) // SUM(nc) AS BIGINT) AS top_share_ppm
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Lexical diversity per source: token/type/hapax counts with
+    * fixed-point type-token ratio and hapax share. A source whose TTR
+    * or hapax share collapses relative to its peers is template/
+    * boilerplate-heavy — the per-SOURCE twin of the per-doc
+    * [[qRepetition]] filter, and the input to mix decisions the same
+    * way [[qSourceQuality]] is. Lowercased whitespace tokens, exact
+    * integer ppm.
+    *
+    * Shape at scale: one token explode partial-aggregated on
+    * (source, word) — vocab-bounded per source — then a source-key
+    * rollup of three sums. Same Zipf-safe shape as [[qVocabTopk]].
+    */
+  def qLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000) DIV n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000) DIV n_types").as("hapax_ppm"))
+      .orderBy("source")
+
+  val qLexicalDiversitySql: String =
+    """WITH t AS (
+      |  SELECT source, w
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |v AS (SELECT source, w, COUNT(*) AS n FROM t GROUP BY source, w)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  (CAST(COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS ttr_ppm,
+      |  (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM v GROUP BY source ORDER BY source""".stripMargin
+
+  /** Inter-document overlap per source: the share of each source's
+    * per-doc DISTINCT word trigrams that also occur in at least one
+    * other document anywhere in the corpus (df ≥ 2 over per-doc
+    * distinct grams). This is the corpus-diversity / self-similarity
+    * summary (the self-BLEU idea made set-based and exact): a source
+    * near 1e6 contributes near-verbatim re-combinations of existing
+    * text, distinct from [[qRepetition]] (within-doc) and
+    * [[qContamination]] (train↔test). Sits above the dedup family:
+    * overlap that survives exact/near dedup is re-mixed boilerplate.
+    *
+    * Shape at scale: one Generate of per-doc distinct trigrams, a
+    * gram-keyed df partial aggregate, one gram-keyed equi-join back
+    * (both sides the same bounded gram table — co-partitioned on the
+    * exchange), then a source rollup. Never corpus-quadratic: df is a
+    * count, not a pair enumeration — the same reason [[Dedup]] never
+    * joins docs all-pairs.
+    */
+  def qSelfOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))"))
+        .as("gram"))
+      .materialized // df side and join side both consume it
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("(n_shared * 1000000) DIV n_grams"))
+      .orderBy("source")
+  }
+
+  val qSelfOverlapSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS gram
+      |  FROM d WHERE len(ws) >= 3),
+      |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |SELECT g.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  (CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS shared_ppm
+      |FROM g JOIN df ON g.gram = df.gram
+      |GROUP BY g.source ORDER BY g.source""".stripMargin
+
+  // Zipf fit window: the standard practice of fitting the head of the
+  // rank-frequency curve; 1024 keeps the TakeOrdered model-sized at
+  // any corpus scale while spanning ~10 doublings of rank.
+  private val ZipfTopV = 1024
+
+  /** Zipf's-law fit over the top-[[ZipfTopV]] vocabulary: integer
+    * least squares of floor-log2(freq) on floor-log2(rank). Natural
+    * text lands near slope −1; a corpus whose slope flattens is
+    * template-flooded, one that steepens is vocabulary-starved — the
+    * single-number companion to [[qVocabCoverage]]'s coverage curve
+    * and [[qVocabGrowth]]'s Heaps curve. Reported as the NEGATED
+    * slope ×1000 (so the division stays positive — the cross-engine
+    * DIV rule) plus the matching intercept.
+    *
+    * Shape at scale: the corpus-sized stage is the standard word
+    * partial aggregate; the fit consumes only a top-V TakeOrdered
+    * (distributed heads + driver merge, never a full-vocab window —
+    * the [[qVocabCoverage]] rationale), and the regression sums run
+    * over ≤[[ZipfTopV]] points.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(ZipfTopV)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+      .select(
+        expr("CAST(length(bin(rk)) - 1 AS BIGINT)").as("x"),
+        expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("y"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_neg_milli",
+        expr("CASE WHEN n_points * sxx = sx * sx THEN NULL ELSE " +
+          "((sx * sy - n_points * sxy) * 1000) DIV (n_points * sxx - sx * sx) END"))
+      .withColumn("intercept_milli",
+        expr("CASE WHEN slope_neg_milli IS NULL THEN NULL ELSE " +
+          "(sy * 1000 + slope_neg_milli * sx) DIV n_points END"))
+      .select(col("n_points"), col("slope_neg_milli"), col("intercept_milli"))
+  }
+
+  val qZipfFitSql: String =
+    s"""WITH v AS (
+       |  SELECT w, COUNT(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w ORDER BY n DESC, w LIMIT $ZipfTopV),
+       |p AS (
+       |  SELECT CAST(length(bin(ROW_NUMBER() OVER (ORDER BY n DESC, w))) - 1 AS BIGINT) AS x,
+       |    CAST(length(bin(n)) - 1 AS BIGINT) AS y
+       |  FROM v),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM p),
+       |f AS (
+       |  SELECT n_points, sx, sy,
+       |    CASE WHEN n_points * sxx = sx * sx THEN NULL ELSE
+       |      ((sx * sy - n_points * sxy) * 1000) // (n_points * sxx - sx * sx) END
+       |      AS slope_neg_milli
+       |  FROM a)
+       |SELECT n_points, slope_neg_milli,
+       |  CASE WHEN slope_neg_milli IS NULL THEN NULL ELSE
+       |    (sy * 1000 + slope_neg_milli * sx) // n_points END AS intercept_milli
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability"       -> qReadability _,
+    "q_char_diversity"    -> qCharDiversity _,
+    "q_lexical_diversity" -> qLexicalDiversity _,
+    "q_self_overlap"      -> qSelfOverlap _,
+    "q_zipf_fit"          -> qZipfFit _,
     "q_dsir_weights"      -> qDsirWeights _,
     "q_novelty_curve"     -> qNoveltyCurve _,
     "q_vocab_growth"      -> qVocabGrowth _,
@@ -2879,6 +3142,11 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_readability"       -> qReadabilitySql,
+    "q_char_diversity"    -> qCharDiversitySql,
+    "q_lexical_diversity" -> qLexicalDiversitySql,
+    "q_self_overlap"      -> qSelfOverlapSql,
+    "q_zipf_fit"          -> qZipfFitSql,
     "q_dsir_weights"      -> qDsirWeightsSql,
     "q_novelty_curve"     -> qNoveltyCurveSql,
     "q_vocab_growth"      -> qVocabGrowthSql,

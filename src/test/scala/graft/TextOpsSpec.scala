@@ -520,4 +520,79 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === want, "pair statistic must equal the exact recount, same tie order")
   }
+
+  test("readability: punctuation/wordless/CJK edge docs") {
+    val d = docsDir(Seq(
+      1L -> "!!! ??? ...",     // punct tokens: 3 words, 3 sentence runs, 0 syllables
+      2L -> "x",               // vowel-less single word
+      3L -> "",                // wordless: derived columns NULL
+      4L -> "中文文本"))        // CJK: 1 word, 0 vowel groups
+    val got = TextOps.qReadability(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 3L && got(1L).getLong(2) === 3L && got(1L).getLong(3) === 0L)
+    // fk = 390*3 DIV 3 + 0 - 15590
+    assert(got(1L).getLong(6) === (390L - 15590L))
+    assert(got(2L).getLong(1) === 1L && got(2L).getLong(3) === 0L)
+    assert(got(3L).getLong(1) === 0L && got(3L).getLong(2) === 1L,
+      "wordless doc keeps the sentence floor of 1")
+    assert(got(3L).isNullAt(5) && got(3L).isNullAt(6),
+      "spw/fk are NULL, never a fake grade, when n_words = 0")
+    assert(got(4L).getLong(1) === 1L && got(4L).getLong(3) === 0L)
+  }
+
+  test("char_diversity: exact Simpson arithmetic, spaces excluded") {
+    val d = docsDir(Seq(
+      1L -> "x",        // single char: Simpson and top-share both 1e6
+      2L -> "aaab",     // counts 3,1 -> (9+1)*1e6 DIV 16
+      3L -> "a b a b")) // spaces dropped: 4 chars, two of each
+    val got = TextOps.qCharDiversity(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 1L && got(1L).getLong(4) === 1000000L &&
+      got(1L).getLong(5) === 1000000L)
+    assert(got(2L).getLong(4) === (10L * 1000000L) / 16L)
+    assert(got(2L).getLong(3) === 3L)
+    assert(got(3L).getLong(1) === 4L && got(3L).getLong(2) === 2L,
+      "spaces are not characters for the diversity profile")
+  }
+
+  test("lexical_diversity: hapax/type counts on a hand corpus") {
+    val d = docsDir(Seq(
+      1L -> "the cat the dog",
+      2L -> "THE bird"))       // lowercased: 'the' x3, cat/dog/bird hapax
+    val r = TextOps.qLexicalDiversity(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 6L, "n_tokens")
+    assert(r(0).getLong(2) === 4L, "n_types: the/cat/dog/bird after lowercasing")
+    assert(r(0).getLong(3) === 3L, "hapax: cat dog bird")
+    assert(r(0).getLong(4) === (4L * 1000000L) / 6L)
+  }
+
+  test("self_overlap: per-doc distinct grams, df over the whole corpus") {
+    val d = docsDir(Seq(
+      1L -> "a b c d",      // grams: "a b c", "b c d"
+      2L -> "a b c x",      // shares "a b c"
+      3L -> "t t t t t"))   // 3 gram positions, ONE distinct gram, df=1
+    val r = TextOps.qSelfOverlap(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 5L, "n_grams: 2 + 2 + 1 per-doc distinct")
+    assert(r(0).getLong(2) === 2L, "only the two 'a b c' instances have df >= 2")
+    assert(r(0).getLong(3) === (2L * 1000000L) / 5L)
+  }
+
+  test("zipf_fit: exact integer least squares on a constructed rank curve") {
+    // freqs 8/4/2/1 -> ranks 1..4: x = 0,1,1,2 ; y = 3,2,1,0
+    val d = docsDir(Seq(1L -> "a a a a a a a a b b b b c c d"))
+    val r = TextOps.qZipfFit(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 4L)
+    assert(r(0).getLong(1) === 1500L, "slope: (4*6-4*3)*1000 DIV (4*6-16)")
+    assert(r(0).getLong(2) === 3000L, "intercept: (6*1000 + 1500*4) DIV 4")
+  }
+
+  test("zipf_fit: degenerate single-type corpus yields NULL fit, not a crash") {
+    val d = docsDir(Seq(1L -> "a a a"))
+    val r = TextOps.qZipfFit(spark, d).collect()
+    assert(r.length === 1 && r(0).getLong(0) === 1L)
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2))
+  }
 }

@@ -855,7 +855,10 @@ object Ann {
     * [[qCentroidAssign]] (adds the confusion column) and [[qSemdedup]]
     * (uses the cluster as its pairwise-dedup cell).
     */
-  private def centroidAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, clabel, dist2, r) with r the (dist2, clabel)
+    * centroid rank per vec — r=1 is the assignment,
+    * r=2 the runner-up [[qClusterQuality]]'s margin needs. */
+  private def centroidRanked(s: SparkSession, dir: String): DataFrame = {
     val fp = Ingest.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
@@ -868,9 +871,12 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     d2.withColumn("r", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist2"), col("clabel"))))
+  }
+
+  private def centroidAssignments(s: SparkSession, dir: String): DataFrame =
+    centroidRanked(s, dir)
       .filter(col("r") === 1)
       .select(col("vec_id"), col("label"), col("clabel"), col("dist2"))
-  }
 
   def qCentroidAssign(s: SparkSession, dir: String): DataFrame =
     centroidAssignments(s, dir)
@@ -911,6 +917,75 @@ object Ann {
        |  CAST(CASE WHEN clabel = label THEN 1 ELSE 0 END AS BIGINT) AS correct
        |FROM rk WHERE r = 1
        |ORDER BY vec_id""".stripMargin
+
+  /** Per-cluster quality audit over the fixed-point nearest-centroid
+    * assignment: member count, mean within-cluster squared distance
+    * (cohesion), misassignment count vs the true label, and the mean
+    * assignment MARGIN — per vector, how much farther the runner-up
+    * centroid is, as (d2nd − d1st)·1000 DIV d2nd (per-mille; the
+    * multiplier stays 10³ because dist2 reaches dims·(2·Fp)² ≈ 2⁴⁸
+    * and ×10⁶ would overflow BIGINT — the [[CentroidFp]] headroom
+    * note). Margin ≈ 0 = the vector sits on a cluster boundary; a
+    * cluster whose mean margin collapses is not separable from its
+    * neighbor and its [[qSemdedup]] pruning or mix quota should not
+    * be trusted. The silhouette idea reduced to the two distances the
+    * assignment already computed — exact integers, no new corpus
+    * pass. Vectors with no runner-up (single-centroid corpus) or a
+    * zero runner-up distance carry NULL margin and are excluded from
+    * the margin mean (n_margin says how many counted).
+    *
+    * Shape at scale: reuses [[centroidRanked]] (one corpus explode
+    * rollup + broadcast centroid join); the top-2 filter and per-vec
+    * fold ride the same vec_id exchange as the argmin, and the final
+    * rollup is |clusters|-bounded.
+    */
+  def qClusterQuality(s: SparkSession, dir: String): DataFrame =
+    centroidRanked(s, dir)
+      .filter(col("r") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("r") === 1, col("clabel"))).as("cl"),
+        max(when(col("r") === 1, col("dist2"))).as("d2a"),
+        max(when(col("r") === 2, col("dist2"))).as("d2b"))
+      .withColumn("margin_pml",
+        expr("CASE WHEN d2b IS NULL OR d2b = 0 THEN NULL " +
+          "ELSE ((d2b - d2a) * 1000) DIV d2b END"))
+      .groupBy(col("cl").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("sum(d2a) DIV count(1)").as("mean_within"),
+        sum(when(col("label") =!= col("cl"), 1L).otherwise(0L)).as("n_misassigned"),
+        count(col("margin_pml")).as("n_margin"),
+        sum(col("margin_pml")).as("sum_margin"))
+      .select(col("cluster"), col("n_vecs"), col("mean_within"), col("n_misassigned"),
+        col("n_margin"),
+        expr("CASE WHEN n_margin = 0 THEN NULL ELSE sum_margin DIV n_margin END")
+          .as("mean_margin_pml"))
+      .orderBy(col("cluster"))
+
+  val qClusterQualitySql: String =
+    s"""WITH $centroidAssignCtes,
+       |top2 AS (
+       |  SELECT vec_id, label,
+       |    MAX(CASE WHEN r = 1 THEN clabel END) AS cl,
+       |    MAX(CASE WHEN r = 1 THEN dist2 END) AS d2a,
+       |    MAX(CASE WHEN r = 2 THEN dist2 END) AS d2b
+       |  FROM rk WHERE r <= 2 GROUP BY vec_id, label),
+       |m AS (
+       |  SELECT vec_id, label, cl, d2a,
+       |    CASE WHEN d2b IS NULL OR d2b = 0 THEN NULL
+       |         ELSE ((d2b - d2a) * 1000) // d2b END AS margin_pml
+       |  FROM top2)
+       |SELECT cl AS cluster,
+       |  COUNT(*) AS n_vecs,
+       |  CAST(CAST(SUM(d2a) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_within,
+       |  CAST(SUM(CASE WHEN label <> cl THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+       |  COUNT(margin_pml) AS n_margin,
+       |  CASE WHEN COUNT(margin_pml) = 0 THEN NULL
+       |       ELSE CAST(CAST(SUM(margin_pml) AS BIGINT) // COUNT(margin_pml) AS BIGINT)
+       |  END AS mean_margin_pml
+       |FROM m GROUP BY cl
+       |ORDER BY cl""".stripMargin
 
   private val ClusterKwK = 10
   private val ClusterKwFp = 1000000L
@@ -1370,6 +1445,7 @@ object Ann {
        |ORDER BY label""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_quality" -> qClusterQuality _,
     "q_norm_hist"       -> qNormHist _,
     "q_centroid_shift"  -> qCentroidShift _,
     "q_hybrid_search"   -> qHybridSearch _,
@@ -1398,6 +1474,7 @@ object Ann {
     * nothing new at 2× the oracle runtime).
     */
   val oracle: Map[String, String] = Map(
+    "q_cluster_quality" -> qClusterQualitySql,
     "q_rrf_fusion"      -> qRrfFusionSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,

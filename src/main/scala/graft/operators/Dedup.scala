@@ -1269,7 +1269,64 @@ object Dedup {
        |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
        |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
 
+  /** Symmetric source-inventory overlap matrix: for every source
+    * pair sharing at least one [[prefixMd5]] boilerplate family, the
+    * per-source distinct-family counts, the shared-family count, and
+    * the exact Jaccard similarity of the two family SETS (integer
+    * ppm). The normalized companion to [[qDupFlow]]: flow counts
+    * member rows in survivor direction ("who copies from whom"); this
+    * answers "how much of each source's inventory is the same
+    * inventory" — the number a curation team compares against a
+    * mirror-feed threshold. Zero-overlap pairs are absent (sparse
+    * matrix, the dup_flow convention).
+    *
+    * Shape at scale: one distinct (source, family-hash) projection
+    * (hash-keyed partial-distinct — family-bounded), a hash-keyed
+    * self-equi-join whose fan-out per hash is (#sources carrying
+    * it)² ≤ |sources|² — NEVER doc-quadratic because the join runs on
+    * the deduped inventory table, not documents — and a broadcast of
+    * the |sources|-sized count table onto the ≤|sources|²-row matrix.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("source"), prefixMd5(col("text")).as("h"))
+      .distinct().materialized
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("nh"))
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(cnt.select(col("source").as("src_a"), col("nh").as("n_a"))), "src_a")
+      .join(broadcast(cnt.select(col("source").as("src_b"), col("nh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)").as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |    md5(array_to_string(
+       |      (list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+       |        w -> len(w) > 0))[1:$PrefixWords],
+       |      ' ')) AS h
+       |  FROM documents),
+       |cnt AS (SELECT source, COUNT(*) AS nh FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT p.src_a, p.src_b,
+       |  ca.nh AS n_a, cb.nh AS n_b, p.n_shared,
+       |  (p.n_shared * 1000000) // (ca.nh + cb.nh - p.n_shared) AS jaccard_ppm
+       |FROM pairs p
+       |JOIN cnt ca ON p.src_a = ca.source
+       |JOIN cnt cb ON p.src_b = cb.source
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap"  -> qSourceOverlap _,
     "q_entity_match"    -> qEntityMatch _,
     "q_minhash_error"   -> qMinhashError _,
     "q_dup_by_batch"    -> qDupByBatch _,
@@ -1288,6 +1345,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_entity_match" -> qEntityMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,
     "q_dup_by_batch" -> qDupByBatchSql,

@@ -219,4 +219,62 @@ class AnnSpec extends SparkSpec {
         "single-division reconstruction must be bit-identical")
     }
   }
+
+  /** Tiny embeddings table on disk for the cluster-quality audit. */
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q_cluster_quality: exact fixed-point recompute on a hand corpus") {
+    val Fp = 1048576L
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1),
+      (4L, Seq(0.8f, 0.0f), 1))
+    val d = embDir(vecs)
+    // mirror the pipeline: f = round-half-away(v * Fp), c = sum DIV n
+    def fp(x: Float): Long = {
+      val s = x.toDouble * Fp
+      math.signum(s).toLong * math.round(math.abs(s))
+    }
+    val cents = vecs.groupBy(_._3).view.mapValues { vs =>
+      Seq(0, 1).map(i => vs.map(v => fp(v._2(i))).sum / vs.length)
+    }.toMap
+    def d2(v: Seq[Float], c: Seq[Long]): Long =
+      v.zip(c).map { case (x, cc) => val dx = fp(x) - cc; dx * dx }.sum
+    val got = Ann.qClusterQuality(spark, d).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet === Set(0, 1))
+    for (cl <- Seq(0, 1)) {
+      val members = vecs.filter(_._3 == cl)
+      val within = members.map(v => d2(v._2, cents(cl)))
+      val margins = members.map { v =>
+        val a = d2(v._2, cents(cl)); val b = d2(v._2, cents(1 - cl))
+        ((b - a) * 1000L) / b
+      }
+      assert(got(cl).getLong(1) === 2L, s"cluster $cl size")
+      assert(got(cl).getLong(2) === within.sum / 2L, s"cluster $cl mean_within")
+      assert(got(cl).getLong(3) === 0L, s"cluster $cl misassigned")
+      assert(got(cl).getLong(4) === 2L, s"cluster $cl margin count")
+      assert(got(cl).getLong(5) === margins.sum / 2L, s"cluster $cl mean margin")
+    }
+  }
+
+  test("q_cluster_quality: single-label corpus has NULL margins, not a crash") {
+    val d = embDir(Seq(
+      (1L, Seq(0.1f, 0.2f), 7),
+      (2L, Seq(0.3f, 0.1f), 7)))
+    val r = Ann.qClusterQuality(spark, d).collect()
+    assert(r.length === 1 && r(0).getInt(0) === 7)
+    assert(r(0).getLong(1) === 2L && r(0).getLong(4) === 0L)
+    assert(r(0).isNullAt(5), "no runner-up centroid -> NULL mean margin")
+  }
 }

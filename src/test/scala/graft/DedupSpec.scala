@@ -439,4 +439,25 @@ class DedupSpec extends SparkSpec {
       assert(got(id).getBoolean(6), s"clean doc $id must be kept")
     }
   }
+
+  test("q_source_overlap: Jaccard on shared prefix families, normalization shared with dedup keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srcov").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "alpha common", "A"),
+      (2L, "beta thing", "A"),
+      (3L, "Alpha   COMMON", "B"),   // case/whitespace-normalized dup of doc 1
+      (4L, "gamma thing", "C"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.qSourceOverlap(spark, dir).collect()
+    assert(got.length === 1, "only (A,B) shares a family; zero-overlap pairs are absent")
+    val r = got(0)
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getLong(5) === 1000000L / 2L, "jaccard = 1 / (2 + 1 - 1)")
+  }
 }

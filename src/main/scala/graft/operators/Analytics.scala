@@ -615,6 +615,74 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY supp_a, supp_b""".stripMargin
 
+  private val LinkTopK = 50
+
+  /** Link prediction over the co-purchase graph: the top-[[LinkTopK]]
+    * supplier pairs by common-neighbor evidence, scored three ways —
+    * raw common-customer count (the [[qBasketPairs]] support),
+    * neighbor-set Jaccard (ppm), and an Adamic-Adar variant that
+    * down-weights promiscuous shared customers by the integer
+    * bit-length of their supplier degree (aa_centi = Σ 100 DIV
+    * bitlen(deg(c)) — the 1/log₂ weight in the engine's exact-integer
+    * device; bitlen ≥ 1 always, no zero division). AA separates "two
+    * suppliers share many SELECTIVE customers" (a real affinity edge)
+    * from "everyone shares the hub customer" — the ranking the basket
+    * report's raw support can't express. Standard candidate
+    * generation for recommend/complete-the-graph tasks.
+    *
+    * Shape at scale: same shared checkpoint + customer self-join as
+    * [[qBasketPairs]] (Σ basket² cost, basket-width-bounded; the
+    * per-customer weight joins in from the NODE-sized degree table
+    * before pair generation, so it rides the same exchange). Pairs
+    * partial-aggregate on the |suppliers|²-bounded key; the top-K is
+    * a global TakeOrdered (model-sized), not a window.
+    */
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val (eb, deg) = copurchaseGraph(s, dir)
+    val cs = eb.filter(col("src") % 2 === 0)
+      .select(expr("src DIV 2").as("cust"), expr("dst DIV 2").as("supp"))
+    val cdeg = deg.filter(col("nd") % 2 === 0)
+      .select(expr("nd DIV 2").as("cust"),
+        expr("CAST(100 AS BIGINT) DIV length(bin(d))").as("w"))
+    val sdeg = deg.filter(col("nd") % 2 === 1)
+      .select(expr("nd DIV 2").as("supp"), col("d").as("n_side"))
+    val csw = cs.join(cdeg, "cust")
+    csw.as("x").join(csw.as("y"), Seq("cust"))
+      .filter(col("x.supp") < col("y.supp"))
+      .groupBy(col("x.supp").as("supp_a"), col("y.supp").as("supp_b"))
+      .agg(count(lit(1)).as("support"), sum(col("x.w")).as("aa_centi"))
+      .filter(col("support") >= BasketMinSupport)
+      .join(sdeg.withColumnRenamed("supp", "supp_a").withColumnRenamed("n_side", "n_a"), "supp_a")
+      .join(sdeg.withColumnRenamed("supp", "supp_b").withColumnRenamed("n_side", "n_b"), "supp_b")
+      .select(col("supp_a"), col("supp_b"), col("support"), col("aa_centi"),
+        expr("(support * 1000000) DIV (n_a + n_b - support)").as("jaccard_ppm"))
+      .orderBy(col("aa_centi").desc, col("supp_a"), col("supp_b"))
+      .limit(LinkTopK)
+  }
+
+  val qLinkPredictSql: String =
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |cdeg AS (
+       |  SELECT cust, 100 // length(bin(COUNT(*))) AS w
+       |  FROM cs GROUP BY cust),
+       |sdeg AS (SELECT supp, COUNT(*) AS n_side FROM cs GROUP BY supp),
+       |pairs AS (
+       |  SELECT x.supp AS supp_a, y.supp AS supp_b,
+       |    COUNT(*) AS support, CAST(SUM(cdeg.w) AS BIGINT) AS aa_centi
+       |  FROM cs x JOIN cs y ON x.cust = y.cust AND x.supp < y.supp
+       |  JOIN cdeg ON x.cust = cdeg.cust
+       |  GROUP BY x.supp, y.supp
+       |  HAVING COUNT(*) >= $BasketMinSupport)
+       |SELECT supp_a, supp_b, support, aa_centi,
+       |  (support * 1000000) // (a.n_side + b.n_side - support) AS jaccard_ppm
+       |FROM pairs
+       |JOIN sdeg a ON supp_a = a.supp
+       |JOIN sdeg b ON supp_b = b.supp
+       |ORDER BY aa_centi DESC, supp_a, supp_b
+       |LIMIT $LinkTopK""".stripMargin
+
   /** Calendar gap fill: the daily order series with every missing
     * calendar day restored as an explicit zero row — the
     * dense-timeseries contract every forecasting/charting consumer
@@ -1458,6 +1526,7 @@ object Analytics {
       |FROM w ORDER BY o_orderpriority, day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_predict" -> qLinkPredict _,
     "q_user_overlap" -> qUserOverlap _,
     "q_assortativity" -> qAssortativity _,
     "q_trend_fit"  -> qTrendFit _,
@@ -1485,6 +1554,7 @@ object Analytics {
     "q_gap_fill"   -> qGapFill _)
 
   def oracle: Map[String, String] = Map(
+    "q_link_predict" -> qLinkPredictSql,
     "q_user_overlap" -> qUserOverlapSql,
     "q_assortativity" -> qAssortativitySql,
     "q_trend_fit"  -> qTrendFitSql,

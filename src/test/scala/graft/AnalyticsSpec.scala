@@ -314,4 +314,23 @@ class AnalyticsSpec extends SparkSpec {
         "frame mean must match a driver-side recompute")
     }
   }
+
+  test("q_link_predict: reconciles with basket pairs; AA weighting bounded and ordered") {
+    val links = Analytics.qLinkPredict(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(links.nonEmpty && links.length <= 50)
+    // support for every surfaced pair must equal q_basket_pairs' count
+    // (same shared graph checkpoint, same pair definition)
+    val baskets = Analytics.qBasketPairs(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    links.foreach { case (pair, (support, aa, jac)) =>
+      assert(baskets(pair) === support, s"pair $pair support mismatch vs basket_pairs")
+      // each common customer contributes 100 DIV bitlen(deg) ∈ [1, 100]
+      assert(aa >= support && aa <= 100L * support, s"pair $pair AA out of bounds")
+      assert(jac >= 0L && jac <= 1000000L)
+    }
+    val aas = links.map(_._2._2)
+    assert(aas.zip(aas.tail).forall { case (a, b) => a >= b },
+      "rows must be ranked by aa_centi descending")
+  }
 }

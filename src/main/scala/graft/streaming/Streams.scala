@@ -375,6 +375,40 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming DSIR importance scoring — the twin of
+    * `TextOps.dsirScoreWith`: arriving docs (doc_id, text) score
+    * against a frozen `buildDsirModel` table (≤4097 rows — the
+    * bucket table plus the `f IS NULL` default row). Per batch this
+    * is one Generate + a broadcast model join + a map-side-combined
+    * per-doc rollup — stateless between batches (the model carries
+    * all the state), so the stage scales with the stream alone, the
+    * `lmScore` pattern. Scores land under a deterministic
+    * batchId-derived directory with OVERWRITE, so a crash-replayed
+    * micro-batch rewrites identical rows (at-least-once → effectively
+    * idempotent output, same contract as `lmScore`).
+    */
+  def dsirScore(
+      arrivals: DataFrame,
+      modelPath: String,
+      outPath: String,
+      checkpointDir: String): Unit = {
+    val q = arrivals
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val m = s.read.parquet(modelPath)
+        graft.operators.TextOps.dsirScoreDocs(batch.toDF(),
+          m.filter(col("f").isNotNull),
+          m.filter(col("f").isNull).select(col("ratio_bits").as("default_bits")))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static fact enrichment — the streaming twin of the batch
     * fact build (`StarSchema.qFactBuild`): events on the wire get
     * their date/time surrogate keys (pure expressions of the event

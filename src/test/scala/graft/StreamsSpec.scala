@@ -791,6 +791,33 @@ class StreamsSpec extends SparkSpec {
     assert(again === got.length, "a replayed micro-batch must not duplicate rows")
   }
 
+  test("dsirScore: streamed docs score identically to the batch persisted-model serve") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val model = java.nio.file.Files.createTempDirectory("graft-sdsir").toString + "/model"
+    val out = java.nio.file.Files.createTempDirectory("graft-sdsir-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdsir-ckpt").toString
+    graft.operators.TextOps.buildDsirModel(s, sf0001, model)
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docRows.take(docRows.length / 2).toSeq)
+    ms.addData(docRows.drop(docRows.length / 2).toSeq)
+    Streams.dsirScore(ms.toDF().toDF("doc_id", "text"), model, out, ckpt)
+    val shape = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = s.read.parquet(out)
+      .select("doc_id", "n_feats", "sum_bits", "slr_ppm", "dsir_band")
+      .collect().map(shape).sortBy(_._1).toSeq
+    val ref = graft.operators.TextOps.dsirScoreWith(s, sf0001, model)
+      .select("doc_id", "n_feats", "sum_bits", "slr_ppm", "dsir_band")
+      .collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref,
+      "streamed DSIR scores must equal the batch persisted-model serve")
+  }
+
   test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
     val s = spark
     import s.implicits._

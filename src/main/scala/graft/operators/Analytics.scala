@@ -615,6 +615,77 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY supp_a, supp_b""".stripMargin
 
+  /** Two-round synchronous label propagation over the co-purchase
+    * graph (the LPA community primitive, Raghavan et al. 2007):
+    * suppliers seed with their nation, round 1 gives every customer
+    * the majority label of its suppliers, round 2 re-labels every
+    * supplier with the majority label of its customers — argmax with
+    * the deterministic (count DESC, label ASC) tie-break both rounds.
+    * A supplier whose propagated label FLIPS away from its own nation
+    * sits in a customer neighborhood dominated by another region —
+    * the community-membership signal nation attributes alone can't
+    * show. Reports per supplier: seed nation, propagated label, vote
+    * count, and the flip flag.
+    *
+    * Shape at scale: the Pregel shape — per round ONE edge⋈labels
+    * join (labels node-sized, AQE broadcasts while it fits) + ONE
+    * partial-aggregated (node, label) count + an argmax window on the
+    * node-keyed count table (labels-per-node rows, bounded by
+    * |nations|). Fixed 2 rounds, shallow lineage, no driver loop.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val (eb, _) = copurchaseGraph(s, dir)
+    val cs = eb.filter(col("src") % 2 === 0)
+      .select(expr("src DIV 2").as("cust"), expr("dst DIV 2").as("supp"))
+    val seed = Ingest.table(s, dir, "supplier")
+      .select(col("s_suppkey").as("supp"), col("s_nationkey").cast("long").as("lbl"))
+    val byCust = Window.partitionBy("cust").orderBy(col("n").desc, col("lbl"))
+    val custLbl = cs.join(seed, "supp")
+      .groupBy(col("cust"), col("lbl")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(byCust))
+      .filter(col("r") === 1)
+      .select(col("cust"), col("lbl").as("clbl"))
+    val bySupp = Window.partitionBy("supp").orderBy(col("n").desc, col("clbl"))
+    cs.join(custLbl, "cust")
+      .groupBy(col("supp"), col("clbl")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(bySupp))
+      .filter(col("r") === 1)
+      .join(seed, "supp")
+      .select(col("supp").as("s_suppkey"), col("lbl").as("seed_nation"),
+        col("clbl").as("prop_label"), col("n").as("votes"),
+        when(col("clbl") =!= col("lbl"), 1L).otherwise(0L).as("flipped"))
+      .orderBy("s_suppkey")
+  }
+
+  val qLabelPropSql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |seed AS (SELECT s_suppkey AS supp, CAST(s_nationkey AS BIGINT) AS lbl FROM supplier),
+      |c1 AS (
+      |  SELECT cust, lbl, COUNT(*) AS n
+      |  FROM cs JOIN seed ON cs.supp = seed.supp
+      |  GROUP BY cust, lbl),
+      |cl AS (
+      |  SELECT cust, lbl AS clbl
+      |  FROM (SELECT cust, lbl,
+      |          ROW_NUMBER() OVER (PARTITION BY cust ORDER BY n DESC, lbl) AS r
+      |        FROM c1) WHERE r = 1),
+      |s1 AS (
+      |  SELECT supp, clbl, COUNT(*) AS n
+      |  FROM cs JOIN cl ON cs.cust = cl.cust
+      |  GROUP BY supp, clbl),
+      |sl AS (
+      |  SELECT supp, clbl, n
+      |  FROM (SELECT supp, clbl, n,
+      |          ROW_NUMBER() OVER (PARTITION BY supp ORDER BY n DESC, clbl) AS r
+      |        FROM s1) WHERE r = 1)
+      |SELECT sl.supp AS s_suppkey, seed.lbl AS seed_nation,
+      |  sl.clbl AS prop_label, sl.n AS votes,
+      |  CAST(CASE WHEN sl.clbl <> seed.lbl THEN 1 ELSE 0 END AS BIGINT) AS flipped
+      |FROM sl JOIN seed ON sl.supp = seed.supp
+      |ORDER BY s_suppkey""".stripMargin
+
   private val LinkTopK = 50
 
   /** Link prediction over the co-purchase graph: the top-[[LinkTopK]]
@@ -1527,6 +1598,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_predict" -> qLinkPredict _,
+    "q_label_prop"   -> qLabelProp _,
     "q_user_overlap" -> qUserOverlap _,
     "q_assortativity" -> qAssortativity _,
     "q_trend_fit"  -> qTrendFit _,
@@ -1555,6 +1627,7 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "q_link_predict" -> qLinkPredictSql,
+    "q_label_prop"   -> qLabelPropSql,
     "q_user_overlap" -> qUserOverlapSql,
     "q_assortativity" -> qAssortativitySql,
     "q_trend_fit"  -> qTrendFitSql,

@@ -315,6 +315,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_label_prop: exact driver-side replay of the two synchronous rounds") {
+    val s = spark
+    import s.implicits._
+    val edges = graft.sources.Ingest.table(s, sf0001, "orders")
+      .join(graft.sources.Ingest.table(s, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seed = graft.sources.Ingest.table(s, sf0001, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def argmax(votes: Seq[Long]): (Long, Long) =
+      votes.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (lbl, n) => (-n, lbl) }.head
+    val custLbl = edges.groupBy(_._1).view.mapValues(es =>
+      argmax(es.map(e => seed(e._2)))._1).toMap
+    val want = edges.groupBy(_._2).view.mapValues(es =>
+      argmax(es.map(e => custLbl(e._1)))).toMap
+    val got = Analytics.qLabelProp(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet === want.keySet, "every supplier with customers labels")
+    got.foreach { case (supp, (seedN, prop, votes, flipped)) =>
+      assert(seedN === seed(supp))
+      assert((prop, votes) === want(supp), s"supplier $supp propagated label/votes")
+      assert(flipped === (if (prop != seedN) 1L else 0L))
+    }
+  }
+
   test("q_link_predict: reconciles with basket pairs; AA weighting bounded and ordered") {
     val links = Analytics.qLinkPredict(spark, sf0001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))

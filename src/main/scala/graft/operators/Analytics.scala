@@ -633,10 +633,17 @@ object Analytics {
     * node-keyed count table (labels-per-node rows, bounded by
     * |nations|). Fixed 2 rounds, shallow lineage, no driver loop.
     */
-  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The seed table + two LPA rounds shared by [[qLabelProp]] and
+    * [[qGraphModularity]]: returns (cs distinct cust-supp pairs,
+    * customer labels after round 1, supplier argmax rows (supp, clbl,
+    * n) after round 2). cs is materialized — the rounds and every
+    * downstream pass re-consume it.
+    */
+  private def lpaRounds(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (eb, _) = copurchaseGraph(s, dir)
     val cs = eb.filter(col("src") % 2 === 0)
       .select(expr("src DIV 2").as("cust"), expr("dst DIV 2").as("supp"))
+      .materialized
     val seed = Ingest.table(s, dir, "supplier")
       .select(col("s_suppkey").as("supp"), col("s_nationkey").cast("long").as("lbl"))
     val byCust = Window.partitionBy("cust").orderBy(col("n").desc, col("lbl"))
@@ -646,10 +653,19 @@ object Analytics {
       .filter(col("r") === 1)
       .select(col("cust"), col("lbl").as("clbl"))
     val bySupp = Window.partitionBy("supp").orderBy(col("n").desc, col("clbl"))
-    cs.join(custLbl, "cust")
+    val suppRank = cs.join(custLbl, "cust")
       .groupBy(col("supp"), col("clbl")).agg(count(lit(1)).as("n"))
       .withColumn("r", row_number().over(bySupp))
       .filter(col("r") === 1)
+      .select(col("supp"), col("clbl"), col("n"))
+    (cs, custLbl, suppRank)
+  }
+
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, suppRank) = lpaRounds(s, dir)
+    val seed = Ingest.table(s, dir, "supplier")
+      .select(col("s_suppkey").as("supp"), col("s_nationkey").cast("long").as("lbl"))
+    suppRank
       .join(seed, "supp")
       .select(col("supp").as("s_suppkey"), col("lbl").as("seed_nation"),
         col("clbl").as("prop_label"), col("n").as("votes"),
@@ -685,6 +701,98 @@ object Analytics {
       |  CAST(CASE WHEN sl.clbl <> seed.lbl THEN 1 ELSE 0 END AS BIGINT) AS flipped
       |FROM sl JOIN seed ON sl.supp = seed.supp
       |ORDER BY s_suppkey""".stripMargin
+
+  /** Modularity scoring of the [[qLabelProp]] partition: per
+    * community, node count, within-community edge count e_c, total
+    * degree d_c, and the exact-integer modularity contribution
+    * ((4·m·e_c − d_c²)·10⁶) DIV (4·m²) — Newman's
+    * Q = Σ_c (e_c/m − (d_c/2m)²) with a single truncating division
+    * per community so Σ contrib_ppm reproduces Q·10⁶ to ±|comms|
+    * ppm, bit-identical in both engines. Near-zero or negative total
+    * says the propagated labels are no better than random wiring —
+    * the acceptance gate for using LPA communities downstream
+    * (mix quotas, per-community dedup cells). Headroom: 4m²·10⁶
+    * needs m ≲ 1.5·10⁶ edges per partition-audit invocation at
+    * BIGINT; at 100 TB run it per shard or lift the device to the
+    * [[qStatsMoments]] decimal sums.
+    *
+    * Shape at scale: labels are the LPA output (node-sized); the
+    * edge pass joins the distinct-pair checkpoint to the two label
+    * tables (node-sized sides — AQE broadcasts while they fit) and
+    * partial-aggregates per community; degrees come from the
+    * node-sized degree table. One edge-sized shuffle total.
+    */
+  def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    val (_, deg) = copurchaseGraph(s, dir)
+    val (cs, custLbl0, suppRank) = lpaRounds(s, dir)
+    val custLbl = custLbl0.materialized // ein pass + degree attach both consume it
+    val suppLbl = suppRank.select(col("supp"), col("clbl").as("slbl")).materialized
+    val m1 = cs.agg(count(lit(1)).as("m"))
+    // within-community edges: both endpoints carry the same label
+    val ein = cs.join(custLbl, "cust").join(suppLbl, "supp")
+      .filter(col("clbl") === col("slbl"))
+      .groupBy(col("clbl").as("community")).agg(count(lit(1)).as("e_in"))
+    // per-community total degree + node count, from the node-sized tables
+    val cd = deg.filter(col("nd") % 2 === 0).select(expr("nd DIV 2").as("cust"), col("d"))
+      .join(custLbl, "cust").select(col("clbl").as("community"), col("d"))
+    val sd = deg.filter(col("nd") % 2 === 1).select(expr("nd DIV 2").as("supp"), col("d"))
+      .join(suppLbl, "supp").select(col("slbl").as("community"), col("d"))
+    val dtot = cd.unionAll(sd)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    dtot.join(ein, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .crossJoin(broadcast(m1))
+      .withColumn("contrib_ppm",
+        expr("((4 * m * e_in - d_tot * d_tot) * 1000000) DIV (4 * m * m)"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        col("m"), col("contrib_ppm"))
+      .orderBy("community")
+  }
+
+  val qGraphModularitySql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |seed AS (SELECT s_suppkey AS supp, CAST(s_nationkey AS BIGINT) AS lbl FROM supplier),
+      |c1 AS (
+      |  SELECT cust, lbl, COUNT(*) AS n
+      |  FROM cs JOIN seed ON cs.supp = seed.supp GROUP BY cust, lbl),
+      |cl AS (
+      |  SELECT cust, lbl AS clbl
+      |  FROM (SELECT cust, lbl,
+      |          ROW_NUMBER() OVER (PARTITION BY cust ORDER BY n DESC, lbl) AS r
+      |        FROM c1) WHERE r = 1),
+      |s1 AS (
+      |  SELECT supp, clbl, COUNT(*) AS n
+      |  FROM cs JOIN cl ON cs.cust = cl.cust GROUP BY supp, clbl),
+      |sl AS (
+      |  SELECT supp, clbl AS slbl
+      |  FROM (SELECT supp, clbl,
+      |          ROW_NUMBER() OVER (PARTITION BY supp ORDER BY n DESC, clbl) AS r
+      |        FROM s1) WHERE r = 1),
+      |m1 AS (SELECT COUNT(*) AS m FROM cs),
+      |ein AS (
+      |  SELECT cl.clbl AS community, COUNT(*) AS e_in
+      |  FROM cs JOIN cl ON cs.cust = cl.cust JOIN sl ON cs.supp = sl.supp
+      |  WHERE cl.clbl = sl.slbl GROUP BY cl.clbl),
+      |cdeg AS (SELECT cust, COUNT(*) AS d FROM cs GROUP BY cust),
+      |sdeg AS (SELECT supp, COUNT(*) AS d FROM cs GROUP BY supp),
+      |nodes AS (
+      |  SELECT cl.clbl AS community, cdeg.d FROM cdeg JOIN cl ON cdeg.cust = cl.cust
+      |  UNION ALL
+      |  SELECT sl.slbl AS community, sdeg.d FROM sdeg JOIN sl ON sdeg.supp = sl.supp),
+      |dtot AS (
+      |  SELECT community, COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS d_tot
+      |  FROM nodes GROUP BY community)
+      |SELECT dtot.community, dtot.n_nodes,
+      |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dtot.d_tot, m1.m,
+      |  ((4 * m1.m * CAST(COALESCE(ein.e_in, 0) AS BIGINT) - dtot.d_tot * dtot.d_tot)
+      |    * 1000000) // (4 * m1.m * m1.m) AS contrib_ppm
+      |FROM dtot LEFT JOIN ein ON dtot.community = ein.community
+      |CROSS JOIN m1
+      |ORDER BY dtot.community""".stripMargin
 
   private val LinkTopK = 50
 
@@ -1599,6 +1707,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_predict" -> qLinkPredict _,
     "q_label_prop"   -> qLabelProp _,
+    "q_graph_modularity" -> qGraphModularity _,
     "q_user_overlap" -> qUserOverlap _,
     "q_assortativity" -> qAssortativity _,
     "q_trend_fit"  -> qTrendFit _,
@@ -1628,6 +1737,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_link_predict" -> qLinkPredictSql,
     "q_label_prop"   -> qLabelPropSql,
+    "q_graph_modularity" -> qGraphModularitySql,
     "q_user_overlap" -> qUserOverlapSql,
     "q_assortativity" -> qAssortativitySql,
     "q_trend_fit"  -> qTrendFitSql,

@@ -344,6 +344,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_modularity: exact recompute from the LPA labels; degree identity holds") {
+    val s = spark
+    import s.implicits._
+    val edges = graft.sources.Ingest.table(s, sf0001, "orders")
+      .join(graft.sources.Ingest.table(s, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seed = graft.sources.Ingest.table(s, sf0001, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def argmax(votes: Seq[Long]): Long =
+      votes.groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (lbl, n) => (-n, lbl) }.head._1
+    val custLbl = edges.groupBy(_._1).view.mapValues(es => argmax(es.map(e => seed(e._2)))).toMap
+    val suppLbl = edges.groupBy(_._2).view.mapValues(es => argmax(es.map(e => custLbl(e._1)))).toMap
+    val m = edges.length.toLong
+    val ein = edges.filter(e => custLbl(e._1) == suppLbl(e._2))
+      .groupBy(e => custLbl(e._1)).view.mapValues(_.length.toLong).toMap
+    val dByComm = (edges.groupBy(_._1).toSeq.map { case (c, es) => (custLbl(c), es.length.toLong) } ++
+      edges.groupBy(_._2).toSeq.map { case (p, es) => (suppLbl(p), es.length.toLong) })
+      .groupBy(_._1).view.mapValues(ds => (ds.length.toLong, ds.map(_._2).sum)).toMap
+    val got = Analytics.qGraphModularity(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet === dByComm.keySet)
+    got.foreach { case (comm, (nNodes, eIn, dTot, mm, contrib)) =>
+      assert(mm === m)
+      assert((nNodes, dTot) === dByComm(comm), s"community $comm node/degree totals")
+      assert(eIn === ein.getOrElse(comm, 0L), s"community $comm within-edges")
+      assert(contrib === ((4 * m * eIn - dTot * dTot) * 1000000L) / (4 * m * m))
+    }
+    assert(got.values.map(_._3).sum === 2 * m, "sum of community degrees = 2m")
+    assert(got.values.map(_._2).sum <= m, "within-edges cannot exceed m")
+  }
+
   test("q_link_predict: reconciles with basket pairs; AA weighting bounded and ordered") {
     val links = Analytics.qLinkPredict(spark, sf0001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))

@@ -403,7 +403,76 @@ object Audit {
       |  MAX(ABS(cum1 * n2 - cum2 * n1)) // greatest((n1 * n2) // 1000000, 1) AS ks_ppm
       |FROM cdf GROUP BY n1, n2""".stripMargin
 
+  /** Cross-table financial reconciliation: per order status, how the
+    * STORED order total compares to the total RECOMPUTED from its
+    * line items (Σ extendedprice·(1−discount)·(1+tax), exact decimal
+    * line terms and sums — the [[q1Pricing]] §4 parity device, no FP
+    * anywhere before the final display cast). Reports exact matches,
+    * within-1% matches (decimal comparison `100·|diff| ≤ stored` —
+    * no cent-casting, whose decimal→BIGINT rounding diverges
+    * cross-engine), headless orders (no line items — diff undefined,
+    * counted separately, excluded from the match rates), and the
+    * abs-diff mass/max. The missing check bracketing the reference's
+    * drop-and-reload (ELT.py:39-106): a reload that loses line items
+    * or double-applies tax moves these numbers before any dashboard
+    * notices.
+    *
+    * Shape at scale: lineitem partial-aggregates per order key (one
+    * shuffle), joins orders on the same key (co-partitioned
+    * exchange), and rolls up into a ≤|statuses| table — 100 TB moves
+    * through exactly one orderkey exchange per side.
+    */
+  def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val lineSum = Ingest.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (one - rate(col("l_discount")))
+        * (one + rate(col("l_tax")))).as("recomputed"))
+    Ingest.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        money(col("o_totalprice")).as("stored"))
+      .join(lineSum, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff", col("recomputed") - col("stored"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("recomputed").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("diff") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(abs(col("diff")) * 100 <= col("stored"), 1L).otherwise(0L))
+          .as("n_within_1pct"),
+        sum(abs(col("diff"))).as("sad"),
+        max(abs(col("diff"))).as("mad_"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_no_lines"),
+        col("n_exact"), col("n_within_1pct"),
+        col("sad").cast("double").as("sum_abs_diff"),
+        col("mad_").cast("double").as("max_abs_diff"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qReconcileSql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS stored,
+      |    ls.recomputed, ls.recomputed - CAST(o_totalprice AS DECIMAL(12,2)) AS diff
+      |  FROM orders LEFT JOIN ls ON o_orderkey = ls.l_orderkey)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+      |  CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN ABS(diff) * 100 <= stored THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_within_1pct,
+      |  CAST(SUM(ABS(diff)) AS DOUBLE) AS sum_abs_diff,
+      |  CAST(MAX(ABS(diff)) AS DOUBLE) AS max_abs_diff
+      |FROM j GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reconcile"        -> qReconcile _,
     "q_ks_drift"         -> qKsDrift _,
     "q_benford"          -> qBenford _,
     "q_profile"          -> qProfile _,
@@ -412,6 +481,7 @@ object Audit {
     "q_constraint_check" -> qConstraintCheck _)
 
   def oracle: Map[String, String] = Map(
+    "q_reconcile"        -> qReconcileSql,
     "q_ks_drift"         -> qKsDriftSql,
     "q_benford"          -> qBenfordSql,
     "q_profile"          -> qProfileSql,

@@ -55,4 +55,42 @@ class AuditSpec extends SparkSpec {
       assert(out < n / 2, s"fence sanity: $out of $n flagged")
     }
   }
+
+  test("q_reconcile: exact / within-1pct / mismatch / headless orders classified") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    // one line each, discount/tax zero -> recomputed = extendedprice
+    Seq(
+      (1L, 100.00, "A"),  // stored = recomputed: exact
+      (2L, 100.00, "A"),  // stored 100 vs recomputed 100.50: within 1%
+      (3L, 100.00, "B"),  // stored 100 vs recomputed 150: mismatch
+      (4L, 42.00, "B"))   // headless: no line items
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .selectExpr("o_orderkey", "CAST(1 AS BIGINT) AS o_custkey", "o_orderstatus",
+        "o_totalprice", "TIMESTAMP '1995-01-01' AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 100.00), (2L, 100.50), (3L, 150.00))
+      .toDF("l_orderkey", "l_extendedprice")
+      .selectExpr("l_orderkey", "CAST(1 AS BIGINT) AS l_partkey",
+        "CAST(1 AS BIGINT) AS l_suppkey", "CAST(1 AS INT) AS l_linenumber",
+        "CAST(1 AS DOUBLE) AS l_quantity", "l_extendedprice",
+        "CAST(0 AS DOUBLE) AS l_discount", "CAST(0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "TIMESTAMP '1995-02-01' AS l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Audit.qReconcile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) === 2L && a.getLong(2) === 0L)
+    assert(a.getLong(3) === 1L, "order 1 is the exact match")
+    assert(a.getLong(4) === 2L, "orders 1 and 2 are within 1%")
+    assert(a.getDouble(5) === 0.50 && a.getDouble(6) === 0.50)
+    val b = got("B")
+    assert(b.getLong(1) === 2L && b.getLong(2) === 1L, "order 4 is headless")
+    assert(b.getLong(3) === 0L && b.getLong(4) === 0L)
+    assert(b.getDouble(5) === 50.0 && b.getDouble(6) === 50.0)
+  }
 }

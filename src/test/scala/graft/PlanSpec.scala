@@ -650,4 +650,36 @@ class PlanSpec extends SparkSpec {
     assert((a intersect b).nonEmpty,
       s"degree table must come from the SAME checkpoint RDD in both queries: $a vs $b")
   }
+
+  test("r13 additions: shared subtrees are materialized, base tables never re-scanned") {
+    def scans(name: String, table: String): Int =
+      SparkEntry.plans(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("FileScan parquet") && l.contains(table))
+    // self_overlap: the per-doc distinct-gram table feeds BOTH the df
+    // aggregate and the join probe — materialized, so the final plan
+    // scans documents zero times
+    assert(scans("q_self_overlap", "documents") === 0,
+      "gram table must be checkpointed, not re-derived per consumer")
+    // source_overlap: the deduped (source, family) inventory feeds the
+    // count table and both self-join sides
+    assert(scans("q_source_overlap", "documents") === 0,
+      "the inventory must be checkpointed once for all three consumers")
+    // graph family: the co-purchase checkpoint serves the LPA rounds —
+    // no re-derive of the orders x lineitem join anywhere
+    for (q <- Seq("q_link_predict", "q_label_prop", "q_graph_modularity")) {
+      assert(scans(q, "orders.parquet") === 0, s"$q must reuse the graph checkpoint")
+      assert(scans(q, "lineitem.parquet") === 0, s"$q must reuse the graph checkpoint")
+    }
+    // link_predict: top-K is a TakeOrdered, never a global-sort window
+    val lp = plan("q_link_predict")
+    assert(lp.contains("TakeOrderedAndProject"),
+      s"the top-K must be a distributed TakeOrdered:\n$lp")
+    // zipf_fit: the regression consumes a model-sized TakeOrdered of
+    // the vocab — a full-vocab Window over corpus rows is the
+    // scale-killer this pin guards against
+    val zf = plan("q_zipf_fit")
+    assert(zf.contains("TakeOrderedAndProject"),
+      s"top-V vocab must be a TakeOrdered:\n$zf")
+  }
 }

@@ -987,6 +987,65 @@ object Ann {
        |FROM m GROUP BY cl
        |ORDER BY cl""".stripMargin
 
+  /** Embedding-space anomaly screen: per cluster, the robust
+    * (median/MAD) fence on squared distance to the assigned centroid,
+    * and how many vectors sit beyond 3 MADs — the corrupt-embedding /
+    * wrong-space detector (a batch of zeroed, truncated, or
+    * differently-normalized vectors lands far from every centroid and
+    * trips this before it poisons [[qSemdedup]] cells or ANN
+    * recall). The embedding twin of [[Audit.qMadOutlier]], sharing
+    * its exact interpolated weighted-median device; d2 ≤ dims·(2·Fp)²
+    * ≈ 2⁴⁸ < 2⁵³ keeps every median/deviation bit-exact in DOUBLE.
+    *
+    * Shape at scale: distances come from the audited centroid
+    * pipeline (one corpus explode rollup + broadcast join); the
+    * value→count histogram is near-per-vector for continuous d2, so
+    * the median's per-cluster window sort is bounded by cluster
+    * membership — with production cluster counts (k ≫ cores) the
+    * sorts parallelize per cluster; the deviation pass reuses the
+    * materialized histogram, and everything after is cluster-sized.
+    */
+  def qEmbedOutlier(s: SparkSession, dir: String): DataFrame = {
+    val hist = centroidRanked(s, dir).filter(col("r") === 1)
+      .groupBy(col("clabel").as("flag"), col("dist2").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .materialized // median, deviation histogram and fence all consume it
+    val med = Audit.weightedMedian(hist)
+      .select(col("flag"), col("med").as("med_d2"), col("n").as("n_vecs"))
+    val devHist = hist.join(broadcast(med), "flag")
+      .groupBy(col("flag"), abs(col("v") - col("med_d2")).as("v"))
+      .agg(sum("c").as("c"))
+      .materialized
+    val mad = Audit.weightedMedian(devHist).select(col("flag"), col("med").as("mad_d2"))
+    val outliers = devHist.join(broadcast(mad), "flag")
+      .groupBy(col("flag"))
+      .agg(sum(when(col("v") > col("mad_d2") * 3, col("c")).otherwise(lit(0L)))
+        .as("n_outliers"))
+    med.join(mad, "flag").join(outliers, "flag")
+      .select(col("flag").as("cluster"), col("n_vecs"),
+        col("med_d2"), col("mad_d2"), col("n_outliers"))
+      .orderBy("cluster")
+  }
+
+  val qEmbedOutlierSql: String =
+    s"""WITH $centroidAssignCtes,
+       |a AS (SELECT vec_id, clabel, dist2 FROM rk WHERE r = 1),
+       |med AS (
+       |  SELECT clabel AS flag, COUNT(*) AS n_vecs,
+       |    quantile_cont(dist2, 0.5) AS med_d2
+       |  FROM a GROUP BY clabel),
+       |dev AS (
+       |  SELECT a.clabel AS flag, abs(a.dist2 - m.med_d2) AS d
+       |  FROM a JOIN med m ON a.clabel = m.flag),
+       |mad AS (SELECT flag, quantile_cont(d, 0.5) AS mad_d2 FROM dev GROUP BY flag)
+       |SELECT m.flag AS cluster, m.n_vecs, m.med_d2, mad.mad_d2,
+       |  CAST(COALESCE(SUM(CASE WHEN dev.d > mad.mad_d2 * 3 THEN 1 END), 0) AS BIGINT)
+       |    AS n_outliers
+       |FROM med m JOIN mad ON m.flag = mad.flag
+       |           JOIN dev ON dev.flag = m.flag
+       |GROUP BY m.flag, m.n_vecs, m.med_d2, mad.mad_d2
+       |ORDER BY cluster""".stripMargin
+
   private val ClusterKwK = 10
   private val ClusterKwFp = 1000000L
 
@@ -1446,6 +1505,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_quality" -> qClusterQuality _,
+    "q_embed_outlier"   -> qEmbedOutlier _,
     "q_norm_hist"       -> qNormHist _,
     "q_centroid_shift"  -> qCentroidShift _,
     "q_hybrid_search"   -> qHybridSearch _,
@@ -1475,6 +1535,7 @@ object Ann {
     */
   val oracle: Map[String, String] = Map(
     "q_cluster_quality" -> qClusterQualitySql,
+    "q_embed_outlier"   -> qEmbedOutlierSql,
     "q_rrf_fusion"      -> qRrfFusionSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,

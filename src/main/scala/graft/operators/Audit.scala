@@ -191,7 +191,7 @@ object Audit {
     * volume) dominated the query. One window sort + one aggregate per
     * median, all on histogram-sized input partitioned by flag.
     */
-  private def weightedMedian(hist: DataFrame): DataFrame = {
+  private[graft] def weightedMedian(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy("flag").orderBy("v")
     hist
       .withColumn("cum", sum("c").over(w))

@@ -268,6 +268,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_outlier: a far vector trips the 3-MAD fence; tight cluster stays clean") {
+    val d = embDir(Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.01f, 0.0f), 0),
+      (3L, Seq(-0.01f, 0.0f), 0),
+      (4L, Seq(0.02f, 0.0f), 0),
+      (5L, Seq(0.5f, 0.0f), 0))) // corrupt: far from the tight mass
+    val r = Ann.qEmbedOutlier(spark, d).collect()
+    assert(r.length === 1 && r(0).getInt(0) === 0)
+    assert(r(0).getLong(1) === 5L)
+    assert(r(0).getLong(4) === 1L, "exactly the far vector is beyond 3 MADs")
+    assert(r(0).getDouble(2) >= 0.0 && r(0).getDouble(3) >= 0.0)
+  }
+
   test("q_cluster_quality: single-label corpus has NULL margins, not a crash") {
     val d = embDir(Seq(
       (1L, Seq(0.1f, 0.2f), 7),

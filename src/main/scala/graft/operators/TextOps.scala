@@ -3089,7 +3089,64 @@ object TextOps {
        |    (sy * 1000 + slope_neg_milli * sx) // n_points END AS intercept_milli
        |FROM f""".stripMargin
 
+  /** The dataset card: ONE row summarizing the corpus — doc/source/
+    * language cardinalities, token and character mass, English share,
+    * exact-duplicate share (the [[Dedup.contentMd5]] key, so the
+    * number reconciles with `q_dedup_exact`'s census), and mean doc
+    * length. The header block of every dataset release note,
+    * computed from the corpus itself rather than copied from stale
+    * docs. All fixed-point integers.
+    *
+    * Shape at scale: one materialized slim projection (id, lang,
+    * source, chars, tokens, content hash) feeds three 1-row
+    * aggregates — a plain-sum pass, a hash distinct, and a
+    * source/lang distinct (tiny domains) — deliberately SEPARATE
+    * branches crossJoined at 1 row each, not one multi-DISTINCT
+    * aggregate (the [[qProfile]] lesson: n distincts in one agg plan
+    * as Expand ×n over the corpus and fall out of HashAggregate).
+    */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("toks"),
+        Dedup.contentMd5(col("text")).as("h"))
+      .materialized
+    val sums = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val hashes = base.agg(countDistinct(col("h")).as("n_hashes"))
+    val dims = base.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    sums.crossJoin(hashes).crossJoin(dims)
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("n_chars"),
+        expr("(n_en * 1000000) DIV n_docs").as("en_ppm"),
+        expr("((n_docs - n_hashes) * 1000000) DIV n_docs").as("dup_ppm"),
+        expr("n_tokens DIV n_docs").as("mean_doc_tokens"))
+  }
+
+  val qDatasetCardSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // COUNT(*) AS en_ppm,
+      |  ((COUNT(*) - COUNT(DISTINCT h)) * 1000000) // COUNT(*) AS dup_ppm,
+      |  CAST(SUM(toks) AS BIGINT) // COUNT(*) AS mean_doc_tokens
+      |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card"      -> qDatasetCard _,
     "q_readability"       -> qReadability _,
     "q_char_diversity"    -> qCharDiversity _,
     "q_lexical_diversity" -> qLexicalDiversity _,
@@ -3142,6 +3199,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card"      -> qDatasetCardSql,
     "q_readability"       -> qReadabilitySql,
     "q_char_diversity"    -> qCharDiversitySql,
     "q_lexical_diversity" -> qLexicalDiversitySql,

@@ -521,6 +521,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want, "pair statistic must equal the exact recount, same tie order")
   }
 
+  test("dataset_card: one-row summary with normalization-aware dup share") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-card").toString
+    Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "A  b   C", "fr", "s2"), // contentMd5-normalized dup of doc 1
+      (3L, "x y", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.qDatasetCard(spark, dir).collect()
+    assert(r.length === 1)
+    val c = r(0)
+    assert(c.getLong(0) === 3L && c.getLong(1) === 2L && c.getLong(2) === 2L)
+    assert(c.getLong(3) === 8L, "tokens: 3 + 3 + 2")
+    assert(c.getLong(5) === 2000000L / 3L, "en share")
+    assert(c.getLong(6) === 1000000L / 3L, "one duplicated doc of three")
+    assert(c.getLong(7) === 8L / 3L)
+  }
+
   test("readability: punctuation/wordless/CJK edge docs") {
     val d = docsDir(Seq(
       1L -> "!!! ??? ...",     // punct tokens: 3 words, 3 sentence runs, 0 syllables

@@ -187,7 +187,16 @@ object SparkEntry {
     "q_ann_quantized"   -> Seq("query_id", "rnk"),
     "q_ann_recall"      -> Seq("query_id"),
     "q_quant_recall"    -> Seq("query_id"),
-    "q_hybrid_search"   -> Seq("query_id", "rnk_kept")
+    "q_hybrid_search"   -> Seq("query_id", "rnk_kept"),
+    "q_char_diversity"  -> Seq("doc_id"),
+    "q_lexical_diversity" -> Seq("source"),
+    "q_self_overlap"    -> Seq("source"),
+    "q_source_overlap"  -> Seq("src_a", "src_b"),
+    "q_cluster_quality" -> Seq("cluster"),
+    "q_embed_outlier"   -> Seq("cluster"),
+    "q_label_prop"      -> Seq("s_suppkey"),
+    "q_graph_modularity" -> Seq("community"),
+    "q_reconcile"       -> Seq("o_orderstatus")
   )
 
   /** Production plans — the library API. No presentation sort. */

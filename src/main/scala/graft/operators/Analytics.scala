@@ -670,7 +670,6 @@ object Analytics {
       .select(col("supp").as("s_suppkey"), col("lbl").as("seed_nation"),
         col("clbl").as("prop_label"), col("n").as("votes"),
         when(col("clbl") =!= col("lbl"), 1L).otherwise(0L).as("flipped"))
-      .orderBy("s_suppkey")
   }
 
   val qLabelPropSql: String =
@@ -748,7 +747,6 @@ object Analytics {
         expr("((4 * m * e_in - d_tot * d_tot) * 1000000) DIV (4 * m * m)"))
       .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
         col("m"), col("contrib_ppm"))
-      .orderBy("community")
   }
 
   val qGraphModularitySql: String =

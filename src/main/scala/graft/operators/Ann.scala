@@ -961,7 +961,6 @@ object Ann {
         col("n_margin"),
         expr("CASE WHEN n_margin = 0 THEN NULL ELSE sum_margin DIV n_margin END")
           .as("mean_margin_pml"))
-      .orderBy(col("cluster"))
 
   val qClusterQualitySql: String =
     s"""WITH $centroidAssignCtes,
@@ -1024,7 +1023,6 @@ object Ann {
     med.join(mad, "flag").join(outliers, "flag")
       .select(col("flag").as("cluster"), col("n_vecs"),
         col("med_d2"), col("mad_d2"), col("n_outliers"))
-      .orderBy("cluster")
   }
 
   val qEmbedOutlierSql: String =

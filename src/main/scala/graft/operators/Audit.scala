@@ -447,7 +447,6 @@ object Audit {
         col("n_exact"), col("n_within_1pct"),
         col("sad").cast("double").as("sum_abs_diff"),
         col("mad_").cast("double").as("max_abs_diff"))
-      .orderBy("o_orderstatus")
   }
 
   val qReconcileSql: String =

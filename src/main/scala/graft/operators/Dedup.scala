@@ -1301,7 +1301,6 @@ object Dedup {
       .join(broadcast(cnt.select(col("source").as("src_b"), col("nh").as("n_b"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
         expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)").as("jaccard_ppm"))
-      .orderBy(col("src_a"), col("src_b"))
   }
 
   val qSourceOverlapSql: String =

@@ -2906,7 +2906,6 @@ object TextOps {
       .select(col("doc_id"), col("n_chars_tot"), col("n_uniq_chars"), col("top_char_cnt"),
         expr("(sq * 1000000) DIV (n_chars_tot * n_chars_tot)").as("simpson_ppm"),
         expr("(top_char_cnt * 1000000) DIV n_chars_tot").as("top_share_ppm"))
-      .orderBy("doc_id")
 
   val qCharDiversitySql: String =
     """WITH cs AS (
@@ -2947,7 +2946,6 @@ object TextOps {
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("(n_types * 1000000) DIV n_tokens").as("ttr_ppm"),
         expr("(n_hapax * 1000000) DIV n_types").as("hapax_ppm"))
-      .orderBy("source")
 
   val qLexicalDiversitySql: String =
     """WITH t AS (
@@ -2998,7 +2996,6 @@ object TextOps {
         count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("shared_ppm", expr("(n_shared * 1000000) DIV n_grams"))
-      .orderBy("source")
   }
 
   val qSelfOverlapSql: String =

@@ -647,11 +647,15 @@ object Analytics {
     val seed = Ingest.table(s, dir, "supplier")
       .select(col("s_suppkey").as("supp"), col("s_nationkey").cast("long").as("lbl"))
     val byCust = Window.partitionBy("cust").orderBy(col("n").desc, col("lbl"))
+    // node-sized and consumed by round 2 AND (in modularity) by the
+    // within-edge pass + degree attach — checkpoint once here so no
+    // caller's lineage re-runs the round-1 window
     val custLbl = cs.join(seed, "supp")
       .groupBy(col("cust"), col("lbl")).agg(count(lit(1)).as("n"))
       .withColumn("r", row_number().over(byCust))
       .filter(col("r") === 1)
       .select(col("cust"), col("lbl").as("clbl"))
+      .materialized
     val bySupp = Window.partitionBy("supp").orderBy(col("n").desc, col("clbl"))
     val suppRank = cs.join(custLbl, "cust")
       .groupBy(col("supp"), col("clbl")).agg(count(lit(1)).as("n"))
@@ -723,8 +727,7 @@ object Analytics {
     */
   def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
     val (_, deg) = copurchaseGraph(s, dir)
-    val (cs, custLbl0, suppRank) = lpaRounds(s, dir)
-    val custLbl = custLbl0.materialized // ein pass + degree attach both consume it
+    val (cs, custLbl, suppRank) = lpaRounds(s, dir) // custLbl pre-checkpointed
     val suppLbl = suppRank.select(col("supp"), col("clbl").as("slbl")).materialized
     val m1 = cs.agg(count(lit(1)).as("m"))
     // within-community edges: both endpoints carry the same label

@@ -196,7 +196,8 @@ object SparkEntry {
     "q_embed_outlier"   -> Seq("cluster"),
     "q_label_prop"      -> Seq("s_suppkey"),
     "q_graph_modularity" -> Seq("community"),
-    "q_reconcile"       -> Seq("o_orderstatus")
+    "q_reconcile"       -> Seq("o_orderstatus"),
+    "q_lang_leak"       -> Seq("lang_a", "lang_b")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -1324,7 +1324,60 @@ object Dedup {
        |JOIN cnt cb ON p.src_b = cb.source
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  /** Language-label leakage audit: boilerplate families
+    * ([[prefixMd5]]) whose members carry MORE THAN ONE language
+    * label, reported per unordered label pair — family count and the
+    * total member docs under the two labels. Identical prefixes with
+    * different lang labels mean the upstream language ID (or the
+    * metadata feed) is noisy for that pair: per-language mix budgets
+    * ([[TextOps.qMixBudget]]) and lang-stratified splits silently
+    * leak across the boundary. The LABEL-axis twin of
+    * [[qSourceOverlap]], with doc mass attached so "12 families" can
+    * be weighed against "how much corpus".
+    *
+    * Shape at scale: distinct (lang, family-hash) inventory (one
+    * hash-keyed partial distinct), hash-keyed self-join (fan-out ≤
+    * langs² per family), then ONE hash-keyed join of the ≤langs²-
+    * per-family pair table back to the doc rows to count members —
+    * all joins on the family hash, nothing doc-quadratic.
+    */
+  def qLangLeak(s: SparkSession, dir: String): DataFrame = {
+    val rows = docs(s, dir)
+      .select(col("doc_id"), col("lang"), prefixMd5(col("text")).as("h"))
+      .materialized // inventory AND the member count consume it
+    val inv = rows.select(col("lang"), col("h")).distinct()
+    val fams = inv.select(col("lang").as("lang_a"), col("h"))
+      .join(inv.select(col("lang").as("lang_b"), col("h")), "h")
+      .filter(col("lang_a") < col("lang_b"))
+    val counts = fams.join(rows, "h")
+      .filter(col("lang") === col("lang_a") || col("lang") === col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(countDistinct(col("h")).as("n_families"), count(lit(1)).as("n_docs"))
+    counts
+  }
+
+  val qLangLeakSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(
+       |      (list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+       |        w -> len(w) > 0))[1:$PrefixWords],
+       |      ' ')) AS h
+       |  FROM documents),
+       |inv AS (SELECT DISTINCT lang, h FROM rows_),
+       |fams AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.h
+       |  FROM inv a JOIN inv b ON a.h = b.h AND a.lang < b.lang)
+       |SELECT f.lang_a, f.lang_b,
+       |  COUNT(DISTINCT f.h) AS n_families,
+       |  COUNT(*) AS n_docs
+       |FROM fams f JOIN rows_ r ON f.h = r.h
+       |WHERE r.lang = f.lang_a OR r.lang = f.lang_b
+       |GROUP BY f.lang_a, f.lang_b
+       |ORDER BY f.lang_a, f.lang_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_leak"       -> qLangLeak _,
     "q_source_overlap"  -> qSourceOverlap _,
     "q_entity_match"    -> qEntityMatch _,
     "q_minhash_error"   -> qMinhashError _,
@@ -1344,6 +1397,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lang_leak"      -> qLangLeakSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_entity_match" -> qEntityMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,

@@ -440,6 +440,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q_lang_leak: one family under two labels counts its full doc mass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-langleak").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "shared header text", "en"),
+      (2L, "Shared  HEADER text", "fr"),  // same family, different label
+      (3L, "shared header text", "en"),   // more en mass in the family
+      (4L, "unique english text", "en"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.qLangLeak(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "en" && got(0).getString(1) === "fr")
+    assert(got(0).getLong(2) === 1L, "one leaking family")
+    assert(got(0).getLong(3) === 3L, "docs 1, 2, 3 are the leaked mass; doc 4 is not")
+  }
+
   test("q_source_overlap: Jaccard on shared prefix families, normalization shared with dedup keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft-srcov").toString
     val s = spark

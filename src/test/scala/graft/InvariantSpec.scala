@@ -505,6 +505,33 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("q_dataset_card dup share reconciles with q_dedup_exact; token mass with q_len_hist") {
+    val card = graft.operators.TextOps.qDatasetCard(spark, sf0001).collect()(0)
+    val dupRows = graft.operators.Dedup.qDedupExact(spark, sf0001)
+      .filter(col("is_dup")).count()
+    val nDocs = card.getLong(0)
+    assert(card.getLong(6) === dupRows * 1000000L / nDocs,
+      "card dup_ppm must equal the exact-dedup census (shared content hash)")
+    val lenTokens = graft.operators.TextOps.qLenHist(spark, sf0001)
+      .agg(sum("total_toks")).collect()(0).getLong(0)
+    assert(card.getLong(3) === lenTokens,
+      "card token mass must equal the length histogram's summed mass")
+  }
+
+  test("q_graph_modularity marginals reconcile with q_label_prop and the edge total") {
+    val lp = graft.operators.Analytics.qLabelProp(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mod = graft.operators.Analytics.qGraphModularity(spark, sf0001).collect()
+    val m = mod.head.getLong(4)
+    assert(mod.map(_.getLong(3)).sum === 2 * m, "sum d_tot = 2m")
+    assert(mod.map(_.getLong(2)).sum <= m, "within-edges bounded by m")
+    // every propagated supplier label appears as a community (suppliers
+    // carry degree, so their communities are non-empty in the rollup)
+    val comms = mod.map(_.getLong(0)).toSet
+    assert(lp.values.toSet.subsetOf(comms),
+      "each supplier's propagated label must be a community in the modularity table")
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

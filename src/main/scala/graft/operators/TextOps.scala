@@ -3142,7 +3142,84 @@ object TextOps {
       |  CAST(SUM(toks) AS BIGINT) // COUNT(*) AS mean_doc_tokens
       |FROM base""".stripMargin
 
+  private val PerceptronEpochs = 3
+
+  /** Distributed batch-perceptron training in exact integers: learn
+    * a linear separator for "is this doc English" from two integer
+    * text features (English-marker stopword count, non-ASCII count)
+    * plus bias, over [[PerceptronEpochs]] synchronous epochs. Batch
+    * perceptron is the aggregate-shaped trainable-classifier
+    * counterpart to [[qDsirWeights]]' classifier-free selection: the
+    * epoch update w += Σ_misclassified y·x is ONE partial-aggregated
+    * corpus pass (no transcendentals, no learning rate — integer
+    * weights stay integers, bit-identical in any engine), and the
+    * model state between epochs is three BIGINTs. Reports per epoch:
+    * misclassified count and the updated weights — the error column
+    * IS the convergence curve. Headroom: weights are bounded by the
+    * corpus feature mass (≲10¹² at 100 TB) and margins by
+    * weights×features ≪ 2⁶³.
+    *
+    * Shape at scale: the feature projection is map-only and
+    * materialized once; each epoch is one aggregate over it with the
+    * CURRENT weights inlined as literals, collecting a 1-row model
+    * delta (the [[Ann.trainCodebook]] Lloyd pattern — model-sized
+    * driver state, fixed shallow rounds, never a corpus collect).
+    */
+  def qPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val f = docs(s, dir).select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("b"),
+      stopCount(enStops).as("x1"),
+      expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("x2"))
+      .materialized
+    var (wb, w1, w2) = (0L, 0L, 0L)
+    val hist = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    for (epoch <- 1 to PerceptronEpochs) {
+      val mis = col("y") * (lit(wb) * col("b") + lit(w1) * col("x1") + lit(w2) * col("x2")) <= 0
+      val r = f.agg(
+        sum(when(mis, col("y") * col("b")).otherwise(0L)).as("db"),
+        sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("d1"),
+        sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("d2"),
+        sum(when(mis, 1L).otherwise(0L)).as("nerr")).collect()(0)
+      wb += r.getLong(0); w1 += r.getLong(1); w2 += r.getLong(2)
+      hist += ((epoch.toLong, r.getLong(3), wb, w1, w2))
+    }
+    val sess = s
+    import sess.implicits._
+    hist.result().toDF("epoch", "n_err", "w_bias", "w_stop", "w_nonascii")
+  }
+
+  val qPerceptronSql: String = {
+    val feats = s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(1 AS BIGINT) AS b,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS BIGINT) AS x1,
+       |    CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS x2
+       |  FROM documents""".stripMargin
+    // chain the epochs as 1-row CTEs, each folding the previous weights
+    val epochs = (1 to PerceptronEpochs).map { e =>
+      val (pb, p1, p2) =
+        if (e == 1) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+        else (s"w${e - 1}.wb", s"w${e - 1}.w1", s"w${e - 1}.w2")
+      val from = if (e == 1) "f" else s"f CROSS JOIN w${e - 1}"
+      s"""w$e AS (
+         |  SELECT CAST(ANY_VALUE($pb) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * b ELSE 0 END) AS BIGINT) AS wb,
+         |    CAST(ANY_VALUE($p1) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST(ANY_VALUE($p2) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+         |    CAST(SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         |  FROM $from)""".stripMargin
+    }
+    val selects = (1 to PerceptronEpochs).map { e =>
+      s"SELECT CAST($e AS BIGINT) AS epoch, n_err, wb AS w_bias, w1 AS w_stop, w2 AS w_nonascii FROM w$e"
+    }
+    s"""WITH f AS (
+       |  $feats),
+       |${epochs.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perceptron"        -> qPerceptron _,
     "q_dataset_card"      -> qDatasetCard _,
     "q_readability"       -> qReadability _,
     "q_char_diversity"    -> qCharDiversity _,
@@ -3196,6 +3273,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_perceptron"        -> qPerceptronSql,
     "q_dataset_card"      -> qDatasetCardSql,
     "q_readability"       -> qReadabilitySql,
     "q_char_diversity"    -> qCharDiversitySql,

@@ -521,6 +521,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want, "pair statistic must equal the exact recount, same tie order")
   }
 
+  test("perceptron: exact driver-side replay of the batch epochs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-perc").toString
+    Seq(
+      (1L, "the cat of the house", "en"),
+      (2L, "a dog and a bird", "en"),
+      (3L, "中文文本内容", "zh"),
+      (4L, "el perro y el gato", "es"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stops = Set("the", "a", "of", "and", "to", "is")
+    val feats = Seq(
+      (1L, "the cat of the house", "en"),
+      (2L, "a dog and a bird", "en"),
+      (3L, "中文文本内容", "zh"),
+      (4L, "el perro y el gato", "es")).map { case (_, text, lang) =>
+      val y = if (lang == "en") 1L else -1L
+      val x1 = text.split(" ").count(stops)
+      val x2 = text.count(_ > 0x7f)
+      (y, 1L, x1.toLong, x2.toLong)
+    }
+    var (wb, w1, w2) = (0L, 0L, 0L)
+    val want = (1 to 3).map { e =>
+      val mis = feats.filter { case (y, b, x1, x2) => y * (wb * b + w1 * x1 + w2 * x2) <= 0 }
+      wb += mis.map(f => f._1 * f._2).sum
+      w1 += mis.map(f => f._1 * f._3).sum
+      w2 += mis.map(f => f._1 * f._4).sum
+      (e.toLong, mis.length.toLong, wb, w1, w2)
+    }
+    val got = TextOps.qPerceptron(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === want, "every epoch's error count and weights must replay exactly")
+    assert(got.last._2 < feats.length.toLong,
+      "the separator must classify at least part of this separable corpus")
+  }
+
   test("dataset_card: one-row summary with normalization-aware dup share") {
     val s = spark
     import s.implicits._

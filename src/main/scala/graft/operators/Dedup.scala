@@ -1211,11 +1211,23 @@ object Dedup {
     // customer-keyed side twice — AQE broadcasts it while it fits —
     // and re-checks the exact (nation, mktsegment) equality that the
     // hashed block key only almost-surely enforced.
+    // The block self-join is CPU-bound, not byte-bound: the shuffled
+    // signature rows are tiny, but the within-block pair fan-out and
+    // the banded Levenshtein behind it grow with block DENSITY
+    // (quadratic in copies-per-name). AQE's byte-based coalescing is
+    // blind to that and collapsed this exchange to ONE partition on a
+    // 10× replica — 13+ min single-threaded while 15 cores idled
+    // (invisible at sf0.1 where the whole verify is ~3 s). Pinning
+    // the exchange to the configured shuffle parallelism (a
+    // user-specified repartition, which AQE never coalesces) keeps
+    // the verify spread across the cluster at every density.
+    val nPart = s.sessionState.conf.numShufflePartitions
     val sides = c.select(
         col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
         explode(delSignatures(col("c_name"))).as("sig"))
       .select(col("c_custkey"),
         xxhash64(col("sig"), col("c_nationkey"), col("c_mktsegment")).as("bkey"))
+      .repartition(nPart, col("bkey"))
     val cand = sides.as("a").join(sides.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"))

@@ -682,4 +682,14 @@ class PlanSpec extends SparkSpec {
     assert(zf.contains("TakeOrderedAndProject"),
       s"top-V vocab must be a TakeOrdered:\n$zf")
   }
+
+  test("q_entity_match: block exchange is user-pinned — AQE must not coalesce the verify") {
+    // the verify stage is CPU-bound after a small-BYTES shuffle; AQE's
+    // byte-based coalescing collapsed it to one partition on a 10×
+    // replica (13 min single-threaded). A user-specified repartition
+    // count is the one exchange AQE never coalesces — pin it.
+    val p = plan("q_entity_match")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"the bkey exchange must be a fixed-count user repartition:\n$p")
+  }
 }

@@ -449,6 +449,12 @@ object Audit {
         col("mad_").cast("double").as("max_abs_diff"))
   }
 
+  // sum_abs_diff grows past 2^53-representable digits at 10× scale;
+  // DuckDB's direct DECIMAL→DOUBLE cast lands 1-2 ULP off the
+  // correctly-rounded value there, while Spark's goes through
+  // BigDecimal (correctly rounded). VARCHAR-mediated casts take
+  // DuckDB's correctly-rounded string→double path instead — the
+  // q_stats_moments r12 device (ScaleOps.scala).
   val qReconcileSql: String =
     """WITH ls AS (
       |  SELECT l_orderkey,
@@ -465,8 +471,8 @@ object Audit {
       |  CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
       |  CAST(SUM(CASE WHEN ABS(diff) * 100 <= stored THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_within_1pct,
-      |  CAST(SUM(ABS(diff)) AS DOUBLE) AS sum_abs_diff,
-      |  CAST(MAX(ABS(diff)) AS DOUBLE) AS max_abs_diff
+      |  CAST(CAST(SUM(ABS(diff)) AS VARCHAR) AS DOUBLE) AS sum_abs_diff,
+      |  CAST(CAST(MAX(ABS(diff)) AS VARCHAR) AS DOUBLE) AS max_abs_diff
       |FROM j GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 

@@ -197,7 +197,8 @@ object SparkEntry {
     "q_label_prop"      -> Seq("s_suppkey"),
     "q_graph_modularity" -> Seq("community"),
     "q_reconcile"       -> Seq("o_orderstatus"),
-    "q_lang_leak"       -> Seq("lang_a", "lang_b")
+    "q_lang_leak"       -> Seq("lang_a", "lang_b"),
+    "q_split_balance"   -> Seq("axis", "value")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -3142,6 +3142,91 @@ object TextOps {
       |  CAST(SUM(toks) AS BIGINT) // COUNT(*) AS mean_doc_tokens
       |FROM base""".stripMargin
 
+  /** Split-balance audit: is the md5 train/test split UNBIASED along
+    * the axes that matter (language, source)? For every (axis,
+    * value): doc counts per split, each value's within-split share
+    * (ppm of that split's docs), the share DELTA (train − test,
+    * signed — pure subtraction, no negative division), and per-split
+    * mean doc length. A hash split is unbiased by construction ONLY
+    * if the hash key is independent of the axis — a doc_id assignment
+    * correlated with source (e.g. ids allocated per crawl batch)
+    * silently skews the split, and per-lang eval numbers move for
+    * data reasons, not model reasons. This is the audit that catches
+    * it; companion to [[qTrainTestSplit]]'s raw census and
+    * [[qContamination]]'s content-level leakage screen.
+    *
+    * Shape at scale: ONE corpus scan into a materialized slim
+    * (split, lang, source, toks) projection, two axis projections
+    * unioned (map-only over the checkpoint), one partial-aggregated
+    * (axis, value) rollup with conditional split sums, and a
+    * broadcast 1-row split-total attach.
+    */
+  def qSplitBalance(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < splitHexLt,
+          "train").otherwise("test").as("split"),
+        col("lang"), col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("toks"))
+      .materialized
+    val stacked = base.select(lit("lang").as("axis"), col("lang").as("value"),
+        col("split"), col("toks"))
+      .unionAll(base.select(lit("source").as("axis"), col("source").as("value"),
+        col("split"), col("toks")))
+    val tot = base.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_tot"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_tot"))
+    stacked
+      .groupBy(col("axis"), col("value"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("split") === "train", col("toks")).otherwise(0L)).as("t_train"),
+        sum(when(col("split") === "test", col("toks")).otherwise(0L)).as("t_test"))
+      .crossJoin(broadcast(tot))
+      .select(col("axis"), col("value"), col("n_train"), col("n_test"),
+        expr("(n_train * 1000000) DIV train_tot").as("train_ppm"),
+        expr("(n_test * 1000000) DIV test_tot").as("test_ppm"),
+        expr("(n_train * 1000000) DIV train_tot - (n_test * 1000000) DIV test_tot")
+          .as("delta_ppm"),
+        expr("CASE WHEN n_train = 0 THEN NULL ELSE t_train DIV n_train END")
+          .as("mean_toks_train"),
+        expr("CASE WHEN n_test = 0 THEN NULL ELSE t_test DIV n_test END")
+          .as("mean_toks_test"))
+  }
+
+  val qSplitBalanceSql: String =
+    s"""WITH base AS (
+       |  SELECT
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt'
+       |         THEN 'train' ELSE 'test' END AS split,
+       |    lang, source,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT 'lang' AS axis, lang AS value, split, toks FROM base
+       |  UNION ALL
+       |  SELECT 'source' AS axis, source AS value, split, toks FROM base),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_tot,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_tot
+       |  FROM base),
+       |g AS (
+       |  SELECT axis, value,
+       |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN split = 'train' THEN toks ELSE 0 END) AS BIGINT) AS t_train,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN toks ELSE 0 END) AS BIGINT) AS t_test
+       |  FROM st GROUP BY axis, value)
+       |SELECT axis, value, n_train, n_test,
+       |  (n_train * 1000000) // train_tot AS train_ppm,
+       |  (n_test * 1000000) // test_tot AS test_ppm,
+       |  (n_train * 1000000) // train_tot - (n_test * 1000000) // test_tot AS delta_ppm,
+       |  CASE WHEN n_train = 0 THEN NULL ELSE t_train // n_train END AS mean_toks_train,
+       |  CASE WHEN n_test = 0 THEN NULL ELSE t_test // n_test END AS mean_toks_test
+       |FROM g CROSS JOIN tot
+       |ORDER BY axis, value""".stripMargin
+
   private val PerceptronEpochs = 3
 
   /** Distributed batch-perceptron training in exact integers: learn
@@ -3219,6 +3304,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_balance"     -> qSplitBalance _,
     "q_perceptron"        -> qPerceptron _,
     "q_dataset_card"      -> qDatasetCard _,
     "q_readability"       -> qReadability _,
@@ -3273,6 +3359,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_split_balance"     -> qSplitBalanceSql,
     "q_perceptron"        -> qPerceptronSql,
     "q_dataset_card"      -> qDatasetCardSql,
     "q_readability"       -> qReadabilitySql,

@@ -521,6 +521,42 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want, "pair statistic must equal the exact recount, same tie order")
   }
 
+  test("split_balance: exact recompute from collected docs; shares telescope") {
+    val s = spark
+    val rows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val split = if (md.substring(0, 2) < "e6") "train" else "test"
+        val toks = r.getString(3).split(" ").count(_.nonEmpty).toLong
+        (split, r.getString(1), r.getString(2), toks)
+      }
+    val trainTot = rows.count(_._1 == "train").toLong
+    val testTot = rows.length - trainTot
+    val got = TextOps.qSplitBalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for ((axis, pick) <- Seq[(String, ((String, String, String, Long)) => String)](
+        ("lang", _._2), ("source", _._3))) {
+      val byVal = rows.groupBy(pick)
+      assert(got.keys.count(_._1 == axis) === byVal.size, s"$axis value coverage")
+      byVal.foreach { case (v, rs) =>
+        val nTr = rs.count(_._1 == "train").toLong
+        val nTe = rs.length - nTr
+        val (gTr, gTe, pTr, pTe, d) = got((axis, v))
+        assert((gTr, gTe) === ((nTr, nTe)), s"$axis=$v counts")
+        assert(pTr === nTr * 1000000L / trainTot && pTe === nTe * 1000000L / testTot)
+        assert(d === pTr - pTe)
+      }
+      // within-split shares telescope to ~1e6 (floor rounding loses < |values|)
+      val sTr = got.filter(_._1._1 == axis).values.map(_._3).sum
+      assert(sTr > 1000000L - byVal.size && sTr <= 1000000L, s"$axis train shares")
+    }
+  }
+
   test("perceptron: exact driver-side replay of the batch epochs") {
     val s = spark
     import s.implicits._

@@ -3250,12 +3250,22 @@ object TextOps {
     * delta (the [[Ann.trainCodebook]] Lloyd pattern — model-sized
     * driver state, fixed shallow rounds, never a corpus collect).
     */
-  def qPerceptron(s: SparkSession, dir: String): DataFrame = {
-    val f = docs(s, dir).select(
+  /** The per-doc feature projection the trainer AND both serve paths
+    * share (the twins must never disagree on features): bias 1,
+    * English-marker stopword count, non-ASCII char count. Input needs
+    * (text); extra columns pass through. */
+  private def withPerceptronFeats(docsDf: DataFrame): DataFrame =
+    docsDf.withColumn("b", lit(1L))
+      .withColumn("x1", stopCount(enStops))
+      .withColumn("x2", expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)"))
+
+  /** Run the [[PerceptronEpochs]] batch epochs; returns the per-epoch
+    * history (epoch, n_err, wb, w1, w2). Model state between epochs
+    * is three BIGINTs on the driver — the Lloyd pattern. */
+  private def trainPerceptron(s: SparkSession, dir: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val f = withPerceptronFeats(docs(s, dir)).select(
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-      lit(1L).as("b"),
-      stopCount(enStops).as("x1"),
-      expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("x2"))
+      col("b"), col("x1"), col("x2"))
       .materialized
     var (wb, w1, w2) = (0L, 0L, 0L)
     val hist = Seq.newBuilder[(Long, Long, Long, Long, Long)]
@@ -3269,10 +3279,43 @@ object TextOps {
       wb += r.getLong(0); w1 += r.getLong(1); w2 += r.getLong(2)
       hist += ((epoch.toLong, r.getLong(3), wb, w1, w2))
     }
+    hist.result()
+  }
+
+  def qPerceptron(s: SparkSession, dir: String): DataFrame = {
     val sess = s
     import sess.implicits._
-    hist.result().toDF("epoch", "n_err", "w_bias", "w_stop", "w_nonascii")
+    trainPerceptron(s, dir).toDF("epoch", "n_err", "w_bias", "w_stop", "w_nonascii")
   }
+
+  /** Persist the trained separator as a 1-row weight table — the
+    * frozen-model contract ([[buildLmModel]]/[[buildDsirModel]]) for
+    * the classifier; [[perceptronScoreWith]] / `Streams.perceptronScore`
+    * serve from it. */
+  private[graft] def buildPerceptronModel(s: SparkSession, dir: String, path: String): Unit = {
+    val sess = s
+    import sess.implicits._
+    Seq(trainPerceptron(s, dir).last).map { case (_, _, wb, w1, w2) => (wb, w1, w2) }
+      .toDF("w_bias", "w_stop", "w_nonascii")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score arbitrary docs (doc_id, text) against a frozen weight
+    * table: one broadcast of the 1-row model + map-only margin and
+    * label — stateless, the shape both the batch and streaming serve
+    * paths share. */
+  private[graft] def perceptronScoreDocs(docsDf: DataFrame, model: DataFrame): DataFrame =
+    withPerceptronFeats(docsDf)
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        (col("w_bias") * col("b") + col("w_stop") * col("x1")
+          + col("w_nonascii") * col("x2")).as("margin"),
+        (col("w_bias") * col("b") + col("w_stop") * col("x1")
+          + col("w_nonascii") * col("x2") > 0).as("pred_en"))
+
+  /** Batch serve against a persisted [[buildPerceptronModel]] table. */
+  private[graft] def perceptronScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
+    perceptronScoreDocs(docs(s, dir), s.read.parquet(modelPath))
 
   val qPerceptronSql: String = {
     val feats = s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,

@@ -375,6 +375,32 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming classifier scoring — the twin of
+    * `TextOps.perceptronScoreWith`: arriving docs (doc_id, text)
+    * score against a frozen `buildPerceptronModel` 1-row weight
+    * table. Per batch: one broadcast of three BIGINTs + map-only
+    * integer margins — stateless, the `lmScore` pattern, same
+    * deterministic batchId-dir OVERWRITE replay contract.
+    */
+  def perceptronScore(
+      arrivals: DataFrame,
+      modelPath: String,
+      outPath: String,
+      checkpointDir: String): Unit = {
+    val q = arrivals
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.operators.TextOps.perceptronScoreDocs(batch.toDF(), s.read.parquet(modelPath))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming DSIR importance scoring — the twin of
     * `TextOps.dsirScoreWith`: arriving docs (doc_id, text) score
     * against a frozen `buildDsirModel` table (≤4097 rows — the

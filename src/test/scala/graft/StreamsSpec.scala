@@ -818,6 +818,30 @@ class StreamsSpec extends SparkSpec {
       "streamed DSIR scores must equal the batch persisted-model serve")
   }
 
+  test("perceptronScore: streamed docs score identically to the batch serve") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val model = java.nio.file.Files.createTempDirectory("graft-sperc").toString + "/model"
+    val out = java.nio.file.Files.createTempDirectory("graft-sperc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sperc-ckpt").toString
+    graft.operators.TextOps.buildPerceptronModel(s, sf0001, model)
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docRows.take(docRows.length / 2).toSeq)
+    ms.addData(docRows.drop(docRows.length / 2).toSeq)
+    Streams.perceptronScore(ms.toDF().toDF("doc_id", "text"), model, out, ckpt)
+    val shape = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val got = s.read.parquet(out).select("doc_id", "margin", "pred_en")
+      .collect().map(shape).sortBy(_._1).toSeq
+    val ref = graft.operators.TextOps.perceptronScoreWith(s, sf0001, model)
+      .select("doc_id", "margin", "pred_en")
+      .collect().map(shape).sortBy(_._1).toSeq
+    assert(got === ref, "streamed classifier scores must equal the batch serve")
+  }
+
   test("transitionSteps: a cross-batch straggler cannot rewind the sequence state") {
     val s = spark
     import s.implicits._

@@ -597,6 +597,27 @@ class TextOpsSpec extends SparkSpec {
       "the separator must classify at least part of this separable corpus")
   }
 
+  test("perceptron model serve: frozen weights classify identically to the final epoch") {
+    val s = spark
+    val model = java.nio.file.Files.createTempDirectory("graft-percm").toString + "/model"
+    TextOps.buildPerceptronModel(s, sf0001, model)
+    val hist = TextOps.qPerceptron(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val (wb, w1, w2) = (hist.last._2, hist.last._3, hist.last._4)
+    val persisted = s.read.parquet(model).collect()
+    assert(persisted.length === 1)
+    assert((persisted(0).getLong(0), persisted(0).getLong(1), persisted(0).getLong(2))
+      === ((wb, w1, w2)), "persisted model = final-epoch weights")
+    val scored = TextOps.perceptronScoreWith(s, sf0001, model).collect()
+    assert(scored.length === 500)
+    // margins reconcile with the final epoch's error count: n_err of a
+    // hypothetical next epoch = docs with y*margin <= 0; we can't see y
+    // here, but every margin must be a pure integer combination
+    scored.foreach { r =>
+      assert(r.getBoolean(2) === (r.getLong(1) > 0), "pred is the margin sign")
+    }
+  }
+
   test("dataset_card: one-row summary with normalization-aware dup share") {
     val s = spark
     import s.implicits._

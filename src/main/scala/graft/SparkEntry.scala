@@ -198,7 +198,8 @@ object SparkEntry {
     "q_graph_modularity" -> Seq("community"),
     "q_reconcile"       -> Seq("o_orderstatus"),
     "q_lang_leak"       -> Seq("lang_a", "lang_b"),
-    "q_split_balance"   -> Seq("axis", "value")
+    "q_split_balance"   -> Seq("axis", "value"),
+    "q_classifier_eval" -> Seq("source")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -3317,6 +3317,86 @@ object TextOps {
   private[graft] def perceptronScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
     perceptronScoreDocs(docs(s, dir), s.read.parquet(modelPath))
 
+  /** Classifier evaluation: the trained [[qPerceptron]] separator
+    * scored back over the corpus and graded against the `lang` label,
+    * per source — tp/fp/fn/tn plus fixed-point precision/recall
+    * (NULL, not a fake 1e6, when a source has no predicted/actual
+    * positives). The eval row every deployed filter needs NEXT TO its
+    * training curve: a source whose precision collapses is where the
+    * classifier's features stop transferring, and per-source grading
+    * catches that before a corpus-wide average hides it.
+    *
+    * Shape at scale: training is [[trainPerceptron]] (3 aggregate
+    * passes, driver-held 3-int model); evaluation is ONE map-only
+    * scoring pass (weights inlined as literals) partial-aggregated
+    * into a ≤|sources| rollup.
+    */
+  def qClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, wb, w1, w2) = trainPerceptron(s, dir).last
+    withPerceptronFeats(docs(s, dir))
+      .select(col("source"), (col("lang") === "en").as("actual"),
+        (lit(wb) * col("b") + lit(w1) * col("x1") + lit(w2) * col("x2") > 0).as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000000) DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000000) DIV (tp + fn) END")
+          .as("recall_ppm"))
+  }
+
+  val qClassifierEvalSql: String = {
+    // reuse the epoch CTE chain, then grade the final weights
+    val f = s"""SELECT source, lang = 'en' AS actual,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(1 AS BIGINT) AS b,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS BIGINT) AS x1,
+       |    CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) AS BIGINT) AS x2
+       |  FROM documents""".stripMargin
+    val epochs = (1 to PerceptronEpochs).map { e =>
+      val (pb, p1, p2) =
+        if (e == 1) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+        else (s"w${e - 1}.wb", s"w${e - 1}.w1", s"w${e - 1}.w2")
+      val from = if (e == 1) "f" else s"f CROSS JOIN w${e - 1}"
+      s"""w$e AS (
+         |  SELECT CAST(ANY_VALUE($pb) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * b ELSE 0 END) AS BIGINT) AS wb,
+         |    CAST(ANY_VALUE($p1) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST(ANY_VALUE($p2) + SUM(CASE WHEN y * ($pb * b + $p1 * x1 + $p2 * x2) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2
+         |  FROM $from)""".stripMargin
+    }
+    val wN = s"w$PerceptronEpochs"
+    s"""WITH f AS (
+       |  $f),
+       |${epochs.mkString(",\n")},
+       |graded AS (
+       |  SELECT source, actual,
+       |    ($wN.wb * b + $wN.w1 * x1 + $wN.w2 * x2) > 0 AS pred
+       |  FROM f CROSS JOIN $wN)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CASE WHEN SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE (CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |         // CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |              + SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+       |  END AS precision_ppm,
+       |  CASE WHEN SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE (CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |         // CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |              + SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT)
+       |  END AS recall_ppm
+       |FROM graded GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val qPerceptronSql: String = {
     val feats = s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
        |    CAST(1 AS BIGINT) AS b,
@@ -3348,6 +3428,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_balance"     -> qSplitBalance _,
+    "q_classifier_eval"   -> qClassifierEval _,
     "q_perceptron"        -> qPerceptron _,
     "q_dataset_card"      -> qDatasetCard _,
     "q_readability"       -> qReadability _,
@@ -3403,6 +3484,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_split_balance"     -> qSplitBalanceSql,
+    "q_classifier_eval"   -> qClassifierEvalSql,
     "q_perceptron"        -> qPerceptronSql,
     "q_dataset_card"      -> qDatasetCardSql,
     "q_readability"       -> qReadabilitySql,

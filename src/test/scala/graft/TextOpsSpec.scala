@@ -597,6 +597,36 @@ class TextOpsSpec extends SparkSpec {
       "the separator must classify at least part of this separable corpus")
   }
 
+  test("classifier_eval: confusion cells partition each source; grading matches the serve path") {
+    val s = spark
+    val model = java.nio.file.Files.createTempDirectory("graft-ceval").toString + "/model"
+    TextOps.buildPerceptronModel(s, sf0001, model)
+    val evalRows = TextOps.qClassifierEval(s, sf0001).collect()
+    val perSource = graft.sources.Ingest.table(s, sf0001, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(evalRows.map(_.getString(0)).toSet === perSource.keySet)
+    evalRows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp + fp + fn + tn === perSource(r.getString(0)),
+        s"confusion cells must partition source ${r.getString(0)}")
+      if (!r.isNullAt(5)) assert(r.getLong(5) === tp * 1000000L / (tp + fp))
+      if (!r.isNullAt(6)) assert(r.getLong(6) === tp * 1000000L / (tp + fn))
+    }
+    // the eval's implicit scoring must agree with the frozen-model serve
+    val preds = TextOps.perceptronScoreWith(s, sf0001, model)
+      .select("doc_id", "pred_en").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docs = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "source", "lang").collect()
+    val tpBySource = docs.groupBy(_.getString(1)).view.mapValues(ds =>
+      ds.count(d => preds(d.getLong(0)) && d.getString(2) == "en").toLong).toMap
+    evalRows.foreach { r =>
+      assert(r.getLong(1) === tpBySource(r.getString(0)),
+        s"tp for ${r.getString(0)} must match the serve-path predictions")
+    }
+  }
+
   test("perceptron model serve: frozen weights classify identically to the final epoch") {
     val s = spark
     val model = java.nio.file.Files.createTempDirectory("graft-percm").toString + "/model"

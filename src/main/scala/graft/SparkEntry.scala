@@ -199,7 +199,8 @@ object SparkEntry {
     "q_reconcile"       -> Seq("o_orderstatus"),
     "q_lang_leak"       -> Seq("lang_a", "lang_b"),
     "q_split_balance"   -> Seq("axis", "value"),
-    "q_classifier_eval" -> Seq("source")
+    "q_classifier_eval" -> Seq("source"),
+    "q_behavior_diversity" -> Seq("user_id")
   )
 
   /** Production plans — the library API. No presentation sort. */

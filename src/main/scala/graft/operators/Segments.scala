@@ -466,7 +466,49 @@ object Segments {
       |FROM sh GROUP BY nation_name
       |ORDER BY nation_name""".stripMargin
 
+  /** Behavioral-diversity segmentation: per user, event count,
+    * distinct event types, modal-type count/share, and the Simpson
+    * concentration of the type distribution (repeat probability
+    * Σn_t²/N², exact integer ppm — the [[TextOps.qCharDiversity]]
+    * device on the EVENTS axis). A user near 1e6 does one thing over
+    * and over — the scripted/bot signature; organic users spread
+    * across types. The behavioral column RFM's spend/recency axes
+    * can't see, and the per-user input to rate-limit or cohort
+    * decisions.
+    *
+    * Shape at scale: one (user, type) partial aggregate — combiner-
+    * friendly, per-user cardinality bounded by \|event types\| — then
+    * a user-keyed rollup. Two type-bounded shuffles, no window.
+    */
+  def qBehaviorDiversity(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("nt"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum("nt").as("n_events"),
+        count(lit(1)).as("n_types"),
+        max("nt").as("top_type_cnt"),
+        sum(col("nt") * col("nt")).as("sq"))
+      .select(col("user_id"), col("n_events"), col("n_types"), col("top_type_cnt"),
+        expr("(sq * 1000000) DIV (n_events * n_events)").as("simpson_ppm"),
+        expr("(top_type_cnt * 1000000) DIV n_events").as("top_share_ppm"))
+
+  val qBehaviorDiversitySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS nt
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT user_id,
+      |  CAST(SUM(nt) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(MAX(nt) AS BIGINT) AS top_type_cnt,
+      |  CAST((SUM(nt * nt) * 1000000) // (SUM(nt) * SUM(nt)) AS BIGINT) AS simpson_ppm,
+      |  CAST((MAX(nt) * 1000000) // SUM(nt) AS BIGINT) AS top_share_ppm
+      |FROM c GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_behavior_diversity" -> qBehaviorDiversity _,
     "q_segment_migration" -> qSegmentMigration _,
     "q_repeat_purchase" -> qRepeatPurchase _,
     "q_hhi"        -> qHhi _,
@@ -476,6 +518,7 @@ object Segments {
     "q_wow_change" -> qWowChange _)
 
   def oracle: Map[String, String] = Map(
+    "q_behavior_diversity" -> qBehaviorDiversitySql,
     "q_segment_migration" -> qSegmentMigrationSql,
     "q_hhi"        -> qHhiSql,
     "q_repeat_purchase" -> qRepeatPurchaseSql,

@@ -532,6 +532,29 @@ class InvariantSpec extends SparkSpec {
       "each supplier's propagated label must be a community in the modularity table")
   }
 
+  test("q_behavior_diversity: exact recompute from collected events; concentration bounds") {
+    val evs = graft.sources.Ingest.events(spark, sf0001)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      val byType = es.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = es.length.toLong
+      val sq = byType.values.map(c => c * c).sum
+      u -> (n, byType.size.toLong, byType.values.max,
+        sq * 1000000L / (n * n), byType.values.max * 1000000L / n)
+    }
+    val got = graft.operators.Segments.qBehaviorDiversity(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, w) => assert(got(u) === w, s"user $u diversity profile") }
+    // Simpson is bounded below by the uniform-distribution floor 1/k
+    got.values.foreach { case (n, k, _, simpson, _) =>
+      assert(simpson >= 1000000L / (k * k) && simpson <= 1000000L)
+    }
+  }
+
   test("q_running_balance final balances equal the per-part totals") {
     val bal = Relational.qRunningBalance(spark, sf0001)
     val finalBal = bal.groupBy("l_partkey")

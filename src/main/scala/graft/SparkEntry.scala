@@ -200,7 +200,8 @@ object SparkEntry {
     "q_lang_leak"       -> Seq("lang_a", "lang_b"),
     "q_split_balance"   -> Seq("axis", "value"),
     "q_classifier_eval" -> Seq("source"),
-    "q_behavior_diversity" -> Seq("user_id")
+    "q_behavior_diversity" -> Seq("user_id"),
+    "q_dup_tokens"      -> Seq("source")
   )
 
   /** Production plans — the library API. No presentation sort. */

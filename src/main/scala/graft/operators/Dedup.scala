@@ -1281,6 +1281,63 @@ object Dedup {
        |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
        |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
 
+  /** Token-weighted duplication census per source: total tokens, the
+    * tokens sitting in NON-SURVIVOR rows of exact-dup families (the
+    * [[contentMd5]] key, min-id survivor — reconciles with
+    * [[qDedupExact]]), and both ppm rates. The doc-count view
+    * ([[qDupSource]]) answers "how many rows are copies"; this
+    * answers the question training budgets actually ask — what
+    * fraction of the TOKEN mass is duplicate weight the model would
+    * see twice. A source whose dup_token_ppm far exceeds its
+    * dup_doc_ppm duplicates its LONG documents — worse than the doc
+    * rate suggests.
+    *
+    * Shape at scale: the same single content-hash window exchange as
+    * exact dedup (token counts ride the projection), then a
+    * \|sources\|-bounded rollup.
+    */
+  def qDupTokens(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("content_md5")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), contentMd5(col("text")).as("content_md5"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("toks"))
+      .withColumn("survivor_id", min("doc_id").over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("survivor_id"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("doc_id") =!= col("survivor_id"), col("toks")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("n_tokens"), col("dup_tokens"),
+        expr("(n_dup_docs * 1000000) DIV n_docs").as("dup_doc_ppm"),
+        expr("CASE WHEN n_tokens = 0 THEN NULL ELSE (dup_tokens * 1000000) DIV n_tokens END")
+          .as("dup_token_ppm"))
+  }
+
+  val qDupTokensSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, toks,
+      |    MIN(doc_id) OVER (PARTITION BY content_md5) AS survivor_id
+      |  FROM v)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id <> survivor_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN doc_id <> survivor_id THEN toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |  (CAST(SUM(CASE WHEN doc_id <> survivor_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // COUNT(*) AS dup_doc_ppm,
+      |  CASE WHEN SUM(toks) = 0 THEN NULL
+      |       ELSE (CAST(SUM(CASE WHEN doc_id <> survivor_id THEN toks ELSE 0 END) AS BIGINT)
+      |         * 1000000) // CAST(SUM(toks) AS BIGINT) END AS dup_token_ppm
+      |FROM w GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Symmetric source-inventory overlap matrix: for every source
     * pair sharing at least one [[prefixMd5]] boilerplate family, the
     * per-source distinct-family counts, the shared-family count, and
@@ -1390,6 +1447,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_leak"       -> qLangLeak _,
+    "q_dup_tokens"      -> qDupTokens _,
     "q_source_overlap"  -> qSourceOverlap _,
     "q_entity_match"    -> qEntityMatch _,
     "q_minhash_error"   -> qMinhashError _,
@@ -1410,6 +1468,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_lang_leak"      -> qLangLeakSql,
+    "q_dup_tokens"     -> qDupTokensSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_entity_match" -> qEntityMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,

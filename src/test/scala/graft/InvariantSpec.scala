@@ -532,6 +532,23 @@ class InvariantSpec extends SparkSpec {
       "each supplier's propagated label must be a community in the modularity table")
   }
 
+  test("q_dup_tokens reconciles with q_dup_source and the exact-dedup census") {
+    val dt = graft.operators.Dedup.qDupTokens(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ds = graft.operators.Dedup.qDupSource(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dt.keySet === ds.keySet)
+    dt.foreach { case (src, (nDocs, nDup, nToks, dupToks)) =>
+      assert((nDocs, nDup) === ds(src), s"$src doc-level census must match q_dup_source")
+      assert(dupToks <= nToks, s"$src dup tokens bounded by total")
+    }
+    val exactDups = graft.operators.Dedup.qDedupExact(spark, sf0001)
+      .filter(col("is_dup")).count()
+    assert(dt.values.map(_._2).sum === exactDups,
+      "summed per-source dup docs = the exact-dedup census")
+  }
+
   test("q_behavior_diversity: exact recompute from collected events; concentration bounds") {
     val evs = graft.sources.Ingest.events(spark, sf0001)
       .select("user_id", "event_type").collect()

@@ -121,6 +121,77 @@ object Bench {
     }.mkString("{", ",", "}")
     val ampJson = ampFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // Regression tripwire vs the COMMITTED baseline (VERDICT r13 #3):
+    // read the previous artifact at benchOut BEFORE overwriting it and
+    // compare per query. Bytes are machine-independent plan facts, wall
+    // is not — so the two signals adjudicate each other:
+    //   - wall moved >1.4× while bytes stayed within ±10%  → machine
+    //     noise (WALL-DRIFT warn; the r13 q_oov_rate/q_quality_score
+    //     class, adjudicated manually then, automated here);
+    //   - bytes moved >1.25× (and are big enough to matter) → the PLAN
+    //     changed shape (PLAN-REGRESS fail — this one means a commit
+    //     made a query move more data, which no re-run will fix).
+    // Comparison only applies when the baseline ran the same SF dir;
+    // sub-0.2 s baseline walls are below the measured machine variance
+    // floor and tiny byte totals (<8 MB) jitter with AQE stats, so both
+    // are excluded rather than flagged as false positives.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    case class Base(wall: Double, bytes: Long)
+    val baseline: Map[String, Base] = try {
+      val p = java.nio.file.Paths.get(benchOut)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        val sfOk = (j \ "sf") match { case JString(v) => v == sfDir; case _ => false }
+        if (!sfOk) Map.empty
+        else {
+          val walls = (j \ "queries") match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v))    => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          def num(v: JValue): Long = v match {
+            case JInt(x) => x.toLong; case JLong(x) => x; case JDouble(x) => x.toLong; case _ => 0L
+          }
+          val bts = (j \ "bytes") match {
+            case JObject(fs) => fs.map { case (k, b) =>
+              k -> (num(b \ "shuffle_read") + num(b \ "shuffle_write") + num(b \ "input"))
+            }.toMap
+            case _ => Map.empty[String, Long]
+          }
+          walls.collect { case (k, w) if w >= 0 => k -> Base(w, bts.getOrElse(k, 0L)) }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Console.err.println(s"[bench] WARN: could not read baseline $benchOut: $e"); Map.empty
+    }
+    val WallDrift = 1.4
+    val BytesBand = 0.10
+    val BytesRegress = 1.25
+    val WallFloor = 0.2
+    val BytesFloor = 8L * 1024 * 1024
+    def curBytes(n: String): Long =
+      bytesFor(n).map(b => b.shuffleRead + b.shuffleWrite + b.input).getOrElse(0L)
+    val compared = results.collect {
+      case (n, w) if w >= 0 && baseline.contains(n) && baseline(n).wall >= WallFloor =>
+        val b = baseline(n)
+        (n, w / b.wall, (curBytes(n).toDouble + 1) / (b.bytes.toDouble + 1), curBytes(n))
+    }
+    val wallDriftFlags = compared.collect {
+      case (n, wr, br, _) if wr > WallDrift && br >= 1 - BytesBand && br <= 1 + BytesBand => n }
+    val planRegressFlags = compared.collect {
+      case (n, _, br, cb) if br > BytesRegress && cb > BytesFloor => n }
+    wallDriftFlags.foreach { n =>
+      Console.err.println(f"[bench] WALL-DRIFT $n: wall ${results.toMap.apply(n)}%.3f s vs baseline ${baseline(n).wall}%.3f s with bytes within ±10%% — machine noise, not a plan change") }
+    planRegressFlags.foreach { n =>
+      Console.err.println(s"[bench] PLAN-REGRESS $n: moved ${curBytes(n)} bytes vs baseline ${baseline(n).bytes} (> ${BytesRegress}x) — the plan changed shape") }
+    val wallDriftJson = wallDriftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val planRegressJson = planRegressFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     // 3-decimal seconds: ms precision is far below the measured
     // same-day machine variance (0.62-0.83 s/query across identical
     // runs, BASELINE.md) and halves the JSON line's byte size.
@@ -132,7 +203,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"bytes":$bytesJson,"shuffle_amp_flags":$ampJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"bytes":$bytesJson,"shuffle_amp_flags":$ampJson,"wall_drift_flags":$wallDriftJson,"plan_regress_flags":$planRegressJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and sbt
     // appends its own "[success]" line after ours, so the ~4 KB
     // per-query line can never arrive whole (BENCH_r09 parsed:null,
@@ -147,7 +218,6 @@ object Bench {
     // falls back to CWD) so runs launched elsewhere don't scatter it —
     // and swallow only NonFatal with a visible warning: an OOM or
     // interrupt must propagate, not vanish (ADVICE r10 #2).
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchOut),
       (full + "\n").getBytes("UTF-8"))
@@ -161,7 +231,12 @@ object Bench {
       Console.err.println(s"[bench] WARN: spark.stop() failed: $e")
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"queries_file":"$benchOut","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"regress":${planRegressFlags.size},"queries_file":"$benchOut","sf":"$sfDir"}""")
     Console.out.flush()
+    // SPARK_GRAFT_STRICT=1 turns a plan regression into a hard CI
+    // failure (local gate use); the driver's round bench stays exit-0
+    // so one regressed query can't blank the whole round's artifact.
+    if (planRegressFlags.nonEmpty && sys.env.contains("SPARK_GRAFT_STRICT"))
+      sys.exit(1)
   }
 }

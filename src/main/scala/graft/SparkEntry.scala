@@ -189,6 +189,7 @@ object SparkEntry {
     "q_quant_recall"    -> Seq("query_id"),
     "q_hybrid_search"   -> Seq("query_id", "rnk_kept"),
     "q_char_diversity"  -> Seq("doc_id"),
+    "q_readability"     -> Seq("doc_id"),
     "q_lexical_diversity" -> Seq("source"),
     "q_self_overlap"    -> Seq("source"),
     "q_source_overlap"  -> Seq("src_a", "src_b"),

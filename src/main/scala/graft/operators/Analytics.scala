@@ -746,8 +746,16 @@ object Analytics {
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
       .crossJoin(broadcast(m1))
+      // The numerator is routinely negative (e_in=0 with d_tot>0). The
+      // codebase's cross-engine DIV rule is positive-operands-only (see
+      // qZipfFit / qSplitBalance), so divide the absolute value and
+      // re-apply the sign rather than lean on both engines happening to
+      // truncate negative integer division toward zero.
       .withColumn("contrib_ppm",
-        expr("((4 * m * e_in - d_tot * d_tot) * 1000000) DIV (4 * m * m)"))
+        expr("""CASE WHEN 4 * m * e_in >= d_tot * d_tot
+               |  THEN  ((4 * m * e_in - d_tot * d_tot) * 1000000) DIV (4 * m * m)
+               |  ELSE -(((d_tot * d_tot - 4 * m * e_in) * 1000000) DIV (4 * m * m))
+               |END""".stripMargin))
       .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
         col("m"), col("contrib_ppm"))
   }
@@ -789,8 +797,12 @@ object Analytics {
       |  FROM nodes GROUP BY community)
       |SELECT dtot.community, dtot.n_nodes,
       |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dtot.d_tot, m1.m,
-      |  ((4 * m1.m * CAST(COALESCE(ein.e_in, 0) AS BIGINT) - dtot.d_tot * dtot.d_tot)
-      |    * 1000000) // (4 * m1.m * m1.m) AS contrib_ppm
+      |  CASE WHEN 4 * m1.m * CAST(COALESCE(ein.e_in, 0) AS BIGINT) >= dtot.d_tot * dtot.d_tot
+      |    THEN  ((4 * m1.m * CAST(COALESCE(ein.e_in, 0) AS BIGINT) - dtot.d_tot * dtot.d_tot)
+      |            * 1000000) // (4 * m1.m * m1.m)
+      |    ELSE -(((dtot.d_tot * dtot.d_tot - 4 * m1.m * CAST(COALESCE(ein.e_in, 0) AS BIGINT))
+      |            * 1000000) // (4 * m1.m * m1.m))
+      |  END AS contrib_ppm
       |FROM dtot LEFT JOIN ein ON dtot.community = ein.community
       |CROSS JOIN m1
       |ORDER BY dtot.community""".stripMargin

@@ -566,9 +566,11 @@ class InvariantSpec extends SparkSpec {
       .toMap
     assert(got.keySet === want.keySet)
     want.foreach { case (u, w) => assert(got(u) === w, s"user $u diversity profile") }
-    // Simpson is bounded below by the uniform-distribution floor 1/k
+    // Simpson is bounded below by the uniform-distribution floor 1/k:
+    // Σc² ≥ n²/k (Cauchy-Schwarz), and floor is monotone, so the
+    // truncated ppm value is ≥ floor(1e6/k) = 1000000L / k exactly.
     got.values.foreach { case (n, k, _, simpson, _) =>
-      assert(simpson >= 1000000L / (k * k) && simpson <= 1000000L)
+      assert(simpson >= 1000000L / k && simpson <= 1000000L)
     }
   }
 

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_dedup_embedding" -> Seq("vec_id"),
     "q_semdedup"        -> Seq("vec_id"),
     "q_prefix_dedup"    -> Seq("doc_id"),
+    "q_phash_dedup"     -> Seq("doc_id"),
     "q_suffix_dedup"    -> Seq("doc_id"),
     "q_lang_confusion"  -> Seq("lang", "lang_pred"),
     "q_dup_source"      -> Seq("source"),
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_lang_leak"       -> Seq("lang_a", "lang_b"),
     "q_split_balance"   -> Seq("axis", "value"),
     "q_classifier_eval" -> Seq("source"),
+    "q_hashed_classifier" -> Seq("source"),
     "q_behavior_diversity" -> Seq("user_id"),
     "q_dup_tokens"      -> Seq("source")
   )

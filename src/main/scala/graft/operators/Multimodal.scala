@@ -38,6 +38,11 @@ object Multimodal {
       acc
     }
 
+    /** The raw 48-bit payload hash ([[qPhashDedup]]'s seed for the
+      * block-luminance expansion; a real codec would return decoded
+      * pixel blocks here instead). */
+    def baseHash(bytes: Array[Byte]): Long = h(bytes, salt = 17L)
+
     def decode(r: MediaRow): Decoded = {
       val base = h(r.media, salt = 17L)
       val (w, ht, frames) = r.media_type match {
@@ -207,9 +212,188 @@ object Multimodal {
        |ORDER BY media_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual-hash media dedup (VERDICT r13 #5): an average-hash
+  // (aHash) fingerprint over the stub-decoded payload, then the
+  // Dedup.scala banded-LSH candidate machinery reused verbatim.
+  // 4 bands × 16 bits: any pair with hamming ≤ 3 shares ≥1 clean band
+  // (pigeonhole — perfect recall at the verify threshold), and
+  // 65536-value buckets keep candidate volume ~N²·4/65536 instead of
+  // the N²·8/256 an 8-bit banding would cost — the band-width choice
+  // IS the scale lever for a fingerprint family whose buckets are
+  // value-dense. Hot buckets (a viral image reposted millions of
+  // times) hit Dedup.candidatePairs' salt cap, same contract as text.
+  // ------------------------------------------------------------------
+  private val PhashBands = 4
+  private val PhashBandBits = 16
+  private val PhashHamThresh = 3
+  private val Mask48 = 281474976710656L // 2^48
+
+  /** One fingerprint-seeded media row. */
+  case class Fingered(doc_id: Long, media_type: String, base: Long)
+
+  /** Per-partition stub "decode to block luminances" seed — the same
+    * mapPartitions codec-init shape as [[decode]]; a real pHash would
+    * DCT/average real pixel blocks here. */
+  def fingerprintBase(ds: Dataset[MediaRow]): Dataset[Fingered] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map(r => Fingered(r.doc_id, r.media_type, StubCodec.baseHash(r.media)))
+    }
+  }
+
+  /** SURVEY §2 — perceptual-hash near-dup over media payloads: expand
+    * each payload's 48-bit stub-decode seed into 64 deterministic
+    * block luminances, take the average-hash bit per block
+    * (luminance > mean — the classic aHash rule, transcendental-free),
+    * pack the 64 bits into [[PhashBands]] 16-bit band values, surface
+    * candidate pairs through [[Dedup.candidatePairs]]' salted band
+    * join, verify exact hamming over the band arrays, and report the
+    * per-media audit view ([[Dedup.qDedupEmbedding]]'s shape): every
+    * payload with its fingerprint hex, candidate count, best mate and
+    * min hamming, `is_dup` at hamming ≤ [[PhashHamThresh]].
+    *
+    * With the deterministic stub, byte-identical payloads (and only
+    * those, avalanche) collide at hamming 0 — MultimodalSpec plants
+    * such a family; with a real codec the same plan catches
+    * recompressed/resized variants, because aHash bits move only where
+    * block luminances cross the mean.
+    *
+    * Shape at scale: fingerprint is map-only mapPartitions (payload
+    * bytes never survive it); the band explode is ×4; the only
+    * corpus shuffles are the salted (band, bucket) candidate join and
+    * the doc-keyed mate rollup. Verify joins ship 4-long band arrays,
+    * not payloads.
+    */
+  def qPhashDedup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Ingest.table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"))
+      .as[MediaRow]
+    import graft.plans.Materialize._
+    val fp = fingerprintBase(media).toDF()
+      .withColumn("px", expr(
+        s"transform(sequence(0, 63), i -> ((base * (2*i + 1) + i * 99991) % $Mask48) % 256)"))
+      .withColumn("avg_px", expr("aggregate(px, 0L, (a, x) -> a + x) DIV 64"))
+      .withColumn("bits", expr("transform(px, p -> IF(p > avg_px, 1L, 0L))"))
+      .withColumn("bands", expr(
+        s"transform(sequence(0, ${PhashBands - 1}), j -> " +
+          s"aggregate(sequence(0, ${PhashBandBits - 1}), 0L, " +
+          s"(a, k) -> a + shiftleft(element_at(bits, j * $PhashBandBits + k + 1), k)))"))
+      .select(col("doc_id"), col("media_type"),
+        lower(expr(s"concat_ws('', transform(bands, b -> lpad(hex(b), ${PhashBandBits / 4}, '0')))"))
+          .as("phash_hex"),
+        col("bands"))
+      .materialized
+    val bandRows = fp.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val pairs = Dedup.candidatePairs(bandRows)
+      .join(fp.select(col("doc_id").as("id_a"), col("bands").as("ba")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("bands").as("bb")), "id_b")
+      .withColumn("hamming", expr(
+        "CAST(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v) AS BIGINT)"))
+      .select("id_a", "id_b", "hamming")
+    val mates = pairs.select(col("id_a").as("doc_id"), col("id_b").as("mate"), col("hamming"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("mate"), col("hamming")))
+    val best = mates.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct(col("hamming"), col("mate"))).as("b"))
+      .select(col("doc_id"), col("n_candidates"),
+        col("b.mate").as("best_mate_id"), col("b.hamming").as("min_hamming"))
+    fp.select(col("doc_id"), col("media_type"), col("phash_hex"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"), col("phash_hex"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_mate_id"), col("min_hamming"),
+        coalesce(col("min_hamming") <= PhashHamThresh, lit(false)).as("is_dup"))
+  }
+
+  /** Oracle for [[qPhashDedup]] — fully hash-checked: the 48-bit seed
+    * replays [[qMediaPipelineSql]]'s HUGEINT fold, the 64-block
+    * expansion / mean / bit / band packing are pure integer lambda
+    * arithmetic, candidates replay the band equi-join (the salt cap is
+    * inert below 1000 members per 16-bit bucket at every oracle scale
+    * — the banded-minhash precondition), and the best-mate pick
+    * replays the min(struct) tie-break as a window.
+    */
+  val qPhashDedupSql: String =
+    s"""WITH codes AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS media_type,
+       |    list_reduce(list_prepend(17::HUGEINT,
+       |      list_transform(list_filter(string_split_regex(text, ''), c1 -> c1 <> ''),
+       |        c2 -> unicode(c2)::HUGEINT)),
+       |      (acc, b) -> (acc * 1000003 + b) % $Mask48::HUGEINT) AS base
+       |  FROM documents),
+       |c1 AS (
+       |  SELECT doc_id, media_type,
+       |    list_transform(range(0, 64),
+       |      i -> CAST(((base * (2*i + 1) + i * 99991) % $Mask48) % 256 AS BIGINT)) AS px
+       |  FROM codes),
+       |c2 AS (SELECT *, CAST(list_sum(px) AS BIGINT) // 64 AS avg_px FROM c1),
+       |c3 AS (SELECT doc_id, media_type,
+       |         list_transform(px, p -> CASE WHEN p > avg_px THEN 1 ELSE 0 END) AS bits
+       |       FROM c2),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id, media_type,
+       |    list_transform(range(0, $PhashBands), j ->
+       |      CAST(list_sum(list_transform(range(0, $PhashBandBits),
+       |        k -> bits[j * $PhashBandBits + k + 1] * (1 << k))) AS BIGINT)) AS bands
+       |  FROM c3),
+       |hexed AS (
+       |  SELECT doc_id, media_type, bands,
+       |    lower(list_aggregate(list_transform(bands,
+       |      b -> lpad(lower(to_hex(b)), ${PhashBandBits / 4}, '0')), 'string_agg', '')) AS phash_hex
+       |  FROM fp),
+       |br AS (
+       |  SELECT doc_id, CAST(j AS INTEGER) AS band, bands[j + 1] AS bucket
+       |  FROM fp, range(0, $PhashBands) t(j)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM br a JOIN br b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(list_sum(list_transform(range(0, $PhashBands),
+       |      j -> bit_count(xor(fa.bands[j + 1], fb.bands[j + 1])))) AS BIGINT) AS hamming
+       |  FROM pairs p
+       |  JOIN fp fa ON fa.doc_id = p.id_a
+       |  JOIN fp fb ON fb.doc_id = p.id_b),
+       |mates AS (
+       |  SELECT id_a AS doc_id, id_b AS mate, hamming FROM ham
+       |  UNION ALL
+       |  SELECT id_b, id_a, hamming FROM ham),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates, MIN(hamming) AS min_hamming
+       |  FROM mates GROUP BY doc_id),
+       |bm AS (
+       |  SELECT doc_id, mate FROM (
+       |    SELECT doc_id, mate,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hamming, mate) AS rn
+       |    FROM mates) WHERE rn = 1)
+       |SELECT h.doc_id, h.media_type, h.phash_hex,
+       |  CAST(COALESCE(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  bm.mate AS best_mate_id,
+       |  agg.min_hamming,
+       |  COALESCE(agg.min_hamming <= $PhashHamThresh, FALSE) AS is_dup
+       |FROM hexed h
+       |LEFT JOIN agg ON h.doc_id = agg.doc_id
+       |LEFT JOIN bm ON h.doc_id = bm.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "q_media_pipeline" -> qMediaPipeline _)
+    "q_media_pipeline" -> qMediaPipeline _,
+    "q_phash_dedup"    -> qPhashDedup _)
 
   val oracle: Map[String, String] = Map(
-    "q_media_pipeline" -> qMediaPipelineSql)
+    "q_media_pipeline" -> qMediaPipelineSql,
+    "q_phash_dedup"    -> qPhashDedupSql)
 }

@@ -3426,7 +3426,247 @@ object TextOps {
        |ORDER BY epoch""".stripMargin
   }
 
+  // Hashed-feature classifier (VERDICT r13 #4): the [[qPerceptron]]
+  // integer-perceptron idea run over the DSIR 4096-bucket hashed
+  // n-gram space; the model is a bucket-indexed weight TABLE instead
+  // of driver-held scalars. Three departures from the naive batch
+  // perceptron, all MEASURED on this corpus before being adopted:
+  //   - TARGET: the r13 verdict suggested en/non-en, but this corpus
+  //     has no language signal in the text — all langs share one
+  //     31-word vocabulary, per-lang stopword rates are equal to
+  //     within noise (en 6.4% vs de 5.7%), non-ASCII is zero, and
+  //     q_lang_confusion votes 'en' for 100% of docs. Training on
+  //     `lang` fits noise (train error never left the 40% floor and
+  //     test output collapsed to one class in every tested config).
+  //     The classifier instead DISTILLS a real quality rule with
+  //     signal — the Gopher-style minimum-length keep (n_words ≥
+  //     [[HashedMinLen]]) — the teacher→cheap-hashed-student pattern
+  //     production filters actually use (FineWeb-Edu/DCLM style).
+  //   - MEAN STEP: the synchronous full-batch update w += Σ_mis y·x
+  //     2-cycles (all-positive ↔ all-negative verdicts at every
+  //     tested epoch count, both targets): each step is a corpus-mass
+  //     overshoot. The update here is the misclassified MEAN in ×1000
+  //     fixed point, w += (Σ_mis y·x·1000) DIV |mis| — sign applied
+  //     to an absolute-value DIV per the cross-engine convention.
+  //   - AVERAGED READOUT: prediction uses Σ_epochs w_e (the averaged
+  //     perceptron, scale-free so the mean needs no division) —
+  //     smooths the residual oscillation of batch steps.
+  //   Measured (16 epochs, bias scale 16): test accuracy 98.1% /
+  //   96.3% / 93.6% at sf0.001/0.01/0.1 vs 68.5% / 63.0% / 68.3%
+  //   majority baselines.
+  private val HashedEpochs = 16
+  private val HashedMinLen = 40L
+  // Bias rides as pseudo-bucket "_b" with constant feature value
+  // [[HashedBiasScale]] — one weight table, no separate bias state,
+  // and the bias step is comparable to count-feature steps (scale 1
+  // left the threshold unreachable: the length rule needs a bias near
+  // -40·w while count features move 110× faster per epoch).
+  private val HashedBiasScale = 16L
+
+  /** md5-prefix train-split predicate shared by the DSIR/classifier
+    * family ([[qTrainTestSplit]]'s device). */
+  private def isTrainSplit: Column =
+    substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < splitHexLt
+
+  /** Teacher label: the Gopher-style min-length keep rule, ±1. */
+  private def hashedLabel: Column =
+    when(expr("size(filter(split(text, ' '), w -> length(w) > 0))") >= HashedMinLen, 1L)
+      .otherwise(-1L)
+
+  /** (doc_id, y, f, cnt) hashed-bucket count features INCLUDING the
+    * "_b" bias pseudo-bucket row per doc — the label rides the
+    * Generate so the corpus never joins a label table. */
+  private def hashedFeatures(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.withColumn("y", hashedLabel)
+    dsirFeats(base, Seq("y"))
+      .groupBy(col("doc_id"), col("y"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit("_b").as("f"), lit(HashedBiasScale).as("cnt")))
+  }
+
+  /** Sign-safe fixed-point mean step: (s·1000) DIV nm with the DIV on
+    * the absolute value and the sign re-applied (the positive-only
+    * cross-engine DIV rule). */
+  private def meanStep(s: String, nm: String): String =
+    s"CAST(CASE WHEN $s >= 0 THEN ($s * 1000) DIV greatest($nm, 1) " +
+      s"ELSE -((-($s) * 1000) DIV greatest($nm, 1)) END AS BIGINT)"
+
+  /** Train the hashed-feature averaged perceptron on the md5 TRAIN
+    * split (see the header note for the measured design decisions).
+    * Per epoch: margin pass (broadcast the ≤4097-row weight table
+    * into the feature table, per-doc partial-aggregated dot product),
+    * misclassified set (doc-keyed, materialized), mean-step delta
+    * (bucket rollup + 1-row count cross join), weight fold (bucket-
+    * sized full outer join). Returns the AVERAGED weight table
+    * Σ_epochs w_e — exact integers end to end, bit-identical in any
+    * engine; nothing corpus-sized is ever collected (the model state
+    * between epochs is ≤4097 rows at any corpus size — why this
+    * trainer still runs at 100 TB).
+    */
+  private[graft] def trainHashedPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val feats = hashedFeatures(docs(s, dir).filter(isTrainSplit)).materialized
+    var w: DataFrame = null
+    val snapshots = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to HashedEpochs) {
+      val margins =
+        (if (w == null) feats.withColumn("w", lit(0L))
+         else feats.join(broadcast(w), Seq("f"), "left"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0L)
+        .select("doc_id", "y").materialized
+      val nm = mis.agg(count(lit(1)).as("nm"))
+      val delta = feats.join(mis.select("doc_id"), Seq("doc_id"))
+        .groupBy(col("f"))
+        .agg(sum(col("y") * col("cnt")).as("sraw"))
+        .crossJoin(broadcast(nm))
+        .select(col("f"), expr(meanStep("sraw", "nm")).as("dw"))
+      w =
+        (if (w == null) delta.select(col("f"), col("dw").as("w"))
+         else w.join(delta, Seq("f"), "full")
+           .select(col("f"),
+             (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w")))
+          .materialized
+      snapshots += w
+    }
+    snapshots.result().reduce(_ unionByName _)
+      .groupBy(col("f")).agg(sum(col("w")).as("w"))
+      .materialized
+  }
+
+  /** Hashed-feature classifier eval — SURVEY §2's trainable-filter
+    * row done deployably: train [[trainHashedPerceptron]] on the md5
+    * TRAIN split, score the held-out TEST split (one broadcast of the
+    * averaged bucket-weight table + map-side-combined per-doc dot
+    * product), and grade per source against the teacher rule — the
+    * [[qClassifierEval]] tp/fp/fn/tn/precision/recall schema.
+    * TextOpsSpec pins that the student clears the majority-class
+    * baseline by a wide margin (the 3-feature [[qPerceptron]] never
+    * does on any target here — its en/non-en task carries no signal
+    * in this corpus, see the header note).
+    *
+    * Shape at scale: training per the trainer's note; serving is ONE
+    * corpus Generate + broadcast join + per-doc rollup + |sources|
+    * rollup. The weight table stays ≤4097 rows at any corpus size.
+    */
+  def qHashedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val w = trainHashedPerceptron(s, dir)
+    val te = docs(s, dir).filter(!isTrainSplit)
+    val dotp = hashedFeatures(te)
+      .join(broadcast(w), Seq("f"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+    te.select(col("doc_id"), col("source"), (hashedLabel === 1L).as("actual"))
+      .join(dotp, Seq("doc_id"))
+      .withColumn("pred", col("margin") > 0L)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE (tp * 1000000) DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE (tp * 1000000) DIV (tp + fn) END")
+          .as("recall_ppm"))
+  }
+
+  /** Oracle for [[qHashedClassifier]]: the identical feature space
+    * ([[qDsirWeightsSql]]'s hashed md5-prefix n-grams + the "_b" bias
+    * pseudo-bucket), the epoch chain as per-bucket weight-table CTEs
+    * (the [[qPerceptronSql]] device, table-valued), the same
+    * fixed-point mean step and averaged readout — engine-exact
+    * because every step is integer sums, string hashes, and
+    * positive-only DIVs.
+    */
+  val qHashedClassifierSql: String = {
+    def sqlMeanStep(s: String, nm: String): String =
+      s"CAST(CASE WHEN $s >= 0 THEN ($s * 1000) // greatest($nm, 1) " +
+        s"ELSE -((-($s) * 1000) // greatest($nm, 1)) END AS BIGINT)"
+    val epochs = (1 to HashedEpochs).flatMap { e =>
+      val pw = s"w${e - 1}"
+      Seq(
+        s"""m$e AS MATERIALIZED (
+           |  SELECT fe.doc_id, fe.y, CAST(COALESCE(SUM(fe.cnt * w.w), 0) AS BIGINT) AS margin
+           |  FROM fe LEFT JOIN $pw w ON fe.f = w.f
+           |  GROUP BY fe.doc_id, fe.y)""".stripMargin,
+        s"""nm$e AS (SELECT COUNT(*) AS nm FROM m$e WHERE y * margin <= 0)""",
+        s"""d$e AS (
+           |  SELECT fe.f, ${sqlMeanStep(s"CAST(SUM(m.y * fe.cnt) AS BIGINT)", "nm.nm")} AS dw
+           |  FROM fe JOIN m$e m ON fe.doc_id = m.doc_id CROSS JOIN nm$e nm
+           |  WHERE m.y * m.margin <= 0 GROUP BY fe.f, nm.nm)""".stripMargin,
+        s"""w$e AS MATERIALIZED (
+           |  SELECT COALESCE(p.f, q.f) AS f,
+           |    CAST(COALESCE(p.w, 0) + COALESCE(q.dw, 0) AS BIGINT) AS w
+           |  FROM $pw p FULL OUTER JOIN d$e q ON p.f = q.f)""".stripMargin)
+    }
+    val allW = (1 to HashedEpochs).map(e => s"SELECT * FROM w$e").mkString("\n    UNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+       |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) >= $HashedMinLen AS keep,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$splitHexLt' AS is_train
+       |  FROM documents),
+       |fe AS MATERIALIZED (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS y, f, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END AS y, substr(md5(w), 1, 3) AS f
+       |    FROM (SELECT doc_id, keep, unnest(ws) AS w FROM d WHERE is_train) WHERE len(w) > 0
+       |    UNION ALL
+       |    SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END, substr(md5(bg), 1, 3)
+       |    FROM (SELECT doc_id, keep, unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |          FROM d WHERE is_train AND len(ws) >= 2))
+       |  GROUP BY doc_id, y, f
+       |  UNION ALL
+       |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END, '_b', $HashedBiasScale
+       |  FROM d WHERE is_train),
+       |w0 AS (SELECT CAST(NULL AS VARCHAR) AS f, CAST(0 AS BIGINT) AS w WHERE FALSE),
+       |${epochs.mkString(",\n")},
+       |wavg AS MATERIALIZED (
+       |  SELECT f, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    $allW) GROUP BY f),
+       |tfe AS (
+       |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, substr(md5(w), 1, 3) AS f
+       |    FROM (SELECT doc_id, unnest(ws) AS w FROM d WHERE NOT is_train) WHERE len(w) > 0
+       |    UNION ALL
+       |    SELECT doc_id, substr(md5(bg), 1, 3) AS f
+       |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS bg
+       |          FROM d WHERE NOT is_train AND len(ws) >= 2))
+       |  GROUP BY doc_id, f
+       |  UNION ALL
+       |  SELECT doc_id, '_b', $HashedBiasScale FROM d WHERE NOT is_train),
+       |mt AS (
+       |  SELECT t.doc_id, CAST(COALESCE(SUM(t.cnt * w.w), 0) AS BIGINT) AS margin
+       |  FROM tfe t LEFT JOIN wavg w ON t.f = w.f GROUP BY t.doc_id),
+       |sc AS (
+       |  SELECT d.source, d.keep AS actual, mt.margin > 0 AS pred
+       |  FROM mt JOIN d USING (doc_id))
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CASE WHEN SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE (CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |         // CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |              + SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+       |  END AS precision_ppm,
+       |  CASE WHEN SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |          + SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) = 0 THEN NULL
+       |       ELSE (CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |         // CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END)
+       |              + SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT)
+       |  END AS recall_ppm
+       |FROM sc GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hashed_classifier" -> qHashedClassifier _,
     "q_split_balance"     -> qSplitBalance _,
     "q_classifier_eval"   -> qClassifierEval _,
     "q_perceptron"        -> qPerceptron _,
@@ -3483,6 +3723,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hashed_classifier" -> qHashedClassifierSql,
     "q_split_balance"     -> qSplitBalanceSql,
     "q_classifier_eval"   -> qClassifierEvalSql,
     "q_perceptron"        -> qPerceptronSql,

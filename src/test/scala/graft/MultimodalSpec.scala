@@ -50,4 +50,36 @@ class MultimodalSpec extends SparkSpec {
     assert(video(1).feature.toSeq === feat.drop(4).toSeq ++ feat.take(4).toSeq,
       "per-frame feature is a deterministic function of (base, frame_idx)")
   }
+
+  test("phash dedup: planted identical payloads collide at hamming 0; distinct ones stay apart") {
+    // With the avalanche-y stub codec, byte-identical payloads are the
+    // constructible near-dup family (a real codec would put
+    // recompressed variants at small hamming; the PLAN is identical).
+    // Docs 10/40/70 share one payload; everything else is distinct.
+    val dup = "the planted duplicate media payload body with enough bytes"
+    val d = docsDir(Seq(
+      10L -> dup, 40L -> dup, 70L -> dup,
+      11L -> "a completely different first payload entirely",
+      12L -> "yet another unrelated media payload body here",
+      13L -> "and one more distinct payload for good measure"))
+    val got = Multimodal.qPhashDedup(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size === 6)
+    val (hex10, _, mate10, ham10, dup10) = got(10L)
+    val (hex40, _, mate40, ham40, dup40) = got(40L)
+    val (hex70, _, _, ham70, dup70) = got(70L)
+    assert(hex10 === hex40 && hex40 === hex70, "identical payloads → identical fingerprints")
+    assert(ham10 === 0L && ham40 === 0L && ham70 === 0L)
+    assert(dup10 && dup40 && dup70)
+    assert(mate10 === 40L, "best mate ties break to the smallest mate id")
+    assert(mate40 === 10L)
+    assert(got(10L)._2 >= 2L, "every family member sees the other two as candidates")
+    // distinct payloads: fingerprints differ and no false dups
+    val others = Seq(11L, 12L, 13L).map(got)
+    assert(others.map(_._1).distinct.size === 3, "distinct payloads → distinct fingerprints")
+    assert(others.forall(!_._5), "no planted false positives at hamming <= 3")
+    assert(got(10L)._1.length === 16, "4 bands x 4 hex digits")
+  }
 }

@@ -21,7 +21,7 @@ object SparkEntry {
   private def registry: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ StarSchema.queries ++ Temporal.queries ++ TextOps.queries ++
       Dedup.queries ++ Ann.queries ++ ScaleOps.queries ++ Analytics.queries ++ Audit.queries ++
-      Segments.queries ++ Multimodal.queries
+      Segments.queries ++ Multimodal.queries ++ CorpusBuild.queries
 
   /** Presentation row order per query — the deterministic ORDER BY the
     * DuckDB oracle compare needs. Queries absent here either return
@@ -204,7 +204,8 @@ object SparkEntry {
     "q_classifier_eval" -> Seq("source"),
     "q_hashed_classifier" -> Seq("source"),
     "q_behavior_diversity" -> Seq("user_id"),
-    "q_dup_tokens"      -> Seq("source")
+    "q_dup_tokens"      -> Seq("source"),
+    "q_corpus_build"    -> Seq("stage_id")
   )
 
   /** Production plans — the library API. No presentation sort. */
@@ -230,5 +231,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ StarSchema.oracle ++ Temporal.oracle ++ TextOps.oracle ++
       Dedup.oracle ++ Ann.oracle ++ ScaleOps.oracle ++ Analytics.oracle ++ Audit.oracle ++
-      Segments.oracle ++ Multimodal.oracle
+      Segments.oracle ++ Multimodal.oracle ++ CorpusBuild.oracle
 }

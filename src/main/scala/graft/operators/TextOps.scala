@@ -1311,8 +1311,8 @@ object TextOps {
 
   // Sequence-packing knobs: token budget per packed training sequence,
   // and the number of independent packing lanes per language.
-  private val packBudget = 256L
-  private val packLanes  = 4L
+  private[graft] val packBudget = 256L
+  private[graft] val packLanes  = 4L
 
   /** Greedy sequence packing for training-batch assembly: assign
     * documents (in deterministic doc_id order) to fixed-token-budget
@@ -1817,7 +1817,7 @@ object TextOps {
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private val nShards = 8
+  private[graft] val nShards = 8
 
   /** Output-shard planning: assign every document to one of
     * [[nShards]] training shards, round-robin in descending size

@@ -540,6 +540,67 @@ object Streams {
         })
   }
 
+  /** Per-user funnel progress: first-view / first-click / first-
+    * purchase milliseconds, −1 = not reached. Stage timestamps are
+    * MONOTONIC — once set they never move (the [[transitionSteps]]
+    * no-rewind contract). */
+  case class FunnelSt(fv: Long, fc: Long, fp: Long)
+
+  /** One emitted funnel update: the user's funnel row as of this
+    * micro-batch — same columns and stage rule as the batch
+    * `Analytics.qFunnel`. The LATEST row per user is the live funnel
+    * table; a `groupBy(stage)` downstream is the live funnel report.
+    */
+  case class FunnelUpd(user_id: Long, first_view_ms: Long,
+                       first_click_ms: Option[Long], first_purchase_ms: Option[Long],
+                       stage: Long)
+
+  /** Streaming twin of `Analytics.qFunnel` (VERDICT r13 #7): ordered
+    * view → click → purchase progression per user, click counted only
+    * strictly after the first view and purchase only strictly after
+    * the first click — the batch query's exact stage rule, folded
+    * incrementally. Within a micro-batch events sort by
+    * (ts_ms, event_id): exact batch parity for in-order arrival
+    * (StreamsSpec-pinned across a two-batch MemoryStream); an event
+    * arriving in a later micro-batch than a successor is sequenced
+    * after it and CANNOT rewind an already-set stage timestamp — the
+    * documented streaming divergence, reconciled by the batch twin.
+    *
+    * Emits one row per user per micro-batch in which the user's
+    * funnel ADVANCED (append mode; users with no progress emit
+    * nothing). State is one 3-long record per user ever seen past
+    * stage 1 — bounded by the user population, sharded by the
+    * groupByKey partitioning.
+    */
+  def funnelStages(events: Dataset[TEv]): Dataset[FunnelUpd] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (u: Long, it: Iterator[TEv], st: GroupState[FunnelSt]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          val before = st.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+          var cur = before
+          for (e <- sorted) e.event_type match {
+            case "view" if cur.fv < 0L =>
+              cur = cur.copy(fv = e.ts_ms)
+            case "click" if cur.fv >= 0L && cur.fc < 0L && e.ts_ms > cur.fv =>
+              cur = cur.copy(fc = e.ts_ms)
+            case "purchase" if cur.fc >= 0L && cur.fp < 0L && e.ts_ms > cur.fc =>
+              cur = cur.copy(fp = e.ts_ms)
+            case _ => // stage already reached, out of order, or other type
+          }
+          if (cur == before) Iterator.empty
+          else {
+            st.update(cur)
+            Iterator.single(FunnelUpd(u, cur.fv,
+              if (cur.fc >= 0L) Some(cur.fc) else None,
+              if (cur.fp >= 0L) Some(cur.fp) else None,
+              if (cur.fp >= 0L) 3L else if (cur.fc >= 0L) 2L else 1L))
+          }
+        })
+  }
+
   /** One observed (hour, count) bucket in the rate-anomaly state. */
   case class HourCount(hour: Long, n: Long)
 

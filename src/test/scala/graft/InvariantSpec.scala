@@ -585,4 +585,66 @@ class InvariantSpec extends SparkSpec {
     assert(joined.count() === 0,
       "the expanding window's last value must equal the plain group total")
   }
+
+  test("q_corpus_build census reconciles stage by stage with the standalone operators") {
+    // The composition is registered rows-only (its oracle would restate
+    // six hash-checked programs); THIS is its correctness gate — every
+    // stage drop recomputed independently from the standalone outputs.
+    val toks = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val pred = TextOps.qLangId(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    val keep = TextOps.qQualityScore(spark, sf0001)
+      .select(col("doc_id"), col("is_keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rep = TextOps.qRepetition(spark, sf0001)
+      .select(col("doc_id"), col("is_repetitive")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dup = Dedup.qDedupExact(spark, sf0001)
+      .select(col("doc_id"), col("is_dup")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pairs = Dedup.qDedupMinhash(spark, sf0001)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val all = toks.keySet
+    val a1 = all.filter(pred(_) == "en")
+    val a2 = a1.filter(keep)
+    val a3 = a2.filterNot(rep)
+    val a4 = a3.filterNot(dup)
+    val nearDrop = pairs.collect { case (a, b) if a4(a) => b }.toSet
+    val a5 = a4 -- nearDrop
+    def mass(ids: Set[Long]) = ids.toSeq.map(toks(_)._2).sum
+
+    val got = CorpusBuild.qCorpusBuild(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size === 10)
+    assert(got(1L) === (("ingest", all.size.toLong, mass(all), all.size.toLong)))
+    assert(got(3L) === (("lang_id", a1.size.toLong, mass(a1), (all.size - a1.size).toLong)))
+    assert(got(4L) === (("quality", a2.size.toLong, mass(a2), (a1.size - a2.size).toLong)))
+    assert(got(5L) === (("repetition", a3.size.toLong, mass(a3), (a2.size - a3.size).toLong)))
+    assert(got(6L) === (("dedup_exact", a4.size.toLong, mass(a4), (a3.size - a4.size).toLong)))
+    assert(got(7L) === (("dedup_near", a5.size.toLong, mass(a5), (a4.size - a5.size).toLong)))
+    // pack conserves the survivor token mass; pack count recomputed
+    // with the q_pack_sequences rule ((lang, lane) lanes, doc order)
+    val expPacks = a5.toSeq.map(id => (toks(id)._1, id % 4L, id, toks(id)._2))
+      .groupBy(t => (t._1, t._2)).values.map { laneDocs =>
+        var cum = 0L
+        val ids = scala.collection.mutable.Set.empty[Long]
+        laneDocs.sortBy(_._3).foreach { case (_, _, _, t) => ids += cum / 256L; cum += t }
+        ids.size.toLong
+      }.sum
+    assert(got(8L) === (("pack", a5.size.toLong, mass(a5), expPacks)))
+    assert(got(9L)._4 === math.min(8L, a5.size.toLong), "shards used")
+    assert(got(10L)._2 === a5.size.toLong, "card docs = final survivors")
+    assert(got(10L)._3 === mass(a5), "card token mass = final survivors")
+    // monotone funnel
+    val docsSeq = (1L to 7L).map(got(_)._2)
+    assert(docsSeq === docsSeq.sorted.reverse, "doc counts never increase down the funnel")
+    // the fixture must actually exercise the dedup stages
+    assert(got(7L)._4 > 0L, "sf0.001 plants near-dup families — the near stage must drop")
+  }
 }

@@ -692,4 +692,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("REPARTITION_BY_NUM"),
       s"the bkey exchange must be a fixed-count user repartition:\n$p")
   }
+
+  test("bounded-window tripwire: every unpartitioned window rides a bounded input (VERDICT r13 #6)") {
+    // An unpartitioned Window moves ALL its input to one task — fine
+    // over dims, day series, top-k and bucket tables, a scale-killer
+    // over anything corpus-sized. This sweep turns the per-site doc
+    // comments into CI: walk every registered plan's optimized tree,
+    // find Window nodes with an empty partitionSpec, and COUNT each
+    // one's input. The cap separates the populations measured at both
+    // oracle scales: the largest legitimate site is the 2405-row
+    // calendar-bounded day series (identical at sf0.001 and sf0.01,
+    // i.e. corpus-independent) while the smallest corpus table at
+    // sf0.01 is 5000 docs — any new corpus-sized window lands far
+    // above 3000 and fails here by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.GraftBridge
+    val Cap = 3000L
+    def sweep(sf: String, only: Option[Set[String]]): Seq[(String, Long)] = {
+      val sites = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      for ((name, fn) <- SparkEntry.plans.toSeq.sortBy(_._1)
+           if only.forall(_.contains(name))) {
+        fn(spark, sf).queryExecution.optimizedPlan.foreach {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            sites += ((name, GraftBridge.ofRows(spark, w.child).count()))
+          case _ =>
+        }
+      }
+      sites.toSeq
+    }
+    val small = sweep(sf0001, None)
+    val offenders = small.filter(_._2 > Cap)
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over > $Cap rows:\n${offenders.mkString("\n")}")
+    // exact site census: a NEW unpartitioned window must be reviewed
+    // (bounded by construction?) and consciously added here
+    assert(small.size === 16,
+      s"unpartitioned-window census changed — review the new site(s):\n${small.mkString("\n")}")
+    // scale independence: the same sites at 10× the corpus stay capped
+    val queries10 = small.map(_._1).toSet
+    val big = sweep("/root/testdata/sf0.01", Some(queries10))
+    val offenders10 = big.filter(_._2 > Cap)
+    assert(offenders10.isEmpty,
+      s"window inputs grew past $Cap at 10× corpus — not actually bounded:\n${offenders10.mkString("\n")}")
+  }
 }

@@ -647,6 +647,73 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages: latest streamed rows match batch qFunnel across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // The batch side runs the REAL operator over an events table
+    // holding the same rows the stream will see.
+    val evRows = Seq(
+      (1L, 1L, 1000L, "view"), (1L, 2L, 2000L, "click"),     // batch 1
+      (2L, 3L, 1500L, "view"),
+      (3L, 4L, 900L, "click"), (3L, 5L, 1000L, "view"),      // click precedes first view → ignored
+      (4L, 6L, 800L, "purchase"),                            // purchase with no view → no funnel row
+      (1L, 7L, 3000L, "purchase"),                           // batch 2
+      (3L, 8L, 1200L, "click"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    evRows.toDF("user_id", "event_id", "ts_ms", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ts_ms")).as("ts"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Analytics.qFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4).toLong))
+      .sortBy(_._1)
+
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.funnelStages(ms.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      ms.addData(evRows.take(6).map(Streams.TEv.tupled): _*)
+      q.processAllAvailable()
+      ms.addData(evRows.drop(6).map(Streams.TEv.tupled): _*)
+      q.processAllAvailable()
+      // the LATEST row per user (stages only advance) is the live table
+      val streamed = s.sql(
+        """SELECT user_id, first_view_ms, first_click_ms, first_purchase_ms, stage FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY stage DESC) AS rn
+          |  FROM funnel) WHERE rn = 1 ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      assert(streamed.toSeq === batch.toSeq,
+        "latest streamed funnel rows must equal the batch funnel on in-order arrival")
+      // the fixture exercises every stage and both ignore rules
+      assert(batch.map(_._5).toSet === Set(1L, 2L, 3L))
+      assert(!batch.exists(_._1 == 4L), "view-less user must be absent from both")
+    } finally q.stop()
+  }
+
+  test("funnelStages: a straggler cannot rewind an already-set stage timestamp") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.funnelStages(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_late").outputMode("append").start()
+    try {
+      ms.addData(Streams.TEv(1L, 1L, 5000L, "view"))
+      q.processAllAvailable()
+      // an EARLIER view arriving later must not rewind first_view_ms
+      // (the no-rewind contract; batch would have taken 1000)
+      ms.addData(Streams.TEv(1L, 2L, 1000L, "view"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT first_view_ms FROM funnel_late").collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(5000L), "one emission; the straggler neither rewinds nor re-emits")
+    } finally q.stop()
+  }
+
   test("ivfIndexMaintenance: streamed arrivals serve identically to a one-shot build") {
     val s = spark
     import s.implicits._

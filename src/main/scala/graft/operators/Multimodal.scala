@@ -229,17 +229,41 @@ object Multimodal {
   private val PhashHamThresh = 3
   private val Mask48 = 281474976710656L // 2^48
 
-  /** One fingerprint-seeded media row. */
-  case class Fingered(doc_id: Long, media_type: String, base: Long)
+  /** One fingerprinted media row: the packed aHash band values. */
+  case class Fingered(doc_id: Long, media_type: String, bands: Array[Long])
 
-  /** Per-partition stub "decode to block luminances" seed — the same
-    * mapPartitions codec-init shape as [[decode]]; a real pHash would
-    * DCT/average real pixel blocks here. */
-  def fingerprintBase(ds: Dataset[MediaRow]): Dataset[Fingered] = {
+  /** Per-partition stub decode-to-fingerprint — the same mapPartitions
+    * codec-init shape as [[decode]]: expand the payload's 48-bit seed
+    * into 64 deterministic block luminances, take the aHash bit per
+    * block (luminance > mean), pack [[PhashBands]] × [[PhashBandBits]]
+    * band values. A real pHash computes its block luminances from
+    * decoded pixels in exactly this slot. Computed in the codec (plain
+    * JVM integer loops) rather than as chained higher-order-function
+    * columns: CollapseProject inlines a lambda-referenced column's
+    * whole expression PER ELEMENT, which made the declarative
+    * formulation recompute px/avg/bits combinatorially (~66 s for
+    * 5k rows, measured) — the codec loop is linear and matches the
+    * DuckDB oracle bit for bit.
+    */
+  def fingerprintBands(ds: Dataset[MediaRow]): Dataset[Fingered] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       val codec = StubCodec.init()
-      rows.map(r => Fingered(r.doc_id, r.media_type, StubCodec.baseHash(r.media)))
+      rows.map { r =>
+        val base = StubCodec.baseHash(r.media)
+        val px = Array.tabulate(64)(i => ((base * (2 * i + 1) + i * 99991L) % Mask48) % 256L)
+        val avg = px.sum / 64L
+        val bands = Array.tabulate(PhashBands) { j =>
+          var acc = 0L
+          var k = 0
+          while (k < PhashBandBits) {
+            if (px(j * PhashBandBits + k) > avg) acc += (1L << k)
+            k += 1
+          }
+          acc
+        }
+        Fingered(r.doc_id, r.media_type, bands)
+      }
     }
   }
 
@@ -277,15 +301,7 @@ object Multimodal {
           .otherwise("video/mp4").as("media_type"))
       .as[MediaRow]
     import graft.plans.Materialize._
-    val fp = fingerprintBase(media).toDF()
-      .withColumn("px", expr(
-        s"transform(sequence(0, 63), i -> ((base * (2*i + 1) + i * 99991) % $Mask48) % 256)"))
-      .withColumn("avg_px", expr("aggregate(px, 0L, (a, x) -> a + x) DIV 64"))
-      .withColumn("bits", expr("transform(px, p -> IF(p > avg_px, 1L, 0L))"))
-      .withColumn("bands", expr(
-        s"transform(sequence(0, ${PhashBands - 1}), j -> " +
-          s"aggregate(sequence(0, ${PhashBandBits - 1}), 0L, " +
-          s"(a, k) -> a + shiftleft(element_at(bits, j * $PhashBandBits + k + 1), k)))"))
+    val fp = fingerprintBands(media).toDF()
       .select(col("doc_id"), col("media_type"),
         lower(expr(s"concat_ws('', transform(bands, b -> lpad(hex(b), ${PhashBandBits / 4}, '0')))"))
           .as("phash_hex"),

@@ -3535,6 +3535,20 @@ object TextOps {
       .materialized
   }
 
+  /** Session cache for the trained hashed-classifier weight table —
+    * the [[dsirSessionModel]]/[[lmSessionModel]] precedent (VERDICT
+    * r12 #1: self-contained model rows stop re-paying training per
+    * invocation; the MODEL is cached, never scored results, and data
+    * dirs are immutable snapshots within a session). 16 epochs of
+    * table-state training cost ~18 s at sf0.1 — without the cache the
+    * bench (and any composed consumer) re-trains on every call.
+    */
+  private val hashedModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def hashedSessionModel(s: SparkSession, dir: String): DataFrame =
+    hashedModelCache.getOrElseUpdate((s, dir), trainHashedPerceptron(s, dir))
+
   /** Hashed-feature classifier eval — SURVEY §2's trainable-filter
     * row done deployably: train [[trainHashedPerceptron]] on the md5
     * TRAIN split, score the held-out TEST split (one broadcast of the
@@ -3551,7 +3565,7 @@ object TextOps {
     * rollup. The weight table stays ≤4097 rows at any corpus size.
     */
   def qHashedClassifier(s: SparkSession, dir: String): DataFrame = {
-    val w = trainHashedPerceptron(s, dir)
+    val w = hashedSessionModel(s, dir)
     val te = docs(s, dir).filter(!isTrainSplit)
     val dotp = hashedFeatures(te)
       .join(broadcast(w), Seq("f"), "left")

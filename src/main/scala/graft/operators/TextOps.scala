@@ -3595,7 +3595,13 @@ object TextOps {
     * because every step is integer sums, string hashes, and
     * positive-only DIVs.
     */
-  val qHashedClassifierSql: String = {
+  /** Shared oracle CTE chain for the hashed-classifier family: train
+    * split + features + the [[HashedEpochs]] epoch chain + averaged
+    * weights + per-test-doc margins (`mt`). [[qHashedClassifierSql]]
+    * and [[qClassifierCalibrationSql]] both append their rollup to
+    * this prefix, so the two oracles cannot drift from each other.
+    */
+  private val hashedOracleCte: String = {
     def sqlMeanStep(s: String, nm: String): String =
       s"CAST(CASE WHEN $s >= 0 THEN ($s * 1000) // greatest($nm, 1) " +
         s"ELSE -((-($s) * 1000) // greatest($nm, 1)) END AS BIGINT)"
@@ -3654,7 +3660,19 @@ object TextOps {
        |  SELECT doc_id, '_b', $HashedBiasScale FROM d WHERE NOT is_train),
        |mt AS (
        |  SELECT t.doc_id, CAST(COALESCE(SUM(t.cnt * w.w), 0) AS BIGINT) AS margin
-       |  FROM tfe t LEFT JOIN wavg w ON t.f = w.f GROUP BY t.doc_id),
+       |  FROM tfe t LEFT JOIN wavg w ON t.f = w.f GROUP BY t.doc_id)""".stripMargin
+  }
+
+  /** Oracle for [[qHashedClassifier]]: the identical feature space
+    * ([[qDsirWeightsSql]]'s hashed md5-prefix n-grams + the "_b" bias
+    * pseudo-bucket), the epoch chain as per-bucket weight-table CTEs
+    * (the [[qPerceptronSql]] device, table-valued), the same
+    * fixed-point mean step and averaged readout — engine-exact
+    * because every step is integer sums, string hashes, and
+    * positive-only DIVs.
+    */
+  val qHashedClassifierSql: String =
+    s"""$hashedOracleCte,
        |sc AS (
        |  SELECT d.source, d.keep AS actual, mt.margin > 0 AS pred
        |  FROM mt JOIN d USING (doc_id))
@@ -3677,9 +3695,75 @@ object TextOps {
        |  END AS recall_ppm
        |FROM sc GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** Margin-decile calibration of the hashed classifier (the
+    * reliability table a deployed filter publishes next to its
+    * precision/recall): held-out test docs ranked by margin, cut into
+    * 10 equal-population deciles, each reporting its doc count,
+    * teacher-positive count and rate (ppm), margin range, and
+    * predicted-positive count. A well-calibrated student shows the
+    * positive rate rising monotonically with the margin decile and
+    * the decision boundary (margin 0) landing where the rate crosses
+    * the prior — the check that catches a classifier whose AGGREGATE
+    * accuracy hides a miscalibrated middle. TextOpsSpec pins the
+    * monotone-ends property; the oracle shares [[hashedOracleCte]]
+    * with the eval row, so the two cannot drift.
+    *
+    * Shape at scale: margins are the serve pass (broadcast weight
+    * table + per-doc partial agg); the global rank comes from
+    * [[graft.plans.Surrogate.rankedId]] (range-partition + in-
+    * partition sort + zipWithIndex — NO corpus-wide single-partition
+    * window); deciles partial-aggregate into 10 rows.
+    */
+  def qClassifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = hashedSessionModel(s, dir)
+    val margins = hashedFeatures(docs(s, dir).filter(!isTrainSplit))
+      .join(broadcast(w), Seq("f"), "left")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+    val ranked = graft.plans.Surrogate.rankedId(
+      margins.select(col("doc_id"), col("y"), col("margin")),
+      Seq("margin", "doc_id"), "rk")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rk - 1) * 10) DIV n"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"),
+        sum(when(col("margin") > 0L, 1L).otherwise(0L)).as("n_pred_pos"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) DIV n_docs"))
+      .select("decile", "n_docs", "n_pos", "pos_ppm",
+        "min_margin", "max_margin", "n_pred_pos")
   }
 
+  /** Oracle for [[qClassifierCalibration]] — the shared
+    * [[hashedOracleCte]] margins plus a ROW_NUMBER replay of the
+    * rankedId (margin, doc_id) global order.
+    */
+  val qClassifierCalibrationSql: String =
+    s"""$hashedOracleCte,
+       |r AS (
+       |  SELECT mt.doc_id, mt.margin,
+       |    CASE WHEN d.keep THEN 1 ELSE -1 END AS y,
+       |    ROW_NUMBER() OVER (ORDER BY mt.margin, mt.doc_id) AS rk,
+       |    COUNT(*) OVER () AS n
+       |  FROM mt JOIN d USING (doc_id))
+       |SELECT ((rk - 1) * 10) // n AS decile,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  (CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // COUNT(*) AS pos_ppm,
+       |  MIN(margin) AS min_margin,
+       |  MAX(margin) AS max_margin,
+       |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos
+       |FROM r GROUP BY 1
+       |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_classifier_calibration" -> qClassifierCalibration _,
     "q_hashed_classifier" -> qHashedClassifier _,
     "q_split_balance"     -> qSplitBalance _,
     "q_classifier_eval"   -> qClassifierEval _,
@@ -3737,6 +3821,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_classifier_calibration" -> qClassifierCalibrationSql,
     "q_hashed_classifier" -> qHashedClassifierSql,
     "q_split_balance"     -> qSplitBalanceSql,
     "q_classifier_eval"   -> qClassifierEvalSql,

@@ -768,4 +768,26 @@ class TextOpsSpec extends SparkSpec {
     assert(accPpm >= 900000L, s"student accuracy $accPpm ppm below the 90% bar")
     assert(fn === 0L, "the length rule's keep side is fully recalled at this scale")
   }
+
+  test("classifier calibration: deciles partition the test split; positive rate rises with margin") {
+    val rows = TextOps.qClassifierCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L), "exactly ten deciles")
+    // equal-population cut: decile sizes differ by at most 1
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L, s"deciles must be equal-population: ${sizes.toSeq}")
+    // margin ranges tile in order without overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 <= b._5, s"decile ${a._1} max_margin must not exceed decile ${b._1} min_margin")
+    }
+    // calibration: the bottom decile is all-negative, the top all-positive,
+    // and predicted-positive counts agree with the margin ranges
+    assert(rows.head._4 === 0L, "bottom decile positive rate must be 0 on the separable rule")
+    assert(rows.last._4 === 1000000L, "top decile positive rate must be 1e6")
+    rows.foreach { case (d, nd, _, _, _, maxM, nPred) =>
+      if (maxM <= 0L) assert(nPred === 0L, s"decile $d: no positive margins, no positive preds")
+      if (rows(d.toInt)._5 > 0L) assert(nPred === nd, s"decile $d: all margins positive")
+    }
+  }
 }

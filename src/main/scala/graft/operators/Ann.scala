@@ -399,41 +399,50 @@ object Ann {
     * copies round-trip through `CAST(x AS FLOAT)` — the same IEEE
     * double→float rounding as `Double.toFloat`.
     */
-  val qAnnIvfSql: String = {
-    // fold devices (Dedup.sqlDot shape, but the centroid side is
-    // already DOUBLE[] — only the embedding side needs widening)
-    def dDot(cv: String, emb: String): String =
-      s"list_reduce(list_transform(list_zip($cv, $emb), " +
-        "z -> z[1] * CAST(z[2] AS DOUBLE)), (acc, v) -> acc + v)"
-    def dNorm2(cv: String): String =
-      s"list_reduce(list_transform($cv, x -> x * x), (acc, v) -> acc + v)"
-    // one Lloyd round: assign corpus to `cin`, roll exact fixed-point
-    // means, emit `cout` (empty cells keep cin's centroid)
-    def lloydRound(cin: String, cout: String, n: Int): String =
-      s"""asg$n AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT b.vec_id, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-         |        ${dDot("c.cvec", "b.embedding")}
-         |          * (CASE WHEN ${dNorm2("c.cvec")} > 0
-         |             THEN 1.0 / sqrt(${dNorm2("c.cvec")}) ELSE 0.0 END) DESC,
-         |        c.cell) AS rk
-         |    FROM base b CROSS JOIN $cin c) z
-         |  WHERE rk = 1),
-         |m$n AS (
-         |  SELECT a.cell, fp.pos, SUM(fp.f) AS s, COUNT(*) AS c
-         |  FROM asg$n a JOIN fpos fp USING (vec_id)
-         |  GROUP BY a.cell, fp.pos),
-         |$cout AS (
-         |  SELECT ce.cell,
-         |    list(COALESCE((CAST(m$n.s AS DOUBLE) / $FpScale.0)
-         |                    / CAST(m$n.c AS DOUBLE), ce.cv)
-         |         ORDER BY ce.pos) AS cvec
-         |  FROM (SELECT cell, unnest(range(0, $Dim)) AS pos, unnest(cvec) AS cv
-         |        FROM $cin) ce
-         |  LEFT JOIN m$n ON ce.cell = m$n.cell AND ce.pos = m$n.pos
-         |  GROUP BY ce.cell)""".stripMargin
-    s"""WITH base AS (
+  // fold devices shared by the IVF oracles (Dedup.sqlDot shape, but
+  // the centroid side is already DOUBLE[] — only the embedding side
+  // needs widening)
+  private def ivfDDot(cv: String, emb: String): String =
+    s"list_reduce(list_transform(list_zip($cv, $emb), " +
+      "z -> z[1] * CAST(z[2] AS DOUBLE)), (acc, v) -> acc + v)"
+  private def ivfDNorm2(cv: String): String =
+    s"list_reduce(list_transform($cv, x -> x * x), (acc, v) -> acc + v)"
+  // one Lloyd round: assign corpus to `cin`, roll exact fixed-point
+  // means, emit `cout` (empty cells keep cin's centroid)
+  private def ivfLloydRound(cin: String, cout: String, n: Int): String =
+    s"""asg$n AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${ivfDDot("c.cvec", "b.embedding")}
+       |          * (CASE WHEN ${ivfDNorm2("c.cvec")} > 0
+       |             THEN 1.0 / sqrt(${ivfDNorm2("c.cvec")}) ELSE 0.0 END) DESC,
+       |        c.cell) AS rk
+       |    FROM base b CROSS JOIN $cin c) z
+       |  WHERE rk = 1),
+       |m$n AS (
+       |  SELECT a.cell, fp.pos, SUM(fp.f) AS s, COUNT(*) AS c
+       |  FROM asg$n a JOIN fpos fp USING (vec_id)
+       |  GROUP BY a.cell, fp.pos),
+       |$cout AS (
+       |  SELECT ce.cell,
+       |    list(COALESCE((CAST(m$n.s AS DOUBLE) / $FpScale.0)
+       |                    / CAST(m$n.c AS DOUBLE), ce.cv)
+       |         ORDER BY ce.pos) AS cvec
+       |  FROM (SELECT cell, unnest(range(0, $Dim)) AS pos, unnest(cvec) AS cv
+       |        FROM $cin) ce
+       |  LEFT JOIN m$n ON ce.cell = m$n.cell AND ce.pos = m$n.pos
+       |  GROUP BY ce.cell)""".stripMargin
+
+  /** Shared oracle CTE chain: corpus/query split, fixed-point
+    * components, deterministic seed pick, the Lloyd rounds, the final
+    * cell index and float-cast centroid table — everything through
+    * `centf`. [[qAnnIvfSql]] and [[qAnnProbeCurveSql]] both append
+    * their serve tails to this, so the retrained codebook cannot
+    * drift between the two oracles.
+    */
+  private def ivfTrainCtes: String =
+    s"""base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
        |q AS (
@@ -450,46 +459,116 @@ object Ann {
        |        AS cell
        |    FROM embeddings) z
        |  WHERE cell < $IvfCells),
-       |${lloydRound("cent0", "cent1", 1)},
-       |${lloydRound("cent1", "cent2", 2)},
+       |${ivfLloydRound("cent0", "cent1", 1)},
+       |${ivfLloydRound("cent1", "cent2", 2)},
        |idx AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT b.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-       |        ${dDot("c.cvec", "b.embedding")}
-       |          * (CASE WHEN ${dNorm2("c.cvec")} > 0
-       |             THEN 1.0 / sqrt(${dNorm2("c.cvec")}) ELSE 0.0 END) DESC,
+       |        ${ivfDDot("c.cvec", "b.embedding")}
+       |          * (CASE WHEN ${ivfDNorm2("c.cvec")} > 0
+       |             THEN 1.0 / sqrt(${ivfDNorm2("c.cvec")}) ELSE 0.0 END) DESC,
        |        c.cell) AS rk
        |    FROM base b CROSS JOIN cent2 c) z
        |  WHERE rk = 1),
        |centf AS (
        |  SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS centroid
        |  FROM cent2),
-       |probed AS (
-       |  SELECT query_id, cell FROM (
+       |pr AS (
+       |  SELECT query_id, cell, prk FROM (
        |    SELECT qq.query_id, cf.cell,
        |      ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
        |        ${Dedup.sqlDot("qq.q_emb", "cf.centroid")}
        |          / (qq.q_nrm * ${Dedup.sqlNorm("cf.centroid")}) DESC,
        |        cf.cell) AS prk
-       |    FROM q qq CROSS JOIN centf cf) z
-       |  WHERE prk <= $IvfProbes),
-       |scored AS (
+       |    FROM q qq CROSS JOIN centf cf) z)""".stripMargin
+
+  /** One IVF serve at `probes` probed cells: candidate join + exact
+    * rerank + top-[[K]] cut, as CTEs `s\$tag`/`k\$tag`. */
+  private def ivfServeCtes(tag: String, probes: Int): String =
+    s"""s$tag AS (
        |  SELECT p.query_id, b.vec_id AS neighbor_id,
        |    ${Dedup.sqlDot("b.embedding", "qq.q_emb")} / (b.nrm * qq.q_nrm) AS cosine
        |  FROM idx i
-       |  JOIN probed p ON i.cell = p.cell
+       |  JOIN (SELECT query_id, cell FROM pr WHERE prk <= $probes) p ON i.cell = p.cell
        |  JOIN base b ON b.vec_id = i.vec_id
        |  JOIN q qq ON qq.query_id = p.query_id
        |  WHERE i.vec_id <> p.query_id),
-       |r AS (
+       |k$tag AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)
+       |  FROM s$tag)""".stripMargin
+
+  val qAnnIvfSql: String =
+    s"""WITH $ivfTrainCtes,
+       |${ivfServeCtes("v", IvfProbes)}
        |SELECT query_id, neighbor_id, rnk, cosine
-       |FROM r WHERE rnk <= $K
+       |FROM kv WHERE rnk <= $K
        |ORDER BY query_id, rnk""".stripMargin
+
+  // Probe counts for the recall curve: 1 (cheapest), doublings, and
+  // the deployed IvfProbes setting — the knee of the curve is the
+  // tuning answer.
+  private val ProbeCurve = Seq(1, 2, 4, IvfProbes)
+
+  /** IVF probe-count recall curve — the tuning table an ANN deployment
+    * reads before picking nProbe: for each probe count, the fraction
+    * of the exact brute-force top-[[K]] the IVF serve recovers
+    * (recall@K, ppm, aggregated over all queries). The scan cost of a
+    * probe setting is nProbe/k of the index by construction, so this
+    * row IS the cost/recall frontier; `q_ann_ivf` runs at the deployed
+    * [[IvfProbes]] point. Fully hash-checked — the oracle re-trains
+    * the codebook in DuckDB (the [[qAnnIvfSql]] device) and replays
+    * each probe cut from the SAME shared CTE chain, answering the
+    * standing rows-only concern for recall-style compositions: where
+    * the constituents are oracle-expressible, so is the recall rollup.
+    *
+    * Shape at scale: the baseline is the brute-force row (its own
+    * documented O(Q·N) oracle status); each curve point is one
+    * cell-equi-join serve against the same session codebook + a
+    * K-bounded hit join — the curve costs |probe points| serves, which
+    * a tuning run pays once, not per query.
+    */
+  def qAnnProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    val bfk = qAnnBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id")).materialized
+    val nb = bfk.agg(count(lit(1)).as("n_base"))
+    ProbeCurve.map { p =>
+      topK(ivfScored(s, dir, p))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(bfk, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probes"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nb))
+      .select(col("n_probes"), col("n_base").as("n_baseline"), col("n_hits"),
+        expr("(n_hits * 1000000) DIV n_base").as("recall_ppm"))
+  }
+
+  /** Oracle for [[qAnnProbeCurve]]: the shared [[ivfTrainCtes]] chain,
+    * one [[ivfServeCtes]] tail per probe point, the
+    * [[bruteforceCtes]] baseline under a `bf` prefix, exact hit joins.
+    */
+  val qAnnProbeCurveSql: String = {
+    val serves = ProbeCurve.map(p => ivfServeCtes(s"p$p", p)).mkString(",\n")
+    val hits = ProbeCurve.map { p =>
+      s"""h$p AS (
+         |  SELECT CAST($p AS BIGINT) AS n_probes, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT query_id, neighbor_id FROM kp$p WHERE rnk <= $K) iv
+         |  JOIN bfk USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val union = ProbeCurve.map(p => s"SELECT * FROM h$p").mkString("\n    UNION ALL ")
+    s"""WITH $ivfTrainCtes,
+       |$serves,
+       |${bruteforceCtes("bf")},
+       |bfk AS (SELECT query_id, neighbor_id FROM bfr WHERE rnk <= $K),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM bfk),
+       |$hits
+       |SELECT n_probes, nq.n_base AS n_baseline, n_hits,
+       |  (n_hits * 1000000) // nq.n_base AS recall_ppm
+       |FROM ($union) CROSS JOIN nq
+       |ORDER BY n_probes""".stripMargin
   }
 
   /** Build the IVF index ONCE — the production shape (the `q_ann_ivf`
@@ -1517,6 +1596,7 @@ object Ann {
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh"        -> qAnnLsh _,
     "q_ann_ivf"        -> qAnnIvf _,
+    "q_ann_probe_curve" -> qAnnProbeCurve _,
     "q_ann_quantized"  -> qAnnQuantized _,
     "q_embed_centroid" -> qEmbedCentroid _
   )
@@ -1537,6 +1617,7 @@ object Ann {
     "q_rrf_fusion"      -> qRrfFusionSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
+    "q_ann_probe_curve" -> qAnnProbeCurveSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
     "q_quant_recall"    -> qQuantRecallSql,

@@ -291,4 +291,20 @@ class AnnSpec extends SparkSpec {
     assert(r(0).getLong(1) === 2L && r(0).getLong(4) === 0L)
     assert(r(0).isNullAt(5), "no runner-up centroid -> NULL mean margin")
   }
+
+  test("q_ann_probe_curve: recall is monotone in probes and full-probe recall is total") {
+    val rows = Ann.qAnnProbeCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 6L))
+    assert(rows.map(_._2).distinct.size === 1, "one shared brute-force baseline")
+    // more probed cells can only add candidates: hits never decrease
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"recall must be monotone: probes ${a._1}->${b._1}")
+    }
+    // probing ALL 16 cells is exact by construction; the deployed
+    // 6-probe point must already recover a usable majority
+    assert(rows.last._4 >= 500000L,
+      s"deployed probe point recovers ${rows.last._4} ppm — the curve knee moved")
+    assert(rows.head._3 >= 1L, "even 1 probe finds the query's own cell neighbors")
+  }
 }

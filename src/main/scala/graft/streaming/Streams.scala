@@ -816,4 +816,48 @@ object Streams {
     }
     emitted.iterator
   }
+
+  /** One streamed media-dedup verdict: the payload's fingerprint, its
+    * duplicate status, and the stored survivor it deduped against. */
+  case class MediaVerdict(doc_id: Long, media_type: String, phash_hex: String,
+                          is_dup: Boolean, survivor_id: Long)
+
+  /** Streaming media dedup — the continuous twin of the batch
+    * `Multimodal.qPhashDedup` exact-collision tier: arrivals
+    * fingerprint through the SAME stub-codec mid-square expansion
+    * ([[graft.operators.Multimodal.fingerprintBands]] — the twins
+    * cannot disagree on fingerprints), then key by the packed hex and
+    * dedup first-wins against per-fingerprint state (the
+    * [[corpusFilter]] survivorship contract: stored survivor across
+    * batches, first arrival within one; min-id parity with the batch
+    * row under id-ordered arrival, StreamsSpec-pinned). Banded
+    * NEAR-collision search stays a batch/serve concern — a stream
+    * cannot join candidates against an unbounded corpus — so this twin
+    * covers the hamming-0 tier, which at production media scale is the
+    * bulk of the dedup mass (re-uploads and re-posts are byte- or
+    * decode-identical far more often than near).
+    *
+    * State: one ~50-byte record per DISTINCT fingerprint (the
+    * [[corpusFilter]] bound discussion applies verbatim — production
+    * bounds it with `dropDuplicatesWithinWatermark`-style horizons).
+    */
+  def mediaDedupe(media: Dataset[graft.operators.Multimodal.MediaRow]): Dataset[MediaVerdict] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.fingerprintBands(media)
+      .map(f => (f.doc_id, f.media_type,
+        f.bands.map(b => f"$b%04x").mkString))
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (hex: String, it: Iterator[(Long, String, String)], st: GroupState[DupState]) => {
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            val survivor = st.getOption.map(_.survivorId).getOrElse(first._1)
+            st.update(DupState(survivor))
+            (Iterator.single(first) ++ it).map { case (id, mt, hx) =>
+              MediaVerdict(id, mt, hx, id != survivor, survivor)
+            }
+          }
+        })
+  }
 }

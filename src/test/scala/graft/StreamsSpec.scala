@@ -714,6 +714,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaDedupe: cross-batch identical payloads dedup against the stored survivor") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dupBody = "the reposted media payload body with enough bytes to matter"
+    val ms = MemoryStream[(Long, String)]
+    val media = ms.toDS().map { case (id, text) =>
+      graft.operators.Multimodal.MediaRow(id, text.getBytes("UTF-8"),
+        if (id % 3 == 0) "image/png" else "video/mp4")
+    }
+    val q = Streams.mediaDedupe(media)
+      .writeStream.format("memory").queryName("media_dedupe").outputMode("append").start()
+    try {
+      ms.addData(1L -> dupBody, 2L -> "an entirely different first payload here")
+      q.processAllAvailable()
+      ms.addData(3L -> dupBody, 4L -> "another unrelated payload body")
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, phash_hex, is_dup, survivor_id FROM media_dedupe ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      assert(got.length === 4)
+      val byId = got.map(t => t._1 -> t).toMap
+      assert(byId(1L)._2 === byId(3L)._2, "identical payloads → identical streamed fingerprints")
+      assert(!byId(1L)._3 && byId(1L)._4 === 1L, "first arrival survives")
+      assert(byId(3L)._3 && byId(3L)._4 === 1L,
+        "the cross-batch repost must dedup against the STORED survivor")
+      assert(!byId(2L)._3 && !byId(4L)._3, "distinct payloads are not dups")
+      // fingerprint parity with the batch operator on the same payloads
+      val dir = docsDir(Seq(1L -> dupBody, 2L -> "an entirely different first payload here",
+        3L -> dupBody, 4L -> "another unrelated payload body"))
+      val batch = graft.operators.Multimodal.qPhashDedup(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(6))).toMap
+      got.foreach { case (id, hex, _, _) =>
+        assert(batch(id)._1 === hex, s"doc $id: stream and batch fingerprints must match")
+      }
+      assert(batch(3L)._2, "the batch twin agrees doc 3 is a dup")
+    } finally q.stop()
+  }
+
   test("ivfIndexMaintenance: streamed arrivals serve identically to a one-shot build") {
     val s = spark
     import s.implicits._

@@ -207,7 +207,8 @@ object SparkEntry {
     "q_classifier_calibration" -> Seq("decile"),
     "q_behavior_diversity" -> Seq("user_id"),
     "q_dup_tokens"      -> Seq("source"),
-    "q_corpus_build"    -> Seq("stage_id")
+    "q_corpus_build"    -> Seq("stage_id"),
+    "q_pack_waste"      -> Seq("lang")
   )
 
   /** Production plans — the library API. No presentation sort. */

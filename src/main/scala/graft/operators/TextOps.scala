@@ -1367,6 +1367,60 @@ object TextOps {
        |GROUP BY lang, lane, (cum - toks) // $packBudget
        |ORDER BY lang, lane, pack_id""".stripMargin
 
+  /** Packing-efficiency audit per language — the fragmentation bill of
+    * the [[qPackSequences]] scheme: packs and token mass against the
+    * nominal capacity (packs × [[packBudget]]), split into UNDERFILL
+    * (capacity a pack left empty — the padding the trainer pays) and
+    * OVERFLOW (tokens past the budget from boundary-straddling docs —
+    * what truncation/wrapping must absorb), each in exact tokens and
+    * ppm-of-capacity. The number that decides whether the packing
+    * budget and lane count fit the corpus's document-length
+    * distribution BEFORE a training run pays for the padding.
+    *
+    * Shape at scale: the [[qPackSequences]] rollup (its two shuffles)
+    * plus a |langs|-sized re-aggregate — nothing new at any scale.
+    */
+  def qPackWaste(s: SparkSession, dir: String): DataFrame =
+    qPackSequences(s, dir)
+      .select(col("lang"), col("lane"), col("n_tokens"))
+      .withColumn("underfill", expr(s"greatest(0L, $packBudget - n_tokens)"))
+      .withColumn("overflow", expr(s"greatest(0L, n_tokens - $packBudget)"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("lane")).as("n_lanes"),
+        count(lit(1)).as("n_packs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (count(lit(1)) * packBudget).as("capacity"),
+        sum(col("underfill")).as("underfill_tokens"),
+        sum(col("overflow")).as("overflow_tokens"))
+      .select(col("lang"), col("n_lanes"), col("n_packs"), col("n_tokens"),
+        col("capacity"),
+        col("underfill_tokens"),
+        col("overflow_tokens"),
+        expr("(underfill_tokens * 1000000) DIV capacity").as("underfill_ppm"),
+        expr("(overflow_tokens * 1000000) DIV capacity").as("overflow_ppm"))
+
+  val qPackWasteSql: String = {
+    val packs = qPackSequencesSql.replace("ORDER BY lang, lane, pack_id", "")
+    s"""WITH p AS ($packs),
+       |w AS (
+       |  SELECT lang, lane, n_tokens,
+       |    greatest(0, $packBudget - n_tokens) AS uf,
+       |    greatest(0, n_tokens - $packBudget) AS ovf
+       |  FROM p)
+       |SELECT lang,
+       |  CAST(COUNT(DISTINCT lane) AS BIGINT) AS n_lanes,
+       |  COUNT(*) AS n_packs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  COUNT(*) * $packBudget AS capacity,
+       |  CAST(SUM(uf) AS BIGINT) AS underfill_tokens,
+       |  CAST(SUM(ovf) AS BIGINT) AS overflow_tokens,
+       |  (CAST(SUM(uf) AS BIGINT) * 1000000) // (COUNT(*) * $packBudget) AS underfill_ppm,
+       |  (CAST(SUM(ovf) AS BIGINT) * 1000000) // (COUNT(*) * $packBudget) AS overflow_ppm
+       |FROM w GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // PII scrub patterns — kept to regex constructs whose semantics are
   // identical in Java regex (Spark) and RE2 (DuckDB): literal classes,
   // +, bounded repetition; no backrefs or lookaround.
@@ -3800,6 +3854,7 @@ object TextOps {
     "q_span_dedup"        -> qSpanDedup _,
     "q_span_excise"       -> qSpanExcise _,
     "q_pack_sequences"    -> qPackSequences _,
+    "q_pack_waste"        -> qPackWaste _,
     "q_pii_scrub"         -> qPiiScrub _,
     "q_inverted_index"    -> qInvertedIndex _,
     "q_normalize_text"    -> qNormalizeText _,
@@ -3858,6 +3913,7 @@ object TextOps {
     "q_span_dedup"        -> qSpanDedupSql,
     "q_span_excise"       -> qSpanExciseSql,
     "q_pack_sequences"    -> qPackSequencesSql,
+    "q_pack_waste"        -> qPackWasteSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_inverted_index"    -> qInvertedIndexSql,
     "q_normalize_text"    -> qNormalizeTextSql,

@@ -586,6 +586,28 @@ class InvariantSpec extends SparkSpec {
       "the expanding window's last value must equal the plain group total")
   }
 
+  test("q_pack_waste reconciles with q_pack_sequences: the fragmentation identity holds") {
+    // per pack, tokens − budget = overflow − underfill; summed per
+    // lang: n_tokens = capacity + overflow − underfill, and pack/lane
+    // counts must agree with the packing table itself
+    val packs = TextOps.qPackSequences(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val want = packs.groupBy(_._1).view.mapValues { ps =>
+      (ps.map(_._2).distinct.length.toLong, ps.length.toLong, ps.map(_._3).sum)
+    }.toMap
+    val got = TextOps.qPackWaste(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (lang, (lanes, np, toks, cap, uf, ovf)) =>
+      val (wLanes, wPacks, wToks) = want(lang)
+      assert((lanes, np, toks) === ((wLanes, wPacks, wToks)), s"$lang pack census")
+      assert(cap === np * 256L, s"$lang capacity = packs x budget")
+      assert(toks === cap + ovf - uf, s"$lang fragmentation identity")
+    }
+  }
+
   test("q_corpus_build census reconciles stage by stage with the standalone operators") {
     // The composition is registered rows-only (its oracle would restate
     // six hash-checked programs); THIS is its correctness gate — every

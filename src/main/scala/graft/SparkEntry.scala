@@ -208,7 +208,8 @@ object SparkEntry {
     "q_behavior_diversity" -> Seq("user_id"),
     "q_dup_tokens"      -> Seq("source"),
     "q_corpus_build"    -> Seq("stage_id"),
-    "q_pack_waste"      -> Seq("lang")
+    "q_pack_waste"      -> Seq("lang"),
+    "q_temporal_split"  -> Seq("split")
   )
 
   /** Production plans — the library API. No presentation sort. */

@@ -552,7 +552,75 @@ object Temporal {
       |GROUP BY 1
       |ORDER BY gap_bucket_5m""".stripMargin
 
+  /** Temporal train/test holdout + leakage audit: cut the event
+    * stream at 80% of its time span (exact integer arithmetic on
+    * epoch millis — reproducible on any engine, unlike a percentile
+    * estimate), report each split's event/user census and time range,
+    * plus the USER OVERLAP between splits — the leakage channel for
+    * behavioral models (a user in both splits lets train memorize
+    * test behavior; temporal splits bound FUTURE leakage but not
+    * entity leakage, and this row measures exactly how much entity
+    * overlap the cut leaves). The time-axis sibling of
+    * [[TextOps]]'s md5 hash split (`q_train_test_split`) and its
+    * bias audit (`q_split_balance`).
+    *
+    * Shape at scale: one scan marked against a broadcast 1-row
+    * boundary, one user-keyed partial-agg rollup for the overlap, one
+    * 2-key split rollup — two shuffles, both combiner-friendly.
+    */
+  def qTemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = Ingest.events(s, dir).select(col("user_id"), col("ts_ms"))
+    val b = e.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .select(expr("lo + ((hi - lo) * 8) DIV 10").as("cut"))
+    val marked = e.crossJoin(broadcast(b))
+      .withColumn("split",
+        when(col("ts_ms") < col("cut"), "train").otherwise("test"))
+    val overlap = marked.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_te"))
+      .agg(sum(when(col("n_tr") > 0L && col("n_te") > 0L, 1L).otherwise(0L))
+        .as("n_users_overlap"))
+    marked.groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_ms")).as("t_lo"),
+        max(col("ts_ms")).as("t_hi"))
+      .crossJoin(broadcast(overlap))
+      .select(col("split"), col("n_events"), col("n_users"),
+        col("t_lo"), col("t_hi"), col("n_users_overlap"),
+        expr("(n_users_overlap * 1000000) DIV n_users").as("overlap_ppm_of_split"))
+  }
+
+  val qTemporalSplitSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+      |b AS (SELECT MIN(ts_ms) + ((MAX(ts_ms) - MIN(ts_ms)) * 8) // 10 AS cut FROM e),
+      |m AS (
+      |  SELECT user_id, ts_ms,
+      |    CASE WHEN ts_ms < b.cut THEN 'train' ELSE 'test' END AS split
+      |  FROM e CROSS JOIN b),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+      |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+      |  FROM m GROUP BY user_id),
+      |ov AS (
+      |  SELECT CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users_overlap FROM u)
+      |SELECT split, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(MIN(ts_ms) AS BIGINT) AS t_lo,
+      |  CAST(MAX(ts_ms) AS BIGINT) AS t_hi,
+      |  ov.n_users_overlap,
+      |  (ov.n_users_overlap * 1000000) // CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS overlap_ppm_of_split
+      |FROM m CROSS JOIN ov
+      |GROUP BY split, ov.n_users_overlap
+      |ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temporal_split"    -> qTemporalSplit _,
     "q_gap_hist"          -> qGapHist _,
     "q_attribution"       -> qAttribution _,
     "q_session_stats"     -> qSessionStats _,
@@ -569,6 +637,7 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_temporal_split"    -> qTemporalSplitSql,
     "q_gap_hist"          -> qGapHistSql,
     "q_attribution"       -> qAttributionSql,
     "q_session_stats"     -> qSessionStatsSql,

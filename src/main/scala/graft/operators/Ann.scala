@@ -170,7 +170,11 @@ object Ann {
     * DISTINCT pair set, cosine and the (cosine DESC, id) top-k cut
     * then replay the Spark plan exactly.
     */
-  val qAnnLshSql: String = {
+  /** The full LSH CTE chain through the ranked candidate scores `r`
+    * (shares `base`/`q` names with [[bruteforceCtes]]' unprefixed
+    * form, so recall-style compositions can hang both off one split).
+    * [[qAnnLshSql]] and [[qAnnRecallSql]] both build on this. */
+  private def lshCtes: String = {
     // the identical gaussian stream as CrossPolytopeKeys.planesFlat:
     // table t seeded LshSeed + t, row-major fill, row j = slice j
     val rotValues = (0 until LshTables).map { t =>
@@ -183,7 +187,7 @@ object Ann {
     }.mkString(",\n  ")
     val rowDot = "list_reduce(list_transform(list_zip(rr, b.embedding), " +
       "z -> z[1] * CAST(z[2] AS DOUBLE)), (acc, v) -> acc + v)"
-    s"""WITH rot AS (
+    s"""rot AS (
        |  SELECT * FROM (VALUES
        |  $rotValues) AS rm(t, m)),
        |base AS (
@@ -226,11 +230,43 @@ object Ann {
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val qAnnLshSql: String =
+    s"""WITH $lshCtes
        |SELECT query_id, neighbor_id, rnk, cosine
        |FROM r WHERE rnk <= $K
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Oracle for [[qAnnRecall]] — promoted from rows-only (r14; the
+    * r13 watch item): the [[lshCtes]] chain and a brute-force rank off
+    * the SAME `base`/`q` split, per-query hit counting — the proof
+    * that recall-style compositions of oracle-expressible programs are
+    * themselves oracle-expressible.
+    */
+  val qAnnRecallSql: String =
+    s"""WITH $lshCtes,
+       |bfscored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${Dedup.sqlDot("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id),
+       |bfr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM bfscored),
+       |bfk AS (SELECT query_id, neighbor_id FROM bfr WHERE rnk <= $K),
+       |lk AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $K)
+       |SELECT b.query_id,
+       |  COUNT(*) AS k,
+       |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_overlap,
+       |  (CAST(COUNT(l.neighbor_id) AS BIGINT) * 10000) // COUNT(*) AS recall_bp
+       |FROM bfk b
+       |LEFT JOIN lk l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Row 46: IVF — inverted-file ANN, the OTHER standard scale path
@@ -1618,6 +1654,7 @@ object Ann {
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_ann_probe_curve" -> qAnnProbeCurveSql,
+    "q_ann_recall"      -> qAnnRecallSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
     "q_quant_recall"    -> qQuantRecallSql,

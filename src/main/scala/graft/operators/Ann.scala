@@ -1422,6 +1422,27 @@ object Ann {
         col("cosine"), col("n_words"))
   }
 
+  /** Oracle for [[qHybridSearch]] — promoted from rows-only (r14, the
+    * same program as the [[qAnnRecallSql]] promotion): the shared
+    * [[lshCtes]] chain joined against the [[TextOps.qQualityScoreSql]]
+    * verdict, refiltered and re-ranked — the full RAG serving path in
+    * one engine-exact statement.
+    */
+  val qHybridSearchSql: String = {
+    val qual = graft.operators.TextOps.qQualityScoreSql.replace("ORDER BY doc_id", "")
+    s"""WITH $lshCtes,
+       |hits AS (SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= $K),
+       |qual AS ($qual),
+       |kept AS (
+       |  SELECT h.query_id, h.neighbor_id, h.cosine, qu.n_words,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY h.query_id
+       |           ORDER BY h.cosine DESC, h.neighbor_id) AS INTEGER) AS rnk_kept
+       |  FROM hits h JOIN qual qu ON qu.doc_id = h.neighbor_id AND qu.is_keep)
+       |SELECT query_id, rnk_kept, neighbor_id, cosine, n_words
+       |FROM kept WHERE rnk_kept <= 3
+       |ORDER BY query_id, rnk_kept""".stripMargin
+  }
+
   /** RRF dampening constant (Cormack et al. 2009's k = 60). */
   private val RrfK0 = 60
   private val RrfScale = 1000000L
@@ -1655,6 +1676,7 @@ object Ann {
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_ann_probe_curve" -> qAnnProbeCurveSql,
     "q_ann_recall"      -> qAnnRecallSql,
+    "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
     "q_quant_recall"    -> qQuantRecallSql,

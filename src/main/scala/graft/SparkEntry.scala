@@ -188,6 +188,7 @@ object SparkEntry {
     "q_ann_quantized"   -> Seq("query_id", "rnk"),
     "q_ann_recall"      -> Seq("query_id"),
     "q_ann_probe_curve" -> Seq("n_probes"),
+    "q_lsh_probe_curve" -> Seq("n_probes"),
     "q_quant_recall"    -> Seq("query_id"),
     "q_hybrid_search"   -> Seq("query_id", "rnk_kept"),
     "q_char_diversity"  -> Seq("doc_id"),

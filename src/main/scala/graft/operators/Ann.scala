@@ -211,27 +211,34 @@ object Ann {
        |    CAST(t * ${2 * Dim} + 2 * j + CASE WHEN u > 0 THEN 1 ELSE 0 END
        |      AS INTEGER) AS bkey
        |  FROM ranked WHERE pr = 1),
-       |qk AS (
+       |${lshServeCtes("", LshProbes)}""".stripMargin
+  }
+
+  /** One LSH serve at `probes` probed vertices per table: query keys,
+    * candidate equi-join, exact rerank — CTEs `qk/cand/scored/r` with
+    * a `tag` suffix (empty tag = the deployed [[qAnnLshSql]] chain).
+    */
+  private def lshServeCtes(tag: String, probes: Int): String =
+    s"""qk$tag AS (
        |  SELECT vec_id AS query_id,
        |    CAST(t * ${2 * Dim} + 2 * j + CASE WHEN u > 0 THEN 1 ELSE 0 END
        |      AS INTEGER) AS bkey
-       |  FROM ranked WHERE pr <= $LshProbes AND vec_id % 50 = 0),
-       |cand AS (
+       |  FROM ranked WHERE pr <= $probes AND vec_id % 50 = 0),
+       |cand$tag AS (
        |  SELECT DISTINCT k.query_id, c.vec_id AS neighbor_id
-       |  FROM ck c JOIN qk k ON c.bkey = k.bkey
+       |  FROM ck c JOIN qk$tag k ON c.bkey = k.bkey
        |  WHERE c.vec_id <> k.query_id),
-       |scored AS (
+       |scored$tag AS (
        |  SELECT cd.query_id, cd.neighbor_id,
        |    ${Dedup.sqlDot("n.embedding", "qq.q_emb")} / (n.nrm * qq.q_nrm) AS cosine
-       |  FROM cand cd
+       |  FROM cand$tag cd
        |  JOIN base n ON n.vec_id = cd.neighbor_id
        |  JOIN q qq ON qq.query_id = cd.query_id),
-       |r AS (
+       |r$tag AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)""".stripMargin
-  }
+       |  FROM scored$tag)""".stripMargin
 
   val qAnnLshSql: String =
     s"""WITH $lshCtes
@@ -1422,6 +1429,76 @@ object Ann {
         col("cosine"), col("n_words"))
   }
 
+  // Multi-probe counts for the LSH recall curve: 1, 2, the deployed
+  // LshProbes (3), and a doubling beyond it.
+  private val LshProbeCurve = Seq(1, 2, LshProbes, 6)
+
+  /** LSH multi-probe recall curve — the [[qAnnProbeCurve]] sibling for
+    * the data-OBLIVIOUS index family: recall@[[K]] vs the exact
+    * baseline per probed-vertex count. Probing costs queries×tables×p
+    * broadcast rows and opens proportionally more candidate buckets,
+    * so this row prices multi-probe the way the IVF curve prices
+    * nProbe — together the two curves are the tuning story for both
+    * standard ANN shelves. Fully hash-checked off the shared
+    * [[lshCtes]] key chain (one rotation pass serves every probe
+    * point — the oracle's `ranked` CTE is computed once).
+    *
+    * Shape at scale: each point re-joins the SAME bucketed corpus
+    * (map-only keys) against a p-times-larger broadcast probe list;
+    * the rotation/key work is shared inside one statement in the
+    * oracle and amortized by the codegen key expression in Spark.
+    */
+  def qLshProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    val bfk = qAnnBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id")).materialized
+    val nb = bfk.agg(count(lit(1)).as("n_base"))
+    LshProbeCurve.map { p =>
+      topK(lshScored(s, dir, LshTables, p))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(bfk, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probes"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nb))
+      .select(col("n_probes"), col("n_base").as("n_baseline"), col("n_hits"),
+        expr("(n_hits * 1000000) DIV n_base").as("recall_ppm"))
+  }
+
+  /** Oracle for [[qLshProbeCurve]]: the shared key chain, one
+    * [[lshServeCtes]] tail per probe point, the brute-force baseline,
+    * exact hit joins — the [[qAnnProbeCurveSql]] device on the LSH
+    * shelf.
+    */
+  val qLshProbeCurveSql: String = {
+    val serves = LshProbeCurve.map(p => lshServeCtes(s"p$p", p)).mkString(",\n")
+    val hits = LshProbeCurve.map { p =>
+      s"""h$p AS (
+         |  SELECT CAST($p AS BIGINT) AS n_probes, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT query_id, neighbor_id FROM rp$p WHERE rnk <= $K) lv
+         |  JOIN bfk USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val union = LshProbeCurve.map(p => s"SELECT * FROM h$p").mkString("\n    UNION ALL ")
+    s"""WITH $lshCtes,
+       |$serves,
+       |bfscored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ${Dedup.sqlDot("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
+       |  FROM base CROSS JOIN q
+       |  WHERE vec_id <> query_id),
+       |bfr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM bfscored),
+       |bfk AS (SELECT query_id, neighbor_id FROM bfr WHERE rnk <= $K),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM bfk),
+       |$hits
+       |SELECT n_probes, nq.n_base AS n_baseline, n_hits,
+       |  (n_hits * 1000000) // nq.n_base AS recall_ppm
+       |FROM ($union) CROSS JOIN nq
+       |ORDER BY n_probes""".stripMargin
+  }
+
   /** Oracle for [[qHybridSearch]] — promoted from rows-only (r14, the
     * same program as the [[qAnnRecallSql]] promotion): the shared
     * [[lshCtes]] chain joined against the [[TextOps.qQualityScoreSql]]
@@ -1654,6 +1731,7 @@ object Ann {
     "q_ann_lsh"        -> qAnnLsh _,
     "q_ann_ivf"        -> qAnnIvf _,
     "q_ann_probe_curve" -> qAnnProbeCurve _,
+    "q_lsh_probe_curve" -> qLshProbeCurve _,
     "q_ann_quantized"  -> qAnnQuantized _,
     "q_embed_centroid" -> qEmbedCentroid _
   )
@@ -1675,6 +1753,7 @@ object Ann {
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_ann_probe_curve" -> qAnnProbeCurveSql,
+    "q_lsh_probe_curve" -> qLshProbeCurveSql,
     "q_ann_recall"      -> qAnnRecallSql,
     "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,

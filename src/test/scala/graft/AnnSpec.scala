@@ -307,4 +307,16 @@ class AnnSpec extends SparkSpec {
       s"deployed probe point recovers ${rows.last._4} ppm — the curve knee moved")
     assert(rows.head._3 >= 1L, "even 1 probe finds the query's own cell neighbors")
   }
+
+  test("q_lsh_probe_curve: multi-probe recall is monotone; the deployed point holds its floor") {
+    val rows = Ann.qLshProbeCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 6L))
+    assert(rows.map(_._2).distinct.size === 1, "one shared brute-force baseline")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"multi-probe recall must be monotone: ${a._1}->${b._1}")
+    }
+    assert(rows(2)._4 >= 500000L,
+      s"deployed 3-probe point recovers ${rows(2)._4} ppm — the curve knee moved")
+  }
 }

@@ -177,19 +177,34 @@ object Bench {
     def curBytes(n: String): Long =
       bytesFor(n).map(b => b.shuffleRead + b.shuffleWrite + b.input).getOrElse(0L)
     val compared = results.collect {
-      case (n, w) if w >= 0 && baseline.contains(n) && baseline(n).wall >= WallFloor =>
+      case (n, w) if w >= 0 && baseline.contains(n) =>
         val b = baseline(n)
         (n, w / b.wall, (curBytes(n).toDouble + 1) / (b.bytes.toDouble + 1), curBytes(n))
     }
+    // WALL-DRIFT's "machine noise" verdict needs BYTE EVIDENCE: a query
+    // with no recorded byte metrics falls back to 0 on both sides, the
+    // ratio degenerates to 1, and a real regression would be waved
+    // through — so absent bytes get their own unadjudicated label
+    // instead (ADVICE r14 #1). The WallFloor gate applies ONLY here
+    // (sub-0.2 s walls are below machine variance); the BYTES compare
+    // below runs for every query, fast or slow — a plan that moves
+    // 1.25× the data regressed no matter how quick the baseline was.
     val wallDriftFlags = compared.collect {
-      case (n, wr, br, _) if wr > WallDrift && br >= 1 - BytesBand && br <= 1 + BytesBand => n }
+      case (n, wr, br, _) if baseline(n).wall >= WallFloor && wr > WallDrift &&
+        bytesFor(n).isDefined && br >= 1 - BytesBand && br <= 1 + BytesBand => n }
+    val wallDriftNoBytes = compared.collect {
+      case (n, wr, _, _) if baseline(n).wall >= WallFloor && wr > WallDrift &&
+        bytesFor(n).isEmpty => n }
     val planRegressFlags = compared.collect {
       case (n, _, br, cb) if br > BytesRegress && cb > BytesFloor => n }
     wallDriftFlags.foreach { n =>
       Console.err.println(f"[bench] WALL-DRIFT $n: wall ${results.toMap.apply(n)}%.3f s vs baseline ${baseline(n).wall}%.3f s with bytes within ±10%% — machine noise, not a plan change") }
+    wallDriftNoBytes.foreach { n =>
+      Console.err.println(f"[bench] WALL-DRIFT $n: wall ${results.toMap.apply(n)}%.3f s vs baseline ${baseline(n).wall}%.3f s with NO byte data — unadjudicated, re-run to adjudicate") }
     planRegressFlags.foreach { n =>
       Console.err.println(s"[bench] PLAN-REGRESS $n: moved ${curBytes(n)} bytes vs baseline ${baseline(n).bytes} (> ${BytesRegress}x) — the plan changed shape") }
     val wallDriftJson = wallDriftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wallDriftNoBytesJson = wallDriftNoBytes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val planRegressJson = planRegressFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // 3-decimal seconds: ms precision is far below the measured
@@ -203,7 +218,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"bytes":$bytesJson,"shuffle_amp_flags":$ampJson,"wall_drift_flags":$wallDriftJson,"plan_regress_flags":$planRegressJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"bytes":$bytesJson,"shuffle_amp_flags":$ampJson,"wall_drift_flags":$wallDriftJson,"wall_drift_nobytes":$wallDriftNoBytesJson,"plan_regress_flags":$planRegressJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and sbt
     // appends its own "[success]" line after ours, so the ~4 KB
     // per-query line can never arrive whole (BENCH_r09 parsed:null,

@@ -284,7 +284,10 @@ object Analytics {
           .otherwise(lit(1)).as("stage"))
   }
 
-  val qFunnelSql: String =
+  /** Order-free oracle body — composers embed THIS as a CTE; the
+    * standalone oracle appends the presentation ORDER BY (ADVICE r14).
+    */
+  private[graft] val qFunnelBody: String =
     """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
       |v AS (SELECT user_id, MIN(ts_ms) AS first_view_ms FROM e
       |      WHERE event_type = 'view' GROUP BY user_id),
@@ -300,8 +303,9 @@ object Analytics {
       |  CASE WHEN p.user_id IS NOT NULL THEN 3
       |       WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
-      |       LEFT JOIN p ON v.user_id = p.user_id
-      |ORDER BY v.user_id""".stripMargin
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  val qFunnelSql: String = qFunnelBody + "\nORDER BY v.user_id"
 
   /** Funnel conversion-rate summary — the three-line executive view
     * over [[qFunnel]]'s per-user stages: users reaching each stage
@@ -332,7 +336,7 @@ object Analytics {
   }
 
   val qFunnelRatesSql: String = {
-    val f = qFunnelSql.replace("ORDER BY v.user_id", "")
+    val f = qFunnelBody
     s"""WITH f AS ($f),
        |g AS (
        |  SELECT COUNT(*) AS n_view,
@@ -373,7 +377,7 @@ object Analytics {
         max("latency_ms").as("max_ms"))
 
   val qTimeToConvertSql: String = {
-    val f = qFunnelSql.replace("ORDER BY v.user_id", "")
+    val f = qFunnelBody
     s"""WITH f AS ($f)
        |SELECT LEAST((first_purchase_ms - first_view_ms) // 86400000, 14) AS latency_bucket_days,
        |  COUNT(*) AS n_users,

@@ -1506,7 +1506,7 @@ object Ann {
     * one engine-exact statement.
     */
   val qHybridSearchSql: String = {
-    val qual = graft.operators.TextOps.qQualityScoreSql.replace("ORDER BY doc_id", "")
+    val qual = graft.operators.TextOps.qQualityScoreBody
     s"""WITH $lshCtes,
        |hits AS (SELECT query_id, neighbor_id, cosine FROM r WHERE rnk <= $K),
        |qual AS ($qual),

@@ -17,12 +17,20 @@ import graft.sources.Ingest
   * Every stage verdict comes from the ALREADY-VERIFIED standalone
   * operator (qLangId / qQualityScore / qRepetition / qDedupExact /
   * qDedupMinhash / qNormalizeText), composed doc-keyed; this row
-  * proves they compose without semantic drift. It is registered
-  * rows-only (the documented exception class: its own oracle would
-  * restate six hash-checked programs, proving nothing) —
-  * InvariantSpec independently recomputes every stage drop from the
-  * standalone outputs and reconciles survivor counts and token
-  * masses.
+  * proves they compose without semantic drift. HASH-CHECKED (VERDICT
+  * r14 #1, the r14 q_ann_recall/q_hybrid_search promotion device):
+  * the oracle composes the constituents' order-free CTE bodies
+  * doc-keyed, replays the keep-first near-drop rule, the pack
+  * running sums, the shard rank modulo and the 10-row census — so
+  * the whole funnel is engine-exact, not just stage-reconciled.
+  * InvariantSpec additionally recomputes every stage drop from the
+  * standalone outputs (the composition-vs-constituents gate the
+  * oracle alone can't give, since the oracle shares the CTEs).
+  *
+  * Token unit: the census token masses and the pack stage both use
+  * [[TextOps.packToks]] — ONE shared expression, so the composition
+  * cannot drift from the standalone `q_pack_sequences` row on texts
+  * with consecutive/leading/trailing spaces (ADVICE r14).
   *
   * Stage rules (the order real builds apply):
   *   - normalize drops nothing; its `n_units` counts docs whose
@@ -50,7 +58,7 @@ import graft.sources.Ingest
 object CorpusBuild {
 
   def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
-    val toks = expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+    val toks = TextOps.packToks
     val base = Ingest.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), toks.as("toks"),
         md5(col("text").cast("binary")).as("raw_md5"))
@@ -141,6 +149,93 @@ object CorpusBuild {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_build" -> qCorpusBuild _)
 
-  /** Rows-only by design — see the object note. */
-  val oracle: Map[String, String] = Map.empty
+  /** Oracle for [[qCorpusBuild]] — fully hash-checked (VERDICT r14
+    * #1): the six constituents' order-free CTE bodies composed
+    * doc-keyed, the keep-first near-drop replay, the pack running-sum
+    * window, the shard rank modulo, and the 10-row census expansion.
+    */
+  val qCorpusBuildSql: String = {
+    val budget = TextOps.packBudget
+    val lanes = TextOps.packLanes
+    val shards = TextOps.nShards
+    s"""WITH cb_base AS (
+       |  SELECT doc_id, source, lang, ${TextOps.packToksDuck} AS toks,
+       |         md5(text) AS raw_md5
+       |  FROM documents),
+       |cb_lang AS (${TextOps.qLangIdBody}),
+       |cb_qual AS (${TextOps.qQualityScoreBody}),
+       |cb_rep AS (${TextOps.qRepetitionBody}),
+       |cb_dex AS (${Dedup.qDedupExactBody}),
+       |cb_norm AS (${TextOps.qNormalizeTextBody}),
+       |cb_mh AS (${Dedup.qDedupMinhashBody}),
+       |cb_v0 AS MATERIALIZED (
+       |  SELECT b.doc_id, b.source, b.lang, b.toks, b.raw_md5, n.norm_md5,
+       |    (l.lang_pred = 'en') AS alive_lang,
+       |    (l.lang_pred = 'en' AND q.is_keep) AS alive_quality,
+       |    (l.lang_pred = 'en' AND q.is_keep AND NOT r.is_repetitive) AS alive_rep,
+       |    (l.lang_pred = 'en' AND q.is_keep AND NOT r.is_repetitive
+       |       AND NOT d.is_dup) AS alive_exact
+       |  FROM cb_base b
+       |  JOIN cb_lang l ON b.doc_id = l.doc_id
+       |  JOIN cb_qual q ON b.doc_id = q.doc_id
+       |  JOIN cb_rep r ON b.doc_id = r.doc_id
+       |  JOIN cb_dex d ON b.doc_id = d.doc_id
+       |  JOIN cb_norm n ON b.doc_id = n.doc_id),
+       |cb_near AS (
+       |  SELECT DISTINCT m.id_b AS doc_id
+       |  FROM cb_mh m JOIN cb_v0 v ON m.id_a = v.doc_id AND v.alive_exact),
+       |cb_v AS MATERIALIZED (
+       |  SELECT v.*, (v.alive_exact AND nd.doc_id IS NULL) AS alive_near
+       |  FROM cb_v0 v LEFT JOIN cb_near nd ON v.doc_id = nd.doc_id),
+       |cb_census AS (
+       |  SELECT COUNT(*) AS d0, CAST(SUM(toks) AS BIGINT) AS t0,
+       |    CAST(COALESCE(SUM(CASE WHEN norm_md5 <> raw_md5 THEN 1 END), 0) AS BIGINT) AS n_changed,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_lang THEN 1 END), 0) AS BIGINT) AS d1,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_lang THEN toks END), 0) AS BIGINT) AS t1,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_quality THEN 1 END), 0) AS BIGINT) AS d2,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_quality THEN toks END), 0) AS BIGINT) AS t2,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_rep THEN 1 END), 0) AS BIGINT) AS d3,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_rep THEN toks END), 0) AS BIGINT) AS t3,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_exact THEN 1 END), 0) AS BIGINT) AS d4,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_exact THEN toks END), 0) AS BIGINT) AS t4,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_near THEN 1 END), 0) AS BIGINT) AS d5,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_near THEN toks END), 0) AS BIGINT) AS t5,
+       |    CAST(COUNT(DISTINCT CASE WHEN alive_near THEN source END) AS BIGINT) AS n_sources
+       |  FROM cb_v),
+       |cb_packlanes AS (
+       |  SELECT doc_id, lang, doc_id % $lanes AS lane, toks,
+       |    SUM(toks) OVER (PARTITION BY lang, doc_id % $lanes ORDER BY doc_id
+       |                    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM cb_v WHERE alive_near),
+       |cb_packs AS (
+       |  SELECT lang, lane, (cum - toks) // $budget AS pack_id,
+       |         CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM cb_packlanes GROUP BY 1, 2, 3),
+       |cb_pk AS (
+       |  SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_packs,
+       |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS pack_tokens
+       |  FROM cb_packs),
+       |cb_sh AS (
+       |  SELECT CAST(COALESCE(COUNT(DISTINCT (rk - 1) % $shards), 0) AS BIGINT) AS n_shards
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rk
+       |        FROM cb_v WHERE alive_near))
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'ingest' AS stage,
+       |         d0 AS n_docs, t0 AS n_tokens, d0 AS n_units FROM cb_census
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'normalize', d0, t0, n_changed FROM cb_census
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'lang_id', d1, t1, d0 - d1 FROM cb_census
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'quality', d2, t2, d1 - d2 FROM cb_census
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'repetition', d3, t3, d2 - d3 FROM cb_census
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'dedup_exact', d4, t4, d3 - d4 FROM cb_census
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'dedup_near', d5, t5, d4 - d5 FROM cb_census
+       |  UNION ALL SELECT CAST(8 AS BIGINT), 'pack', d5, pack_tokens, n_packs
+       |    FROM cb_census CROSS JOIN cb_pk
+       |  UNION ALL SELECT CAST(9 AS BIGINT), 'shard', d5, t5, n_shards
+       |    FROM cb_census CROSS JOIN cb_sh
+       |  UNION ALL SELECT CAST(10 AS BIGINT), 'dataset_card', d5, t5, n_sources FROM cb_census)
+       |ORDER BY stage_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus_build" -> qCorpusBuildSql)
 }

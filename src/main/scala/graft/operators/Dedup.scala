@@ -57,14 +57,19 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("survivor_id"))
   }
 
-  val qDedupExactSql: String =
+  /** Order-free oracle body — composers ([[graft.operators.TextOps]]'s
+    * pipeline/corpus oracles) embed THIS as a CTE; the standalone
+    * oracle appends the presentation ORDER BY (ADVICE r14).
+    */
+  private[graft] val qDedupExactBody: String =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
       |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS group_size,
       |  min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS survivor_id,
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS is_dup
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
+
+  val qDedupExactSql: String = qDedupExactBody + "\nORDER BY doc_id"
 
   private val PrefixWords = 32
 
@@ -930,10 +935,12 @@ object Dedup {
        |  FROM cand JOIN s sa ON cand.id_a = sa.doc_id
        |  JOIN s sb ON cand.id_b = sb.doc_id)""".stripMargin
 
-  val qDedupMinhashSql: String =
+  /** Order-free oracle body — see [[qDedupExactBody]]. */
+  private[graft] val qDedupMinhashBody: String =
     s"""WITH $minhashPipelineCtes
-       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $IdxThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $IdxThreshold""".stripMargin
+
+  val qDedupMinhashSql: String = qDedupMinhashBody + "\nORDER BY id_a, id_b"
 
   /** Components oracle: the recursive CTE propagates every reachable
     * label and the aggregate keeps the min — the FIXPOINT

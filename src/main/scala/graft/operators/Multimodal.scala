@@ -350,6 +350,15 @@ object Multimodal {
     * inert below 1000 members per 16-bit bucket at every oracle scale
     * — the banded-minhash precondition), and the best-mate pick
     * replays the min(struct) tie-break as a window.
+    *
+    * ASCII corpus contract (ADVICE r14, same as
+    * [[OracleEmul.wordHashes]]): the 48-bit seed folds
+    * `unicode(c)::HUGEINT` per CHARACTER while the Spark side
+    * ([[StubCodec.baseHash]]) folds UTF-8 BYTES — equal only while
+    * every payload codepoint is < U+0080, which the all-ASCII testdata
+    * guarantees and MultimodalSpec pins (a non-ASCII payload diverges
+    * in both fold length and values; a byte-true oracle would need
+    * DuckDB-side blob iteration over encode(text)).
     */
   val qPhashDedupSql: String =
     s"""WITH codes AS (

@@ -35,7 +35,10 @@ object Temporal {
         sum(money(col("value"))).cast("double").as("session_value"))
   }
 
-  val qSessionizeSql: String =
+  /** Order-free oracle body — composers embed THIS as a CTE; the
+    * standalone oracle appends the presentation ORDER BY (ADVICE r14).
+    */
+  private[graft] val qSessionizeBody: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
@@ -54,8 +57,9 @@ object Temporal {
       |  max(ts_ms) AS session_end_ms,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
       |FROM sess
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |GROUP BY user_id, session_id""".stripMargin
+
+  val qSessionizeSql: String = qSessionizeBody + "\nORDER BY user_id, session_id"
 
   /** As-of join: for each purchase event, the user's latest click at or
     * before it. Union + running `last(..., ignoreNulls)` window — one
@@ -503,7 +507,7 @@ object Temporal {
         (sum(col("dur_ms")).cast("double") / count(lit(1))).as("avg_dur_ms"))
 
   val qSessionStatsSql: String = {
-    val sess = qSessionizeSql.replace("ORDER BY user_id, session_id", "")
+    val sess = qSessionizeBody
     s"""WITH s AS ($sess)
        |SELECT (session_end_ms - session_start_ms) // 300000 AS dur_bucket_5m,
        |  COUNT(*) AS n_sessions,

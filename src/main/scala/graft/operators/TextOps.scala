@@ -56,7 +56,8 @@ object TextOps {
           .when(col("s_de") >= col("s_fr"), "de")
           .otherwise("fr"))
 
-  val qLangIdSql: String =
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qLangIdBody: String =
     s"""SELECT doc_id,
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(enStops)}))) AS BIGINT) AS s_en,
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) AS BIGINT) AS s_es,
@@ -71,8 +72,9 @@ object TextOps {
        |        AND len(list_filter(string_split(text, ' '), w -> w IN (${inList(esStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) THEN 'es'
        |       WHEN len(list_filter(string_split(text, ' '), w -> w IN (${inList(deStops)}))) >= len(list_filter(string_split(text, ' '), w -> w IN (${inList(frStops)}))) THEN 'de'
        |       ELSE 'fr' END AS lang_pred
-       |FROM documents
-       |ORDER BY doc_id""".stripMargin
+       |FROM documents""".stripMargin
+
+  val qLangIdSql: String = qLangIdBody + "\nORDER BY doc_id"
 
   /** Language-ID ACCURACY audit: the labeled `lang` column crossed
     * with [[qLangId]]'s prediction — the confusion matrix every
@@ -182,7 +184,13 @@ object TextOps {
       .select("doc_id", "n_chars_c", "n_words", "avg_word_len",
               "stopword_ratio", "punct_ratio", "is_keep")
 
-  val qQualityScoreSql: String =
+  /** Order-free oracle body — composers (qFilterPipelineSql,
+    * Ann.qHybridSearchSql, CorpusBuild) embed THIS as a CTE; the
+    * standalone oracle appends the presentation ORDER BY (ADVICE r14:
+    * no `.replace("ORDER BY …", "")` string surgery, which silently
+    * no-ops if the tail clause is ever renamed).
+    */
+  private[graft] val qQualityScoreBody: String =
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars_c,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -192,8 +200,9 @@ object TextOps {
        |  (len(string_split(text, ' ')) BETWEEN 5 AND 5000
        |   AND (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0
        |   AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text)) < 0.2) AS is_keep
-       |FROM documents
-       |ORDER BY doc_id""".stripMargin
+       |FROM documents""".stripMargin
+
+  val qQualityScoreSql: String = qQualityScoreBody + "\nORDER BY doc_id"
 
   // GPT-2-ish pre-tokenizer shape: letter runs (with 's-style
   // contractions), digit runs, single non-alnum-non-space marks.
@@ -467,7 +476,8 @@ object TextOps {
           .as("top_bigram_frac"),
         repetitiveFromStats(col("st")).as("is_repetitive"))
 
-  val qRepetitionSql: String =
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qRepetitionBody: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |wc AS (SELECT doc_id, w, COUNT(*) AS c
       |       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY doc_id, w),
@@ -487,8 +497,9 @@ object TextOps {
       |  COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac,
       |  (CAST(top_word_n AS DOUBLE) / n_words > 0.2
       |   OR COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) > 0.18) AS is_repetitive
-      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
-      |ORDER BY wa.doc_id""".stripMargin
+      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin
+
+  val qRepetitionSql: String = qRepetitionBody + "\nORDER BY wa.doc_id"
 
   // Benchmark membership: doc_id ≡ 0 (mod 97) stands in for "this doc
   // is in an eval benchmark". The gram width (5 words) follows the
@@ -1314,6 +1325,17 @@ object TextOps {
   private[graft] val packBudget = 256L
   private[graft] val packLanes  = 4L
 
+  /** THE packing token unit — one expression shared by
+    * [[qPackSequences]], [[qPackWaste]] and
+    * [[graft.operators.CorpusBuild.qCorpusBuild]] (ADVICE r14: the
+    * composition must not drift from the standalone packing row on
+    * texts with consecutive/leading/trailing spaces), with its DuckDB
+    * twin kept adjacent so the pair can never diverge silently.
+    */
+  private[graft] def packToks: org.apache.spark.sql.Column =
+    expr("CAST(size(split(text, ' ')) AS BIGINT)")
+  private[graft] val packToksDuck = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
   /** Greedy sequence packing for training-batch assembly: assign
     * documents (in deterministic doc_id order) to fixed-token-budget
     * packs, the step that turns a filtered corpus into dense
@@ -1337,7 +1359,7 @@ object TextOps {
     docs(s, dir)
       .select(col("doc_id"), col("lang"),
         (col("doc_id") % packLanes).as("lane"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"))
+        packToks.as("toks"))
       .withColumn("cum", sum(col("toks")).over(lane))
       .withColumn("pack_id", expr(s"(cum - toks) DIV $packBudget"))
       .groupBy(col("lang"), col("lane"), col("pack_id"))
@@ -1348,10 +1370,11 @@ object TextOps {
         max(col("doc_id")).as("last_doc"))
   }
 
-  val qPackSequencesSql: String =
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qPackSequencesBody: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, doc_id % $packLanes AS lane,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |         $packToksDuck AS toks
        |  FROM documents),
        |w AS (
        |  SELECT doc_id, lang, lane, toks,
@@ -1364,8 +1387,9 @@ object TextOps {
        |  MIN(doc_id) AS first_doc,
        |  MAX(doc_id) AS last_doc
        |FROM w
-       |GROUP BY lang, lane, (cum - toks) // $packBudget
-       |ORDER BY lang, lane, pack_id""".stripMargin
+       |GROUP BY lang, lane, (cum - toks) // $packBudget""".stripMargin
+
+  val qPackSequencesSql: String = qPackSequencesBody + "\nORDER BY lang, lane, pack_id"
 
   /** Packing-efficiency audit per language — the fragmentation bill of
     * the [[qPackSequences]] scheme: packs and token mass against the
@@ -1401,7 +1425,7 @@ object TextOps {
         expr("(overflow_tokens * 1000000) DIV capacity").as("overflow_ppm"))
 
   val qPackWasteSql: String = {
-    val packs = qPackSequencesSql.replace("ORDER BY lang, lane, pack_id", "")
+    val packs = qPackSequencesBody
     s"""WITH p AS ($packs),
        |w AS (
        |  SELECT lang, lane, n_tokens,
@@ -1480,13 +1504,15 @@ object TextOps {
       .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
       .withColumn("norm_md5", md5(col("text_norm").cast("binary")))
 
-  val qNormalizeTextSql: String =
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qNormalizeTextBody: String =
     """SELECT doc_id,
       |  trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g')) AS text_norm,
       |  CAST(length(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
       |  md5(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))) AS norm_md5
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
+
+  val qNormalizeTextSql: String = qNormalizeTextBody + "\nORDER BY doc_id"
 
   /** Inverted-index build: the postings statistics a keyword-search /
     * BM25 layer serves from — per term: document frequency, total term
@@ -1567,11 +1593,9 @@ object TextOps {
         "reject_reason", "final_keep")
   }
 
-  val qFilterPipelineSql: String = {
-    val q = qQualityScoreSql.replace("ORDER BY doc_id", "")
-    val r = qRepetitionSql.replace("ORDER BY wa.doc_id", "")
-    val d = Dedup.qDedupExactSql.replace("ORDER BY doc_id", "")
-    s"""WITH q AS ($q), r AS ($r), d AS ($d)
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qFilterPipelineBody: String =
+    s"""WITH q AS ($qQualityScoreBody), r AS ($qRepetitionBody), d AS (${Dedup.qDedupExactBody})
        |SELECT q.doc_id, d.is_dup, q.is_keep, r.is_repetitive,
        |  CASE WHEN d.is_dup THEN 'duplicate'
        |       WHEN NOT q.is_keep THEN 'low_quality'
@@ -1581,9 +1605,9 @@ object TextOps {
        |        WHEN NOT q.is_keep THEN 'low_quality'
        |        WHEN r.is_repetitive THEN 'repetitive'
        |        ELSE 'ok' END) = 'ok' AS final_keep
-       |FROM q JOIN r ON q.doc_id = r.doc_id JOIN d ON q.doc_id = d.doc_id
-       |ORDER BY q.doc_id""".stripMargin
-  }
+       |FROM q JOIN r ON q.doc_id = r.doc_id JOIN d ON q.doc_id = d.doc_id""".stripMargin
+
+  val qFilterPipelineSql: String = qFilterPipelineBody + "\nORDER BY q.doc_id"
 
   // BM25 query-term list: fixed and tiny — a search request, not data.
   private val bm25Terms = Seq("spark", "hash", "vector", "stream")
@@ -2146,7 +2170,7 @@ object TextOps {
   }
 
   val qSourceQualitySql: String = {
-    val f = qFilterPipelineSql.replace("ORDER BY q.doc_id", "")
+    val f = qFilterPipelineBody
     s"""WITH v AS ($f)
        |SELECT d.source, COUNT(*) AS n_docs,
        |  CAST(COALESCE(SUM(CASE WHEN v.reject_reason = 'ok' THEN 1 END), 0) AS BIGINT) AS n_keep,
@@ -2432,7 +2456,8 @@ object TextOps {
   private[graft] def lmScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
     lmScoreDocs(docs(s, dir), s.read.parquet(modelPath))
 
-  val qLmPerplexitySql: String =
+  /** Order-free oracle body — see [[qQualityScoreBody]]. */
+  private[graft] val qLmPerplexityBody: String =
     s"""WITH d AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
        |bg AS (
@@ -2464,8 +2489,9 @@ object TextOps {
        |SELECT doc_id, lang, n_bigrams, oov_bigrams, sum_bits,
        |  (sum_bits * 1000000) // n_bigrams AS bpb_ppm,
        |  ((sum_bits * 1000000) // n_bigrams) // $LmBandPpm AS ppl_band
-       |FROM agg
-       |ORDER BY doc_id""".stripMargin
+       |FROM agg""".stripMargin
+
+  val qLmPerplexitySql: String = qLmPerplexityBody + "\nORDER BY doc_id"
 
   /** Per-source perplexity-band mix — the decision table the
     * [[qLmPerplexity]] scores exist to produce (CCNet keeps or
@@ -2504,7 +2530,7 @@ object TextOps {
   }
 
   val qPplSourceMixSql: String = {
-    val lm = qLmPerplexitySql.replace("ORDER BY doc_id", "")
+    val lm = qLmPerplexityBody
     s"""WITH lm AS ($lm),
        |by_src AS (
        |  SELECT d.source, lm.ppl_band, COUNT(*) AS n_docs,

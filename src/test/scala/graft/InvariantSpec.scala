@@ -609,12 +609,14 @@ class InvariantSpec extends SparkSpec {
   }
 
   test("q_corpus_build census reconciles stage by stage with the standalone operators") {
-    // The composition is registered rows-only (its oracle would restate
-    // six hash-checked programs); THIS is its correctness gate — every
-    // stage drop recomputed independently from the standalone outputs.
+    // The composition is hash-checked against its composed oracle
+    // (r15); THIS gate is the independent one — every stage drop
+    // recomputed from the STANDALONE operator outputs, which the
+    // shared-CTE oracle can't see. Token unit = TextOps.packToks
+    // (unfiltered whitespace split — the q_pack_sequences unit).
     val toks = graft.sources.Ingest.table(spark, sf0001, "documents")
       .select(col("doc_id"), col("lang"),
-        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)").as("t"))
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("t"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     val pred = TextOps.qLangId(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getString(6)).toMap

@@ -51,6 +51,20 @@ class MultimodalSpec extends SparkSpec {
       "per-frame feature is a deterministic function of (base, frame_idx)")
   }
 
+  test("oracle ASCII contract: every document payload codepoint is < U+0080") {
+    // qPhashDedupSql / qMediaPipelineSql fold unicode() CODE POINTS
+    // while StubCodec.baseHash folds UTF-8 BYTES — equal only on
+    // all-ASCII payloads (ADVICE r14). This pin is the contract: if
+    // the fixture ever grows a non-ASCII document, fail HERE with the
+    // offending doc_id, not as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val offenders = graft.sources.Ingest.table(spark, sf001, "documents")
+      .filter(expr("regexp_count(text, '[^\\\\x00-\\\\x7f]') > 0"))
+      .select("doc_id").limit(5).collect().map(_.getLong(0))
+    assert(offenders.isEmpty,
+      s"non-ASCII document payloads break the unicode()-vs-UTF-8 oracle parity: ${offenders.mkString(",")}")
+  }
+
   test("phash dedup: planted identical payloads collide at hamming 0; distinct ones stay apart") {
     // With the avalanche-y stub codec, byte-identical payloads are the
     // constructible near-dup family (a real codec would put

@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local(4)
   val sf0001 = "/root/testdata/sf0.001"
+  /** The 10× fixture — derive from here, never hard-code (ADVICE r14). */
+  val sf001 = "/root/testdata/sf0.01"
 
   /** Write a tiny documents table into a temp sf-layout dir. */
   def docsDir(rows: Seq[(Long, String)]): String = {

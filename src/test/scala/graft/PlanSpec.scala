@@ -724,13 +724,27 @@ class PlanSpec extends SparkSpec {
     val offenders = small.filter(_._2 > Cap)
     assert(offenders.isEmpty,
       s"unpartitioned windows over > $Cap rows:\n${offenders.mkString("\n")}")
-    // exact site census: a NEW unpartitioned window must be reviewed
-    // (bounded by construction?) and consciously added here
-    assert(small.size === 16,
-      s"unpartitioned-window census changed — review the new site(s):\n${small.mkString("\n")}")
+    // NAMED site census (ADVICE r14): a NEW unpartitioned window must
+    // be reviewed (bounded by construction?) and consciously added
+    // here — the diff below names the offender instead of a bare size
+    // mismatch. Values = sites per query (one query can stack windows).
+    val allowed = Map(
+      "q_autocorr" -> 1, "q_benford" -> 1, "q_changepoint" -> 3,
+      "q_dim_geo" -> 1, "q_dim_status" -> 1, "q_fact_build" -> 1,
+      "q_ks_drift" -> 2, "q_mix_budget" -> 1, "q_moving_avg" -> 1,
+      "q_pareto" -> 1, "q_seasonality" -> 1, "q_vocab_growth" -> 1,
+      "q_zipf_fit" -> 1)
+    val census = small.groupBy(_._1).view.mapValues(_.size).toMap
+    val newSites = census.filter { case (n, c) => c > allowed.getOrElse(n, 0) }
+    val goneSites = allowed.filter { case (n, c) => census.getOrElse(n, 0) < c }
+    assert(newSites.isEmpty && goneSites.isEmpty,
+      s"unpartitioned-window census changed — review by name:\n" +
+        s"  new/grown sites: ${newSites.toSeq.sorted.mkString(", ")}\n" +
+        s"  vanished sites:  ${goneSites.toSeq.sorted.mkString(", ")}")
     // scale independence: the same sites at 10× the corpus stay capped
+    // (fixture derived from the shared SparkSpec config, ADVICE r14)
     val queries10 = small.map(_._1).toSet
-    val big = sweep("/root/testdata/sf0.01", Some(queries10))
+    val big = sweep(sf001, Some(queries10))
     val offenders10 = big.filter(_._2 > Cap)
     assert(offenders10.isEmpty,
       s"window inputs grew past $Cap at 10× corpus — not actually bounded:\n${offenders10.mkString("\n")}")

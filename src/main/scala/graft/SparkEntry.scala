@@ -50,6 +50,7 @@ object SparkEntry {
     "q_approx_percentiles" -> Seq("l_returnflag"),
     "q_star_report"     -> Seq("event_id"),
     "q_sessionize"      -> Seq("user_id", "session_id"),
+    "q_session_window"  -> Seq("user_id", "session_start_ms"),
     "q_asof_join"       -> Seq("purchase_id"),
     "q_interval_join"   -> Seq("purchase_id", "click_id"),
     "q_attribution"     -> Seq("purchase_id"),
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_skew_agg"        -> Seq("event_type"),
     "q_bloom_join"      -> Seq("o_orderpriority"),
     "q_entity_match"    -> Seq("nationkey", "mktsegment", "cust_a", "cust_b"),
+    "q_entity_best_match" -> Seq("c_custkey"),
     "q_ewma"            -> Seq("o_orderpriority"),
     "q_rolling_median"  -> Seq("o_orderpriority", "day"),
     "q_cms_audit"       -> Seq("user_id"),

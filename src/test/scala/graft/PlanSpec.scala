@@ -167,6 +167,14 @@ class PlanSpec extends SparkSpec {
       s"one shuffle, on (window, event_type):\n$p")
   }
 
+  test("q_session_window: native session windows shuffle ONCE, same as manual q_sessionize") {
+    for (q <- Seq("q_sessionize", "q_session_window")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"$q must shuffle exactly once on user_id:\n$p")
+    }
+  }
+
   test("q_rrf_fusion: both rank windows and the fused cut share ONE query_id exchange") {
     val p = plan("q_rrf_fusion")
     // AQE appends the initial plan — judge the final plan only

@@ -789,6 +789,129 @@ object Ann {
   // (quantize the bucketed candidates) — kept standalone here so the
   // quantization error is measured in isolation.
   // ------------------------------------------------------------------
+  // Persisted LSH index (VERDICT r14 #4) — the [[buildIvfIndex]] triad
+  // for the data-OBLIVIOUS family. Layout:
+  //   <path>/meta.parquet                 (lsh_seed, n_tables, dim)
+  //   <path>/index.parquet/bkey=N/        (vec_id, embedding, nrm)
+  //   <path>/index-stream/batch-…/bkey=N/ (streamed increments)
+  // The "model" is the seed: the 16 cross-polytope rotations derive
+  // deterministically from it inside [[graft.functions.CrossPolytopeKeys]],
+  // so persisting (seed, tables, dim) persists the rotation tables —
+  // serve VALIDATES the meta against the session constants instead of
+  // silently probing a differently-seeded index. Unlike IVF (one cell
+  // per vector), multi-table LSH stores each vector once PER TABLE —
+  // a deliberate 16× storage-for-recall trade (the standard LSH
+  // memory bill; a postings-only layout with a vec_id join back would
+  // store once but pay a corpus shuffle per serve, the wrong side of
+  // the trade for a read-mostly index). Bucket directories are bounded
+  // by construction: ≤ tables × 2·dim = 2048 partition values at ANY
+  // corpus size, so the layout scales by bucket CONTENT, not count.
+  // ------------------------------------------------------------------
+
+  private def lshMetaOk(s: SparkSession, path: String): Unit = {
+    val m = s.read.parquet(s"$path/meta.parquet").collect().head
+    require(m.getLong(0) == LshSeed && m.getInt(1) == LshTables && m.getInt(2) == Dim,
+      s"LSH index at $path was built with (seed=${m.getLong(0)}, tables=${m.getInt(1)}, " +
+        s"dim=${m.getInt(2)}) — session expects ($LshSeed, $LshTables, $Dim); rebuild the index")
+  }
+
+  /** Map-only bucket assignment — the pass [[buildLshIndex]] and
+    * [[lshUpsertBatch]] share. No join, no shuffle: the rotations
+    * derive from the seed inside the expression.
+    */
+  private[graft] def lshAssign(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(graft.functions.VectorFunctions
+        .xpolyKeys(col("embedding"), LshSeed, LshTables, Dim, probes = 1)).as("bkey"))
+
+  /** @param indexFilter bounds the initially-indexed subset (AnnSpec
+    *   builds a partial index and upserts the remainder to prove
+    *   serve-equivalence with a one-shot build).
+    */
+  private[graft] def buildLshIndex(s: SparkSession, dir: String, path: String,
+      indexFilter: Column = lit(true)): Unit = {
+    import s.implicits._
+    val (corpus, _) = split(s, dir)
+    Seq((LshSeed, LshTables, Dim)).toDF("lsh_seed", "n_tables", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    lshAssign(corpus.filter(indexFilter))
+      .write.mode("overwrite").partitionBy("bkey").parquet(s"$path/index.parquet")
+    // a full rebuild supersedes every streamed increment (same
+    // contract as [[buildIvfIndex]])
+    val streamRoot = new org.apache.hadoop.fs.Path(s"$path/index-stream")
+    val fs = streamRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(streamRoot)) fs.delete(streamRoot, true)
+  }
+
+  /** Append-only incremental maintenance — same contract (and caller-
+    * owned vec_id uniqueness) as [[ivfUpsert]]; assignments are exact
+    * forever because the rotations never retrain (LSH's maintenance
+    * advantage over IVF: no codebook drift, no recall decay from a
+    * frozen model — the bucket function IS the model).
+    */
+  private[graft] def lshUpsert(s: SparkSession, path: String, arrivals: DataFrame): Unit = {
+    lshMetaOk(s, path)
+    lshAssign(arrivals)
+      .write.mode("append").partitionBy("bkey").parquet(s"$path/index.parquet")
+  }
+
+  /** Idempotent per-micro-batch upsert — the streaming-sink variant
+    * ([[ivfUpsertBatch]]'s contract: deterministic batch directory,
+    * overwrite semantics, replay-safe; empty batches are skipped).
+    */
+  private[graft] def lshUpsertBatch(s: SparkSession, path: String,
+      arrivals: DataFrame, batchId: Long): Unit = {
+    if (!arrivals.isEmpty) {
+      lshMetaOk(s, path)
+      lshAssign(arrivals)
+        .write.mode("overwrite").partitionBy("bkey")
+        .parquet(f"$path/index-stream/batch-$batchId%09d")
+    }
+  }
+
+  /** Serve top-k from a prebuilt [[buildLshIndex]] index. The probed
+    * bucket set (≤ queries × tables × probes keys) is computed on the
+    * tiny query side and pushed as a static `isin` on the partition
+    * column — the scan never opens an unprobed bucket directory, the
+    * exact storage-layout discount [[ivfServe]] gets from cells.
+    * Candidate scoring and the cross-table `distinct` replay
+    * [[lshScored]] on identical rows, so serve ≡ inline by
+    * construction (AnnSpec pins it).
+    */
+  private[graft] def lshServe(s: SparkSession, dir: String, path: String,
+      probes: Int = LshProbes): DataFrame = {
+    lshMetaOk(s, path)
+    val (_, queries) = split(s, dir)
+    val probed = queries
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(graft.functions.VectorFunctions
+          .xpolyKeys(col("q_emb"), LshSeed, LshTables, Dim, probes)).as("bkey"))
+    // the probe-list is Q×tables×probes rows — driver-safe by construction
+    val probedKeys = probed.select("bkey").distinct().collect().map(_.getInt(0))
+    val keyFilter = col("bkey").isin(probedKeys.map(Integer.valueOf): _*)
+    val index = (s"$path/index.parquet" +: lshStreamBatchRoots(s, path))
+      .map(r => s.read.parquet(r).filter(keyFilter))
+      .reduce(_ unionByName _)
+    val scored = index.join(broadcast(probed), Seq("bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .distinct() // a pair may collide in several tables/probes
+    topK(scored)
+  }
+
+  /** Streamed-batch directories, oldest first (the [[streamBatchRoots]]
+    * device for the LSH layout). */
+  private def lshStreamBatchRoots(s: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/index-stream")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    else Seq.empty
+  }
+
   def qAnnQuantized(s: SparkSession, dir: String): DataFrame = {
     val vf = graft.functions.VectorFunctions
     val (corpus, queries) = split(s, dir)

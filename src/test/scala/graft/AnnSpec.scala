@@ -109,6 +109,60 @@ class AnnSpec extends SparkSpec {
       s"the probed-cell isin must prune index partitions at the scan:\n$p")
   }
 
+  test("persisted LSH index: serve == inline qAnnLsh; scan prunes to the probed buckets") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    Ann.buildLshIndex(spark, sf0001, path)
+    val served = Ann.lshServe(spark, sf0001, path)
+    // seed-derived rotations → identical bucket keys → identical answers
+    val inline = Ann.qAnnLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromIndex = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex === inline)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bkey"),
+      s"the probed-bucket isin must prune index partitions at the scan:\n$p")
+  }
+
+  test("lshUpsert: serve-after-upsert == one-shot build; replay idempotent; no assignment shuffle") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-lsh-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-lsh-incr").toString
+    Ann.buildLshIndex(spark, sf0001, full)
+    Ann.buildLshIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val arrivals = corpus.filter(col("vec_id") % 7 === 0)
+    Ann.lshUpsert(spark, incr, arrivals)
+    val ref = Ann.lshServe(spark, sf0001, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ann.lshServe(spark, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref, "upserted index must serve exactly what a rebuild serves")
+    // assignment is map-only (rotations ship inside the expression)
+    val plan = Ann.lshAssign(arrivals).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsert assignment must never reshuffle the arrivals:\n$plan")
+    // streaming-sink path: deterministic batch dir, replay-safe,
+    // empty batch a no-op, rebuild folds increments away
+    val incr2 = java.nio.file.Files.createTempDirectory("graft-lsh-incr2").toString
+    Ann.buildLshIndex(spark, sf0001, incr2, col("vec_id") % 7 =!= 0)
+    Ann.lshUpsertBatch(spark, incr2, arrivals, 3L)
+    Ann.lshUpsertBatch(spark, incr2, arrivals, 3L) // crash replay
+    val residentN = spark.read.parquet(s"$incr2/index.parquet").count()
+    val streamN = spark.read.parquet(s"$incr2/index-stream/batch-000000003").count()
+    assert(residentN + streamN === corpus.count() * Ann.LshTables,
+      "replayed batch must not duplicate rows (one row per vector per table)")
+    val got2 = Ann.lshServe(spark, sf0001, incr2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === ref, "post-replay index must serve exactly what a rebuild serves")
+    Ann.lshUpsertBatch(spark, incr2, arrivals.filter(col("vec_id") < 0), 4L)
+    assert(!new java.io.File(s"$incr2/index-stream/batch-000000004").exists(),
+      "an empty batch must not leave an unreadable directory behind")
+    Ann.buildLshIndex(spark, sf0001, incr2)
+    assert(!new java.io.File(s"$incr2/index-stream").exists(),
+      "a full rebuild must clear streamed batch directories")
+  }
+
   test("ivfUpsert: serve-after-upsert == one-shot build serve; assignment plan has no shuffle") {
     import org.apache.spark.sql.functions.col
     val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString

@@ -57,7 +57,12 @@ import graft.sources.Ingest
   */
 object CorpusBuild {
 
-  def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc verdict table every corpus-build consumer shares —
+    * [[qCorpusBuild]]'s census and [[corpusWrite]]'s materialization
+    * both read THIS, so the published corpus and the published funnel
+    * cannot disagree on a single verdict.
+    */
+  private[graft] def survivorVerdicts(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.packToks
     val base = Ingest.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), toks.as("toks"),
@@ -78,10 +83,14 @@ object CorpusBuild {
       .join(v0.filter(col("alive_exact")).select(col("doc_id").as("id_a")), "id_a")
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("near_drop", lit(true))
-    val v = v0.join(nearDrops, Seq("doc_id"), "left")
+    v0.join(nearDrops, Seq("doc_id"), "left")
       .withColumn("alive_near",
         col("alive_exact") && !coalesce(col("near_drop"), lit(false)))
       .materialized
+  }
+
+  def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val v = survivorVerdicts(s, dir)
 
     val census = v.agg(
       count(lit(1)).as("d0"), sum(col("toks")).as("t0"),
@@ -144,6 +153,93 @@ object CorpusBuild {
       .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
         col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"),
         col("r.n_units").as("n_units"))
+  }
+
+  /** Materialize the corpus (VERDICT r14 #2) — the WRITE half of the
+    * build: the [[survivorVerdicts]] survivors land as training-ready
+    * parquet shards plus a manifest, atomically published. Layout:
+    *
+    *   `<path>/shards.parquet/shard=N/`  — (doc_id, source, lang, toks,
+    *     lane, pack_id, rk, text): one file per shard, rows sorted by
+    *     doc_id, so a rebuild of the same corpus is BYTE-identical
+    *     (CorpusWriteSpec pins it).
+    *   `<path>/manifest.parquet` — one row per shard: docs, token
+    *     mass, rank extents, and an ORDER-INSENSITIVE content
+    *     signature (bit_xor of per-doc xxhash64(doc_id, text) — the
+    *     [[Audit.qChecksum]] device; a sorted-concat md5 would need a
+    *     per-shard collect, the wrong shape at 100 TB).
+    *
+    * Columns carry the SAME rules as the census rows: lane/pack_id are
+    * `q_pack_sequences`' constants over the survivors, shard is the
+    * `q_shard_plan` LPT rule ((rk−1) mod [[TextOps.nShards]] over the
+    * descending-token rank — [[graft.plans.Surrogate.rankedId]], never
+    * a single-partition window). CorpusWriteSpec reconciles the
+    * manifest against the published `q_corpus_build` census.
+    *
+    * Publish is the [[Ingest.compact]] rename contract: write to
+    * `<path>.publish.tmp`, stage any existing corpus aside, two
+    * renames, roll back on failure — a reader never sees a
+    * half-written corpus (and, as there, true atomicity at 100 TB
+    * belongs to a table format's commit protocol; this is the rewrite
+    * step under one).
+    *
+    * Shape at scale: the verdict pipeline's own shuffles, ONE
+    * rank-range exchange, one shard-keyed repartition(nShards) whose
+    * in-partition sort rides the write — no collect, no global sort.
+    *
+    * @return the published manifest as a DataFrame
+    */
+  def corpusWrite(s: SparkSession, dir: String, path: String): DataFrame = {
+    val survivors = survivorVerdicts(s, dir).filter(col("alive_near"))
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"))
+    val lane = Window.partitionBy(col("lang"), col("lane")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = survivors
+      .withColumn("lane", col("doc_id") % TextOps.packLanes)
+      .withColumn("cum", sum(col("toks")).over(lane))
+      .withColumn("pack_id", expr(s"(cum - toks) DIV ${TextOps.packBudget}"))
+      .drop("cum")
+    val sharded = graft.plans.Surrogate.rankedId(
+        packed.withColumn("wneg", -col("toks")), Seq("wneg", "doc_id"), "rk")
+      .withColumn("shard", expr(s"CAST((rk - 1) % ${TextOps.nShards} AS INT)"))
+      .drop("wneg")
+    val rows = sharded
+      .join(Ingest.table(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+        col("lane"), col("pack_id"), col("rk"), col("shard"), col("text"))
+      .materialized // consumed twice: shard write + manifest
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".publish.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".publish.old")
+    fs.delete(tmp, true)
+    rows
+      .repartition(TextOps.nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$tmp/shards.parquet")
+    rows
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("rk")).as("min_rk"),
+        max(col("rk")).as("max_rk"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("content_sig"))
+      .coalesce(1) // nShards rows — a report, not data
+      .write.mode("overwrite").parquet(s"$tmp/manifest.parquet")
+    // the compact() swap: stage aside, publish, roll back on failure
+    fs.delete(old, true)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"corpusWrite: cannot stage $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(old)) fs.rename(old, dst) // the original corpus wins
+      throw new java.io.IOException(s"corpusWrite: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    s.read.parquet(s"$path/manifest.parquet")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

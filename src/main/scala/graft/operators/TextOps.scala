@@ -37,24 +37,35 @@ object TextOps {
   private def stopCount(ws: Seq[String]): Column =
     expr(s"CAST(size(filter(split(text, ' '), w -> w IN (${inList(ws)}))) AS BIGINT)")
 
+  /** The language-ID argmax as a pure function of the `text` column —
+    * SHARED by the batch [[qLangId]] and the streaming corpus census
+    * ([[graft.streaming.Streams.corpusVerdicts]]): the two must agree
+    * by construction, not by convention (the [[qualityKeep]] contract).
+    */
+  private[graft] def langPred: Column =
+    when(expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)") > 0, "zh")
+      .when(stopCount(enStops) >= stopCount(esStops) &&
+        stopCount(enStops) >= stopCount(deStops) &&
+        stopCount(enStops) >= stopCount(frStops), "en")
+      .when(stopCount(esStops) >= stopCount(deStops) &&
+        stopCount(esStops) >= stopCount(frStops), "es")
+      .when(stopCount(deStops) >= stopCount(frStops), "de")
+      .otherwise("fr")
+
   /** Language ID: stopword-vote heuristic + non-ASCII (CJK) detection.
     * Deterministic argmax with a fixed tie-break order (en>es>de>fr).
     */
   def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
-        col("doc_id"),
+        col("doc_id"), col("text"),
         stopCount(enStops).as("s_en"),
         stopCount(esStops).as("s_es"),
         stopCount(deStops).as("s_de"),
         stopCount(frStops).as("s_fr"),
         expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("n_nonascii"))
-      .withColumn("lang_pred",
-        when(col("n_nonascii") > 0, "zh")
-          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
-          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-          .when(col("s_de") >= col("s_fr"), "de")
-          .otherwise("fr"))
+      .withColumn("lang_pred", langPred)
+      .drop("text")
 
   /** Order-free oracle body — see [[qQualityScoreBody]]. */
   private[graft] val qLangIdBody: String =

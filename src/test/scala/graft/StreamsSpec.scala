@@ -524,6 +524,92 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusBuild: cumulative census == batch q_corpus_build stages 1-6 over two batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // a quality-fail, a repetitive doc, an exact dup, plain survivors —
+    // and nothing that minhash-pairs WITHOUT being an exact dup, so the
+    // batch alive_near == alive_exact and the streamed census (which
+    // excludes near dedup by design) is comparable stage for stage
+    val batch1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the  quick Brown fox jumps over the LAZY dog today", // exact dup of 1
+      3L -> "spam spam spam spam spam spam spam spam")            // repetitive
+    val batch2 = Seq(
+      4L -> "ok",                                                 // too short
+      5L -> "a perfectly ordinary sentence with enough words here to pass",
+      6L -> "completely different content about streaming census rollups")
+    val dir = docsDir(batch1 ++ batch2)
+    val expected = graft.operators.CorpusBuild.qCorpusBuild(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(expected(6L)._1 === expected(7L)._1, "fixture: no non-exact near-dups")
+
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+      lit("en").as("lang"), lit("src").as("source"))
+    val q = Streams.corpusBuild(docs)
+      .writeStream.format("memory").queryName("corpus_census").outputMode("update").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update mode appends one refreshed row per trigger; the live
+      // (latest) census is the max-d0 row — d0 is cumulative-monotone
+      val rows = s.sql("SELECT * FROM corpus_census ORDER BY d0 DESC").collect()
+      assert(rows.length === 2, "one cumulative row per micro-batch")
+      val c = rows.head
+      assert((c.getLong(0), c.getLong(1)) === ((expected(1L)._1, expected(1L)._2)), "ingest")
+      assert(c.getLong(2) === expected(2L)._3, "normalize reach")
+      assert((c.getLong(3), c.getLong(4)) === ((expected(3L)._1, expected(3L)._2)), "lang_id")
+      assert((c.getLong(5), c.getLong(6)) === ((expected(4L)._1, expected(4L)._2)), "quality")
+      assert((c.getLong(7), c.getLong(8)) === ((expected(5L)._1, expected(5L)._2)), "repetition")
+      assert((c.getLong(9), c.getLong(10)) === ((expected(6L)._1, expected(6L)._2)), "dedup_exact")
+    } finally q.stop()
+  }
+
+  test("packCounters: cumulative lane census replays the batch packing rule across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // survivors fed in doc_id order across two batches — the in-order
+    // contract under which streaming packing == the batch running sum
+    def v(id: Long, lang: String, toks: Long) =
+      Streams.CorpusVerdict(id, lang, "src", toks, changed = false,
+        alive_lang = true, alive_quality = true, alive_rep = true, alive_exact = true)
+    val dead = Streams.CorpusVerdict(99L, "en", "src", 500L, changed = false,
+      alive_lang = true, alive_quality = true, alive_rep = true, alive_exact = false)
+    val batch1 = Seq(v(1L, "en", 100L), v(2L, "en", 200L), v(4L, "en", 120L), dead)
+    val batch2 = Seq(v(5L, "en", 90L), v(8L, "en", 300L), v(9L, "de", 50L))
+    val ms = MemoryStream[Streams.CorpusVerdict]
+    val q = Streams.packCounters(ms.toDS())
+      .writeStream.format("memory").queryName("pack_census").outputMode("update").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = s.sql(
+        """SELECT lang, lane, max_by(n_docs, n_docs), max_by(n_tokens, n_docs),
+          |       max_by(n_packs, n_docs)
+          |FROM pack_census GROUP BY lang, lane ORDER BY lang, lane""".stripMargin)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // driver replay of the batch rule (budget 256, lane = id mod 4)
+      // over the alive survivors in doc_id order:
+      //   en lane 0: ids 4(120), 8(300) → cum 0,120 → packs {0,0} = 1
+      //   en lane 1: ids 1(100), 5(90), 9 is de → cum 0,100 → packs {0} = 1
+      //   en lane 2: id 2(200) → pack 0
+      //   de lane 1: id 9(50) → pack 0
+      assert(got(("en", 0L)) === ((2L, 420L, 1L)))
+      assert(got(("en", 1L)) === ((2L, 190L, 1L)))
+      assert(got(("en", 2L)) === ((1L, 200L, 1L)))
+      assert(got(("de", 1L)) === ((1L, 50L, 1L)))
+      assert(!got.contains(("en", 3L)), "the dead survivor (id 99, lane 3) must not pack")
+    } finally q.stop()
+  }
+
   test("corpusFilter: a cross-batch duplicate is still marked against the stored survivor") {
     val s = spark
     import s.implicits._

@@ -211,6 +211,7 @@ object SparkEntry {
     "q_behavior_diversity" -> Seq("user_id"),
     "q_dup_tokens"      -> Seq("source"),
     "q_corpus_build"    -> Seq("stage_id"),
+    "q_corpus_manifest" -> Seq("shard"),
     "q_pack_waste"      -> Seq("lang"),
     "q_temporal_split"  -> Seq("split")
   )

@@ -155,6 +155,35 @@ object CorpusBuild {
         col("r.n_units").as("n_units"))
   }
 
+  /** The corpus-build shard MANIFEST as a first-class query (r15): one
+    * row per output shard of the SURVIVOR corpus — docs, token mass,
+    * rank extents — under exactly the layout [[corpusWrite]]
+    * materializes (`q_shard_plan`'s LPT rule over the corpus-build
+    * survivors, weighted by the shared packing token unit). Being a
+    * query, the manifest itself is hash-checked against the composed
+    * verdict oracle; CorpusWriteSpec then pins the WRITTEN manifest
+    * row-equal to this query, closing the loop between the published
+    * artifact and the verified plan.
+    *
+    * Shape at scale: the verdict pipeline + ONE rank-range exchange
+    * ([[graft.plans.Surrogate.rankedId]]) + an [[TextOps.nShards]]-row
+    * rollup.
+    */
+  def qCorpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val survivors = survivorVerdicts(s, dir).filter(col("alive_near"))
+      .select(col("doc_id"), col("toks"))
+    graft.plans.Surrogate.rankedId(
+        survivors.withColumn("wneg", -col("toks")), Seq("wneg", "doc_id"), "rk")
+      .select(expr(s"CAST((rk - 1) % ${TextOps.nShards} AS INT)").as("shard"),
+        col("toks"), col("rk"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("rk")).as("min_rk"),
+        max(col("rk")).as("max_rk"))
+  }
+
   /** Materialize the corpus (VERDICT r14 #2) — the WRITE half of the
     * build: the [[survivorVerdicts]] survivors land as training-ready
     * parquet shards plus a manifest, atomically published. Layout:
@@ -243,18 +272,20 @@ object CorpusBuild {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_corpus_build" -> qCorpusBuild _)
+    "q_corpus_build" -> qCorpusBuild _,
+    "q_corpus_manifest" -> qCorpusManifest _)
 
   /** Oracle for [[qCorpusBuild]] — fully hash-checked (VERDICT r14
     * #1): the six constituents' order-free CTE bodies composed
     * doc-keyed, the keep-first near-drop replay, the pack running-sum
     * window, the shard rank modulo, and the 10-row census expansion.
     */
-  val qCorpusBuildSql: String = {
-    val budget = TextOps.packBudget
-    val lanes = TextOps.packLanes
-    val shards = TextOps.nShards
-    s"""WITH cb_base AS (
+  /** The verdict pipeline as order-free CTEs ending at `cb_v` — shared
+    * by [[qCorpusBuildSql]] and [[qCorpusManifestSql]] so the census
+    * and the manifest oracle cannot drift on a single verdict.
+    */
+  private val corpusVerdictCtes: String =
+    s"""cb_base AS (
        |  SELECT doc_id, source, lang, ${TextOps.packToksDuck} AS toks,
        |         md5(text) AS raw_md5
        |  FROM documents),
@@ -282,7 +313,13 @@ object CorpusBuild {
        |  FROM cb_mh m JOIN cb_v0 v ON m.id_a = v.doc_id AND v.alive_exact),
        |cb_v AS MATERIALIZED (
        |  SELECT v.*, (v.alive_exact AND nd.doc_id IS NULL) AS alive_near
-       |  FROM cb_v0 v LEFT JOIN cb_near nd ON v.doc_id = nd.doc_id),
+       |  FROM cb_v0 v LEFT JOIN cb_near nd ON v.doc_id = nd.doc_id)""".stripMargin
+
+  val qCorpusBuildSql: String = {
+    val budget = TextOps.packBudget
+    val lanes = TextOps.packLanes
+    val shards = TextOps.nShards
+    s"""WITH $corpusVerdictCtes,
        |cb_census AS (
        |  SELECT COUNT(*) AS d0, CAST(SUM(toks) AS BIGINT) AS t0,
        |    CAST(COALESCE(SUM(CASE WHEN norm_md5 <> raw_md5 THEN 1 END), 0) AS BIGINT) AS n_changed,
@@ -332,6 +369,25 @@ object CorpusBuild {
        |ORDER BY stage_id""".stripMargin
   }
 
+  /** Oracle for [[qCorpusManifest]] — the shared verdict CTE chain
+    * plus the rank-modulo shard rollup.
+    */
+  val qCorpusManifestSql: String =
+    s"""WITH $corpusVerdictCtes,
+       |cb_rk AS (
+       |  SELECT doc_id, toks,
+       |    ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rk
+       |  FROM cb_v WHERE alive_near)
+       |SELECT CAST((rk - 1) % ${TextOps.nShards} AS INTEGER) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  MIN(rk) AS min_rk,
+       |  MAX(rk) AS max_rk
+       |FROM cb_rk
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_corpus_build" -> qCorpusBuildSql)
+    "q_corpus_build" -> qCorpusBuildSql,
+    "q_corpus_manifest" -> qCorpusManifestSql)
 }

@@ -40,6 +40,17 @@ class CorpusWriteSpec extends SparkSpec {
         s"shard ${r.getInt(0)}: manifest (docs, signature) must round-trip from the data")
     }
 
+    // the written manifest must equal the hash-checked q_corpus_manifest
+    // row for row (modulo the content signature, which only the written
+    // data carries) — the published artifact IS the verified plan
+    val mq = CorpusBuild.qCorpusManifest(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(manifest.length === mq.size)
+    manifest.foreach { r =>
+      assert(mq(r.getInt(0)) === ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
+        s"shard ${r.getInt(0)}: written manifest must equal the manifest query")
+    }
+
     // independent driver-side replay of the LPT shard + pack rules
     val rows = written
       .select("doc_id", "lang", "toks", "lane", "pack_id", "rk", "shard").collect()

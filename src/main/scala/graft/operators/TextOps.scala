@@ -37,20 +37,33 @@ object TextOps {
   private def stopCount(ws: Seq[String]): Column =
     expr(s"CAST(size(filter(split(text, ' '), w -> w IN (${inList(ws)}))) AS BIGINT)")
 
-  /** The language-ID argmax as a pure function of the `text` column —
-    * SHARED by the batch [[qLangId]] and the streaming corpus census
-    * ([[graft.streaming.Streams.corpusVerdicts]]): the two must agree
-    * by construction, not by convention (the [[qualityKeep]] contract).
+  /** The language-ID argmax RULE over precomputed vote counts —
+    * SHARED by the batch [[qLangId]] (which feeds it the projected
+    * `s_*` columns, so each stopword scan runs ONCE per row) and the
+    * streaming corpus census
+    * ([[graft.streaming.Streams.corpusVerdicts]]): the decision rule
+    * agrees by construction (the [[qualityKeep]] contract), while each
+    * caller keeps the plan shape it wants.
+    */
+  private[graft] def langPredFrom(
+      se: Column, ses: Column, sde: Column, sfr: Column, nna: Column): Column =
+    when(nna > 0, "zh")
+      .when(se >= ses && se >= sde && se >= sfr, "en")
+      .when(ses >= sde && ses >= sfr, "es")
+      .when(sde >= sfr, "de")
+      .otherwise("fr")
+
+  /** [[langPredFrom]] as a pure function of the `text` column (the
+    * streaming caller's form — one row in, one verdict out; NOT for
+    * wide batch scans, where the vote columns should be projected once
+    * and [[langPredFrom]] applied to them: recomputing the five vote
+    * scans inside the CASE cost q_lang_id 0.55 → 0.92 s at sf0.1, the
+    * r15 WALL-DRIFT tripwire catch).
     */
   private[graft] def langPred: Column =
-    when(expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)") > 0, "zh")
-      .when(stopCount(enStops) >= stopCount(esStops) &&
-        stopCount(enStops) >= stopCount(deStops) &&
-        stopCount(enStops) >= stopCount(frStops), "en")
-      .when(stopCount(esStops) >= stopCount(deStops) &&
-        stopCount(esStops) >= stopCount(frStops), "es")
-      .when(stopCount(deStops) >= stopCount(frStops), "de")
-      .otherwise("fr")
+    langPredFrom(stopCount(enStops), stopCount(esStops),
+      stopCount(deStops), stopCount(frStops),
+      expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)"))
 
   /** Language ID: stopword-vote heuristic + non-ASCII (CJK) detection.
     * Deterministic argmax with a fixed tie-break order (en>es>de>fr).
@@ -58,14 +71,14 @@ object TextOps {
   def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
-        col("doc_id"), col("text"),
+        col("doc_id"),
         stopCount(enStops).as("s_en"),
         stopCount(esStops).as("s_es"),
         stopCount(deStops).as("s_de"),
         stopCount(frStops).as("s_fr"),
         expr("CAST(regexp_count(text, '[^\\\\x00-\\\\x7f]') AS BIGINT)").as("n_nonascii"))
-      .withColumn("lang_pred", langPred)
-      .drop("text")
+      .withColumn("lang_pred", langPredFrom(
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("n_nonascii")))
 
   /** Order-free oracle body — see [[qQualityScoreBody]]. */
   private[graft] val qLangIdBody: String =

@@ -19,6 +19,10 @@ import duckdb
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gverify"
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
+# CHECK_ONLY=q_a,q_b restricts the compare to named queries (the sf1
+# sweep driver uses this to run each oracle under its own timeout).
+only = os.environ.get("CHECK_ONLY")
+only = set(only.split(",")) if only else None
 report = {}
 
 con = duckdb.connect()
@@ -46,6 +50,8 @@ def fetch_sorted_cols(rel):
 
 fails, passes = 0, 0
 for name in sorted(result_dirs | set(oracle)):
+    if only is not None and name not in only:
+        continue
     if name not in result_dirs:
         print(f"FAIL {name}: no Verify output (query crashed?)")
         mark(name, "fail", 0, "no Verify output")

@@ -6,18 +6,19 @@
 #
 #   tools/run_oracle_sf1.sh [replica_dir] [outdir]
 #
-# Surface: the dedup / graph / classifier shelves, the corpus-build
-# compositions, and the per-vector embedding-audit rows. Rows whose
-# ORACLE is pairwise in the corpus (brute-force ANN and friends:
-# O(queries x vectors) DuckDB lambda folds, ~1e9 64-wide reductions at
-# sf1) are excluded by COST OF THE ORACLE, not of the engine — each
-# included oracle runs under its own timeout so one heavy SQL cannot
-# stall the sweep; a timeout records as "skipped_oracle_cost", never as
-# a silent pass.
+# Surface: the dedup / graph / classifier / ANN shelves, the
+# corpus-build compositions, and the per-vector embedding-audit rows.
+# Every oracle runs under its own timeout so one heavy SQL cannot stall
+# the sweep; a timeout records as "skipped_oracle_cost", never as a
+# silent pass. The ANN shelf (whose oracles re-run Lloyd / pairwise
+# O(queries x vectors) lambda folds in DuckDB — the cost is the
+# ORACLE's, not the engine's) gets its own, tighter ANN_TIMEOUT_S so a
+# genuinely pairwise oracle is adjudicated by measurement, not by fiat.
 set -e
 REPLICA=${1:-/tmp/sf1}
 OUT=${2:-/tmp/gv_sf1}
 TIMEOUT_S=${TIMEOUT_S:-900}
+ANN_TIMEOUT_S=${ANN_TIMEOUT_S:-420}
 cd /root/repo
 if [ ! -d "$REPLICA" ]; then
   echo "[sf1] building 10x replica at $REPLICA"
@@ -29,7 +30,8 @@ GRAPH="q_pagerank,q_components,q_degree_stats,q_kcore,q_triangles,q_label_prop,q
 CLASSIFIER="q_classifier_eval,q_hashed_classifier,q_classifier_calibration,q_lm_perplexity,q_ppl_source_mix,q_dsir_weights"
 CORPUS="q_corpus_build,q_corpus_manifest,q_filter_pipeline,q_source_quality,q_pack_sequences,q_pack_waste,q_shard_plan,q_session_window"
 EMBED="q_embed_stats,q_norm_hist,q_embed_centroid"
-ALL="$DEDUP,$GRAPH,$CLASSIFIER,$CORPUS,$EMBED"
+ANN="q_ann_bruteforce,q_ann_lsh,q_ann_ivf,q_ann_quantized,q_ann_recall,q_quant_recall,q_ann_probe_curve,q_lsh_probe_curve,q_semdedup,q_dedup_embedding,q_cluster_quality,q_cluster_keywords,q_centroid_assign,q_centroid_shift,q_embed_outlier,q_hybrid_search,q_rrf_fusion"
+ALL="$DEDUP,$GRAPH,$CLASSIFIER,$CORPUS,$EMBED,$ANN"
 
 echo "[sf1] verify dump for $(echo "$ALL" | tr ',' '\n' | wc -l) queries"
 SPARK_GRAFT_ONLY="$ALL" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
@@ -37,15 +39,17 @@ SPARK_GRAFT_ONLY="$ALL" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
 
 mkdir -p "$OUT/percheck"
 for q in $(echo "$ALL" | tr ',' ' '); do
-  if CHECK_ONLY="$q" timeout "$TIMEOUT_S" \
+  t="$TIMEOUT_S"
+  case ",$ANN," in *",$q,"*) t="$ANN_TIMEOUT_S";; esac
+  if CHECK_ONLY="$q" timeout "$t" \
       python3 tools/check_oracle.py "$REPLICA" "$OUT" "$OUT/percheck/$q.json" \
       > "$OUT/percheck/$q.log" 2>&1; then
     tail -2 "$OUT/percheck/$q.log" | head -1
   else
     rc=$?
     if [ "$rc" = 124 ]; then
-      echo "SKIP $q: oracle exceeded ${TIMEOUT_S}s (skipped_oracle_cost)"
-      echo "{\"sf\": \"$REPLICA\", \"n_pass\": 0, \"n_fail\": 0, \"queries\": {\"$q\": {\"status\": \"skipped_oracle_cost\", \"rows\": -1, \"detail\": \"oracle SQL exceeded ${TIMEOUT_S}s at 10x\"}}}" \
+      echo "SKIP $q: oracle exceeded ${t}s (skipped_oracle_cost)"
+      echo "{\"sf\": \"$REPLICA\", \"n_pass\": 0, \"n_fail\": 0, \"queries\": {\"$q\": {\"status\": \"skipped_oracle_cost\", \"rows\": -1, \"detail\": \"oracle SQL exceeded ${t}s at 10x\"}}}" \
         > "$OUT/percheck/$q.json"
     else
       echo "FAIL $q: check exited $rc"

@@ -57,12 +57,32 @@ import graft.sources.Ingest
   */
 object CorpusBuild {
 
+  private val verdictCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The per-doc verdict table every corpus-build consumer shares —
-    * [[qCorpusBuild]]'s census and [[corpusWrite]]'s materialization
-    * both read THIS, so the published corpus and the published funnel
-    * cannot disagree on a single verdict.
+    * [[qCorpusBuild]]'s census, [[qCorpusManifest]] and
+    * [[corpusWrite]]'s materialization all read THIS, so the published
+    * corpus and the published funnel cannot disagree on a single
+    * verdict. Build-once-serve-many (the
+    * [[graft.operators.Analytics]] graphCache contract, r13-adjudicated
+    * serve-cost medians): without the cache each of the three consumers
+    * re-derives the full verdict chain — five operator joins plus the
+    * banded minhash candidate pass, the single most expensive stage in
+    * all three, re-run per query at 100 TB. Same staleness contract as
+    * the graph caches: an entry reflects the dir AS OF first use in the
+    * session (data dirs are immutable snapshots); in-place rewriters
+    * must call [[clearVerdictCache]] first.
     */
-  private[graft] def survivorVerdicts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def survivorVerdicts(s: SparkSession, dir: String): DataFrame =
+    verdictCache.getOrElseUpdate((s, dir), buildSurvivorVerdicts(s, dir))
+
+  /** Drop the session-scoped verdict materializations (see the
+    * staleness contract on [[survivorVerdicts]]).
+    */
+  def clearVerdictCache(): Unit = verdictCache.clear()
+
+  private def buildSurvivorVerdicts(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.packToks
     val base = Ingest.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), toks.as("toks"),
@@ -241,13 +261,25 @@ object CorpusBuild {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".publish.tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".publish.old")
     fs.delete(tmp, true)
     rows
       .repartition(TextOps.nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$tmp/shards.parquet")
+    manifestOf(rows)
+      .coalesce(1) // nShards rows — a report, not data
+      .write.mode("overwrite").parquet(s"$tmp/manifest.parquet")
+    swapInto(fs, tmp, new org.apache.hadoop.fs.Path(path), path + ".publish.old")
+    s.read.parquet(s"$path/manifest.parquet")
+  }
+
+  /** The manifest rollup over materialized corpus rows — shared by
+    * [[corpusWrite]] and [[corpusUpsert]] so the full build and the
+    * increment produce identical manifest semantics (the content
+    * signature is the order-insensitive [[Audit.qChecksum]] device).
+    */
+  private def manifestOf(rows: DataFrame): DataFrame =
     rows
       .groupBy(col("shard"))
       .agg(
@@ -256,18 +288,179 @@ object CorpusBuild {
         min(col("rk")).as("min_rk"),
         max(col("rk")).as("max_rk"),
         expr("bit_xor(xxhash64(doc_id, text))").as("content_sig"))
-      .coalesce(1) // nShards rows — a report, not data
-      .write.mode("overwrite").parquet(s"$tmp/manifest.parquet")
-    // the compact() swap: stage aside, publish, roll back on failure
+
+  /** The [[Ingest.compact]] rename contract: stage `dst` aside, publish
+    * `tmp` in its place, roll back on failure — a reader never sees a
+    * half-written target. Shared by [[corpusWrite]] (whole-corpus
+    * publish) and [[corpusUpsert]] (manifest / cursor commits).
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      oldName: String): Unit = {
+    val old = new org.apache.hadoop.fs.Path(oldName)
     fs.delete(old, true)
-    val dst = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"corpusWrite: cannot stage $dst aside")
+      throw new java.io.IOException(s"publish: cannot stage $dst aside")
     if (!fs.rename(tmp, dst)) {
-      if (fs.exists(old)) fs.rename(old, dst) // the original corpus wins
-      throw new java.io.IOException(s"corpusWrite: cannot publish $tmp")
+      if (fs.exists(old)) fs.rename(old, dst) // the original wins
+      throw new java.io.IOException(s"publish: cannot publish $tmp into $dst")
     }
     fs.delete(old, true)
+  }
+
+  /** Incremental corpus refresh (r15): run a batch of NEW documents
+    * through the same verdict funnel as the full build and append the
+    * survivors to a PUBLISHED corpus — increment-sized work, zero
+    * corpus rewrite. The production shape for a corpus that grows by
+    * arrivals: at 100 TB published / 1 GB arriving, the full
+    * [[corpusWrite]] rebuild re-pays the whole corpus; this pays the
+    * increment.
+    *
+    * Stage rules are the batch composition's, re-expressed for an
+    * increment (document ids must be NEW and greater than the
+    * published ids — the same in-order arrival contract as the
+    * streaming census's pack cursors):
+    *
+    *   - funnel verdicts (normalize / lang-ID / quality / repetition)
+    *     via the SAME shared column rules as [[survivorVerdicts]] and
+    *     `Streams.corpusVerdicts` — one map-only pass.
+    *   - exact tier: first-wins within the increment, then an
+    *     unconditional md5 probe against the index's exact table
+    *     (subsumes the near serve for verbatim copies BELOW the
+    *     shingle floor, where Jaccard is blind).
+    *   - near tier: [[Dedup.nearPairsFrom]] within the increment
+    *     (keep-first, the census rule) + the persisted-index
+    *     broadcast-probe serve ([[Dedup.incrementalDedup]] — the
+    *     corpus moves ZERO times).
+    *   - pack: the `q_pack_sequences` running sums CONTINUE from
+    *     per-(lang, lane) cursors persisted next to the manifest —
+    *     the batch face of the streaming census's keyed pack state.
+    *   - shard: survivors rank by the same (desc toks, doc_id) rule
+    *     WITHIN the generation (`rk` continues after the published
+    *     max), landing in up to [[TextOps.nShards]] NEW shard ids —
+    *     existing shards are never rewritten; a full rebuild would
+    *     re-rank globally, which an append by definition cannot, so
+    *     the LPT layout is generation-local by design.
+    *
+    * Durability: new shard partitions land FIRST (invisible to
+    * manifest-driven readers), then the manifest swap COMMITS the
+    * increment (metadata-commit-last — the visibility point), then the
+    * serve index and lane cursors append. A crash before the manifest
+    * swap leaves orphaned shard dirs that the next upsert skips past
+    * (new ids are allocated past both the manifest and any dirs on
+    * disk); a crash after it leaves the index/cursors stale by one
+    * increment — delete `<path>/index` / `<path>/lanes.parquet` to
+    * force a rebootstrap from the published corpus.
+    *
+    * First call against a corpus published by [[corpusWrite]]
+    * bootstraps the serve index and lane cursors from the shards (one
+    * corpus-sized map pass, paid once, amortized over every later
+    * increment).
+    *
+    * @return the committed manifest (old + increment shard rows)
+    */
+  def corpusUpsert(s: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val idx = s"$path/index"
+
+    // bootstrap the serve structures from the published corpus
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/sig")))
+      Dedup.buildDedupIndexFrom(
+        s.read.parquet(s"$path/shards.parquet").select(col("doc_id"), col("text")), idx)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lanes.parquet")))
+      s.read.parquet(s"$path/shards.parquet")
+        .groupBy(col("lang"), col("lane"))
+        .agg(sum(col("toks")).as("lane_toks"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes.parquet")
+
+    // funnel verdicts — the shared column rules, one map-only pass
+    val v = newDocs.select(
+        col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
+        col("text"), TextOps.packToks.as("toks"),
+        Dedup.contentMd5(col("text")).as("content_md5"),
+        ((TextOps.langPred === "en") && TextOps.qualityKeep(col("text")) &&
+          !TextOps.repetitive(col("text"))).as("alive_rep"))
+      .filter(col("alive_rep")).drop("alive_rep")
+      .materialized
+
+    // exact tier: first-wins within the increment, then the corpus probe
+    val firstWins = v.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
+    val aliveExact = v.join(firstWins, "content_md5")
+      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+      .join(s.read.parquet(s"$idx/md5").select(col("content_md5")),
+        Seq("content_md5"), "left_anti")
+
+    // near tier: within-increment keep-first + the index serve
+    val incDrops = Dedup.nearPairsFrom(aliveExact.select(col("doc_id"), col("text")))
+      .select(col("id_b").as("doc_id")).distinct()
+    val aliveInc = aliveExact.join(incDrops, Seq("doc_id"), "left_anti")
+    val survivors = aliveInc.join(
+        Dedup.incrementalDedup(s, idx, aliveInc.select(col("doc_id"), col("text")))
+          .filter(col("is_dup")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .materialized
+    val nInc = survivors.count()
+    val curManifest = s.read.parquet(s"$path/manifest.parquet").materialized
+    if (nInc == 0) return curManifest
+
+    // id allocation: past the manifest AND any orphaned dirs on disk
+    val mRow = curManifest
+      .agg(max(col("max_rk")).as("mrk"), max(col("shard")).as("msh")).collect()(0)
+    val maxRk = mRow.getLong(0)
+    val dirShards = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/shards.parquet"))
+      .map(_.getPath.getName).collect { case n if n.startsWith("shard=") =>
+        n.stripPrefix("shard=").toInt }
+    val maxShard = math.max(mRow.getInt(1), if (dirShards.isEmpty) -1 else dirShards.max)
+    val nIncShards = math.min(TextOps.nShards.toLong, nInc).toInt
+
+    // pack continuation from the persisted cursors; rank within the
+    // generation by the shared (desc toks, doc_id) rule
+    val lanes = s.read.parquet(s"$path/lanes.parquet").materialized
+    val laneW = Window.partitionBy(col("lang"), col("lane")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = survivors
+      .withColumn("lane", col("doc_id") % TextOps.packLanes)
+      .join(broadcast(lanes.withColumnRenamed("lane_toks", "lane_base")),
+        Seq("lang", "lane"), "left")
+      .na.fill(0L, Seq("lane_base"))
+      .withColumn("cum", col("lane_base") + sum(col("toks")).over(laneW))
+      .withColumn("pack_id", expr(s"(cum - toks) DIV ${TextOps.packBudget}"))
+      .drop("cum", "lane_base")
+    val rows = graft.plans.Surrogate.rankedId(
+        packed.withColumn("wneg", -col("toks")), Seq("wneg", "doc_id"), "rk_inc")
+      .withColumn("rk", col("rk_inc") + lit(maxRk))
+      .withColumn("shard",
+        expr(s"CAST($maxShard + 1 + ((rk_inc - 1) % $nIncShards) AS INT)"))
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+        col("lane"), col("pack_id"), col("rk"), col("shard"), col("text"))
+      .materialized
+
+    // data first (invisible until the manifest commit below)
+    rows.repartition(nIncShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/shards.parquet")
+
+    // the commit point: manifest swap
+    val mTmp = new org.apache.hadoop.fs.Path(s"$path/.manifest.tmp.parquet")
+    fs.delete(mTmp, true)
+    curManifest.unionByName(manifestOf(rows))
+      .coalesce(1).write.mode("overwrite").parquet(mTmp.toString)
+    swapInto(fs, mTmp, new org.apache.hadoop.fs.Path(s"$path/manifest.parquet"),
+      s"$path/.manifest.old.parquet")
+
+    // serve-structure appends (stale-by-one on crash; see scaladoc)
+    Dedup.appendDedupIndex(rows.select(col("doc_id"), col("text")), idx)
+    val lTmp = new org.apache.hadoop.fs.Path(s"$path/.lanes.tmp.parquet")
+    fs.delete(lTmp, true)
+    lanes.unionByName(rows.groupBy(col("lang"), col("lane"))
+        .agg(sum(col("toks")).as("lane_toks")))
+      .groupBy(col("lang"), col("lane"))
+      .agg(sum(col("lane_toks")).as("lane_toks"))
+      .coalesce(1).write.mode("overwrite").parquet(lTmp.toString)
+    swapInto(fs, lTmp, new org.apache.hadoop.fs.Path(s"$path/lanes.parquet"),
+      s"$path/.lanes.old.parquet")
+
     s.read.parquet(s"$path/manifest.parquet")
   }
 

@@ -301,18 +301,26 @@ object Dedup {
   // expressions ([[graft.functions.WordNgramMinHash]]) — map-only
   // until the band-bucket candidate join.
   // ------------------------------------------------------------------
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    nearPairsFrom(docs(s, dir))
+
+  /** The word-minhash verified-pair pipeline over an arbitrary
+    * (doc_id, text) frame — ONE definition of the near-dup family's
+    * constants serves [[qDedupMinhash]], the persisted index
+    * ([[buildDedupIndexFrom]]) and [[CorpusBuild.corpusUpsert]]'s
+    * within-increment pass, so the inline query, the index serve and
+    * the upsert cannot disagree on what "near duplicate" means.
+    */
+  private[graft] def nearPairsFrom(d: DataFrame): DataFrame = {
     import graft.functions.{WordNgramMinHash, WordNgramHashes}
-    val (n, k, bands, rows, threshold) = (3, 64, 16, 4, 0.6)
-    val d = docs(s, dir)
     val sig = d.select(col("doc_id"),
-      WordNgramMinHash.column(col("text"), n, k, seed = 0x5EED0001L).as("sig_arr"))
-    val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), n).as("sh"))
+      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, seed = IdxSeed).as("sig_arr"))
+    val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
     // no minhash pre-filter here: word-3-gram sets are light enough that
     // two extra signature passes cost more than they save (see
     // jaccardVerify's trade note; the char-6-gram path enables it).
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets, threshold)
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(candidatePairs(sigBandRows(sig, IdxBands, IdxRows)), sets, IdxThreshold)
+      .filter(col("jaccard") >= IdxThreshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -806,22 +814,43 @@ object Dedup {
 
   /** Build the signature index: one map-only pass over the corpus
     * computing the word-[[IdxNgram]]-gram MinHash signature and sorted
-    * shingle-hash set per doc, persisted as two parquet tables —
-    * `sig` (doc_id, sig_arr, sh) and `bands` (doc_id, band, bucket).
+    * shingle-hash set per doc, persisted as three parquet tables —
+    * `sig` (doc_id, sig_arr, sh), `bands` (doc_id, band, bucket) and
+    * `md5` (doc_id, content_md5 — the exact tier: a verbatim copy of a
+    * SHORT indexed doc can fall below the shingle floor where Jaccard
+    * is blind, so exact identity gets its own unconditional probe).
     * Zero shuffles in the build; the tables are re-read by every
     * increment, so the signature cost is paid ONCE per corpus doc,
     * ever.
     */
-  private[graft] def buildDedupIndex(s: SparkSession, dir: String, path: String): Unit = {
+  private[graft] def buildDedupIndex(s: SparkSession, dir: String, path: String): Unit =
+    buildDedupIndexFrom(docs(s, dir), path)
+
+  /** [[buildDedupIndex]] over an arbitrary (doc_id, text) frame — the
+    * corpus-materialization caller ([[CorpusBuild.corpusUpsert]]'s
+    * bootstrap) indexes the PUBLISHED shards, not a source table.
+    */
+  private[graft] def buildDedupIndexFrom(
+      docsDf: DataFrame, path: String, mode: String = "overwrite"): Unit = {
     import graft.functions.{WordNgramMinHash, WordNgramHashes}
-    val sig = docs(s, dir).select(
+    val sig = docsDf.select(
       col("doc_id"),
       WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"),
       WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
-    sig.write.mode("overwrite").parquet(s"$path/sig")
+    sig.write.mode(mode).parquet(s"$path/sig")
     sigBandRows(sig.select(col("doc_id"), col("sig_arr")), IdxBands, IdxRows)
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode(mode).parquet(s"$path/bands")
+    docsDf.select(col("doc_id"), contentMd5(col("text")).as("content_md5"))
+      .write.mode(mode).parquet(s"$path/md5")
   }
+
+  /** Append an accepted increment's signatures to the persisted index
+    * so the NEXT increment dedups against it too — new parquet files
+    * in the three index tables, nothing rewritten (the
+    * [[graft.operators.Ann]] upsert contract).
+    */
+  private[graft] def appendDedupIndex(docsDf: DataFrame, path: String): Unit =
+    buildDedupIndexFrom(docsDf, path, mode = "append")
 
   /** Rows above which [[incrementalDedup]] stops FORCING broadcast of
     * the increment-derived probe tables (session config

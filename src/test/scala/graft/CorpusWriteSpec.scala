@@ -101,4 +101,66 @@ class CorpusWriteSpec extends SparkSpec {
     assert(spark.read.parquet(s"$a/shards.parquet").count() ===
       spark.read.parquet(s"$b/shards.parquet").count())
   }
+
+  test("corpusUpsert: increment-sized refresh — funnel + dedup vs the published corpus, commit-last append") {
+    import spark.implicits._
+    val (out, _) = build("upsert")
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "lane", "toks", "text").collect()
+    val maxId = shards.map(_.getLong(0)).max
+    val base = shards.maxBy(r => (r.getLong(3), -r.getLong(0))) // deterministic: fattest survivor
+    val baseText = base.getString(4)
+    val reversed = baseText.split(" ").reverse.mkString(" ")
+    val nearCopy = ("zzzqx" +: baseText.split(" ").drop(1)).mkString(" ")
+    val m0 = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val (docs0, toks0) = (m0.map(_.getLong(1)).sum, m0.map(_.getLong(2)).sum)
+    val maxShard0 = m0.map(_.getInt(0)).max
+    val maxRk0 = m0.map(_.getLong(4)).max
+
+    val inc = Seq(
+      (maxId + 1001L, "src_upsert", base.getString(1), reversed), // unique -> survives
+      (maxId + 1002L, "src_upsert", base.getString(1), baseText), // verbatim corpus copy -> md5 probe drop
+      (maxId + 1003L, "src_upsert", base.getString(1), nearCopy), // near copy -> index serve drop
+      (maxId + 1004L, "src_upsert", base.getString(1), reversed)  // within-increment exact twin -> first-wins drop
+    ).toDF("doc_id", "source", "lang", "text")
+    val m1 = CorpusBuild.corpusUpsert(spark, out, inc).collect()
+
+    assert(m1.length === m0.length + 1, "one survivor -> one new shard")
+    val newRow = m1.filter(_.getInt(0) > maxShard0)
+    assert(newRow.length === 1 && newRow(0).getInt(0) === maxShard0 + 1)
+    assert(m1.map(_.getLong(1)).sum === docs0 + 1, "docs: published + the one survivor")
+    val expToks = reversed.split(" ", -1).length.toLong
+    assert(m1.map(_.getLong(2)).sum === toks0 + expToks)
+    assert(newRow(0).getLong(3) === maxRk0 + 1, "rk continues after the published max")
+
+    val written = spark.read.parquet(s"$out/shards.parquet")
+      .filter(col("doc_id") === (maxId + 1001L)).collect()
+    assert(written.length === 1, "exactly the unique doc appended")
+    // pack cursor continuation: the appended doc's pack_id continues the
+    // published (lang, lane) token cursor, the streaming keyed-state rule
+    val w = written(0)
+    val laneBase = shards.filter(r => r.getString(1) == w.getAs[String]("lang") &&
+      r.getLong(2) == w.getAs[Long]("lane")).map(_.getLong(3)).sum
+    assert(w.getAs[Long]("pack_id") === laneBase / graft.operators.TextOps.packBudget)
+
+    // a later increment repeating the survivor's text dedups against the
+    // APPENDED index entry: no-op, manifest unchanged
+    val inc2 = Seq((maxId + 2001L, "src_upsert", base.getString(1), reversed))
+      .toDF("doc_id", "source", "lang", "text")
+    val m2 = CorpusBuild.corpusUpsert(spark, out, inc2).collect()
+    assert(m2.length === m1.length, "repeat arrival must be dropped by the appended index")
+    assert(m2.map(_.getLong(1)).sum === docs0 + 1)
+  }
+
+  test("verdict chain is built once per (session, dir) and serves every consumer") {
+    CorpusBuild.clearVerdictCache()
+    val v1 = CorpusBuild.survivorVerdicts(spark, sf0001)
+    val v2 = CorpusBuild.survivorVerdicts(spark, sf0001)
+    assert(v1 eq v2,
+      "census / manifest / write must share ONE verdict materialization")
+    CorpusBuild.clearVerdictCache()
+    val v3 = CorpusBuild.survivorVerdicts(spark, sf0001)
+    assert(!(v1 eq v3), "clearVerdictCache must drop the session entry")
+    assert(v3.count() === v1.count())
+  }
 }

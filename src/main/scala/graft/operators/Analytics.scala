@@ -1333,6 +1333,58 @@ object Analytics {
           " ELSE n_triangles * 3 * 1000000 DIV n_wedges END").as("global_cc_ppm"))
   }
 
+  /** Local clustering coefficient census of the part co-occurrence
+    * graph, rolled up by degree: for each node, tri_n / C(d, 2) — the
+    * per-node sibling of [[qTriangles]]'s single global ratio, and the
+    * standard diagnostic for WHERE the clustering lives (hubs vs
+    * leaves; in basket graphs LCC typically falls with degree).
+    *
+    * The triangle enumeration is the SAME degree-oriented wedge-closure
+    * join as [[qTriangles]] (each triangle found exactly once), then
+    * each triangle credits its three vertices via one `explode` —
+    * per-node counts in one extra node-keyed aggregate, no second
+    * enumeration. Output is degree-keyed (≤ dmax rows, never
+    * data-sized); per-node ratios are exact-integer ppm (tri·10⁶ DIV
+    * C(d,2)) and the per-degree mean is an integer division of their
+    * sum — bit-reproducible on any partitioning, like the whole graph
+    * shelf.
+    *
+    * Shape at scale: rides the session-cached [[partCoEdges]] build;
+    * the wedge join is the dominant cost (O(m^{3/2}) via the
+    * orientation bound), everything after is node-sized.
+    */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = partCoEdges(s, dir)
+    val deg = edges.select(col("p1").as("nd"))
+      .unionAll(edges.select(col("p2").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("d"))
+      .materialized // node-sized; consumed by orientation (×2) + the LCC join
+    val oriented = edges
+      .join(deg.select(col("nd").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("nd").as("p2"), col("d").as("d2")), "p2")
+      .select(
+        when(col("d1") <= col("d2"), col("p1")).otherwise(col("p2")).as("src"),
+        when(col("d1") <= col("d2"), col("p2")).otherwise(col("p1")).as("dst"))
+      .materialized // scanned three times by the wedge + closure joins
+    val triNodes = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("nd"))
+      .groupBy("nd").agg(count(lit(1)).as("tri_n"))
+    deg.join(triNodes, Seq("nd"), "left")
+      .na.fill(0L, Seq("tri_n"))
+      .withColumn("wed", expr("d * (d - 1) DIV 2"))
+      .groupBy("d")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("tri_n")).as("total_tri"),
+        sum(col("wed")).as("total_wedges"),
+        expr("sum(CASE WHEN wed = 0 THEN 0" +
+          " ELSE tri_n * 1000000 DIV wed END) DIV count(1)").as("mean_lcc_ppm"))
+      .orderBy("d")
+  }
+
   /** Degree assortativity of the part co-occurrence graph — Newman's
     * r: the Pearson correlation of endpoint degrees over edges.
     * r > 0 = hub-to-hub wiring (assortative), r < 0 = hub-to-leaf
@@ -1598,8 +1650,13 @@ object Analytics {
        |ORDER BY round""".stripMargin
   }
 
-  val qTrianglesSql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+  /** Shared oriented-graph CTE prefix (edges → degrees → degree-ordered
+    * orientation) for [[qTrianglesSql]] and [[qClusteringCoeffSql]] —
+    * one definition of the enumeration graph, so the global ratio and
+    * the per-degree census cannot disagree on what a triangle is.
+    */
+  private def triGraphCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |e AS (
        |  SELECT a.pk AS p1, b.pk AS p2
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -1611,7 +1668,10 @@ object Analytics {
        |o AS (
        |  SELECT CASE WHEN da.d <= db.d THEN e.p1 ELSE e.p2 END AS src,
        |         CASE WHEN da.d <= db.d THEN e.p2 ELSE e.p1 END AS dst
-       |  FROM e JOIN nd da ON e.p1 = da.nd JOIN nd db ON e.p2 = db.nd),
+       |  FROM e JOIN nd da ON e.p1 = da.nd JOIN nd db ON e.p2 = db.nd)""".stripMargin
+
+  val qTrianglesSql: String =
+    s"""WITH $triGraphCtes,
        |tri AS (
        |  SELECT count(*) AS n_triangles
        |  FROM o e1
@@ -1626,6 +1686,27 @@ object Analytics {
        |  CASE WHEN n_wedges = 0 THEN 0
        |       ELSE n_triangles * 3 * 1000000 // n_wedges END AS global_cc_ppm
        |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
+
+  val qClusteringCoeffSql: String =
+    s"""WITH $triGraphCtes,
+       |t3 AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1
+       |  JOIN o e2 ON e1.dst = e2.src
+       |  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |tn AS (
+       |  SELECT x AS nd, count(*) AS tri_n
+       |  FROM (SELECT a AS x FROM t3 UNION ALL SELECT b FROM t3 UNION ALL SELECT c FROM t3)
+       |  GROUP BY x),
+       |pn AS (
+       |  SELECT nd.d, COALESCE(tn.tri_n, 0) AS tri_n, nd.d * (nd.d - 1) // 2 AS wed
+       |  FROM nd LEFT JOIN tn ON nd.nd = tn.nd)
+       |SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(tri_n) AS BIGINT) AS total_tri,
+       |  CAST(SUM(wed) AS BIGINT) AS total_wedges,
+       |  CAST(SUM(CASE WHEN wed = 0 THEN 0 ELSE tri_n * 1000000 // wed END)
+       |    // count(*) AS BIGINT) AS mean_lcc_ppm
+       |FROM pn GROUP BY d ORDER BY d""".stripMargin
 
   /** Exponentially-weighted moving average of daily revenue per order
     * priority (α = 0.2) — the recursive time-series smoother none of
@@ -1732,6 +1813,7 @@ object Analytics {
     "q_rolling_median" -> qRollingMedian _,
     "q_ewma"       -> qEwma _,
     "q_triangles"  -> qTriangles _,
+    "q_clustering_coeff" -> qClusteringCoeff _,
     "q_autocorr"   -> qAutocorr _,
     "q_burstiness" -> qBurstiness _,
     "q_seasonality" -> qSeasonality _,
@@ -1762,6 +1844,7 @@ object Analytics {
     "q_rolling_median" -> qRollingMedianSql,
     "q_ewma"       -> qEwmaSql,
     "q_triangles"  -> qTrianglesSql,
+    "q_clustering_coeff" -> qClusteringCoeffSql,
     "q_autocorr"   -> qAutocorrSql,
     "q_burstiness" -> qBurstinessSql,
     "q_seasonality" -> qSeasonalitySql,

@@ -1099,13 +1099,20 @@ object Dedup {
       .withColumn("err_bp", col("est_bp") - col("jac_bp"))
   }
 
-  val qMinhashErrorSql: String =
-    s"""WITH $wordFeatCtes,
+  /** docs → features → mod-P features + verify set → k-slot signature
+    * CTE prefix (fp, s) — shared by [[qMinhashErrorSql]] and
+    * [[qLshBucketStatsSql]], the same emulated model both audits read.
+    */
+  private def sigCtes: String =
+    s"""$wordFeatCtes,
        |fp AS MATERIALIZED (SELECT doc_id,
        |  list_transform(feats, f0 -> ${OracleEmul.floorMod("f0", "fm", "2147483647")}) AS fmod,
        |  ${OracleEmul.hashSet("feats")} AS sh FROM f),
        |s AS MATERIALIZED (SELECT doc_id, sh,
-       |  ${OracleEmul.minhashSig("fmod", IdxSeed, IdxK)} AS sig FROM fp),
+       |  ${OracleEmul.minhashSig("fmod", IdxSeed, IdxK)} AS sig FROM fp)""".stripMargin
+
+  val qMinhashErrorSql: String =
+    s"""WITH $sigCtes,
        |${OracleEmul.bandCandCtes("", "s", IdxBands, IdxRows)},
        |m AS (SELECT id_a, id_b,
        |    CAST(length(list_filter(range($IdxK), tt -> sa.sig[tt+1] = sb.sig[tt+1])) AS BIGINT)
@@ -1120,6 +1127,56 @@ object Dedup {
        |  (slot_matches * 10000) // $IdxK
        |    - (inter * 10000) // greatest(szsum - inter, 1) AS err_bp
        |FROM m ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH band-table load-balance audit: per band, the bucket census of
+    * the index-constant signature banding — bucket count, member rows,
+    * max bucket size, singleton count (docs with no collision partner
+    * in that band), and the candidate-pair mass Σ s·(s-1)/2 the band
+    * contributes to the equi-join. This is the capacity-planning view
+    * of the SAME (band, bucket) table [[qDedupMinhash]] self-joins and
+    * the persisted index serves: before a 100 TB dedup run, max_size
+    * vs the salt cap says whether the hot-bucket guard will engage,
+    * and cand_pairs per band is the join's work estimate — the skew
+    * report specialized to the near-dup family's first shuffle.
+    *
+    * Output is band-keyed ([[IdxBands]] rows). All columns are exact
+    * integers. The oracle groups by the signature SLICE where the
+    * plan groups by xxhash64(slice, band) — equivalent short of a
+    * 2^-64 bucket collision, the standing adjudicated device of the
+    * whole banded family (DedupSpec pins the precondition).
+    *
+    * Shape at scale: one map-only signature pass, one (band, bucket)
+    * aggregate, one band-keyed rollup — strictly cheaper than the
+    * candidate join it sizes.
+    */
+  def qLshBucketStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordNgramMinHash
+    val sig = docs(s, dir).select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"))
+    sigBandRows(sig, IdxBands, IdxRows)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_size"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("cand_pairs"))
+      .orderBy(col("band"))
+  }
+
+  val qLshBucketStatsSql: String =
+    s"""WITH $sigCtes,
+       |bnd AS (SELECT doc_id, j, sig[j*$IdxRows+1:j*$IdxRows+$IdxRows] AS slice
+       |  FROM s, range($IdxBands) t(j)),
+       |bk AS (SELECT j, slice, count(*) AS sz FROM bnd GROUP BY j, slice)
+       |SELECT CAST(j AS INT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+       |  CAST(MAX(sz) AS BIGINT) AS max_size,
+       |  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM bk GROUP BY j ORDER BY band""".stripMargin
 
   private val IngestBatch = 50L
 
@@ -1565,6 +1622,7 @@ object Dedup {
     "q_entity_match"    -> qEntityMatch _,
     "q_entity_best_match" -> qEntityBestMatch _,
     "q_minhash_error"   -> qMinhashError _,
+    "q_lsh_bucket_stats" -> qLshBucketStats _,
     "q_dup_by_batch"    -> qDupByBatch _,
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
@@ -1587,6 +1645,7 @@ object Dedup {
     "q_entity_match" -> qEntityMatchSql,
     "q_entity_best_match" -> qEntityBestMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,
+    "q_lsh_bucket_stats" -> qLshBucketStatsSql,
     "q_dup_by_batch" -> qDupByBatchSql,
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,

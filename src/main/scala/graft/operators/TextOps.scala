@@ -228,6 +228,93 @@ object TextOps {
 
   val qQualityScoreSql: String = qQualityScoreBody + "\nORDER BY doc_id"
 
+  /** Gopher-style document quality gates (Rae et al. 2021, arXiv
+    * 2112.11446 appendix A — public rules), per-source audit: each doc
+    * is scored against five of the paper's repetition-free gates with
+    * the paper's thresholds — word count in [50, 100000], mean word
+    * length in [3, 10], symbol-to-word ratio (`#` + `...`) < 0.1,
+    * fraction of words containing an alphabetic character > 0.8, and
+    * at least 2 distinct stop words present — and the rollup reports
+    * per-rule fail counts plus the all-gates keep count per source.
+    * The stop gate runs over the house lexicon ([[enStops]], the same
+    * list lang-ID votes with) rather than Gopher's own 8-word list:
+    * the synthetic vocabulary intersects the paper's list in a single
+    * type ("the"), which would zero the gate corpus-wide — the ≥2
+    * RULE is the paper's, the lexicon is the engine's, and sharing
+    * [[enStops]] means the gate and lang-ID cannot drift apart. The
+    * companion to [[qQualityScore]]'s generic features: a NAMED,
+    * citable filter whose per-rule attribution tells a corpus owner
+    * WHICH gate is costing them documents.
+    *
+    * Every rule is a pure column expression (codegen, map-only);
+    * symbol counts use literal `replace` length deltas rather than
+    * regexes so both engines count identically; the stop-word rule
+    * counts DISTINCT stop words present by filtering the constant
+    * 8-element list against the doc's word set (`array_contains` /
+    * `list_contains` — no dedup-semantics dependence). One shuffle:
+    * the per-source partial aggregate.
+    */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val alphaFrac = expr(
+      "CAST(size(filter(split(text, ' '), w -> w RLIKE '[A-Za-z]')) AS DOUBLE)") / nWords
+    val symCount = expr("CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)") +
+      expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+    val stopHits = expr(s"CAST(size(filter(array(${inList(enStops)}), " +
+      "sw -> array_contains(split(text, ' '), sw))) AS BIGINT)")
+    docs(s, dir)
+      .withColumn("p_words", nWords >= 50L && nWords <= 100000L)
+      .withColumn("p_word_len", meanLen >= 3.0 && meanLen <= 10.0)
+      .withColumn("p_symbol", symCount.cast("double") / nWords < 0.1)
+      .withColumn("p_alpha", alphaFrac > 0.8)
+      .withColumn("p_stop", stopHits >= 2L)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("p_words"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("p_word_len"), 1L).otherwise(0L)).as("fail_word_len"),
+        sum(when(!col("p_symbol"), 1L).otherwise(0L)).as("fail_symbol"),
+        sum(when(!col("p_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("p_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(col("p_words") && col("p_word_len") && col("p_symbol") &&
+          col("p_alpha") && col("p_stop"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
+  val qGopherRulesSql: String =
+    s"""WITH g AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mwl,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS alpha_frac,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS sym_frac,
+      |    CAST(len(list_filter([${inList(enStops)}],
+      |      sw -> list_contains(string_split(text, ' '), sw))) AS BIGINT) AS stop_hits
+      |  FROM documents),
+      |p AS (
+      |  SELECT source,
+      |    nw >= 50 AND nw <= 100000 AS p_words,
+      |    mwl >= 3.0 AND mwl <= 10.0 AS p_word_len,
+      |    sym_frac < 0.1 AS p_symbol,
+      |    alpha_frac > 0.8 AS p_alpha,
+      |    stop_hits >= 2 AS p_stop
+      |  FROM g)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN NOT p_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+      |  CAST(SUM(CASE WHEN NOT p_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+      |  CAST(SUM(CASE WHEN NOT p_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+      |  CAST(SUM(CASE WHEN NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+      |  CAST(SUM(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+      |  CAST(SUM(CASE WHEN p_words AND p_word_len AND p_symbol
+      |    AND p_alpha AND p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   // GPT-2-ish pre-tokenizer shape: letter runs (with 's-style
   // contractions), digit runs, single non-alnum-non-space marks.
   private val bpeRegexSpark = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\\\s]"
@@ -3919,6 +4006,7 @@ object TextOps {
     "q_contamination"     -> qContamination _,
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
+    "q_gopher_rules"      -> qGopherRules _,
     "q_token_count"       -> qTokenCount _,
     "q_fingerprint"       -> qFingerprint _,
     "q_multimodal_meta"   -> qMultimodalMeta _,
@@ -3975,6 +4063,7 @@ object TextOps {
     "q_contamination"     -> qContaminationSql,
     "q_lang_id"           -> qLangIdSql,
     "q_quality_score"     -> qQualityScoreSql,
+    "q_gopher_rules"      -> qGopherRulesSql,
     "q_token_count"       -> qTokenCountSql,
     "q_multimodal_meta"   -> qMultimodalMetaSql,
     "q_fingerprint"       -> qFingerprintSql,

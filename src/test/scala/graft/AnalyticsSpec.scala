@@ -34,6 +34,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(nTri > 0L, "the sf0.001 basket graph must contain triangles")
   }
 
+  test("q_clustering_coeff: degree census matches a brute-force per-node recompute and reconciles with q_triangles") {
+    val cc = Analytics.qClusteringCoeff(spark, sf0001).collect()
+    val t = Analytics.qTriangles(spark, sf0001).head()
+    assert(cc.map(_.getLong(1)).sum === t.getLong(0), "node census")
+    assert(cc.map(_.getLong(3)).sum === t.getLong(2), "wedge census")
+    assert(cc.map(_.getLong(2)).sum === 3L * t.getLong(3),
+      "each triangle credits exactly its three vertices")
+    // brute-force per-node LCC on the same thresholded edge set
+    val li = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= Analytics.TriMinSupport)
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val perNode = adj.toSeq.map { case (v, ns) =>
+      val d = ns.size.toLong
+      val triN = ns.toSeq.map(a => (adj(a) & ns).count(_ > a).toLong).sum
+      val wed = d * (d - 1) / 2
+      (d, triN, wed, if (wed == 0) 0L else triN * 1000000L / wed)
+    }
+    val byDeg = perNode.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum / rs.size)
+    }
+    assert(cc.length === byDeg.size)
+    cc.foreach { r =>
+      val (n, tri, wed, ppm) = byDeg(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === tri &&
+        r.getLong(3) === wed && r.getLong(4) === ppm,
+        s"degree ${r.getLong(0)} row mismatch vs brute force")
+    }
+  }
+
   test("q_ewma and q_rolling_median: outputs match local recomputes of the daily series") {
     import graft.sources.Ingest
     val daily = Ingest.table(spark, sf0001, "orders")

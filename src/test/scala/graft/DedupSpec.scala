@@ -337,6 +337,33 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(!_.getBoolean(4)), "exact dedup must NOT flag prefix-only dups")
   }
 
+  test("q_lsh_bucket_stats: per-band census conserves the corpus and sizes the candidate join") {
+    import graft.functions.WordNgramMinHash
+    val d = graft.sources.Ingest.table(spark, sf0001, "documents")
+    val nDocs = d.count()
+    val r = Dedup.qLshBucketStats(spark, sf0001).collect()
+    assert(r.length === Dedup.IdxBands, "one census row per band")
+    assert(r.map(_.getInt(0)).sorted.toSeq === (0 until Dedup.IdxBands),
+      "band keys are the banding's 0..bands-1")
+    r.foreach { row =>
+      assert(row.getLong(2) === nDocs,
+        s"band ${row.getInt(0)}: every doc lands in exactly one bucket")
+      assert(row.getLong(1) >= row.getLong(4), "singletons are a subset of buckets")
+      assert(row.getLong(3) <= 1000L,
+        "max bucket must stay under the salt cap the whole banded family assumes")
+    }
+    // Σ over bands of per-bucket pair mass ≥ the DISTINCT candidate
+    // set the dedup join emits (a pair colliding in k bands is counted
+    // k times here, once there) — the audit is an upper work estimate.
+    val sig = d.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), Dedup.IdxNgram, Dedup.IdxK,
+        Dedup.IdxSeed).as("sig_arr"))
+    val nCand = Dedup.candidatePairs(
+      Dedup.sigBandRows(sig, Dedup.IdxBands, Dedup.IdxRows)).count()
+    assert(r.map(_.getLong(5)).sum >= nCand,
+      "per-band pair mass must bound the distinct candidate count")
+  }
+
   test("oracle equivalence precondition: no signature bucket tops the salt cap at oracle scales") {
     // The banded-family DuckDB oracles join on signature-SLICE equality
     // and skip the hot-bucket salt entirely — valid only while every

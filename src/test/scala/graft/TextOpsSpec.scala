@@ -704,6 +704,27 @@ class TextOpsSpec extends SparkSpec {
       "spaces are not characters for the diversity profile")
   }
 
+  test("gopher_rules: each gate trips on its planted offender and only that one") {
+    val w = "word "
+    val d = docsDir(Seq(
+      1L -> ("the to " + w * 57 + "word"),                       // passes all five
+      2L -> ("the to " + w * 7 + "word"),                        // 10 words -> fail_words
+      3L -> ("be to of " * 19 + "be to of"),                     // mwl 2 -> fail_word_len
+      4L -> (w * 59 + "word"),                                   // no stops -> fail_stop
+      5L -> ("the to " + "wo#rd " * 7 + w * 50 + "word"),        // 7 '#' / 60 -> fail_symbol
+      6L -> ("the to " + "1234 " * 15 + w * 42 + "word")))       // alpha 45/60 -> fail_alpha
+    val r = TextOps.qGopherRules(spark, d).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(1) === 6L, "n_docs")
+    assert(row.getLong(2) === 1L, "fail_words: only the 10-word doc")
+    assert(row.getLong(3) === 1L, "fail_word_len: only the mwl-2 doc")
+    assert(row.getLong(4) === 1L, "fail_symbol: only the '#'-laden doc")
+    assert(row.getLong(5) === 1L, "fail_alpha: only the digit-heavy doc")
+    assert(row.getLong(6) === 1L, "fail_stop: only the stopless doc")
+    assert(row.getLong(7) === 1L, "n_keep: exactly the clean doc survives")
+  }
+
   test("lexical_diversity: hapax/type counts on a hand corpus") {
     val d = docsDir(Seq(
       1L -> "the cat the dog",

@@ -1296,49 +1296,106 @@ object Dedup {
   def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
     val c = Ingest.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-    // raw (not yet distinct) candidate pairs: a pair sharing k
-    // signatures appears k times; dedup is DEFERRED past verification
-    // because the verified match set is orders of magnitude smaller
-    // than the candidate set (one tiny shuffle instead of a
-    // candidate-sized one). The attribute re-attach probes the
-    // customer-keyed side twice — AQE broadcasts it while it fits —
-    // and re-checks the exact (nation, mktsegment) equality that the
-    // hashed block key only almost-surely enforced.
-    // The block self-join is CPU-bound, not byte-bound: the shuffled
-    // signature rows are tiny, but the within-block pair fan-out and
-    // the banded Levenshtein behind it grow with block DENSITY
-    // (quadratic in copies-per-name). AQE's byte-based coalescing is
-    // blind to that and collapsed this exchange to ONE partition on a
-    // 10× replica — 13+ min single-threaded while 15 cores idled
-    // (invisible at sf0.1 where the whole verify is ~3 s). Pinning
-    // the exchange to the configured shuffle parallelism (a
-    // user-specified repartition, which AQE never coalesces) keeps
-    // the verify spread across the cluster at every density.
+    val (grp, mem) = entityGroups(c)
+    val vg = entityVerifiedGroupPairs(s, grp)
+    // Expansion back to record pairs is OUTPUT-sized by construction:
+    // cross-group pairs multiply two member lists that the verify
+    // already proved matching, within-group pairs are the exact-dup
+    // families themselves (edit distance 0, the pair count IS the
+    // answer's quadratic — qEntityBestMatch is the linear-output
+    // shape). The `least/greatest` orientation reproduces the
+    // record-level `a.key < b.key` enumeration exactly once per
+    // unordered pair because group pairs are enumerated once.
+    val cross = vg
+      .join(mem.select(col("gid").as("ga"), col("c_custkey").as("ka")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("c_custkey").as("kb")), "gb")
+      .select(col("nationkey"), col("mktsegment"),
+        least(col("ka"), col("kb")).as("cust_a"),
+        greatest(col("ka"), col("kb")).as("cust_b"),
+        col("ed").as("edit_dist"))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.c_custkey") < col("y.c_custkey"))
+      .select(col("x.c_nationkey").as("nationkey"),
+        col("x.c_mktsegment").as("mktsegment"),
+        col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
+        lit(0).as("edit_dist"))
+    cross.unionAll(within)
+  }
+
+  /** Exact-group canonicalization ahead of fuzzy matching (the r15
+    * full-surface 10× bench fix): records with IDENTICAL
+    * (name, nation, mktsegment) collapse to one representative keyed
+    * by the group's min custkey before any signature is generated.
+    * On a re-crawl-shaped corpus (the 10× replica plants 10-deep
+    * exact-dup families) this is the difference between linear and
+    * quadratic-in-copies work: the record-level block join enumerated
+    * ~1.15G candidate occurrences at sf1 (every family pair × every
+    * shared signature, each paying two name probes + a banded DP —
+    * 6.3 GB of aggregate spill even with a pair-distinct), while the
+    * group-level join sees singleton-density blocks. Fuzzy match
+    * depth no longer depends on exact-dup depth AT ALL — the 100 TB
+    * property, since dup depth grows with crawl history.
+    * Returns (groups, members): groups = one row per distinct
+    * (name, nation, mktsegment) with `gid` (min member custkey —
+    * which is also the group's best-mate tie-break key) and member
+    * count `n`; members = each record tagged with its gid.
+    */
+  private[graft] def entityGroups(c: DataFrame): (DataFrame, DataFrame) = {
+    val grp = c.groupBy(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .agg(min(col("c_custkey")).as("gid"), count(lit(1)).as("n"))
+    // the member tag join rides the SAME (name, nation, mktsegment)
+    // key as the group-by — Catalyst reuses the exchange; at every
+    // tested scale AQE broadcasts the group side instead
+    val mem = c.join(grp.select(col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("gid")),
+        Seq("c_name", "c_nationkey", "c_mktsegment"))
+      .select(col("gid"), col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    (grp, mem)
+  }
+
+  /** Verified GROUP pairs: SymSpell deletion-signature blocking over
+    * the canonicalized groups ([[entityGroups]]), pair-level
+    * `distinct()` ahead of the verify (map-side combine collapses the
+    * ~1+L+L²/2 shared-signature multiplicity inside the self-join
+    * stage — nothing occurrence-sized is shuffled, and the name
+    * probes + banded Levenshtein run ONCE per candidate pair), then
+    * the exact-attribute re-check and the banded DP. Cross-group
+    * distance is ≥ 1 by construction (equal names with equal
+    * attributes are the SAME group), which [[qEntityBestMatch]]'s
+    * within-beats-cross shortcut relies on.
+    * The block exchange stays a fixed-count repartition: block
+    * density, not byte size, drives the verify cost, and AQE's
+    * byte-based coalescing collapsed this exchange to ONE partition
+    * on a 10× replica (13+ min single-threaded while 15 cores idled;
+    * the r13 note on the pre-canonicalization form — still the right
+    * pin, since adversarial NEAR-dup density survives
+    * canonicalization).
+    */
+  private def entityVerifiedGroupPairs(s: SparkSession, grp: DataFrame): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
-    val sides = c.select(
-        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+    val sides = grp.select(
+        col("gid"), col("c_nationkey"), col("c_mktsegment"),
         explode(delSignatures(col("c_name"))).as("sig"))
-      .select(col("c_custkey"),
+      .select(col("gid"),
         xxhash64(col("sig"), col("c_nationkey"), col("c_mktsegment")).as("bkey"))
       .repartition(nPart, col("bkey"))
     val cand = sides.as("a").join(sides.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"))
+        col("a.bkey") === col("b.bkey") && col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
+      .distinct()
     cand
-      .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"),
-        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("mkt_a")), "cust_a")
-      .join(c.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
-        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("mkt_b")), "cust_b")
+      .join(grp.select(col("gid").as("ga"), col("c_name").as("name_a"),
+        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("mkt_a")), "ga")
+      .join(grp.select(col("gid").as("gb"), col("c_name").as("name_b"),
+        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("mkt_b")), "gb")
       .filter(col("nat_a") === col("nat_b") && col("mkt_a") === col("mkt_b"))
-      .select(
+      .select(col("ga"), col("gb"),
         col("nat_a").as("nationkey"), col("mkt_a").as("mktsegment"),
-        col("cust_a"), col("cust_b"),
         // banded DP: O(d·n) instead of O(n²), -1 above the threshold,
         // EXACT distance for surviving pairs (what the oracle's full
         // levenshtein compares).
-        levenshtein(col("name_a"), col("name_b"), EntityMaxDist).as("edit_dist"))
-      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EntityMaxDist)
-      .distinct()
+        levenshtein(col("name_a"), col("name_b"), EntityMaxDist).as("ed"))
+      .filter(col("ed") >= 0 && col("ed") <= EntityMaxDist)
   }
 
   /** Distinct candidate pairs for [[qEntityMatch]]'s block-bound spec
@@ -1383,48 +1440,62 @@ object Dedup {
     * at most one row per record, so the output is linear in the
     * corpus at every density.
     *
-    * Same SymSpell deletion-signature blocking and banded-Levenshtein
-    * verify as [[qEntityMatch]] (the candidate enumeration within a
-    * block is unavoidable CPU); the argmin then folds DIRECTLY over
-    * the verified candidate stream with map-side combine — candidate
-    * MULTIPLICITY (a pair sharing k signatures arrives k times) is
-    * harmless to `min` and handled by the distinct mate count, so the
-    * pair-level `distinct()` shuffle that dominates qEntityMatch's
-    * sf1 wall is never paid, and nothing pair-sized is ever
-    * materialized past the aggregate.
+    * Rides the SAME canonicalize-then-match pipeline as
+    * [[qEntityMatch]] ([[entityGroups]] + [[entityVerifiedGroupPairs]])
+    * but never expands ANYTHING to record pairs — the whole answer
+    * folds at group granularity and joins back one row per record:
+    *
+    *  - cross-group: a verified group pair (A, B, ed) gives every
+    *    member of A the candidate (ed, gid_B) — gid IS B's min member
+    *    key, so `min(struct(ed, gid))` over a record's matched groups
+    *    is exactly the (distance, mate-key) argmin over all matched
+    *    RECORDS; the mate count adds |B| distinct mates.
+    *  - within-group (exact dups, ed = 0): since cross-group distance
+    *    is ≥ 1 by construction, any record in a group of n > 1 has
+    *    best = (0, smallest OTHER member) — gid for everyone except
+    *    the gid record itself, which takes the group's second-minimum
+    *    (one tiny aggregate over non-gid members). No comparison with
+    *    the cross side is ever needed, and n−1 mates join the count.
+    *
+    * Two r15 forms this replaced, both caught by the full-surface 10×
+    * bench: `min(struct)` + `countDistinct` in ONE aggregate over the
+    * record-level verify stream (Catalyst plans that through an
+    * Expand into a pair-keyed aggregate over the multiplicity-laden
+    * stream — 10 GB of spill, 58 s at sf1 for a one-row-per-record
+    * query), then the pair-distinct record-level form (20.6 s — still
+    * shuffling a pair set quadratic in exact-dup depth). This form's
+    * every intermediate is group- or record-sized: 3.5 s at sf1,
+    * zero spill, 55 MB total shuffle (was 1.3 GB + 550 MB spill).
     */
   def qEntityBestMatch(s: SparkSession, dir: String): DataFrame = {
     val c = Ingest.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-    // fixed-count repartition, never AQE-coalesced: block density, not
-    // byte size, drives the verify cost (see qEntityMatch's r13 note)
-    val nPart = s.sessionState.conf.numShufflePartitions
-    val sides = c.select(
-        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-        explode(delSignatures(col("c_name"))).as("sig"))
+    val (grp, mem) = entityGroups(c)
+    val vg = entityVerifiedGroupPairs(s, grp)
+    // group-level cross matches, mirrored to both directions, folded
+    // to one row per GROUP (best = argmin over (ed, mate gid); the
+    // mate count sums member counts of the matched groups)
+    val sizes = grp.select(col("gid"), col("n"))
+    val crossAgg = vg.select(col("ga"), col("gb"), col("ed"))
+      .unionAll(vg.select(col("gb").as("ga"), col("ga").as("gb"), col("ed")))
+      .join(sizes.select(col("gid").as("gb"), col("n").as("nb")), "gb")
+      .groupBy(col("ga"))
+      .agg(min(struct(col("ed"), col("gb"))).as("bc"),
+        sum(col("nb")).as("cross_cnt"))
+    // second-smallest member per group — only the gid record needs it
+    val min2 = mem.filter(col("c_custkey") =!= col("gid"))
+      .groupBy(col("gid")).agg(min(col("c_custkey")).as("m2"))
+    mem.select(col("gid"), col("c_custkey"))
+      .join(sizes, "gid")
+      .join(min2, Seq("gid"), "left")
+      .join(crossAgg, col("gid") === col("ga"), "left")
+      .filter(col("n") > 1 || col("bc").isNotNull)
       .select(col("c_custkey"),
-        xxhash64(col("sig"), col("c_nationkey"), col("c_mktsegment")).as("bkey"))
-      .repartition(nPart, col("bkey"))
-    val cand = sides.as("a").join(sides.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.c_custkey") =!= col("b.c_custkey"))
-      .select(col("a.c_custkey").as("cust"), col("b.c_custkey").as("cand"))
-    cand
-      .join(c.select(col("c_custkey").as("cust"), col("c_name").as("name_a"),
-        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("mkt_a")), "cust")
-      .join(c.select(col("c_custkey").as("cand"), col("c_name").as("name_b"),
-        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("mkt_b")), "cand")
-      .filter(col("nat_a") === col("nat_b") && col("mkt_a") === col("mkt_b"))
-      .select(col("cust"), col("cand"),
-        levenshtein(col("name_a"), col("name_b"), EntityMaxDist).as("ed"))
-      .filter(col("ed") >= 0 && col("ed") <= EntityMaxDist)
-      .groupBy(col("cust"))
-      .agg(
-        min(struct(col("ed"), col("cand"))).as("best"),
-        countDistinct(col("cand")).as("n_matches"))
-      .select(col("cust").as("c_custkey"),
-        col("best.cand").as("best_match"),
-        col("best.ed").as("edit_dist"),
-        col("n_matches"))
+        when(col("n") > 1,
+          when(col("c_custkey") === col("gid"), col("m2")).otherwise(col("gid")))
+          .otherwise(col("bc.gb")).as("best_match"),
+        when(col("n") > 1, lit(0)).otherwise(col("bc.ed")).as("edit_dist"),
+        (col("n") - 1 + coalesce(col("cross_cnt"), lit(0L))).as("n_matches"))
   }
 
   /** Oracle for [[qEntityBestMatch]] — the full block join's verified

@@ -507,4 +507,54 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(2) === 2L && r.getLong(3) === 1L && r.getLong(4) === 1L)
     assert(r.getLong(5) === 1000000L / 2L, "jaccard = 1 / (2 + 1 - 1)")
   }
+
+  test("entityGroups: gid is the min member key, n counts members, mem tags every record") {
+    val s = spark
+    import s.implicits._
+    val c = Seq(
+      (5L, "anna", 1, "A"), (3L, "anna", 1, "A"), (9L, "anna", 1, "A"),
+      (7L, "bob", 1, "A"),
+      (2L, "anna", 2, "A")) // same name, different nation → separate group
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val (grp, mem) = Dedup.entityGroups(c)
+    val g = grp.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(g(("anna", 1)) === (3L, 3L), "3-deep family: gid = min key, n = 3")
+    assert(g(("bob", 1)) === (7L, 1L))
+    assert(g(("anna", 2)) === (2L, 1L), "attribute mismatch splits identical names")
+    val m = mem.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(m === Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 7L -> 7L, 2L -> 2L))
+  }
+
+  test("q_entity_best_match equals a local brute force (argmin, tie-breaks, mate counts)") {
+    // Independent ground truth: full O(N²) scan within each
+    // (nation, mktsegment) attribute block with an uncapped local DP,
+    // then per-record argmin by (distance, mate key). Pins the whole
+    // canonicalize-then-match composition — gid-record takes the
+    // group's second minimum, non-gid members take gid, singletons
+    // fall through to the best cross-group mate or drop out, and
+    // n_matches counts distinct mate RECORDS across group boundaries.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = graft.sources.Ingest.table(spark, sf0001, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val expect = cust.flatMap { case (k, nm, nat, seg) =>
+      val mates = cust.filter { case (k2, nm2, nat2, seg2) =>
+        k2 != k && nat2 == nat && seg2 == seg &&
+          lev(nm, nm2) <= Dedup.EntityMaxDist }
+        .map { case (k2, nm2, _, _) => (lev(nm, nm2), k2) }
+      if (mates.isEmpty) None
+      else Some(k -> (mates.min, mates.length.toLong))
+    }.toMap
+    val got = Dedup.qEntityBestMatch(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(1)), r.getLong(3))).toMap
+    assert(got === expect,
+      s"best-match table must equal the local brute force (${expect.size} matched records)")
+  }
 }

@@ -359,26 +359,57 @@ object Dedup {
   // threshold — the threshold and band count must move together.
   // ------------------------------------------------------------------
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     // One-pass native expression (word 3-grams WITH multiplicity —
-    // counts weight the bit sums): the signature stage is map-only,
-    // the first shuffle is the band-bucket candidate join.
+    // counts weight the bit sums): the signature stage is map-only
+    // and materialized ONCE (16 B/doc) — both the group-by and the
+    // member tag below read it without re-shingling the corpus.
     val sigDf = docs(s, dir).select(col("doc_id"),
       graft.functions.WordNgramSimHash.column(col("text"), 3).as("simhash"))
-    val bandDf = sigDf.select(
-      col("doc_id"), col("simhash"),
+      .materialized
+    // Fingerprint canonicalization (r15, the entity-match device):
+    // the 8-bit band buckets live in a CONSTANT 256-value space per
+    // band, so band-bucket population — and with it the candidate
+    // quadratic — grows linearly with however many documents carry
+    // each fingerprint. Identical texts have identical fingerprints,
+    // and exact-dup mass is exactly what grows with crawl history:
+    // collapsing each fingerprint to its min-doc representative
+    // BEFORE banding makes the candidate join's density a function of
+    // DISTINCT fingerprints only (the honest LSH cost), never of dup
+    // depth. The 10× replica's 10-deep verbatim families had inflated
+    // the join 100× for pairs the within-group expansion produces
+    // directly as hamming-0 rows.
+    val grp = sigDf.groupBy(col("simhash")).agg(min(col("doc_id")).as("gid"))
+    val bandDf = grp.select(
+      col("gid"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 7), j -> shiftright(simhash, j * 8) & 255L)"))
         .as(Seq("band", "bucket")))
-    bandDf.alias("a")
+    val vg = bandDf.alias("a")
       .join(bandDf.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.gid") < col("b.gid"))
       .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.gid").as("ga"), col("b.gid").as("gb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 7) // 8 bands × 8 bits: pigeonhole recall holds only to 7
+    // output-sized expansion back to document pairs: cross-group rows
+    // inherit the verified group distance (members of a group share
+    // one fingerprint, so member distance = group distance), within-
+    // group rows are the exact-fingerprint families at hamming 0
+    val mem = sigDf.join(grp, "simhash").select(col("gid"), col("doc_id"))
+    val cross = vg
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ka")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("kb")), "gb")
+      .select(least(col("ka"), col("kb")).as("id_a"),
+        greatest(col("ka"), col("kb")).as("id_b"), col("hamming"))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(within)
   }
 
   // ------------------------------------------------------------------

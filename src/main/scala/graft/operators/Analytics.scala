@@ -1656,16 +1656,26 @@ object Analytics {
     * the per-degree census cannot disagree on what a triangle is.
     */
   private def triGraphCtes: String =
-    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |e AS (
+    // Every stage MATERIALIZED (r15): these CTEs are multiply
+    // referenced (o three times by the triangle join, nd by o twice
+    // and by the census), and DuckDB's default inlining re-expands
+    // the whole chain at every reference — at the 10× replica the
+    // resulting join tree was catastrophic (the clustering-coeff
+    // oracle spilled temp storage past the DISK; each stage runs in
+    // seconds standalone, the full inlined query never finished).
+    // Materialization pins the oracle to the staged evaluation the
+    // SQL spells — li 600k rows, e/nd/o edge-sized — and the full
+    // census runs in ~3.5 s at sf1.
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT a.pk AS p1, b.pk AS p2
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
-       |nd AS (
+       |nd AS MATERIALIZED (
        |  SELECT nd, count(*) AS d
        |  FROM (SELECT p1 AS nd FROM e UNION ALL SELECT p2 FROM e)
        |  GROUP BY nd),
-       |o AS (
+       |o AS MATERIALIZED (
        |  SELECT CASE WHEN da.d <= db.d THEN e.p1 ELSE e.p2 END AS src,
        |         CASE WHEN da.d <= db.d THEN e.p2 ELSE e.p1 END AS dst
        |  FROM e JOIN nd da ON e.p1 = da.nd JOIN nd db ON e.p2 = db.nd)""".stripMargin

@@ -1238,31 +1238,73 @@ object TextOps {
     */
   /** (doc_id, n_toks, pos, h): every stride-1 [[spanW]]-word window
     * hash, position-tagged; sub-threshold docs keep one (null, null)
-    * row so per-doc rollups see the whole corpus. Shared by
-    * [[qSpanDedup]] and [[qSpanExcise]]; the docs-DataFrame form
-    * ([[windowHashes]]) also feeds the streaming novelty path.
+    * row so per-doc rollups see the whole corpus. The span family
+    * consumes it through [[spanGroups]]' distinct texts; the
+    * docs-DataFrame form also feeds the streaming novelty path.
     */
-  private def spanWins(s: SparkSession, dir: String): DataFrame =
-    windowHashes(docs(s, dir))
-
   private[graft] def windowHashes(docsDf: DataFrame): DataFrame =
+    windowHashes(docsDf, Nil)
+
+  private[graft] def windowHashes(docsDf: DataFrame, keep: Seq[String]): DataFrame =
     docsDf
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"),
+      .select(Seq(col("doc_id"), size(col("ws")).cast("long").as("n_toks")) ++
+        keep.map(col) :+
         posexplode_outer(expr(
           s"""CASE WHEN size(ws) >= $spanW
              |  THEN transform(sequence(0, size(ws) - $spanW),
              |         i -> unhex(md5(array_join(slice(ws, i + 1, $spanW), ' '))))
              |  ELSE CAST(array() AS array<binary>) END""".stripMargin))
-          .as(Seq("pos", "h")))
+          .as(Seq("pos", "h")): _*)
+
+  /** Text canonicalization for the span family (r15, the simhash /
+    * entity-match device applied to exact-substring dedup): stride-1
+    * window hashing is the single heaviest map stage in the engine
+    * (~1 window per corpus token), and verbatim re-crawl replicas —
+    * exactly the mass that grows with crawl history — re-hash the
+    * SAME window stream once per copy. Identical texts produce
+    * identical window sets, and every per-doc span statistic is a
+    * pure function of (text, global window frequency), so the corpus
+    * collapses to DISTINCT texts before the Generate: one md5-keyed
+    * group (16-byte key, the text rides the shuffle once — no heavier
+    * than the window pass it replaces), window hashing over
+    * representatives only, global frequencies weighted by group
+    * multiplicity `m`, and an output-sized expand back to documents.
+    * At the 10× replica (10-deep verbatim families) this cuts the
+    * hashed window mass ~10×; at 100 TB it makes the span family's
+    * cost a function of NOVEL text, never of duplication depth.
+    * Returns (tkey, rep = min doc_id, m, text) per distinct text.
+    */
+  private def spanGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), unhex(md5(col("text"))).as("tkey"))
+      .groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
+        first(col("text")).as("text"))
+
+  /** (doc_id, tkey, n_toks): map-only membership side of
+    * [[spanGroups]] — what the canonical per-text statistics expand
+    * back through.
+    */
+  private def spanMembers(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), unhex(md5(col("text"))).as("tkey"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
 
   def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
-    val wins = spanWins(s, dir)
+    // Canonicalized (see [[spanGroups]]): windows are hashed once per
+    // DISTINCT text, frequencies weight by multiplicity m (a window in
+    // a text copied m times is held by m documents), and the per-text
+    // stats — a pure function of (text, global frequency) — expand
+    // back to every member through one 16-byte-keyed join.
+    val grp = spanGroups(s, dir)
+    val wins = windowHashes(
+      grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
+      Seq("m", "tkey"))
     val freq = wins.filter(col("h").isNotNull)
-      .groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .groupBy(col("h")).agg(sum(col("m")).as("f"))
     val dups = wins.join(freq.filter(col("f") >= 2), Seq("h"))
-      .select(col("doc_id"), col("pos"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      .select(col("tkey"), col("pos"))
+    val byPos = Window.partitionBy("tkey").orderBy("pos")
     val spans = dups
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
       .withColumn("brk",
@@ -1270,15 +1312,15 @@ object TextOps {
           .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
+      .groupBy(col("tkey"), col("island"))
       .agg((max(col("pos")) - min(col("pos")) + spanW).cast("long").as("span_tokens"))
-    val perDoc = spans.groupBy(col("doc_id"))
+    val perText = spans.groupBy(col("tkey"))
       .agg(
         count(lit(1)).as("n_dup_spans"),
         sum(col("span_tokens")).as("n_dup_tokens"),
         max(col("span_tokens")).as("max_span_tokens"))
-    wins.groupBy(col("doc_id")).agg(max(col("n_toks")).as("n_toks"))
-      .join(perDoc, Seq("doc_id"), "left")
+    spanMembers(s, dir)
+      .join(perText, Seq("tkey"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
@@ -1351,15 +1393,28 @@ object TextOps {
     * corpus and a codegen'd indexed filter per row.
     */
   def qSpanExcise(s: SparkSession, dir: String): DataFrame = {
-    val wins = spanWins(s, dir)
+    // Canonicalized (see [[spanGroups]]). A group needs only TWO
+    // verdict variants: the representative (min doc_id — the only
+    // member that can ever be a window's survivor, since the global
+    // survivor min over docs = min over group representatives), whose
+    // foreign set is computed from canonical windows; and every other
+    // member, which is fully excised by construction — each of its
+    // windows is held by ≥ m ≥ 2 docs with a survivor ≤ rep < doc_id,
+    // so all positions are foreign and the rebuild is md5(''). Short
+    // texts (< spanW words) have no windows in either variant and the
+    // representative's untouched rebuild serves both.
+    val grp = spanGroups(s, dir)
+    val wins = windowHashes(
+      grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
+      Seq("m", "tkey"))
     val surv = wins.filter(col("h").isNotNull)
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("f"), min(col("doc_id")).as("survivor"))
+      .agg(sum(col("m")).as("f"), min(col("doc_id")).as("survivor"))
       .filter(col("f") >= 2)
     val foreign = wins.join(surv, Seq("h"))
       .filter(col("doc_id") =!= col("survivor"))
-      .select(col("doc_id"), col("pos"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      .select(col("tkey"), col("pos"))
+    val byPos = Window.partitionBy("tkey").orderBy("pos")
     val islands = foreign
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
       .withColumn("brk",
@@ -1367,22 +1422,31 @@ object TextOps {
           .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
+      .groupBy(col("tkey"), col("island"))
       .agg(min(col("pos")).as("st"), (max(col("pos")) + spanW - 1).as("en"))
     val excised = islands
-      .select(col("doc_id"), explode(expr("sequence(st, en)")).as("p"))
-      .groupBy(col("doc_id"))
+      .select(col("tkey"), explode(expr("sequence(st, en)")).as("p"))
+      .groupBy(col("tkey"))
       .agg(collect_set(col("p")).as("expos"), count(lit(1)).as("n_excised"))
-    docs(s, dir)
+    // representative-variant rebuild, once per distinct text
+    val repStats = grp
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"), col("ws"))
-      .join(excised, Seq("doc_id"), "left")
+      .join(excised, Seq("tkey"), "left")
       .withColumn("expos", coalesce(col("expos"), expr("CAST(array() AS array<int>)")))
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
-        (col("n_toks") - coalesce(col("n_excised"), lit(0L))).as("n_kept"),
+      .select(col("tkey"), col("rep"),
+        coalesce(col("n_excised"), lit(0L)).as("rep_n_excised"),
         expr("md5(array_join(filter(ws, (x, i) -> NOT array_contains(expos, i)), ' '))")
-          .as("kept_md5"))
+          .as("rep_kept_md5"))
+    val emptyMd5 = lit("d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    spanMembers(s, dir)
+      .join(repStats, Seq("tkey"))
+      .withColumn("n_excised",
+        when(col("doc_id") === col("rep") || col("n_toks") < spanW,
+          col("rep_n_excised")).otherwise(col("n_toks")))
+      .select(col("doc_id"), col("n_toks"), col("n_excised"),
+        (col("n_toks") - col("n_excised")).as("n_kept"),
+        when(col("doc_id") === col("rep") || col("n_toks") < spanW,
+          col("rep_kept_md5")).otherwise(emptyMd5).as("kept_md5"))
   }
 
   /** Oracle for [[qSpanExcise]] — fully hash-checked; DuckDB's
@@ -2680,17 +2744,31 @@ object TextOps {
     * rows. No windows over corpus rows anywhere.
     */
   def qNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
-    val wins = spanWins(s, dir).filter(col("h").isNotNull)
-      .select(col("doc_id"), col("h")).materialized
-    val bounds = wins.agg(max("doc_id").as("max_id"))
+    // Canonicalized over distinct texts (see [[spanGroups]]): window
+    // hashing runs once per distinct text; a window's first corpus
+    // occurrence is necessarily in a group REPRESENTATIVE (min member
+    // doc_id = rep, and the global min doc holding h is the min rep
+    // over groups holding h), so per-text window/novel counts expand
+    // to members with novel mass credited only to the rep row.
+    val grp = spanGroups(s, dir)
+    val wc = windowHashes(
+      grp.select(col("rep").as("doc_id"), col("text"), col("tkey")), Seq("tkey"))
+      .filter(col("h").isNotNull)
+      .select(col("tkey"), col("doc_id").as("rep"), col("h")).materialized
+    val mem = spanMembers(s, dir).filter(col("n_toks") >= spanW)
+    val bounds = mem.agg(max("doc_id").as("max_id"))
       .select(expr(s"(max_id DIV $GrowthBuckets) + 1").as("bw"))
-    val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    wins.join(first, "h")
+    val first = wc.groupBy(col("h")).agg(min(col("rep")).as("first_doc"))
+    val perText = wc.join(first, "h")
+      .groupBy(col("tkey"), col("rep"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("rep") === col("first_doc"), 1L).otherwise(0L)).as("n_nov"))
+    mem.join(perText, Seq("tkey"))
       .crossJoin(broadcast(bounds))
-      .select(expr("doc_id DIV bw").as("bucket"),
-        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L).as("novel"))
+      .select(expr("doc_id DIV bw").as("bucket"), col("n_w"),
+        when(col("doc_id") === col("rep"), col("n_nov")).otherwise(0L).as("novel"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_windows"), sum(col("novel")).as("n_novel"))
+      .agg(sum(col("n_w")).as("n_windows"), sum(col("novel")).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_windows"))
   }
 
@@ -3171,21 +3249,33 @@ object TextOps {
     * joins docs all-pairs.
     */
   def qSelfOverlap(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
-      .select(col("doc_id"), col("source"),
+    // Canonicalized over distinct texts (see [[spanGroups]]): a doc's
+    // distinct-trigram set is a pure function of its text, and df —
+    // docs carrying the gram — weights each distinct text by its
+    // member count m. Per-text gram/shared counts (shared-status is
+    // global, identical for every member) expand back through one
+    // (tkey → source) join and a source rollup.
+    val grp = spanGroups(s, dir)
+    val grams = grp
+      .select(col("tkey"), col("m"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("source"), explode(expr(
+      .select(col("tkey"), col("m"), explode(expr(
         "array_distinct(transform(sequence(1, size(ws) - 2), " +
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))"))
         .as("gram"))
       .materialized // df side and join side both consume it
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(df, Seq("gram"))
-      .groupBy(col("source"))
+    val df = grams.groupBy(col("gram")).agg(sum(col("m")).as("df"))
+    val perText = grams.join(df, Seq("gram"))
+      .groupBy(col("tkey"))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        count(lit(1)).as("g"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("sh"))
+    docs(s, dir)
+      .select(unhex(md5(col("text"))).as("tkey"), col("source"))
+      .join(perText, Seq("tkey"))
+      .groupBy(col("source"))
+      .agg(sum(col("g")).as("n_grams"), sum(col("sh")).as("n_shared"))
       .withColumn("shared_ppm", expr("(n_shared * 1000000) DIV n_grams"))
   }
 

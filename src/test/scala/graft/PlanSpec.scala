@@ -664,11 +664,14 @@ class PlanSpec extends SparkSpec {
       SparkEntry.plans(name)(spark, sf0001)
         .queryExecution.executedPlan.toString.linesIterator
         .count(l => l.contains("FileScan parquet") && l.contains(table))
-    // self_overlap: the per-doc distinct-gram table feeds BOTH the df
-    // aggregate and the join probe — materialized, so the final plan
-    // scans documents zero times
-    assert(scans("q_self_overlap", "documents") === 0,
-      "gram table must be checkpointed, not re-derived per consumer")
+    // self_overlap: the per-distinct-text gram table feeds BOTH the df
+    // aggregate and the join probe — materialized, so the only
+    // documents scan left in the final plan is the member-expansion
+    // side of the r15 canonicalization (tkey → source, pruned). A
+    // second scan would mean the gram explode is being re-derived per
+    // consumer again.
+    assert(scans("q_self_overlap", "documents") === 1,
+      "gram table must be checkpointed: one member-expansion scan only")
     // source_overlap: the deduped (source, family) inventory feeds the
     // count table and both self-join sides
     assert(scans("q_source_overlap", "documents") === 0,

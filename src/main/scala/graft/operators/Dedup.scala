@@ -304,25 +304,66 @@ object Dedup {
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     nearPairsFrom(docs(s, dir))
 
+  /** Exact-text canonicalization for the minhash/Jaccard pair
+    * pipelines (r15, the simhash/entity/span device on the last
+    * near-dup shelf still paying it): identical texts carry identical
+    * signatures AND identical shingle sets, so an m-deep verbatim
+    * family inflates the band-bucket candidate join m²× and re-ships
+    * m copies of every set array through the verify joins — for pairs
+    * the within-group expansion produces directly at Jaccard 1.0
+    * (identical sets: intersection = union, and the empty/empty
+    * convention is also 1.0, so every within-group pair clears any
+    * threshold ≤ 1). `repPairs` computes the verified pair table over
+    * group REPRESENTATIVES (min doc_id); cross-group member pairs
+    * inherit their rep pair's exact Jaccard (same sets ⇒ same measure,
+    * and identical signatures ⇒ identical band collisions, so
+    * candidate recall is unchanged); within-group pairs emit at 1.0.
+    * Candidate density now tracks DISTINCT texts, never crawl-dup
+    * depth — uniform with the simhash/phash/span shelves.
+    */
+  private def textCanonicalPairs(d: DataFrame)(
+      repPairs: DataFrame => DataFrame): DataFrame = {
+    val keyed = d.select(col("doc_id"), col("text"),
+      unhex(md5(col("text"))).as("tkey"))
+    val grp = keyed.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"))
+    val mem = keyed.select(col("tkey"), col("doc_id"))
+      .join(grp.select(col("tkey"), col("rep")), "tkey")
+      .select(col("rep"), col("doc_id"))
+    val rp = repPairs(grp.select(col("rep").as("doc_id"), col("text")))
+    val cross = rp
+      .join(mem.select(col("rep").as("id_a"), col("doc_id").as("ka")), "id_a")
+      .join(mem.select(col("rep").as("id_b"), col("doc_id").as("kb")), "id_b")
+      .select(least(col("ka"), col("kb")).as("id_a"),
+        greatest(col("ka"), col("kb")).as("id_b"), col("jaccard"))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within)
+  }
+
   /** The word-minhash verified-pair pipeline over an arbitrary
     * (doc_id, text) frame — ONE definition of the near-dup family's
     * constants serves [[qDedupMinhash]], the persisted index
     * ([[buildDedupIndexFrom]]) and [[CorpusBuild.corpusUpsert]]'s
     * within-increment pass, so the inline query, the index serve and
     * the upsert cannot disagree on what "near duplicate" means.
+    * Canonicalized over distinct texts ([[textCanonicalPairs]]).
     */
-  private[graft] def nearPairsFrom(d: DataFrame): DataFrame = {
-    import graft.functions.{WordNgramMinHash, WordNgramHashes}
-    val sig = d.select(col("doc_id"),
-      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, seed = IdxSeed).as("sig_arr"))
-    val sets = d.select(col("doc_id"), WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
-    // no minhash pre-filter here: word-3-gram sets are light enough that
-    // two extra signature passes cost more than they save (see
-    // jaccardVerify's trade note; the char-6-gram path enables it).
-    jaccardVerify(candidatePairs(sigBandRows(sig, IdxBands, IdxRows)), sets, IdxThreshold)
-      .filter(col("jaccard") >= IdxThreshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+  private[graft] def nearPairsFrom(d: DataFrame): DataFrame =
+    textCanonicalPairs(d) { reps =>
+      import graft.functions.{WordNgramMinHash, WordNgramHashes}
+      val sig = reps.select(col("doc_id"),
+        WordNgramMinHash.column(col("text"), IdxNgram, IdxK, seed = IdxSeed).as("sig_arr"))
+      val sets = reps.select(col("doc_id"), WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
+      // no minhash pre-filter here: word-3-gram sets are light enough that
+      // two extra signature passes cost more than they save (see
+      // jaccardVerify's trade note; the char-6-gram path enables it).
+      jaccardVerify(candidatePairs(sigBandRows(sig, IdxBands, IdxRows)), sets, IdxThreshold)
+        .filter(col("jaccard") >= IdxThreshold)
+        .select("id_a", "id_b", "jaccard")
+    }
 
   // ------------------------------------------------------------------
   // Row 22: character 6-gram Jaccard on LSH candidate pairs — same
@@ -342,13 +383,14 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CharNgramFunctions._
     val (n, k, bands, rows, threshold) = (6, 64, 16, 4, 0.6)
-    val d = docs(s, dir)
-    val sig = d.select(col("doc_id"),
-      charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
-    val sets = d.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
-    jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets, threshold, Some(sig))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    textCanonicalPairs(docs(s, dir)) { reps =>
+      val sig = reps.select(col("doc_id"),
+        charMinHash(col("text"), n, k, seed = 0x5EED0002L).as("sig_arr"))
+      val sets = reps.select(col("doc_id"), charNgramHashes(col("text"), n).as("sh"))
+      jaccardVerify(candidatePairs(sigBandRows(sig, bands, rows)), sets, threshold, Some(sig))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   // ------------------------------------------------------------------

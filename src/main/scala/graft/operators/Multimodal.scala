@@ -320,26 +320,50 @@ object Multimodal {
           .as("phash_hex"),
         col("bands"))
       .materialized
-    val bandRows = fp.select(col("doc_id"),
+    // Fingerprint canonicalization (r15, the device now uniform across
+    // every banded shelf — simhash/minhash/char-ngram/span/phash): the
+    // 16-bit band buckets are a constant space, so band-bucket
+    // population — and the candidate quadratic — grew with however
+    // many payloads share a fingerprint (byte-identical re-uploads,
+    // exactly the media mass that grows with crawl history). Banding
+    // runs over DISTINCT fingerprints; per-member stats are arithmetic
+    // on group sizes: a member of an m-deep family has m−1 hamming-0
+    // mates (best = the family min id, or the second-min for the min
+    // member itself), and each band-colliding group g' (hamming ≥ 1 —
+    // distinct fingerprints always differ in some bit) contributes its
+    // m' members with min mate id = g'.gid.
+    val g = fp.groupBy(col("phash_hex"), col("bands"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+    val bandRows = g.select(col("gid").as("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val pairs = Dedup.candidatePairs(bandRows)
-      .join(fp.select(col("doc_id").as("id_a"), col("bands").as("ba")), "id_a")
-      .join(fp.select(col("doc_id").as("id_b"), col("bands").as("bb")), "id_b")
+    val gPairs = Dedup.candidatePairs(bandRows)
+      .join(g.select(col("gid").as("id_a"), col("bands").as("ba"), col("m").as("ma")), "id_a")
+      .join(g.select(col("gid").as("id_b"), col("bands").as("bb"), col("m").as("mb")), "id_b")
       .withColumn("hamming", expr(
         "CAST(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v) AS BIGINT)"))
-      .select("id_a", "id_b", "hamming")
-    val mates = pairs.select(col("id_a").as("doc_id"), col("id_b").as("mate"), col("hamming"))
-      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("mate"), col("hamming")))
-    val best = mates.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_candidates"),
-        min(struct(col("hamming"), col("mate"))).as("b"))
-      .select(col("doc_id"), col("n_candidates"),
-        col("b.mate").as("best_mate_id"), col("b.hamming").as("min_hamming"))
-    fp.select(col("doc_id"), col("media_type"), col("phash_hex"))
-      .join(best, Seq("doc_id"), "left")
+      .select("id_a", "id_b", "hamming", "ma", "mb")
+    val gMates = gPairs.select(col("id_a").as("gid"), col("id_b").as("mate"), col("hamming"), col("mb").as("mm"))
+      .unionAll(gPairs.select(col("id_b").as("gid"), col("id_a").as("mate"), col("hamming"), col("ma").as("mm")))
+    val cross = gMates.groupBy(col("gid"))
+      .agg(sum(col("mm")).as("n_cross"),
+        min(struct(col("hamming"), col("mate"))).as("bc"))
+    val mem = fp.select(col("doc_id"), col("media_type"), col("phash_hex"))
+      .join(g.select(col("phash_hex"), col("gid"), col("m")), "phash_hex")
+    // second-min member per multi-member group: the min member's
+    // within-family best mate
+    val mn2 = mem.filter(col("doc_id") =!= col("gid"))
+      .groupBy(col("gid")).agg(min(col("doc_id")).as("mn2"))
+    mem
+      .join(cross, Seq("gid"), "left")
+      .join(mn2, Seq("gid"), "left")
       .select(col("doc_id"), col("media_type"), col("phash_hex"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("best_mate_id"), col("min_hamming"),
+        (col("m") - 1 + coalesce(col("n_cross"), lit(0L))).as("n_candidates"),
+        when(col("m") >= 2,
+          when(col("doc_id") === col("gid"), col("mn2")).otherwise(col("gid")))
+          .otherwise(col("bc.mate")).as("best_mate_id"),
+        when(col("m") >= 2, lit(0L)).otherwise(col("bc.hamming")).as("min_hamming"))
+      .select(col("doc_id"), col("media_type"), col("phash_hex"),
+        col("n_candidates"), col("best_mate_id"), col("min_hamming"),
         coalesce(col("min_hamming") <= PhashHamThresh, lit(false)).as("is_dup"))
   }
 

@@ -1495,6 +1495,63 @@ object TextOps {
        |FROM d LEFT JOIN pe USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // Boilerplate-leaderboard depth: the top-K most duplicated windows a
+  // corpus owner actually reads; model-sized at any corpus scale.
+  private val SpanLeaderK = 100
+
+  /** Boilerplate leaderboard — WHICH exact passages flood the corpus:
+    * the [[SpanLeaderK]] most-duplicated stride-1 [[spanW]]-word
+    * windows corpus-wide, each with total occurrences, distinct-doc
+    * carrier count, and the first carrier doc. [[qSpanDedup]] answers
+    * "how much of each DOC is duplicated"; this is the transpose the
+    * cleanup decision needs ("what IS the duplicated mass — nav
+    * chrome, license blocks, a mirrored dump?") before excising it.
+    * Ranked by occurrences, md5 tiebreak — a total order, so the
+    * top-K cut is deterministic cross-engine.
+    *
+    * Shape at scale: the canonical window pass ([[spanGroups]] — hash
+    * once per distinct text), a two-level partial aggregate (per
+    * (window, text): occurrences×m, carriers m; then per window), and
+    * a TakeOrdered into [[SpanLeaderK]] rows. Never a global sort; the
+    * leaderboard is model-sized no matter the corpus.
+    */
+  def qSpanLeaderboard(s: SparkSession, dir: String): DataFrame = {
+    val grp = spanGroups(s, dir)
+    val wc = windowHashes(
+      grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
+      Seq("m", "tkey"))
+      .filter(col("h").isNotNull)
+    val perText = wc.groupBy(col("h"), col("tkey"))
+      .agg(count(lit(1)).as("k"), max(col("m")).as("m"),
+        max(col("doc_id")).as("rep"))
+    perText.groupBy(col("h"))
+      .agg(
+        sum(col("k") * col("m")).as("n_occ"),
+        sum(col("m")).as("n_docs"),
+        min(col("rep")).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+      .select(lower(hex(col("h"))).as("window_md5"),
+        col("n_docs"), col("n_occ"), col("first_doc"))
+      .orderBy(col("n_occ").desc, col("window_md5"))
+      .limit(SpanLeaderK)
+  }
+
+  val qSpanLeaderboardSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(ws, i + 1, i + $spanW), ' ')) AS h
+       |  FROM d, unnest(generate_series(0, len(ws) - $spanW)) AS t(i)
+       |  WHERE len(ws) >= $spanW),
+       |a AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    MIN(doc_id) AS first_doc
+       |  FROM w GROUP BY h HAVING COUNT(*) >= 2)
+       |SELECT h AS window_md5, n_docs, n_occ, first_doc
+       |FROM a ORDER BY n_occ DESC, window_md5
+       |LIMIT $SpanLeaderK""".stripMargin
+
   // Sequence-packing knobs: token budget per packed training sequence,
   // and the number of independent packing lanes per language.
   private[graft] val packBudget = 256L
@@ -4080,6 +4137,7 @@ object TextOps {
     "q_dedup_segment"     -> qDedupSegment _,
     "q_span_dedup"        -> qSpanDedup _,
     "q_span_excise"       -> qSpanExcise _,
+    "q_span_leaderboard"  -> qSpanLeaderboard _,
     "q_pack_sequences"    -> qPackSequences _,
     "q_pack_waste"        -> qPackWaste _,
     "q_pii_scrub"         -> qPiiScrub _,
@@ -4140,6 +4198,7 @@ object TextOps {
     "q_dedup_segment"     -> qDedupSegmentSql,
     "q_span_dedup"        -> qSpanDedupSql,
     "q_span_excise"       -> qSpanExciseSql,
+    "q_span_leaderboard"  -> qSpanLeaderboardSql,
     "q_pack_sequences"    -> qPackSequencesSql,
     "q_pack_waste"        -> qPackWasteSql,
     "q_pii_scrub"         -> qPiiScrubSql,

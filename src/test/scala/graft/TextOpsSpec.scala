@@ -306,6 +306,33 @@ class TextOpsSpec extends SparkSpec {
       (5L, 20L, 20L, 0L, md5(""))))                 // exact dup fully excised
   }
 
+  test("qSpanLeaderboard: top windows ranked by occurrences with carrier counts and first doc") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // one exactly-20-word span shared by THREE docs at different
+    // offsets (one doc is an exact dup of another — the canonical path
+    // must still count it as a carrier), plus a doc repeating the span
+    // twice internally; unique filler windows must not chart
+    val span = (1 to 20).map("s" + _)
+    val aText = ((1 to 5).map("a" + _) ++ span).mkString(" ")
+    val bText = (span ++ (1 to 7).map("b" + _)).mkString(" ")
+    val eText = ((1 to 2).map("e" + _) ++ span ++ (1 to 3).map("f" + _) ++ span).mkString(" ")
+    val dir = docsDir(Seq(1L -> aText, 2L -> bText, 3L -> aText, 4L -> eText))
+    val got = TextOps.qSpanLeaderboard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the shared span window: docs 1,2,3 once each + doc 4 twice
+    assert(got.head === (md5hex(span.mkString(" ")), 4L, 5L, 1L))
+    // ranking is total (occ desc, md5 asc) and every row is duplicated mass
+    assert(got.map(_._3) === got.map(_._3).sorted.reverse)
+    assert(got.forall(_._3 >= 2L))
+    // doc 3 is a verbatim copy of doc 1: every one of doc 1's windows
+    // carries ≥2 docs, so all 6 of its distinct windows chart
+    val aWins = (0 to 5).map(i =>
+      md5hex(((1 to 5).map("a" + _) ++ span).slice(i, i + 20).mkString(" ")))
+    assert(aWins.forall(h => got.exists(r => r._1 == h && r._2 >= 2L)))
+  }
+
   test("q_bpe_train: merge table equals a reference driver-side BPE trainer") {
     // reference implementation: exact greedy left-to-right BPE over the
     // same word-frequency table, entirely independent of the DataFrame

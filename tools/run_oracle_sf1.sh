@@ -25,7 +25,7 @@ if [ ! -d "$REPLICA" ]; then
   python3 tools/make_replica.py /root/testdata/sf0.1 "$REPLICA" 10
 fi
 
-DEDUP="q_dedup_exact,q_prefix_dedup,q_suffix_dedup,q_dedup_minhash,q_dedup_clusters,q_dedup_simhash,q_dedup_containment,q_ngram_jaccard,q_minhash_error,q_dup_summary,q_dup_flow,q_dup_source,q_dup_by_batch,q_dup_tokens,q_source_overlap,q_lang_leak,q_entity_match,q_entity_best_match,q_phash_dedup,q_dedup_segment,q_span_dedup,q_span_excise,q_lsh_bucket_stats"
+DEDUP="q_dedup_exact,q_prefix_dedup,q_suffix_dedup,q_dedup_minhash,q_dedup_clusters,q_dedup_simhash,q_dedup_containment,q_ngram_jaccard,q_minhash_error,q_dup_summary,q_dup_flow,q_dup_source,q_dup_by_batch,q_dup_tokens,q_source_overlap,q_lang_leak,q_entity_match,q_entity_best_match,q_phash_dedup,q_dedup_segment,q_span_dedup,q_span_excise,q_span_leaderboard,q_lsh_bucket_stats"
 GRAPH="q_pagerank,q_components,q_degree_stats,q_kcore,q_triangles,q_label_prop,q_graph_modularity,q_assortativity,q_clustering_coeff,q_link_predict,q_basket_pairs,q_user_overlap"
 CLASSIFIER="q_classifier_eval,q_hashed_classifier,q_classifier_calibration,q_lm_perplexity,q_ppl_source_mix,q_dsir_weights"
 CORPUS="q_corpus_build,q_corpus_manifest,q_filter_pipeline,q_source_quality,q_pack_sequences,q_pack_waste,q_shard_plan,q_session_window,q_gopher_rules"

@@ -323,10 +323,16 @@ object Dedup {
     */
   private def textCanonicalPairs(d: DataFrame)(
       repPairs: DataFrame => DataFrame): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     val keyed = d.select(col("doc_id"), col("text"),
       unhex(md5(col("text"))).as("tkey"))
+    // materialized: the group table feeds the membership join AND the
+    // signature/set passes inside repPairs — column pruning
+    // specializes the aggregate per branch, so without the checkpoint
+    // the text shuffle would re-run once per consumer
     val grp = keyed.groupBy(col("tkey"))
       .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"))
+      .materialized
     val mem = keyed.select(col("tkey"), col("doc_id"))
       .join(grp.select(col("tkey"), col("rep")), "tkey")
       .select(col("rep"), col("doc_id"))

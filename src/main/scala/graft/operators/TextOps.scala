@@ -1295,8 +1295,12 @@ object TextOps {
     // DISTINCT text, frequencies weight by multiplicity m (a window in
     // a text copied m times is held by m documents), and the per-text
     // stats — a pure function of (text, global frequency) — expand
-    // back to every member through one 16-byte-keyed join.
-    val grp = spanGroups(s, dir)
+    // back to every member through one 16-byte-keyed join. The group
+    // table is MATERIALIZED: column pruning specializes its aggregate
+    // per consumer branch, so without the checkpoint the text shuffle
+    // would re-run once per consumer instead of once.
+    import graft.plans.Materialize.MaterializeOps
+    val grp = spanGroups(s, dir).materialized
     val wins = windowHashes(
       grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
       Seq("m", "tkey"))
@@ -1402,8 +1406,10 @@ object TextOps {
     // windows is held by ≥ m ≥ 2 docs with a survivor ≤ rep < doc_id,
     // so all positions are foreign and the rebuild is md5(''). Short
     // texts (< spanW words) have no windows in either variant and the
-    // representative's untouched rebuild serves both.
-    val grp = spanGroups(s, dir)
+    // representative's untouched rebuild serves both. Group table
+    // materialized for its three consumers (the qSpanDedup note).
+    import graft.plans.Materialize.MaterializeOps
+    val grp = spanGroups(s, dir).materialized
     val wins = windowHashes(
       grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
       Seq("m", "tkey"))

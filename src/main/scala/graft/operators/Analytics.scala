@@ -45,8 +45,7 @@ object Analytics {
     * NODE count, which AQE broadcasts while it fits and shuffles when
     * it doesn't — the correct call at both 16k and 10^9 nodes.
     */
-  private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val graphCache = new graft.plans.SessionCache[(DataFrame, DataFrame)]
 
   /** Build-once-serve-many: every graph query in a session shares ONE
     * materialization of the co-purchase graph (same contract as
@@ -71,7 +70,7 @@ object Analytics {
     * serves the pre-rewrite graph.
     */
   private def copurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graphCache.getOrElseUpdate((s, dir), buildCopurchaseGraph(s, dir))
+    graphCache.getOrElseUpdate(s, dir)(buildCopurchaseGraph(s, dir))
 
   /** Drop every session-scoped graph materialization (see the
     * staleness contract on [[copurchaseGraph]]). For callers that
@@ -1286,11 +1285,10 @@ object Analytics {
     * immutable data dirs; in-place rewrites require
     * [[clearGraphCaches]].
     */
-  private val partEdgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val partEdgeCache = new graft.plans.SessionCache[DataFrame]
 
   private def partCoEdges(s: SparkSession, dir: String): DataFrame =
-    partEdgeCache.getOrElseUpdate((s, dir), {
+    partEdgeCache.getOrElseUpdate(s, dir) {
       val li = Ingest.table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1301,7 +1299,7 @@ object Analytics {
         .filter(col("sup") >= TriMinSupport)
         .select("p1", "p2")
         .materialized
-    })
+    }
 
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val edges = partCoEdges(s, dir) // consumed by degrees + orientation

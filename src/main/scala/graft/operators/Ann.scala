@@ -380,12 +380,11 @@ object Ann {
     * so the cached array equals what a fresh train would produce —
     * AnnSpec pins cached === freshly-trained.
     */
-  private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Double]]
+  private val codebookCache = new graft.plans.SessionCache[Array[Double]]
 
   private[graft] def sessionCodebook(s: SparkSession, dir: String,
       corpus: DataFrame): Array[Double] =
-    codebookCache.getOrElseUpdate((s, dir), trainCodebook(corpus, IvfIters))
+    codebookCache.getOrElseUpdate(s, dir)(trainCodebook(corpus, IvfIters))
 
   /** Drop the session-scoped codebook cache (see the staleness
     * contract on [[sessionCodebook]]). */
@@ -727,7 +726,9 @@ object Ann {
   private[graft] def readCodebook(s: SparkSession, path: String): Array[Double] = {
     val cent = new Array[Double](IvfCells * Dim)
     s.read.parquet(s"$path/codebook.parquet").collect().foreach { r =>
-      val (cell, v) = (r.getInt(0), r.getSeq[Double](1))
+      // by-name reads (the lshMetaOk rule): never couple a persisted
+      // model's decode to its writer's column order
+      val (cell, v) = (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid")))
       var i = 0
       while (i < Dim) { cent(cell * Dim + i) = v(i); i += 1 }
     }
@@ -744,7 +745,7 @@ object Ann {
     import s.implicits._
     val (_, queries) = split(s, dir)
     val cbRows = s.read.parquet(s"$path/codebook.parquet")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .collect().map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
     val centDf = cbRows
       .map { case (c, v) => (c, v.map(_.toFloat).toArray) }.toSeq
       .toDF("cell", "centroid")
@@ -809,10 +810,16 @@ object Ann {
   // ------------------------------------------------------------------
 
   private def lshMetaOk(s: SparkSession, path: String): Unit = {
+    // fields read BY NAME (ADVICE r15): validation must not depend on
+    // the writer's column order — an ordinal read of a reordered meta
+    // file would misattribute seed/tables/dim and either spuriously
+    // reject a good index or accept a mismatched one.
     val m = s.read.parquet(s"$path/meta.parquet").collect().head
-    require(m.getLong(0) == LshSeed && m.getInt(1) == LshTables && m.getInt(2) == Dim,
-      s"LSH index at $path was built with (seed=${m.getLong(0)}, tables=${m.getInt(1)}, " +
-        s"dim=${m.getInt(2)}) — session expects ($LshSeed, $LshTables, $Dim); rebuild the index")
+    val (seed, tables, dim) =
+      (m.getAs[Long]("lsh_seed"), m.getAs[Int]("n_tables"), m.getAs[Int]("dim"))
+    require(seed == LshSeed && tables == LshTables && dim == Dim,
+      s"LSH index at $path was built with (seed=$seed, tables=$tables, " +
+        s"dim=$dim) — session expects ($LshSeed, $LshTables, $Dim); rebuild the index")
   }
 
   /** Map-only bucket assignment — the pass [[buildLshIndex]] and

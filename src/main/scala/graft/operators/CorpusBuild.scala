@@ -57,8 +57,7 @@ import graft.sources.Ingest
   */
 object CorpusBuild {
 
-  private val verdictCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val verdictCache = new graft.plans.SessionCache[DataFrame]
 
   /** The per-doc verdict table every corpus-build consumer shares —
     * [[qCorpusBuild]]'s census, [[qCorpusManifest]] and
@@ -75,7 +74,7 @@ object CorpusBuild {
     * must call [[clearVerdictCache]] first.
     */
   private[graft] def survivorVerdicts(s: SparkSession, dir: String): DataFrame =
-    verdictCache.getOrElseUpdate((s, dir), buildSurvivorVerdicts(s, dir))
+    verdictCache.getOrElseUpdate(s, dir)(buildSurvivorVerdicts(s, dir))
 
   /** Drop the session-scoped verdict materializations (see the
     * staleness contract on [[survivorVerdicts]]).
@@ -348,9 +347,12 @@ object CorpusBuild {
     * serve index and lane cursors append. A crash before the manifest
     * swap leaves orphaned shard dirs that the next upsert skips past
     * (new ids are allocated past both the manifest and any dirs on
-    * disk); a crash after it leaves the index/cursors stale by one
-    * increment — delete `<path>/index` / `<path>/lanes.parquet` to
-    * force a rebootstrap from the published corpus.
+    * disk, and every bootstrap read is filtered to manifest-LISTED
+    * shards, so orphan text is never indexed — ADVICE r15); a crash
+    * after it leaves the index/cursors stale by one increment —
+    * delete `<path>/index` / `<path>/lanes.parquet` to force a
+    * rebootstrap from the committed corpus ([[corpusCompact]] removes
+    * the orphan dirs themselves).
     *
     * First call against a corpus published by [[corpusWrite]]
     * bootstraps the serve index and lane cursors from the shards (one
@@ -363,13 +365,29 @@ object CorpusBuild {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val idx = s"$path/index"
+    val curManifest = s.read.parquet(s"$path/manifest.parquet").materialized
 
-    // bootstrap the serve structures from the published corpus
+    // bootstrap the serve structures from the COMMITTED corpus — the
+    // shard scan is filtered to manifest-listed shard ids (ADVICE
+    // r15): a crash before a manifest swap leaves orphaned
+    // uncommitted shard dirs on disk, and an unfiltered bootstrap
+    // (including the scaladoc's crash remedy of deleting
+    // index/lanes.parquet) would index orphan text — later legitimate
+    // arrivals matching it silently dropped — and inflate lane
+    // cursors past the committed state. The id list is
+    // manifest-sized metadata, pushed as a static partition filter so
+    // the scan never opens an orphan dir.
+    def committedShards(): DataFrame = {
+      val ids = curManifest.select(col("shard")).collect()
+        .map(_.getAs[Int]("shard"))
+      s.read.parquet(s"$path/shards.parquet")
+        .filter(col("shard").isin(ids.map(Integer.valueOf): _*))
+    }
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/sig")))
       Dedup.buildDedupIndexFrom(
-        s.read.parquet(s"$path/shards.parquet").select(col("doc_id"), col("text")), idx)
+        committedShards().select(col("doc_id"), col("text")), idx)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lanes.parquet")))
-      s.read.parquet(s"$path/shards.parquet")
+      committedShards()
         .groupBy(col("lang"), col("lane"))
         .agg(sum(col("toks")).as("lane_toks"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes.parquet")
@@ -401,7 +419,6 @@ object CorpusBuild {
         Seq("doc_id"), "left_anti")
       .materialized
     val nInc = survivors.count()
-    val curManifest = s.read.parquet(s"$path/manifest.parquet").materialized
     if (nInc == 0) return curManifest
 
     // id allocation: past the manifest AND any orphaned dirs on disk

@@ -912,18 +912,20 @@ object TextOps {
     * tie-break), so the cached merges equal a fresh train —
     * TextOpsSpec pins cached === freshly-trained.
     */
-  private val bpeMergeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
+  private val bpeMergeCache =
+    new graft.plans.SessionCache[Seq[(Int, String, String, Long)]]
 
   private[graft] def sessionBpeMerges(s: SparkSession,
       dir: String): Seq[(Int, String, String, Long)] =
-    bpeMergeCache.getOrElseUpdate((s, dir), trainBpe(s, dir))
+    bpeMergeCache.getOrElseUpdate(s, dir)(trainBpe(s, dir))
 
   /** Drop the session-scoped merge-table cache (see the staleness
     * contract on [[sessionBpeMerges]]). */
   def clearModelCache(): Unit = {
     bpeMergeCache.clear()
     lmModelCache.clear()
+    dsirModelCache.clear()
+    hashedModelCache.clear()
   }
 
   def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -2660,11 +2662,10 @@ object TextOps {
     * codebook-cache precedent, VERDICT r12 #1) — only training stops
     * being re-paid, by this row and by [[qPplSourceMix]].
     */
-  private val lmModelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lmModelCache = new graft.plans.SessionCache[DataFrame]
 
   private def lmSessionModel(s: SparkSession, dir: String): DataFrame =
-    lmModelCache.getOrElseUpdate((s, dir), lmTrainModel(s, dir).materialized)
+    lmModelCache.getOrElseUpdate(s, dir)(lmTrainModel(s, dir).materialized)
 
   def qLmPerplexity(s: SparkSession, dir: String): DataFrame =
     lmScoreDocs(docs(s, dir), lmSessionModel(s, dir))
@@ -3044,14 +3045,13 @@ object TextOps {
     * the scored result — every invocation of the query row pays the
     * honest corpus score pass.
     */
-  private val dsirModelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val dsirModelCache = new graft.plans.SessionCache[(DataFrame, DataFrame)]
 
   private def dsirSessionModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    dsirModelCache.getOrElseUpdate((s, dir), {
+    dsirModelCache.getOrElseUpdate(s, dir) {
       val (m, d) = dsirTrainModel(s, dir)
       (m.materialized, d.materialized)
-    })
+    }
 
   /** Persist the trained DSIR model (bucket table + 1-row default as
     * one parquet: the default rides as the `f IS NULL` row) — the
@@ -3887,11 +3887,10 @@ object TextOps {
     * table-state training cost ~18 s at sf0.1 — without the cache the
     * bench (and any composed consumer) re-trains on every call.
     */
-  private val hashedModelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hashedModelCache = new graft.plans.SessionCache[DataFrame]
 
   private def hashedSessionModel(s: SparkSession, dir: String): DataFrame =
-    hashedModelCache.getOrElseUpdate((s, dir), trainHashedPerceptron(s, dir))
+    hashedModelCache.getOrElseUpdate(s, dir)(trainHashedPerceptron(s, dir))
 
   /** Hashed-feature classifier eval — SURVEY §2's trainable-filter
     * row done deployably: train [[trainHashedPerceptron]] on the md5

@@ -697,18 +697,20 @@ object Streams {
     * ([[graft.operators.TextOps.qualityKeep]] / `repetitive` — shared
     * by construction, like [[dedupe]]'s normalization contract),
     * evaluated map-side before any state. Duplicate marking is keyed
-    * state on the normalized content hash: the first-ARRIVING doc per
-    * hash survives (the stored survivor across batches; the first
-    * iterator element within one); everything later is 'duplicate'.
-    * Fed the corpus in id order this reproduces the batch min-id
-    * survivorship exactly (asserted in StreamsSpec); under
-    * out-of-order arrival first-wins is the documented streaming
-    * divergence, reconciled by the batch twin. The verdicts stream off
-    * the group iterator in ONE pass — per-group memory is O(1), so a
-    * hot content hash dominating a micro-batch costs nothing (the
-    * earlier toSeq+sort materialized the key's whole batch to make
-    * within-batch survivorship min-id rather than first-encountered;
-    * arrival order is the honest streaming contract anyway).
+    * state on the normalized content hash: the first-BATCH arrival
+    * per hash survives (the stored survivor across batches; the MIN
+    * doc_id within the batch that first sees the hash — ADVICE r15:
+    * post-exchange iterator order is arbitrary on a multi-partition
+    * feed, so "first iterator element" was nondeterministic there);
+    * everything later is 'duplicate'. Fed the corpus in batch-id
+    * order this reproduces the batch min-id survivorship exactly
+    * (asserted in StreamsSpec); across out-of-order BATCHES
+    * first-batch-wins is the documented streaming divergence,
+    * reconciled by the batch twin. Steady-state groups (stored
+    * survivor exists) still stream off the group iterator in ONE
+    * pass — per-group memory is O(1), so a hot content hash
+    * dominating a micro-batch costs nothing; only a first-appearance
+    * hash buffers its (single-batch) rows for the min.
     *
     * State: one ~50-byte record per DISTINCT content hash, sharded by
     * the groupByKey partitioning — the price of exact global dedup on
@@ -735,13 +737,26 @@ object Streams {
         (_: String, it: Iterator[DocIn], st: GroupState[DupState]) => {
           if (!it.hasNext) Iterator.empty
           else {
-            // survivor = stored state, else the first arrival; state is
-            // updated EAGERLY (before the lazy verdict iterator is
-            // consumed) so the update never rides on sink consumption
-            val first = it.next()
-            val survivor = st.getOption.map(_.survivorId).getOrElse(first.doc_id)
+            // Survivor = stored state when the hash has one — that
+            // branch streams the group iterator in ONE pass, O(1)
+            // per-group memory, so a hot content hash dominating a
+            // micro-batch in steady state costs nothing. Only a
+            // FIRST-appearance hash buffers its batch to take the MIN
+            // doc_id (ADVICE r15: within-group iterator order after
+            // the groupByKey exchange is arbitrary on a
+            // multi-partition feed, so "first element" could crown a
+            // non-min survivor within a micro-batch — the
+            // packCounters sort rule). State is updated EAGERLY
+            // (before the lazy verdict iterator is consumed) so the
+            // update never rides on sink consumption.
+            val (survivor, rows) = st.getOption.map(_.survivorId) match {
+              case Some(surv) => (surv, it)
+              case None =>
+                val batch = it.toSeq
+                (batch.iterator.map(_.doc_id).min, batch.iterator)
+            }
             st.update(DupState(survivor))
-            (Iterator.single(first) ++ it).map { d =>
+            rows.map { d =>
               val isDup = d.doc_id != survivor
               val reason =
                 if (isDup) "duplicate"
@@ -829,8 +844,9 @@ object Streams {
     * cannot disagree on fingerprints), then key by the packed hex and
     * dedup first-wins against per-fingerprint state (the
     * [[corpusFilter]] survivorship contract: stored survivor across
-    * batches, first arrival within one; min-id parity with the batch
-    * row under id-ordered arrival, StreamsSpec-pinned). Banded
+    * batches, MIN doc_id within one — so min-id parity with the batch
+    * row holds per micro-batch regardless of partition interleaving,
+    * StreamsSpec-pinned). Banded
     * NEAR-collision search stays a batch/serve concern — a stream
     * cannot join candidates against an unbounded corpus — so this twin
     * covers the hamming-0 tier, which at production media scale is the
@@ -882,10 +898,18 @@ object Streams {
         (_: String, it: Iterator[CorpusDocIn], st: GroupState[DupState]) => {
           if (!it.hasNext) Iterator.empty
           else {
-            val first = it.next()
-            val survivor = st.getOption.map(_.survivorId).getOrElse(first.doc_id)
+            // min-by doc_id within the batch when no prior state
+            // (ADVICE r15 — the corpusFilter rule, which see for the
+            // one-pass/buffer trade): post-exchange iterator order is
+            // arbitrary on a multi-partition feed.
+            val (survivor, rows) = st.getOption.map(_.survivorId) match {
+              case Some(surv) => (surv, it)
+              case None =>
+                val batch = it.toSeq
+                (batch.iterator.map(_.doc_id).min, batch.iterator)
+            }
             st.update(DupState(survivor))
-            (Iterator.single(first) ++ it).map { d =>
+            rows.map { d =>
               val aLang = d.lang_en
               val aQual = aLang && d.is_keep
               val aRep = aQual && !d.is_repetitive
@@ -979,10 +1003,17 @@ object Streams {
         (hex: String, it: Iterator[(Long, String, String)], st: GroupState[DupState]) => {
           if (!it.hasNext) Iterator.empty
           else {
-            val first = it.next()
-            val survivor = st.getOption.map(_.survivorId).getOrElse(first._1)
+            // min-by doc_id within the batch when no prior state
+            // (ADVICE r15 — the corpusFilter rule, which see for the
+            // one-pass/buffer trade)
+            val (survivor, rows) = st.getOption.map(_.survivorId) match {
+              case Some(surv) => (surv, it)
+              case None =>
+                val batch = it.toSeq
+                (batch.iterator.map(_._1).min, batch.iterator)
+            }
             st.update(DupState(survivor))
-            (Iterator.single(first) ++ it).map { case (id, mt, hx) =>
+            rows.map { case (id, mt, hx) =>
               MediaVerdict(id, mt, hx, id != survivor, survivor)
             }
           }

@@ -330,23 +330,13 @@ object Dedup {
     // signature/set passes inside repPairs — column pruning
     // specializes the aggregate per branch, so without the checkpoint
     // the text shuffle would re-run once per consumer
-    val grp = keyed.groupBy(col("tkey"))
-      .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"))
-      .materialized
-    val mem = keyed.select(col("tkey"), col("doc_id"))
-      .join(grp.select(col("tkey"), col("rep")), "tkey")
-      .select(col("rep"), col("doc_id"))
-    val rp = repPairs(grp.select(col("rep").as("doc_id"), col("text")))
-    val cross = rp
-      .join(mem.select(col("rep").as("id_a"), col("doc_id").as("ka")), "id_a")
-      .join(mem.select(col("rep").as("id_b"), col("doc_id").as("kb")), "id_b")
-      .select(least(col("ka"), col("kb")).as("id_a"),
-        greatest(col("ka"), col("kb")).as("id_b"), col("jaccard"))
-    val within = mem.as("x").join(mem.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionAll(within)
+    val grp = Canonical.groups(keyed, "doc_id", Seq("tkey")).materialized
+    val mem = Canonical.members(keyed.select(col("tkey"), col("doc_id")),
+      grp, Seq("tkey"))
+    val rp = repPairs(grp.select(col("gid").as("doc_id"), col("text")))
+      .withColumnRenamed("id_a", "ga").withColumnRenamed("id_b", "gb")
+    Canonical.expandPairs(rp, mem, "doc_id", "id_a", "id_b",
+      Seq("jaccard"), Seq(lit(1.0)))
   }
 
   /** The word-minhash verified-pair pipeline over an arbitrary
@@ -427,7 +417,7 @@ object Dedup {
     // depth. The 10× replica's 10-deep verbatim families had inflated
     // the join 100× for pairs the within-group expansion produces
     // directly as hamming-0 rows.
-    val grp = sigDf.groupBy(col("simhash")).agg(min(col("doc_id")).as("gid"))
+    val grp = Canonical.groups(sigDf, "doc_id", Seq("simhash"))
     val bandDf = grp.select(
       col("gid"), col("simhash"),
       posexplode(expr(
@@ -447,17 +437,10 @@ object Dedup {
     // inherit the verified group distance (members of a group share
     // one fingerprint, so member distance = group distance), within-
     // group rows are the exact-fingerprint families at hamming 0
-    val mem = sigDf.join(grp, "simhash").select(col("gid"), col("doc_id"))
-    val cross = vg
-      .join(mem.select(col("gid").as("ga"), col("doc_id").as("ka")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("doc_id").as("kb")), "gb")
-      .select(least(col("ka"), col("kb")).as("id_a"),
-        greatest(col("ka"), col("kb")).as("id_b"), col("hamming"))
-    val within = mem.as("x").join(mem.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(0).as("hamming"))
-    cross.unionAll(within)
+    val mem = Canonical.members(sigDf, grp, Seq("simhash"))
+      .select(col("gid"), col("doc_id"))
+    Canonical.expandPairs(vg, mem, "doc_id", "id_a", "id_b",
+      Seq("hamming"), Seq(lit(0)))
   }
 
   // ------------------------------------------------------------------
@@ -825,12 +808,16 @@ object Dedup {
     * with its container, so any of its rare shingles is a candidate
     * hook; only a doc made entirely of corpus-boilerplate shingles
     * escapes, and its containment verdict is meaningless anyway.
+    * Shingle df is counted over DISTINCT texts (r16 — the
+    * [[Canonical]] rule), so the hook set — and with it candidate
+    * RECALL — is independent of exact-duplicate depth: an m-deep
+    * crawl family no longer multiplies its shingles' df by m.
     *
-    * Shape at scale: the inverted join shuffles on the shingle hash;
-    * the df cap bounds pair fan-out at Σ df² ≤ cap·|instances| —
-    * LINEAR in the corpus, never quadratic (the df filter is also the
-    * hot-shingle guard: boilerplate shingles are exactly the ones
-    * dropped). Candidates must share ≥ [[MinRareHooks]] rare shingles
+    * Shape at scale: the inverted join (over distinct texts only)
+    * shuffles on the shingle hash; the df cap bounds pair fan-out at
+    * Σ df² ≤ cap·|instances| — LINEAR in the corpus, never quadratic
+    * (the df filter is also the hot-shingle guard: boilerplate
+    * shingles are exactly the ones dropped). Candidates must share ≥ [[MinRareHooks]] rare shingles
     * before the verify join sees them: a contained doc shares nearly
     * ALL its shingles with its container, so the bar costs no recall,
     * while single-shingle coincidences — the bulk of the raw pair
@@ -842,13 +829,32 @@ object Dedup {
     */
   def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.WordNgramHashes
-    // the shingle-set table feeds the inverted index AND both verify
-    // sides — materialized once so the signature expression runs one
-    // pass over the corpus (the executed plan held six document scans
-    // before; the persisted [[buildDedupIndex]] is the same idea made
-    // durable across queries)
-    val sets = docs(s, dir)
-      .select(col("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
+    // Canonicalized over DISTINCT texts (r16 #1 — the last banded
+    // shelf whose candidate rule depended on exact-dup depth). The
+    // rare-hook rule is REDEFINED on the canonical group table: a
+    // shingle is a hook iff its df over DISTINCT texts is in
+    // [2, RareDfCap]. Under the old per-document rule, an m-deep
+    // verbatim family multiplied every one of its shingles' df by m,
+    // pushing genuinely-rare hooks over the cap — candidate RECALL at
+    // 100 TB decayed with crawl-dup depth, the exact failure the r15
+    // canonicalization removed from every other shelf (DedupSpec pins
+    // depth-independence with planted families). Within-group pairs
+    // (identical texts) are emitted directly at containment 1.0 with
+    // inter = n_a = n_b = the set size — no hook requirement: a
+    // verbatim copy is the strongest containment there is, and the
+    // old rule's silence on hook-free identical texts was an artifact
+    // of counting them into the df. The oracle shares the distinct-
+    // text rule (same commit — see [[qDedupContainmentSql]]).
+    val keyed = docs(s, dir).select(col("doc_id"), col("text"),
+      unhex(md5(col("text"))).as("tkey"))
+    // materialized: the group table feeds the shingle pass AND the
+    // membership join (the textCanonicalPairs checkpoint rationale)
+    val grp = Canonical.groups(keyed, "doc_id", Seq("tkey")).materialized
+    // shingle sets over representatives only — feeds the inverted
+    // index AND both verify sides, so the signature expression runs
+    // ONE pass over distinct texts
+    val sets = grp
+      .select(col("gid").as("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
       .materialized
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -858,21 +864,35 @@ object Dedup {
     val cand = hooked.alias("a")
       .join(hooked.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .select(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
+      .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("n_hooks"))
       .filter(col("n_hooks") >= MinRareHooks)
-      .select(col("id_a"), col("id_b"))
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .select(col("ga"), col("gb"))
+    val vg = cand
+      .join(sets.select(col("doc_id").as("ga"), col("sh").as("sh_a")), "ga")
+      .join(sets.select(col("doc_id").as("gb"), col("sh").as("sh_b")), "gb")
+      .select(col("ga"), col("gb"),
         graft.functions.SortedOverlap.column(col("sh_a"), col("sh_b")).as("inter"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"))
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+        least(size(col("sh_a")), size(col("sh_b"))).as("mn"))
+      .withColumn("containment", col("inter").cast("double") / col("mn"))
       .filter(col("containment") >= ContainThreshold)
+      .drop("mn")
+    // per-doc set size (n_a/n_b are SIDE-specific, so they attach
+    // after the least/greatest orientation, not through the pair
+    // payload): distinct-text sized, expanded through the membership
+    val sz = Canonical.members(keyed.select(col("tkey"), col("doc_id")), grp, Seq("tkey"))
+      .join(sets.select(col("doc_id").as("gid"), size(col("sh")).cast("long").as("nsh")),
+        "gid")
+      .select(col("doc_id"), col("gid"), col("nsh"))
+    val pairs = Canonical.expandPairs(
+      vg, sz, "doc_id", "id_a", "id_b",
+      Seq("inter", "containment"), Seq(col("x.nsh"), lit(1.0)))
+    pairs
+      .join(sz.select(col("doc_id").as("id_a"), col("nsh").as("n_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("nsh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"))
   }
 
   // ------------------------------------------------------------------
@@ -1090,22 +1110,46 @@ object Dedup {
        |  FROM bnd a JOIN bnd b ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for [[qDedupContainment]] — the r16 DISTINCT-text rule,
+    * redefined in the same commit as the query: shingle df and the
+    * rare-hook candidate join run over the canonical text groups
+    * (min-doc representatives), within-group pairs emit directly at
+    * containment 1.0 with inter = n = the set size, and cross-group
+    * member pairs inherit their representative pair's measure with
+    * side-correct n_a/n_b.
+    */
   val qDedupContainmentSql: String =
-    s"""WITH $wordFeatCtes,
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |grp AS MATERIALIZED (SELECT min(doc_id) AS gid, text FROM d GROUP BY text),
+       |w AS (SELECT gid AS doc_id, ${OracleEmul.wordHashes("text")} AS wh FROM grp),
+       |f AS (SELECT doc_id, ${OracleEmul.features("wh", IdxNgram)} AS feats FROM w),
        |st AS MATERIALIZED (SELECT doc_id, ${OracleEmul.hashSet("feats")} AS sh FROM f),
        |inv AS (SELECT doc_id, unnest(sh) AS g FROM st),
        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) >= 2 AND count(*) <= $RareDfCap),
        |hooked AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
-       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |cand AS (SELECT a.doc_id AS ga, b.doc_id AS gb
        |  FROM hooked a JOIN hooked b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $MinRareHooks),
-       |v AS (SELECT id_a, id_b,
+       |v AS (SELECT ga, gb,
        |    CAST(length(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-       |    CAST(length(sa.sh) AS BIGINT) AS n_a, CAST(length(sb.sh) AS BIGINT) AS n_b
-       |  FROM cand JOIN st sa ON cand.id_a = sa.doc_id JOIN st sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, inter, n_a, n_b,
-       |  CAST(inter AS DOUBLE) / least(n_a, n_b) AS containment
-       |FROM v WHERE CAST(inter AS DOUBLE) / least(n_a, n_b) >= $ContainThreshold
+       |    least(CAST(length(sa.sh) AS BIGINT), CAST(length(sb.sh) AS BIGINT)) AS mn
+       |  FROM cand JOIN st sa ON cand.ga = sa.doc_id JOIN st sb ON cand.gb = sb.doc_id),
+       |vf AS (SELECT ga, gb, inter, CAST(inter AS DOUBLE) / mn AS containment
+       |  FROM v WHERE CAST(inter AS DOUBLE) / mn >= $ContainThreshold),
+       |mem AS (SELECT g2.gid, d2.doc_id FROM d d2 JOIN grp g2 ON d2.text = g2.text),
+       |sz AS (SELECT m2.doc_id, CAST(length(st.sh) AS BIGINT) AS nsh
+       |  FROM mem m2 JOIN st ON m2.gid = st.doc_id),
+       |cx AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+       |    greatest(ma.doc_id, mb.doc_id) AS id_b, inter, containment
+       |  FROM vf JOIN mem ma ON vf.ga = ma.gid JOIN mem mb ON vf.gb = mb.gid),
+       |wi AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, sx.nsh AS inter,
+       |    CAST(1.0 AS DOUBLE) AS containment
+       |  FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id
+       |  JOIN sz sx ON x.doc_id = sx.doc_id),
+       |allp AS (SELECT * FROM cx UNION ALL SELECT * FROM wi)
+       |SELECT id_a, id_b, inter, sa2.nsh AS n_a, sb2.nsh AS n_b, containment
+       |FROM allp JOIN sz sa2 ON allp.id_a = sa2.doc_id
+       |  JOIN sz sb2 ON allp.id_b = sb2.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Char-6-gram oracle: window hashes stay mod P at every step
@@ -1385,20 +1429,12 @@ object Dedup {
     // shape). The `least/greatest` orientation reproduces the
     // record-level `a.key < b.key` enumeration exactly once per
     // unordered pair because group pairs are enumerated once.
-    val cross = vg
-      .join(mem.select(col("gid").as("ga"), col("c_custkey").as("ka")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("c_custkey").as("kb")), "gb")
-      .select(col("nationkey"), col("mktsegment"),
-        least(col("ka"), col("kb")).as("cust_a"),
-        greatest(col("ka"), col("kb")).as("cust_b"),
-        col("ed").as("edit_dist"))
-    val within = mem.as("x").join(mem.as("y"),
-        col("x.gid") === col("y.gid") && col("x.c_custkey") < col("y.c_custkey"))
-      .select(col("x.c_nationkey").as("nationkey"),
-        col("x.c_mktsegment").as("mktsegment"),
-        col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
-        lit(0).as("edit_dist"))
-    cross.unionAll(within)
+    Canonical.expandPairs(
+        vg.withColumnRenamed("ed", "edit_dist"), mem, "c_custkey",
+        "cust_a", "cust_b",
+        Seq("nationkey", "mktsegment", "edit_dist"),
+        Seq(col("x.c_nationkey"), col("x.c_mktsegment"), lit(0)))
+      .select("nationkey", "mktsegment", "cust_a", "cust_b", "edit_dist")
   }
 
   /** Exact-group canonicalization ahead of fuzzy matching (the r15
@@ -1417,16 +1453,16 @@ object Dedup {
     * Returns (groups, members): groups = one row per distinct
     * (name, nation, mktsegment) with `gid` (min member custkey —
     * which is also the group's best-mate tie-break key) and member
-    * count `n`; members = each record tagged with its gid.
+    * count `m`; members = each record tagged with its gid. Both via
+    * the shared [[Canonical]] device.
     */
   private[graft] def entityGroups(c: DataFrame): (DataFrame, DataFrame) = {
-    val grp = c.groupBy(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-      .agg(min(col("c_custkey")).as("gid"), count(lit(1)).as("n"))
+    val grp = Canonical.groups(c, "c_custkey",
+      Seq("c_name", "c_nationkey", "c_mktsegment"))
     // the member tag join rides the SAME (name, nation, mktsegment)
     // key as the group-by — Catalyst reuses the exchange; at every
     // tested scale AQE broadcasts the group side instead
-    val mem = c.join(grp.select(col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"), col("gid")),
+    val mem = Canonical.members(c, grp,
         Seq("c_name", "c_nationkey", "c_mktsegment"))
       .select(col("gid"), col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
     (grp, mem)
@@ -1554,7 +1590,7 @@ object Dedup {
     // group-level cross matches, mirrored to both directions, folded
     // to one row per GROUP (best = argmin over (ed, mate gid); the
     // mate count sums member counts of the matched groups)
-    val sizes = grp.select(col("gid"), col("n"))
+    val sizes = grp.select(col("gid"), col("m").as("n"))
     val crossAgg = vg.select(col("ga"), col("gb"), col("ed"))
       .unionAll(vg.select(col("gb").as("ga"), col("ga").as("gb"), col("ed")))
       .join(sizes.select(col("gid").as("gb"), col("n").as("nb")), "gb")

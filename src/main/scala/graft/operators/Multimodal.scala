@@ -332,8 +332,9 @@ object Multimodal {
     // member itself), and each band-colliding group g' (hamming ≥ 1 —
     // distinct fingerprints always differ in some bit) contributes its
     // m' members with min mate id = g'.gid.
-    val g = fp.groupBy(col("phash_hex"), col("bands"))
-      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+    val g = Canonical.groups(
+      fp.select(col("doc_id"), col("phash_hex"), col("bands")),
+      "doc_id", Seq("phash_hex", "bands"))
     val bandRows = g.select(col("gid").as("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val gPairs = Dedup.candidatePairs(bandRows)
@@ -347,8 +348,9 @@ object Multimodal {
     val cross = gMates.groupBy(col("gid"))
       .agg(sum(col("mm")).as("n_cross"),
         min(struct(col("hamming"), col("mate"))).as("bc"))
-    val mem = fp.select(col("doc_id"), col("media_type"), col("phash_hex"))
-      .join(g.select(col("phash_hex"), col("gid"), col("m")), "phash_hex")
+    val mem = Canonical.members(
+      fp.select(col("doc_id"), col("media_type"), col("phash_hex")),
+      g, Seq("phash_hex")) // the hex determines the bands — join on it alone
     // second-min member per multi-member group: the min member's
     // within-family best mate
     val mn2 = mem.filter(col("doc_id") =!= col("gid"))

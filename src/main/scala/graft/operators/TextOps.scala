@@ -1275,14 +1275,17 @@ object TextOps {
     * At the 10× replica (10-deep verbatim families) this cuts the
     * hashed window mass ~10×; at 100 TB it makes the span family's
     * cost a function of NOVEL text, never of duplication depth.
-    * Returns (tkey, rep = min doc_id, m, text) per distinct text.
+    * Returns (tkey, rep = min doc_id, m, text) per distinct text —
+    * the shared [[Canonical]] collapse (rep ≡ its gid; membership is
+    * the degenerate by-key form, [[spanMembers]], since the md5 key
+    * is computable map-side on the member row).
     */
   private def spanGroups(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), col("text"), unhex(md5(col("text"))).as("tkey"))
-      .groupBy(col("tkey"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
-        first(col("text")).as("text"))
+    Canonical.groups(
+        docs(s, dir)
+          .select(col("doc_id"), col("text"), unhex(md5(col("text"))).as("tkey")),
+        "doc_id", Seq("tkey"))
+      .withColumnRenamed("gid", "rep")
 
   /** (doc_id, tkey, n_toks): map-only membership side of
     * [[spanGroups]] — what the canonical per-text statistics expand

@@ -557,4 +557,49 @@ class DedupSpec extends SparkSpec {
     assert(got === expect,
       s"best-match table must equal the local brute force (${expect.size} matched records)")
   }
+
+  test("q_dedup_containment: candidate recall is independent of exact-dup depth") {
+    // VERDICT r16 #1 (the q_dedup_minhash depth pin's containment
+    // twin): under the old per-DOCUMENT df rule, 25 verbatim copies of
+    // the contained doc pushed each of its shingles' df to 26 — past
+    // RareDfCap (20) — so the (container, contained) candidate
+    // silently vanished as crawl-dup depth grew. The r16 distinct-TEXT
+    // rule keeps those dfs at 2 at any depth: the cross-family pair
+    // set (projected to representatives) must be identical at m = 1
+    // and m = 25, the within-family pairs emit at containment 1.0
+    // without any hook requirement, and every member inherits its
+    // representative's verdict.
+    val contained = "alpha beta gamma delta epsilon zeta eta theta"
+    val container = contained +
+      " iota kappa lambda mu nu xi omicron pi rho sigma"
+    def corpus(m: Int): Seq[(Long, String)] =
+      Seq(1L -> container) ++
+        (0 until m).map(i => (100L + i) -> contained) ++
+        (0 until 8).map(i =>
+          (900L + i) -> s"filler doc $i with tokens f${i}a f${i}b f${i}c f${i}d f${i}e")
+    for (m <- Seq(1, 25)) {
+      val rows = Dedup.qDedupContainment(spark, docsDir(corpus(m))).collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (i <- 0 until m)
+        assert(pairs.contains((1L, 100L + i)),
+          s"m=$m: copy ${100 + i} of the contained doc must pair with its container")
+      val cross = rows.filter(_.getLong(0) == 1L)
+      assert(cross.length === m, s"m=$m: container pairs with every copy, nothing else")
+      cross.foreach { r =>
+        assert(r.getDouble(5) === 1.0, s"full containment expected: $r")
+        assert(r.getLong(2) === r.getLong(4),
+          s"inter must equal the contained (smaller) side's set size: $r")
+      }
+      val within = rows.filter(r => r.getLong(0) >= 100L && r.getLong(1) < 900L)
+      assert(within.length === m * (m - 1) / 2,
+        s"m=$m: every within-family pair emits, no hook requirement")
+      within.foreach { r =>
+        assert(r.getDouble(5) === 1.0 &&
+          r.getLong(2) === r.getLong(3) && r.getLong(3) === r.getLong(4),
+          s"within-family pair must carry inter = n_a = n_b at containment 1.0: $r")
+      }
+      assert(rows.length === cross.length + within.length,
+        s"m=$m: unique-filler docs must surface no pairs")
+    }
+  }
 }

@@ -273,6 +273,68 @@ object CorpusBuild {
     s.read.parquet(s"$path/manifest.parquet")
   }
 
+  /** Manifest-aware corpus compaction (VERDICT r16 #4): fold the
+    * generation-local shard layout N [[corpusUpsert]] increments
+    * accumulate (one small shard per increment, ranks local to each
+    * generation) back into the canonical [[corpusWrite]] layout — the
+    * global (desc toks, doc_id) LPT rank over ALL committed rows,
+    * `(rk − 1) mod nShards` shard assignment, rows re-sorted by
+    * doc_id within shards. Corpus CONTENT is untouched: the
+    * (doc_id, source, lang, toks, lane, pack_id, text) rows pass
+    * through unchanged — pack ids and lane cursors are functions of
+    * content and arrival order, which compaction does not alter —
+    * only `rk` and `shard` are recomputed (CorpusWriteSpec pins the
+    * multiset identity and the layout replay).
+    *
+    * Input is the COMMITTED corpus only (shard scan filtered to
+    * manifest-listed ids — the [[corpusUpsert]] bootstrap rule), so
+    * orphaned shard dirs from a pre-manifest-commit crash are
+    * excluded from the rewrite and DELETED with the old corpus dir at
+    * the publish swap — compaction is also the orphan collector.
+    *
+    * The staged dir carries a fresh manifest, lane-cursor table, and
+    * serve index (one signature pass over rows the rewrite is already
+    * moving — at any scale a fraction of the unavoidable shard
+    * rewrite; carrying the old index by filesystem move would save
+    * that pass but split the commit into two rename points, and would
+    * preserve any orphan signatures a pre-r16 unfiltered bootstrap
+    * indexed — rebuilding heals them). ONE [[swapInto]] publishes
+    * everything atomically; a crash before it leaves the live corpus
+    * untouched.
+    *
+    * @return the published (compacted) manifest
+    */
+  def corpusCompact(s: SparkSession, path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = s.read.parquet(s"$path/manifest.parquet")
+      .select(col("shard")).collect().map(_.getAs[Int]("shard"))
+    val committed = s.read.parquet(s"$path/shards.parquet")
+      .filter(col("shard").isin(ids.map(Integer.valueOf): _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+        col("lane"), col("pack_id"), col("text"))
+    val rows = graft.plans.Surrogate.rankedId(
+        committed.withColumn("wneg", -col("toks")), Seq("wneg", "doc_id"), "rk")
+      .withColumn("shard", expr(s"CAST((rk - 1) % ${TextOps.nShards} AS INT)"))
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+        col("lane"), col("pack_id"), col("rk"), col("shard"), col("text"))
+      .materialized // consumed four times: shards, manifest, lanes, index
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    fs.delete(tmp, true)
+    rows
+      .repartition(TextOps.nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$tmp/shards.parquet")
+    manifestOf(rows)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest.parquet")
+    rows.groupBy(col("lang"), col("lane")).agg(sum(col("toks")).as("lane_toks"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lanes.parquet")
+    Dedup.buildDedupIndexFrom(rows.select(col("doc_id"), col("text")), s"$tmp/index")
+    swapInto(fs, tmp, hPath, path + ".compact.old")
+    s.read.parquet(s"$path/manifest.parquet")
+  }
+
   /** The manifest rollup over materialized corpus rows — shared by
     * [[corpusWrite]] and [[corpusUpsert]] so the full build and the
     * increment produce identical manifest semantics (the content
@@ -305,6 +367,70 @@ object CorpusBuild {
       throw new java.io.IOException(s"publish: cannot publish $tmp into $dst")
     }
     fs.delete(old, true)
+  }
+
+  /** Per-document verdicts for an increment of NEW documents probed
+    * against a published corpus's serve index — the ONE increment
+    * funnel [[corpusUpsert]] commits and the streaming near-dedup tier
+    * ([[graft.streaming.Streams.corpusIncrements]]) emits per
+    * micro-batch, so the two cannot disagree on a verdict:
+    *
+    *   - `alive_rules`: the shared map-only column rules (normalize /
+    *     lang-ID / quality / repetition — the batch composition's).
+    *   - `alive_exact`: rules ∧ first-wins (min doc_id) within the
+    *     increment ∧ no verbatim copy in the index's md5 table.
+    *   - `alive_near`: exact ∧ not near-dropped within the increment
+    *     ([[Dedup.nearPairsFrom]], keep-first) ∧ not a near-dup of an
+    *     indexed doc ([[Dedup.incrementalDedup]] broadcast probe — the
+    *     corpus moves zero times).
+    *
+    * `beforeId`: when set, index entries with doc_id ≥ the bound are
+    * ignored by BOTH probes. Under the engine's in-order arrival
+    * contract (ids strictly increase across increments) passing the
+    * increment's min id makes the computation IDEMPOTENT against
+    * index appends the same increment may have already committed — a
+    * re-delivered micro-batch (foreachBatch is at-least-once on
+    * restart) recomputes the identical verdicts instead of seeing its
+    * own signatures and marking itself duplicate.
+    *
+    * Increment-sized throughout: one map pass over the new docs, the
+    * banded within-increment self-join, and two broadcast probes of
+    * the persisted index.
+    */
+  private[graft] def incrementVerdicts(s: SparkSession, idx: String,
+      newDocs: DataFrame, beforeId: Option[Long] = None): DataFrame = {
+    def gate(df: DataFrame): DataFrame =
+      beforeId.map(b => df.filter(col("doc_id") < b)).getOrElse(df)
+    val v = newDocs.select(
+        col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
+        col("text"), TextOps.packToks.as("toks"),
+        Dedup.contentMd5(col("text")).as("content_md5"),
+        ((TextOps.langPred === "en") && TextOps.qualityKeep(col("text")) &&
+          !TextOps.repetitive(col("text"))).as("alive_rules"))
+      .materialized
+    val ruleAlive = v.filter(col("alive_rules"))
+    // exact tier: first-wins within the increment, then the corpus probe
+    val firstWins = ruleAlive.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val aliveExact = ruleAlive.join(firstWins, "content_md5")
+      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+      .join(gate(s.read.parquet(s"$idx/md5")).select(col("content_md5")),
+        Seq("content_md5"), "left_anti")
+    // near tier: within-increment keep-first + the index serve
+    val incDrops = Dedup.nearPairsFrom(aliveExact.select(col("doc_id"), col("text")))
+      .select(col("id_b").as("doc_id")).distinct()
+    val aliveInc = aliveExact.join(incDrops, Seq("doc_id"), "left_anti")
+    val idxDrops = Dedup
+      .incrementalDedup(s, idx, aliveInc.select(col("doc_id"), col("text")), beforeId)
+      .filter(col("is_dup")).select(col("doc_id"))
+    v.join(aliveExact.select(col("doc_id"), lit(true).as("ex")), Seq("doc_id"), "left")
+      .join(incDrops.select(col("doc_id"), lit(true).as("nd")), Seq("doc_id"), "left")
+      .join(idxDrops.select(col("doc_id"), lit(true).as("xd")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"), col("toks"),
+        col("content_md5"), col("alive_rules"),
+        coalesce(col("ex"), lit(false)).as("alive_exact"),
+        (coalesce(col("ex"), lit(false)) &&
+          col("nd").isNull && col("xd").isNull).as("alive_near"))
   }
 
   /** Incremental corpus refresh (r15): run a batch of NEW documents
@@ -392,31 +518,12 @@ object CorpusBuild {
         .agg(sum(col("toks")).as("lane_toks"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/lanes.parquet")
 
-    // funnel verdicts — the shared column rules, one map-only pass
-    val v = newDocs.select(
-        col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
-        col("text"), TextOps.packToks.as("toks"),
-        Dedup.contentMd5(col("text")).as("content_md5"),
-        ((TextOps.langPred === "en") && TextOps.qualityKeep(col("text")) &&
-          !TextOps.repetitive(col("text"))).as("alive_rep"))
-      .filter(col("alive_rep")).drop("alive_rep")
-      .materialized
-
-    // exact tier: first-wins within the increment, then the corpus probe
-    val firstWins = v.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
-    val aliveExact = v.join(firstWins, "content_md5")
-      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
-      .join(s.read.parquet(s"$idx/md5").select(col("content_md5")),
-        Seq("content_md5"), "left_anti")
-
-    // near tier: within-increment keep-first + the index serve
-    val incDrops = Dedup.nearPairsFrom(aliveExact.select(col("doc_id"), col("text")))
-      .select(col("id_b").as("doc_id")).distinct()
-    val aliveInc = aliveExact.join(incDrops, Seq("doc_id"), "left_anti")
-    val survivors = aliveInc.join(
-        Dedup.incrementalDedup(s, idx, aliveInc.select(col("doc_id"), col("text")))
-          .filter(col("is_dup")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    // funnel verdicts + both dedup tiers — the shared increment chain
+    // ([[incrementVerdicts]], also the streaming tier's per-batch step)
+    val survivors = incrementVerdicts(s, idx, newDocs)
+      .filter(col("alive_near"))
+      .select(col("content_md5"), col("doc_id"), col("source"), col("lang"),
+        col("text"), col("toks"))
       .materialized
     val nInc = survivors.count()
     if (nInc == 0) return curManifest

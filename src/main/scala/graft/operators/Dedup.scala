@@ -986,8 +986,15 @@ object Dedup {
     * bucket, never quadratic, so the self-join hot-bucket salt is not
     * needed here.
     */
+  /** @param beforeId when set, indexed docs with id ≥ the bound are
+    *   invisible to the probe (band rows filtered before the
+    *   candidate join) — the idempotence device of
+    *   [[graft.operators.CorpusBuild.incrementVerdicts]] under
+    *   at-least-once batch re-delivery.
+    */
   private[graft] def incrementalDedup(
-      s: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+      s: SparkSession, path: String, newDocs: DataFrame,
+      beforeId: Option[Long] = None): DataFrame = {
     import graft.functions.{WordNgramMinHash, WordNgramHashes}
     // materialized: the signature pass feeds both the band probe and
     // the verify join — one pass per arriving doc, and the exact row
@@ -1002,7 +1009,9 @@ object Dedup {
     def probe(df: DataFrame): DataFrame = if (forceBroadcast) broadcast(df) else df
     val nBands = sigBandRows(nsig.select(col("doc_id"), col("sig_arr")), IdxBands, IdxRows)
       .select(col("doc_id").as("id_new"), col("band"), col("bucket"))
-    val idxBands = s.read.parquet(s"$path/bands")
+    val idxBandsAll = s.read.parquet(s"$path/bands")
+    val idxBands = beforeId
+      .map(b => idxBandsAll.filter(col("doc_id") < b)).getOrElse(idxBandsAll)
     val cand = idxBands
       .join(probe(nBands), Seq("band", "bucket"))
       .select(col("doc_id").as("id_old"), col("id_new"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming twins of the batch event-time operators
@@ -953,6 +953,59 @@ object Streams {
         aliveD("alive_rep").as("d3"), aliveT("alive_rep").as("t3"),
         aliveD("alive_exact").as("d4"), aliveT("alive_exact").as("t4"))
   }
+
+  /** Streaming NEAR-dedup serve tier (VERDICT r16 #3) — the
+    * increment-sized alternative to the impossible stream×corpus band
+    * join: each micro-batch is an increment probed against the
+    * PERSISTED signature index (the
+    * [[graft.operators.CorpusBuild.corpusUpsert]] device, run through
+    * the literally-shared [[graft.operators.CorpusBuild.incrementVerdicts]]
+    * chain, so this tier and the batch upsert cannot disagree on a
+    * verdict). Per batch: the full funnel (rules → exact first-wins →
+    * index md5 probe → within-batch near keep-first → index
+    * broadcast-probe near serve), verdicts to the caller's sink, then
+    * the accepted docs' signatures APPEND to the index so the next
+    * batch dedups against them — the corpus census's near stage stops
+    * being batch-only for increment-sized arrivals.
+    *
+    * Contracts: in-order arrival (doc ids strictly increase across
+    * batches and start above every indexed id — the pack-cursor /
+    * upsert contract verbatim); the index must exist (bootstrap with
+    * `Dedup.buildDedupIndexFrom` over the published shards, exactly
+    * what `corpusUpsert`'s first call does). foreachBatch is
+    * at-least-once on restart: verdict computation passes the batch's
+    * min id as the probe bound, so a re-delivered batch that already
+    * appended its signatures recomputes IDENTICAL verdicts (its own
+    * index entries are invisible to it) and its duplicate append rows
+    * are harmless (same md5s, candidate pairs de-duplicated by the
+    * probe's distinct). The sink receives (verdicts, batchId) —
+    * dedupe on batchId for an exactly-once downstream.
+    *
+    * Shape at scale: everything is increment-sized or a broadcast
+    * probe of an index scan — the corpus moves zero times per batch
+    * (the [[graft.operators.Dedup.incrementalDedup]] bill).
+    */
+  def corpusIncrements(docs: DataFrame, idxPath: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.plans.Materialize.MaterializeOps
+        val s = batch.sparkSession
+        val minRow = batch.agg(min(col("doc_id").cast("long"))).collect()(0)
+        if (!minRow.isNullAt(0)) {
+          val verdicts = graft.operators.CorpusBuild
+            .incrementVerdicts(s, idxPath, batch.toDF(), Some(minRow.getLong(0)))
+            .materialized
+          sink(verdicts, batchId)
+          // commit-last: verdicts are fully materialized BEFORE the
+          // append, so the probe never sees its own batch
+          val accepted = verdicts.filter(col("alive_near"))
+            .select(col("doc_id"), col("text"))
+          if (accepted.limit(1).collect().nonEmpty)
+            graft.operators.Dedup.appendDedupIndex(accepted, idxPath)
+        }
+      }
+      .start()
 
   /** Per-lane packing-counter state: running token sum, docs, packs,
     * and the last assigned pack id (pack ids are monotone per lane). */

@@ -1062,4 +1062,93 @@ class StreamsSpec extends SparkSpec {
       assert(got === Seq(("click", "view"), ("_start", "click"), ("click", "purchase")))
     } finally q.stop()
   }
+
+  test("corpusIncrements: streamed near-dedup tier matches corpusUpsert batch by batch") {
+    // VERDICT r16 #3 parity pin: the same two increments through (a)
+    // the batch corpusUpsert against a published corpus and (b) the
+    // streaming foreachBatch tier against an identically-published
+    // twin must agree on every accepted doc — including the
+    // cross-batch case where batch 2 plants a near-dup of a batch-1
+    // SURVIVOR, which only dedups if the tier really appends accepted
+    // signatures to the index between micro-batches.
+    import graft.operators.{CorpusBuild, Dedup}
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    def publish(tag: String): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-stream-near-$tag").toString + "/corpus"
+      CorpusBuild.corpusWrite(spark, sf0001, out)
+      out
+    }
+    val outBatch = publish("batch")
+    val outStream = publish("stream")
+
+    val shards = spark.read.parquet(s"$outBatch/shards.parquet")
+      .select("doc_id", "lang", "toks", "text").collect()
+    val maxId = shards.map(_.getLong(0)).max
+    val base = shards.maxBy(r => (r.getLong(2), -r.getLong(0)))
+    val base2 = shards.filter(_.getLong(0) != base.getLong(0))
+      .maxBy(r => (r.getLong(2), -r.getLong(0))) // second survivor: batch-2 novel donor
+    val (lang, baseText) = (base.getString(1), base.getString(3))
+    val reversed = baseText.split(" ").reverse.mkString(" ")
+    val nearOfCorpus = ("zzzqx" +: baseText.split(" ").drop(1)).mkString(" ")
+    val nearOfB1 = ("qqxzz" +: reversed.split(" ").drop(1)).mkString(" ")
+    val b1 = Seq(
+      (maxId + 1001L, "src_s", lang, reversed),     // novel -> survives
+      (maxId + 1002L, "src_s", lang, baseText),     // verbatim corpus copy -> md5 probe
+      (maxId + 1003L, "src_s", lang, nearOfCorpus), // near-dup of corpus -> index serve
+      (maxId + 1004L, "src_s", lang, reversed))     // within-batch exact twin -> first-wins
+    val b2 = Seq(
+      (maxId + 2001L, "src_s", lang, nearOfB1),     // near-dup of the b1 SURVIVOR -> appended index
+      (maxId + 2002L, "src_s", lang, reversed),     // verbatim copy of the b1 survivor -> appended md5
+      (maxId + 2003L, "src_s", base2.getString(1),
+        base2.getString(3).split(" ").reverse.mkString(" "))) // novel -> survives
+
+    // batch side: two upserts; accepted = new rows in the shards
+    CorpusBuild.corpusUpsert(spark, outBatch, b1.toDF("doc_id", "source", "lang", "text"))
+    CorpusBuild.corpusUpsert(spark, outBatch, b2.toDF("doc_id", "source", "lang", "text"))
+    val upsertAccepted = spark.read.parquet(s"$outBatch/shards.parquet")
+      .filter(col("doc_id") > maxId).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(upsertAccepted === Set(maxId + 1001L, maxId + 2003L),
+      "fixture sanity: exactly the two novel docs survive the batch upserts")
+
+    // stream side: bootstrap the index the way corpusUpsert does, then
+    // drive the same increments as two micro-batches
+    val idx = s"$outStream/index"
+    Dedup.buildDedupIndexFrom(
+      spark.read.parquet(s"$outStream/shards.parquet").select("doc_id", "text"), idx)
+    val perBatch = scala.collection.mutable.Map.empty[Long, Seq[(Long, Boolean, Boolean, Boolean)]]
+    val ms = MemoryStream[(Long, String, String, String)]
+    val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("source"),
+      col("_3").as("lang"), col("_4").as("text"))
+    val q = Streams.corpusIncrements(docs, idx) { (verdicts, batchId) =>
+      perBatch(batchId) = verdicts
+        .select("doc_id", "alive_rules", "alive_exact", "alive_near").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    }
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(perBatch.keySet === Set(0L, 1L), "one verdict set per micro-batch")
+    val v = perBatch.values.flatten.map(t => t._1 -> t).toMap
+    val streamAccepted = v.collect { case (id, (_, _, _, true)) => id }.toSet
+    assert(streamAccepted === upsertAccepted,
+      "streamed accepted set must equal the batch upserts' accepted set")
+    // per-stage attribution of every planted drop
+    assert(v(maxId + 1002L)._3 === false && v(maxId + 1002L)._2,
+      "verbatim corpus copy dies at the exact (md5 probe) tier")
+    assert(v(maxId + 1004L)._3 === false,
+      "within-batch exact twin dies at first-wins")
+    assert(v(maxId + 1003L)._3 && v(maxId + 1003L)._4 === false,
+      "near-dup of the corpus passes exact, dies at the index serve")
+    assert(v(maxId + 2001L)._3 && v(maxId + 2001L)._4 === false,
+      "near-dup of the batch-1 survivor dies ONLY if the tier appended its signatures")
+    assert(v(maxId + 2002L)._3 === false,
+      "verbatim copy of the batch-1 survivor dies at the appended md5 tier")
+  }
 }

@@ -73,11 +73,11 @@ object Bench {
     // but it must not silently shrink the median population either).
     // Lower-middle on an even population: with one flaked pass the two
     // survivors must not bill the query its WORST observed time.
-    val results = names.map { n =>
+    val results3 = names.map { n =>
       val ok = passes.map(_(n)).filter(_ >= 0).sorted
       n -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
     }
-    val failed = results.collect { case (n, v) if v < 0 => n }
+    val failed = results3.collect { case (n, v) if v < 0 => n }
 
     // Drain the listener bus: the marker job's job-start is processed
     // strictly after every event the measured passes emitted, so once
@@ -176,7 +176,7 @@ object Bench {
     val BytesFloor = 8L * 1024 * 1024
     def curBytes(n: String): Long =
       bytesFor(n).map(b => b.shuffleRead + b.shuffleWrite + b.input).getOrElse(0L)
-    val compared = results.collect {
+    val compared = results3.collect {
       case (n, w) if w >= 0 && baseline.contains(n) =>
         val b = baseline(n)
         (n, w / b.wall, (curBytes(n).toDouble + 1) / (b.bytes.toDouble + 1), curBytes(n))
@@ -189,9 +189,29 @@ object Bench {
     // (sub-0.2 s walls are below machine variance); the BYTES compare
     // below runs for every query, fast or slow — a plan that moves
     // 1.25× the data regressed no matter how quick the baseline was.
-    val wallDriftFlags = compared.collect {
+    val wallDriftCandidates = compared.collect {
       case (n, wr, br, _) if baseline(n).wall >= WallFloor && wr > WallDrift &&
         bytesFor(n).isDefined && br >= 1 - BytesBand && br <= 1 + BytesBand => n }
+    // Byte-flat wall movers are adjudicated LAST (VERDICT r16 #6):
+    // wall clock is the least trustworthy signal — the r15 driver
+    // round carried 13 WALL-DRIFT warns, every one byte-flat machine
+    // noise by the tripwire's own rule — so before a byte-flat mover
+    // is even WARNED about, the query is re-measured twice more and
+    // its median recomputed over all (≤5) successful passes. Only a
+    // drift that SURVIVES the re-measure is reported, and the
+    // re-measured median is what ships in the artifact; a GC pause or
+    // page-cache miss in one of the original three passes is absorbed
+    // instead of flagged. Queries that never drifted keep their
+    // median-of-3 (5 passes × 208 queries would triple the round's
+    // bench wall for nothing).
+    val remeasured: Map[String, Double] = wallDriftCandidates.map { n =>
+      val extra = Seq(runOne(n, 4), runOne(n, 5)).filter(_ >= 0)
+      val all = (passes.map(_(n)).filter(_ >= 0) ++ extra).sorted
+      n -> (if (all.isEmpty) -1.0 else all((all.size - 1) / 2))
+    }.toMap
+    val results = results3.map { case (n, w) => n -> remeasured.getOrElse(n, w) }
+    val wallDriftFlags = wallDriftCandidates.filter { n =>
+      remeasured(n) >= 0 && remeasured(n) / baseline(n).wall > WallDrift }
     val wallDriftNoBytes = compared.collect {
       case (n, wr, _, _) if baseline(n).wall >= WallFloor && wr > WallDrift &&
         bytesFor(n).isEmpty => n }

@@ -111,6 +111,40 @@ object StressDedup {
         .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups")).collect()
     }
 
+    // 3b. Span EXCISE on the hot corpus (r16 #7): the rewrite half
+    // rides the same canonical window pass; the hot family must
+    // resolve as ONE representative keeping its copy and famSize−1
+    // members excised to the empty string — group-sized work, never
+    // window-mass × famSize.
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val famIds = docsDf
+      .filter(Dedup.contentMd5(col("text")) === fam.getString(0))
+      .select(col("doc_id"))
+    val (exciseHot, tExcise) = timed {
+      TextOps.qSpanExcise(s, dir)
+        .join(famIds, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept_md5") === emptyMd5, 1L).otherwise(0L)).as("n_emptied"))
+        .collect()
+    }
+    val exciseHotOk = exciseHot(0).getLong(0) == famSize &&
+      exciseHot(0).getLong(1) == famSize - 1
+
+    // 3c. Entity shelf (r16 #7): verified GROUP pairs must track
+    // distinct records — on the replica (every register row m-deep)
+    // the group-pair count is the DISTINCT register's, and best-match
+    // folds at group granularity. Reported: groups vs records, group
+    // pairs, and the best-match wall.
+    val cust = graft.sources.Ingest.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    val nCust = cust.count()
+    val (grpE, _) = Dedup.entityGroups(cust)
+    val nGroups = grpE.count()
+    val (nGroupPairs, tEntityPairs) = timed {
+      Dedup.entityVerifiedGroupPairs(s, grpE).count()
+    }
+    val (_, tBestMatch) = timed { Dedup.qEntityBestMatch(s, dir).count() }
+
     // 4. The banded self-join (the one path with a quadratic risk):
     // above the salt cap (family > 1000, e.g. --hot-pct 5) the hot
     // bucket splits into ceil(s/cap) sub-buckets — pair work O(cap·s)
@@ -135,6 +169,13 @@ object StressDedup {
       s""""span_hot_dropped":${spanRows(0).getLong(1)}""",
       s""""dedup_exact_sec":${f"$tExact%.2f"}""",
       s""""n_exact_dups":${exactRows(0).getLong(0)}""",
+      s""""span_excise_sec":${f"$tExcise%.2f"}""",
+      s""""excise_hot_family_ok":$exciseHotOk""",
+      s""""n_customers":$nCust""",
+      s""""n_entity_groups":$nGroups""",
+      s""""n_entity_group_pairs":$nGroupPairs""",
+      s""""entity_group_pairs_sec":${f"$tEntityPairs%.2f"}""",
+      s""""entity_best_match_sec":${f"$tBestMatch%.2f"}""",
       s""""capped_buckets":${capStats.getLong(0)}""",
       s""""capped_members":${capStats.getLong(1)}""",
       s""""pair_sample_rate":${f"${capStats.getDouble(2)}%.3f"}""",

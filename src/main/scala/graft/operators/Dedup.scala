@@ -1425,9 +1425,14 @@ object Dedup {
     * column-pruned scan for a shuffle-file write ~85× the input —
     * the wrong trade at any scale.
     */
-  def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
-    val c = Ingest.table(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+  def qEntityMatch(s: SparkSession, dir: String): DataFrame =
+    entityMatchFrom(s, Ingest.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+
+  /** [[qEntityMatch]] over an arbitrary register frame — the spec
+    * hook for planted-depth invariants (DedupSpec r16).
+    */
+  private[graft] def entityMatchFrom(s: SparkSession, c: DataFrame): DataFrame = {
     val (grp, mem) = entityGroups(c)
     val vg = entityVerifiedGroupPairs(s, grp)
     // Expansion back to record pairs is OUTPUT-sized by construction:
@@ -1495,7 +1500,7 @@ object Dedup {
     * pin, since adversarial NEAR-dup density survives
     * canonicalization).
     */
-  private def entityVerifiedGroupPairs(s: SparkSession, grp: DataFrame): DataFrame = {
+  private[graft] def entityVerifiedGroupPairs(s: SparkSession, grp: DataFrame): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
     val sides = grp.select(
         col("gid"), col("c_nationkey"), col("c_mktsegment"),

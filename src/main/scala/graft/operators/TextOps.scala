@@ -1280,7 +1280,7 @@ object TextOps {
     * the degenerate by-key form, [[spanMembers]], since the md5 key
     * is computable map-side on the member row).
     */
-  private def spanGroups(s: SparkSession, dir: String): DataFrame =
+  private[graft] def spanGroups(s: SparkSession, dir: String): DataFrame =
     Canonical.groups(
         docs(s, dir)
           .select(col("doc_id"), col("text"), unhex(md5(col("text"))).as("tkey")),
@@ -1291,7 +1291,7 @@ object TextOps {
     * [[spanGroups]] — what the canonical per-text statistics expand
     * back through.
     */
-  private def spanMembers(s: SparkSession, dir: String): DataFrame =
+  private[graft] def spanMembers(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), unhex(md5(col("text"))).as("tkey"),
       expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
 

@@ -558,6 +558,40 @@ class DedupSpec extends SparkSpec {
       s"best-match table must equal the local brute force (${expect.size} matched records)")
   }
 
+  test("entity matching: verified group pairs are independent of exact-dup depth") {
+    // VERDICT r16 #7 (the StressDedup entity twin): SymSpell blocking
+    // runs over canonical GROUPS, so candidate/verify volume tracks
+    // distinct records — an m-deep replicated register must produce
+    // the identical verified group-pair set at any m, with the member
+    // expansion supplying the within-family (edit 0) and inherited
+    // cross pairs at output size.
+    val s = spark
+    import s.implicits._
+    def register(m: Int) = (
+      (0 until m).map(i => (100L + i, "anna maria", 1, "A")) ++ // the deep family
+        Seq((1L, "anna marla", 1, "A"),                          // ed-1 near name
+            (2L, "bob", 1, "A"), (3L, "anna maria", 2, "B"))     // decoys
+      ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    def groupPairs(m: Int) = {
+      val (grp, _) = Dedup.entityGroups(register(m))
+      Dedup.entityVerifiedGroupPairs(spark, grp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    }
+    val gp1 = groupPairs(1)
+    assert(gp1 === Set((1L, 100L, 1)), "one verified group pair: the ed-1 names")
+    assert(groupPairs(25) === gp1,
+      "group-pair volume must not move with exact-dup depth")
+
+    val got = Dedup.entityMatchFrom(spark, register(25)).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    val within = got.filter(t => t._1 >= 100L)
+    assert(within.size === 25 * 24 / 2 && within.forall(_._3 == 0),
+      "within-family expansion: every member pair at edit distance 0")
+    val cross = got.filter(t => t._1 < 100L)
+    assert(cross === (0 until 25).map(i => (1L, 100L + i, 1)).toSet,
+      "every family member inherits the representative's ed-1 match")
+  }
+
   test("q_dedup_containment: candidate recall is independent of exact-dup depth") {
     // VERDICT r16 #1 (the q_dedup_minhash depth pin's containment
     // twin): under the old per-DOCUMENT df rule, 25 verbatim copies of

@@ -838,4 +838,69 @@ class TextOpsSpec extends SparkSpec {
       if (rows(d.toInt)._5 > 0L) assert(nPred === nd, s"decile $d: all margins positive")
     }
   }
+
+  test("span family: window mass and verdicts are independent of exact-dup depth") {
+    // VERDICT r16 #7 (the StressDedup span twin): the stride-1 window
+    // explode is the engine's heaviest map stage, so the canonical
+    // collapse must keep its mass a function of DISTINCT texts — an
+    // m-deep verbatim family hashes its windows ONCE, global window
+    // frequency weights by m, members inherit the representative's
+    // stats, and unrelated docs' verdicts don't move with m.
+    val w = (1 to 20).map(i => s"w$i").mkString(" ") // one shared 20-word window
+    val x = ((1 to 5).map(i => s"x$i") ++ Seq(w) ++ (6 to 10).map(i => s"x$i")).mkString(" ")
+    val y = ((1 to 3).map(i => s"y$i") ++ Seq(w) ++ (4 to 10).map(i => s"y$i")).mkString(" ")
+    val z = (1 to 25).map(i => s"z$i").mkString(" ") // the replicated family text
+    def corpus(m: Int): Seq[(Long, String)] =
+      Seq(1L -> x, 2L -> y) ++ (0 until m).map(i => (100L + i) -> z)
+
+    def spanRows(m: Int) = {
+      val d = docsDir(corpus(m))
+      (d, TextOps.qSpanDedup(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap)
+    }
+    val (d1, rows1) = spanRows(1)
+    val (d25, rows25) = spanRows(25)
+
+    // canonical window mass: identical at m=1 and m=25 (3 distinct texts)
+    def windowMass(dir: String): (Long, Long) = {
+      val grp = TextOps.spanGroups(spark, dir)
+      val mass = TextOps.windowHashes(
+          grp.select(org.apache.spark.sql.functions.col("rep").as("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
+        .filter(org.apache.spark.sql.functions.col("h").isNotNull).count()
+      (grp.count(), mass)
+    }
+    assert(windowMass(d1) === windowMass(d25),
+      "hashed window mass must track distinct texts, not dup depth")
+
+    // unrelated docs' verdicts are depth-independent
+    assert(rows1(1L) === rows25(1L) && rows1(2L) === rows25(2L),
+      "the shared-window pair's verdicts must not move with the family's depth")
+    // the family: at m=1 no window repeats (freq 1), at m=25 every
+    // member is one full dup span, all members identical to the rep
+    assert(rows1(100L) === ((25L, 0L, 0L, 0L, 0.0, true)))
+    val famExpected = ((25L, 1L, 25L, 25L, 1.0, false))
+    (0 until 25).foreach { i =>
+      assert(rows25(100L + i) === famExpected,
+        s"family member ${100 + i} must inherit the representative's stats")
+    }
+
+    // excision: the family rep survives (it IS every family window's
+    // min-doc survivor), other members rebuild to the empty string;
+    // X (min id) keeps its shared window, Y excises exactly its 20
+    // foreign tokens — all depth-independent for the X/Y pair
+    val ex25 = TextOps.qSpanExcise(spark, d25).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(ex25(100L)._2 === 0L, "the family representative keeps its copy")
+    (1 until 25).foreach { i =>
+      assert(ex25(100L + i) === ((25L, 25L, 0L, emptyMd5)),
+        s"non-rep member ${100 + i} must be fully excised")
+    }
+    assert(ex25(1L)._2 === 0L, "X is the shared window's survivor — untouched")
+    assert(ex25(2L)._1 === 30L && ex25(2L)._2 === 20L && ex25(2L)._3 === 10L &&
+      ex25(2L)._4 != emptyMd5,
+      "Y must excise exactly the 20-token foreign island")
+  }
 }

@@ -450,7 +450,7 @@ object Analytics {
       |  COUNT(*) AS n_orders,
       |  MIN(o_totalprice) AS min_price,
       |  MAX(o_totalprice) AS max_price,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY FLOOR(o_totalprice / 1000)
       |ORDER BY bin""".stripMargin
@@ -1141,7 +1141,7 @@ object Analytics {
       |  (epoch_ms(ts) // 3600000) % 24 AS hour,
       |  COUNT(*) AS n_events,
       |  COUNT(DISTINCT user_id) AS n_users,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY dow, hour""".stripMargin
@@ -1753,7 +1753,7 @@ object Analytics {
     """WITH d AS (
       |  SELECT o_orderpriority,
       |    epoch_ms(o_orderdate) // 86400000 AS day,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
       |  FROM orders GROUP BY 1, 2),
       |s AS (
       |  SELECT o_orderpriority, list(v ORDER BY day) AS vals

@@ -51,19 +51,34 @@ object Relational {
       )
   }
 
+  /** Decimal sums leave DuckDB through VARCHAR-mediated casts (the
+    * [[graft.operators.ScaleOps.qStatsMomentsSql]] device): a direct
+    * DECIMAL→DOUBLE cast there is unscaled/10^scale — two roundings —
+    * which landed `sum_charge` 1 ULP off the JVM's correctly-rounded
+    * conversion at the 10× replica (the r16 sf1 sweep's catch; sf0.1
+    * happened to round the same way on every group).
+    */
   val q1PricingSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-      |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |GROUP BY l_returnflag, l_linestatus
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sbp,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sdp,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sc,
+      |    SUM(CAST(l_discount AS DECIMAL(4,2))) AS sd
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sbp AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sdp AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n AS avg_qty,
+      |  CAST(CAST(sbp AS VARCHAR) AS DOUBLE) / n AS avg_price,
+      |  CAST(CAST(sd AS VARCHAR) AS DOUBLE) / n AS avg_disc,
+      |  n AS count_order
+      |FROM g
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Tight-range selective filter + single aggregate (TPC-H Q6 shape) —
@@ -84,7 +99,7 @@ object Relational {
 
   val q6FilterSql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -117,7 +132,7 @@ object Relational {
     """SELECT l_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       |  o_orderpriority AS order_priority,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -156,7 +171,7 @@ object Relational {
 
   val q5StarJoinSql: String =
     """SELECT n_name AS nation_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -190,7 +205,7 @@ object Relational {
   val qWindowRankSql: String =
     """WITH rev AS (
       |  SELECT p_brand AS brand, p_partkey AS partkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_brand, p_partkey)
       |SELECT brand, partkey, revenue, rk FROM (
@@ -223,7 +238,7 @@ object Relational {
     """SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS year_g,
       |  coalesce(CAST(quarter(o_orderdate) AS INT), -1) AS quarter_g,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), CAST(quarter(o_orderdate) AS INT))
       |ORDER BY year_g, quarter_g""".stripMargin
@@ -276,8 +291,8 @@ object Relational {
   val qMonthlyTrendSql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
       |FROM orders
       |GROUP BY 1
       |ORDER BY year_month""".stripMargin
@@ -300,7 +315,7 @@ object Relational {
 
   val qRangeJoinSql: String =
     """SELECT band_id, lo, hi, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |JOIN (SELECT range AS band_id, CAST(range * 50000.0 AS DOUBLE) AS lo,
       |             CAST((range + 1) * 50000.0 AS DOUBLE) AS hi
@@ -602,7 +617,7 @@ object Relational {
     """SELECT o_orderkey, o_custkey,
       |  epoch_ms(o_orderdate) // 86400000 AS day,
       |  COUNT(*) OVER w AS n_30d,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30d
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_30d
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)

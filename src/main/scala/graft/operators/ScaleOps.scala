@@ -51,7 +51,7 @@ object ScaleOps {
     """SELECT event_type,
       |  COUNT(DISTINCT user_id) AS n_users,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -91,7 +91,7 @@ object ScaleOps {
       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
       |       ELSE o_orderpriority END AS priority_g,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY CUBE (CAST(year(o_orderdate) AS INT), o_orderpriority)
       |ORDER BY year_g, priority_g""".stripMargin
@@ -265,7 +265,7 @@ object ScaleOps {
   val qGroupTopkSql: String =
     """WITH rev AS (
       |  SELECT p_brand AS brand, p_partkey AS partkey,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY p_brand, p_partkey)
       |SELECT brand, partkey, revenue, rk FROM (
@@ -464,8 +464,8 @@ object ScaleOps {
       |  CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
       |  CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
       |  MIN(lo) AS fence_lo, MAX(hi) AS fence_hi,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) / COUNT(*) AS mean_raw,
-      |  CAST(SUM(CAST(LEAST(GREATEST(l_quantity, lo), hi) AS DECIMAL(12,3))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_raw,
+      |  CAST(CAST(SUM(CAST(LEAST(GREATEST(l_quantity, lo), hi) AS DECIMAL(12,3))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*) AS mean_winsor
       |FROM b GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -581,7 +581,7 @@ object ScaleOps {
       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
       |       ELSE o_orderpriority END AS priority_g,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INT)), (o_orderpriority), ())
       |ORDER BY year_g, priority_g""".stripMargin

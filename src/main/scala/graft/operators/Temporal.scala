@@ -55,7 +55,7 @@ object Temporal {
       |  COUNT(*) AS n_events,
       |  min(ts_ms) AS session_start_ms,
       |  max(ts_ms) AS session_end_ms,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS session_value
       |FROM sess
       |GROUP BY user_id, session_id""".stripMargin
 
@@ -110,7 +110,7 @@ object Temporal {
       |  MIN(ts_ms) AS session_start_ms,
       |  CAST(MAX(ts_ms) + 1800000 AS BIGINT) AS session_end_ms,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS session_value
       |FROM sess
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_ms""".stripMargin
@@ -259,7 +259,7 @@ object Temporal {
     """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
       |  event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start_ms, event_type""".stripMargin
@@ -293,7 +293,7 @@ object Temporal {
       |        unnest([w0, w0 - 1800000]) AS window_start_ms FROM x)
       |SELECT window_start_ms, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM w
       |GROUP BY window_start_ms, event_type
       |ORDER BY window_start_ms, event_type""".stripMargin

@@ -6,41 +6,36 @@
 #
 #   tools/run_oracle_sf1.sh [replica_dir] [outdir]
 #
-# Surface: the dedup / graph / classifier / ANN shelves, the
-# corpus-build compositions, and the per-vector embedding-audit rows.
-# Every oracle runs under its own timeout so one heavy SQL cannot stall
-# the sweep; a timeout records as "skipped_oracle_cost", never as a
-# silent pass. The ANN shelf (whose oracles re-run Lloyd / pairwise
-# O(queries x vectors) lambda folds in DuckDB — the cost is the
-# ORACLE's, not the engine's) gets its own, tighter ANN_TIMEOUT_S so a
-# genuinely pairwise oracle is adjudicated by measurement, not by fiat.
+# Surface: FULL (VERDICT r16 #2) — every SparkEntry query with an
+# oracle, discovered from the verify dump's oracle_sql.json rather
+# than a hand-kept shelf list, so new rows join the sweep by existing.
+# Every oracle runs under its own timeout (the 420 s per-oracle
+# budget) so one heavy SQL cannot stall the sweep; a timeout records
+# as "skipped_oracle_cost" with the budget named — an ADJUDICATED
+# exclusion, never a silent pass. The heavy class is always the
+# ORACLE's cost, not the engine's (DuckDB re-runs Lloyd folds,
+# pairwise lambda scans, recursive CTE closures the engine expresses
+# as bounded iterations).
 set -e
 REPLICA=${1:-/tmp/sf1}
 OUT=${2:-/tmp/gv_sf1}
-TIMEOUT_S=${TIMEOUT_S:-900}
-ANN_TIMEOUT_S=${ANN_TIMEOUT_S:-420}
+TIMEOUT_S=${TIMEOUT_S:-420}
 cd /root/repo
 if [ ! -d "$REPLICA" ]; then
   echo "[sf1] building 10x replica at $REPLICA"
   python3 tools/make_replica.py /root/testdata/sf0.1 "$REPLICA" 10
 fi
 
-DEDUP="q_dedup_exact,q_prefix_dedup,q_suffix_dedup,q_dedup_minhash,q_dedup_clusters,q_dedup_simhash,q_dedup_containment,q_ngram_jaccard,q_minhash_error,q_dup_summary,q_dup_flow,q_dup_source,q_dup_by_batch,q_dup_tokens,q_source_overlap,q_lang_leak,q_entity_match,q_entity_best_match,q_phash_dedup,q_dedup_segment,q_span_dedup,q_span_excise,q_span_leaderboard,q_lsh_bucket_stats"
-GRAPH="q_pagerank,q_components,q_degree_stats,q_kcore,q_triangles,q_label_prop,q_graph_modularity,q_assortativity,q_clustering_coeff,q_link_predict,q_basket_pairs,q_user_overlap"
-CLASSIFIER="q_classifier_eval,q_hashed_classifier,q_classifier_calibration,q_lm_perplexity,q_ppl_source_mix,q_dsir_weights"
-CORPUS="q_corpus_build,q_corpus_manifest,q_filter_pipeline,q_source_quality,q_pack_sequences,q_pack_waste,q_shard_plan,q_session_window,q_gopher_rules"
-EMBED="q_embed_stats,q_norm_hist,q_embed_centroid"
-ANN="q_ann_bruteforce,q_ann_lsh,q_ann_ivf,q_ann_quantized,q_ann_recall,q_quant_recall,q_ann_probe_curve,q_lsh_probe_curve,q_semdedup,q_dedup_embedding,q_cluster_quality,q_cluster_keywords,q_centroid_assign,q_centroid_shift,q_embed_outlier,q_hybrid_search,q_rrf_fusion"
-ALL="$DEDUP,$GRAPH,$CLASSIFIER,$CORPUS,$EMBED,$ANN"
-
-echo "[sf1] verify dump for $(echo "$ALL" | tr ',' '\n' | wc -l) queries"
-SPARK_GRAFT_ONLY="$ALL" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+echo "[sf1] full-surface verify dump"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
   tools/run_verify.sh "$REPLICA" "$OUT" 2>&1 | grep -iE "\[verify\].*failed" || true
+
+ALL=$(python3 -c "import json; print(','.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
+echo "[sf1] oracle sweep over $(echo "$ALL" | tr ',' '\n' | wc -l) queries"
 
 mkdir -p "$OUT/percheck"
 for q in $(echo "$ALL" | tr ',' ' '); do
   t="$TIMEOUT_S"
-  case ",$ANN," in *",$q,"*) t="$ANN_TIMEOUT_S";; esac
   if CHECK_ONLY="$q" timeout "$t" \
       python3 tools/check_oracle.py "$REPLICA" "$OUT" "$OUT/percheck/$q.json" \
       > "$OUT/percheck/$q.log" 2>&1; then

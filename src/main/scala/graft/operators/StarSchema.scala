@@ -512,6 +512,20 @@ object StarSchema {
         col("priority").as("priority_at_ship"), col("version"))
   }
 
+  /** Oracle re-expressed as the union+window propagation (r16, the
+    * engine's own as-of device): the straightforward
+    * scd-range-join form pairs every lineitem with every same-custkey
+    * version before filtering — quadratic per key, >420 s at the 10×
+    * replica where key families are 10-deep — while this form sorts
+    * version-change events before ship-date probes per custkey and
+    * propagates the last seen (priority, version) with one window:
+    * O(n log n). Tie rule: at equal timestamps changes apply before
+    * probes (a ship on the change date takes the NEW version, the
+    * half-open-interval semantic), and among same-instant changes the
+    * (date, orderkey) window order makes the last one the effective
+    * version — identical to the range form, where earlier same-instant
+    * versions carry empty [d, d) intervals.
+    */
   val qAsofDimSql: String =
     """WITH base AS (
       |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -522,19 +536,35 @@ object StarSchema {
       |scd AS (
       |  SELECT o_custkey, CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
       |    o_orderpriority AS priority, o_orderdate AS valid_from,
-      |    LEAD(o_orderdate) OVER w2 AS valid_to
+      |    o_orderkey AS src_ok
       |  FROM chg
-      |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-      |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
-      |  l.l_shipdate, o.o_custkey,
-      |  scd.priority AS priority_at_ship, scd.version
-      |FROM lineitem l
-      |JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |JOIN scd ON o.o_custkey = scd.o_custkey
-      |  AND scd.valid_from <= l.l_shipdate
-      |  AND (scd.valid_to IS NULL OR l.l_shipdate < scd.valid_to)
-      |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
-      |  AND l.l_shipdate < TIMESTAMP '1995-04-01'
+      |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |probes AS (
+      |  SELECT o.o_custkey, l.l_shipdate AS ts, l.l_orderkey,
+      |    CAST(l.l_linenumber AS BIGINT) AS l_linenumber
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1995-04-01'),
+      |ev AS (
+      |  SELECT o_custkey, valid_from AS ts, 0 AS kind, src_ok,
+      |    NULL::BIGINT AS l_orderkey, NULL::BIGINT AS l_linenumber,
+      |    priority, version
+      |  FROM scd
+      |  UNION ALL
+      |  SELECT o_custkey, ts, 1 AS kind, NULL::BIGINT AS src_ok,
+      |    l_orderkey, l_linenumber, NULL AS priority, NULL::BIGINT AS version
+      |  FROM probes),
+      |flt AS (
+      |  SELECT *,
+      |    last_value(priority IGNORE NULLS) OVER w3 AS cur_p,
+      |    last_value(version IGNORE NULLS) OVER w3 AS cur_v
+      |  FROM ev
+      |  WINDOW w3 AS (PARTITION BY o_custkey ORDER BY ts, kind, src_ok
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT l_orderkey, l_linenumber, ts AS l_shipdate, o_custkey,
+      |  cur_p AS priority_at_ship, cur_v AS version
+      |FROM flt
+      |WHERE kind = 1 AND cur_p IS NOT NULL
       |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin
 
   /** Holiday order-volume lift per year — the first report a

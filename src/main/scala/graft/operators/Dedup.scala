@@ -331,8 +331,11 @@ object Dedup {
     // specializes the aggregate per branch, so without the checkpoint
     // the text shuffle would re-run once per consumer
     val grp = Canonical.groups(keyed, "doc_id", Seq("tkey")).materialized
+    // the member table is consumed four times by the pair expansion
+    // (two cross joins + the within self-join) — materialized (24 B/doc)
+    // so the corpus text is scanned and md5'd ONCE, not once per branch
     val mem = Canonical.members(keyed.select(col("tkey"), col("doc_id")),
-      grp, Seq("tkey"))
+      grp, Seq("tkey")).materialized
     val rp = repPairs(grp.select(col("gid").as("doc_id"), col("text")))
       .withColumnRenamed("id_a", "ga").withColumnRenamed("id_b", "gb")
     Canonical.expandPairs(rp, mem, "doc_id", "id_a", "id_b",
@@ -880,11 +883,15 @@ object Dedup {
       .drop("mn")
     // per-doc set size (n_a/n_b are SIDE-specific, so they attach
     // after the least/greatest orientation, not through the pair
-    // payload): distinct-text sized, expanded through the membership
+    // payload): distinct-text sized, expanded through the membership.
+    // Materialized (28 B/doc) — six consumers (pair expansion ×4 +
+    // the two n_a/n_b attaches) would otherwise each re-scan the
+    // corpus text for the md5 key.
     val sz = Canonical.members(keyed.select(col("tkey"), col("doc_id")), grp, Seq("tkey"))
       .join(sets.select(col("doc_id").as("gid"), size(col("sh")).cast("long").as("nsh")),
         "gid")
       .select(col("doc_id"), col("gid"), col("nsh"))
+      .materialized
     val pairs = Canonical.expandPairs(
       vg, sz, "doc_id", "id_a", "id_b",
       Seq("inter", "containment"), Seq(col("x.nsh"), lit(1.0)))

@@ -24,15 +24,50 @@ object Ann {
 
   private val K = 5
 
-  /** Query subset: every 50th vector (10 queries at sf0.01). */
+  /** Audit query-set size — FIXED, not a corpus fraction (VERDICT r16
+    * #1): with Q₀ constant, every exact baseline in the audit family
+    * (brute force, quantized, both recall rows, both probe curves) is
+    * O(N·Q₀) — linear in the corpus — where the r1-r16 `vec_id % 50`
+    * fraction made them O(N²/50), unrunnable at 100×. */
+  private[graft] val QueryK = 128
+
+  /** Corpus + query split. Queries are the [[QueryK]] vectors with the
+    * smallest `splitmix64(vec_id) >>> 1` — a deterministic fixed-SIZE
+    * uniform sample (the `q_weighted_sample`/`q_sample_uniform` rank
+    * device): rebuild-stable across runs, partitions and engines
+    * (splitmix64 is a 64-bit bijection, so ranks are almost-surely
+    * tie-free; vec_id breaks the 2⁻⁶³ >>>1 collision anyway).
+    *
+    * Shape at scale: map-only hash + TakeOrderedAndProject
+    * (per-partition Q₀-heaps, Q₀-row merge) — no global sort, no
+    * corpus shuffle; the query side stays broadcast-sized forever.
+    */
   private[graft] def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftBridge
     val base = Ingest.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), Dedup.norm("embedding").as("nrm"))
-    val queries = base.filter(col("vec_id") % 50 === 0)
+    val mixed = GraftBridge.column(graft.functions.SplitMix64(
+      GraftBridge.expression(col("vec_id"))))
+    val queries = base
+      .withColumn("u63", shiftrightunsigned(mixed, 1))
+      .orderBy(col("u63"), col("vec_id"))
+      .limit(QueryK)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     (base, queries)
   }
+
+  /** The query-id set as prefixable DuckDB CTEs (replays [[split]]:
+    * [[OracleEmul.mix]] in HUGEINT, `>>> 1` = `// 2` on the unsigned
+    * value, rank-limit [[QueryK]]). MATERIALIZED — every oracle
+    * references its `q` CTE several times and DuckDB inlines
+    * multiply-referenced CTEs (the OracleEmul rule). */
+  private def qidsCte(p: String): String =
+    s"""${p}qids AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ${OracleEmul.mix("vec_id::HUGEINT")} // 2 AS u63
+       |    FROM embeddings)
+       |  ORDER BY u63, vec_id LIMIT $QueryK)""".stripMargin
 
   private def topK(scored: DataFrame): DataFrame =
     scored
@@ -70,9 +105,10 @@ object Ann {
     s"""${p}base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
+       |${qidsCte(p)},
        |${p}q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM ${p}base WHERE vec_id % 50 = 0),
+       |  FROM ${p}base WHERE vec_id IN (SELECT vec_id FROM ${p}qids)),
        |${p}scored AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    ${Dedup.sqlDot("embedding", "q_emb")} / (nrm * q_nrm) AS cosine
@@ -193,9 +229,10 @@ object Ann {
        |base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
+       |${qidsCte("")},
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM base WHERE vec_id % 50 = 0),
+       |  FROM base WHERE vec_id IN (SELECT vec_id FROM qids)),
        |cu AS (
        |  SELECT b.vec_id, rm.t,
        |    unnest(range(0, $Dim)) AS j,
@@ -223,7 +260,8 @@ object Ann {
        |  SELECT vec_id AS query_id,
        |    CAST(t * ${2 * Dim} + 2 * j + CASE WHEN u > 0 THEN 1 ELSE 0 END
        |      AS INTEGER) AS bkey
-       |  FROM ranked WHERE pr <= $probes AND vec_id % 50 = 0),
+       |  FROM ranked WHERE pr <= $probes
+       |    AND vec_id IN (SELECT vec_id FROM qids)),
        |cand$tag AS (
        |  SELECT DISTINCT k.query_id, c.vec_id AS neighbor_id
        |  FROM ck c JOIN qk$tag k ON c.bkey = k.bkey
@@ -487,9 +525,10 @@ object Ann {
     s"""base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
+       |${qidsCte("")},
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM base WHERE vec_id % 50 = 0),
+       |  FROM base WHERE vec_id IN (SELECT vec_id FROM qids)),
        |fpos AS (
        |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $FpScale) AS BIGINT) AS f
@@ -963,9 +1002,10 @@ object Ann {
        |  FROM embeddings),
        |${p}base AS (
        |  SELECT vec_id, codes, sqrt(${dot8("codes", "codes")}) AS n8 FROM ${p}coded),
+       |${qidsCte(p)},
        |${p}q AS (
        |  SELECT vec_id AS query_id, codes AS q_codes, n8 AS qn8
-       |  FROM ${p}base WHERE vec_id % 50 = 0),
+       |  FROM ${p}base WHERE vec_id IN (SELECT vec_id FROM ${p}qids)),
        |${p}scored AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    ${dot8("codes", "q_codes")} / (n8 * qn8) AS cosine
@@ -1701,9 +1741,10 @@ object Ann {
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
        |  FROM embeddings),
+       |${qidsCte("")},
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM base WHERE vec_id % 50 = 0),
+       |  FROM base WHERE vec_id IN (SELECT vec_id FROM qids)),
        |scored AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    ${Dedup.sqlDot("embedding", "q_emb")} AS dot,

@@ -13,7 +13,8 @@ class AnnSpec extends SparkSpec {
   test("brute force returns exactly k ranked neighbors per query") {
     val rows = Ann.qAnnBruteforce(spark, sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
-    assert(byQ.size === 10, "sf0.001 has 10 query vectors (vec_id % 50 == 0)")
+    assert(byQ.size === Ann.QueryK,
+      s"the query set is the fixed-size splitmix sample (QueryK=${Ann.QueryK})")
     byQ.foreach { case (q, rs) =>
       assert(rs.length === 5, s"query $q must have 5 neighbors")
       assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))

@@ -222,6 +222,60 @@ class AnnSpec extends SparkSpec {
       "a full rebuild must clear streamed batch directories")
   }
 
+  test("IVF-PQ index: codes compress 2×+ on disk; recall ≥ 0.9 vs float serve; both scans prune") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val fullIvf = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
+    Ann.buildIvfPqIndex(spark, sf0001, path)
+    Ann.buildIvfIndex(spark, sf0001, fullIvf)
+    // compression: the scanned half stores 1-byte codes, the float
+    // half 4-byte components — the 4× storage claim must survive
+    // parquet encoding with at least 2× to spare
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val codeBytes = bytesUnder(s"$path/index.parquet")
+    val floatBytes = bytesUnder(s"$path/rerank.parquet")
+    info(s"IVF-PQ scanned half: $codeBytes B vs float half: $floatBytes B")
+    assert(codeBytes * 2 < floatBytes,
+      s"int8 codes half must be at most half the float half on disk: $codeBytes vs $floatBytes")
+    // recall floor vs the float serve (the q_quant_recall device): the
+    // candidate cells are identical, so the only loss is a true top-K
+    // neighbor falling out of the quantized top-(4K) over-fetch
+    val ref = topSets(Ann.ivfServe(spark, sf0001, fullIvf).collect())
+    val served = Ann.ivfPqServe(spark, sf0001, path)
+    val got = topSets(served.collect())
+    val recalls = ref.map { case (q, bs) =>
+      got.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@5 vs float IVF serve over ${ref.size} queries: $recall%.3f")
+    assert(recall >= 0.9, f"float rerank of the int8 top-4K should recover ≥ 0.9, got $recall%.3f")
+    // plan: the codes scan prunes to probed cells; the float scan is a
+    // point lookup (probed cells AND a pushed vec_id IN filter)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"the probed-cell isin must prune both halves at the scan:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"the rerank scan must push the candidate-id IN filter into parquet:\n$p")
+  }
+
+  test("ivfPqUpsert: serve-after-upsert == one-shot build serve") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfpq-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString
+    Ann.buildIvfPqIndex(spark, sf0001, full)
+    Ann.buildIvfPqIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    Ann.ivfPqUpsert(spark, incr, corpus.filter(col("vec_id") % 7 === 0))
+    val ref = Ann.ivfPqServe(spark, sf0001, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ann.ivfPqServe(spark, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref, "upserted IVF-PQ index must serve exactly what a rebuild serves")
+  }
+
   /** Int8 quantization costs 4× less memory; this pins what it costs
     * in ANSWER quality. 127 levels over a 64-dim unit-ish vector
     * perturbs each cosine by ~1e-3 — far below the corpus's typical

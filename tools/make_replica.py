@@ -23,10 +23,29 @@ doc_id) to ONE fixed string, so a single content hash covers ~P% of
 the corpus -- the worst case for content-hash bucketing
 (incrementalDedup, q_span_dedup, q_dedup_exact).
 
+Optional language planting (VERDICT r16 #3): --plant-langs rewrites
+each document's text as a PURE FUNCTION OF (text, lang) so the
+synthetic corpus carries real language signal for the lang-ID /
+confusion / mix / DSIR shelves (the driver corpus draws every lang's
+text from one shared vocabulary, so those rows otherwise exercise
+plumbing only):
+  - lang in {es,de,fr}: the language's 6 marker stopwords (the same
+    lists TextOps votes on) are prepended 3x, so the labeled language
+    wins the vote; rows whose md5(text) starts with '0' (~1/16)
+    instead get the NEXT language's markers (es->de->fr->es) -- a
+    KNOWN planted off-diagonal mass the confusion audit must recover;
+  - lang = zh: one CJK char is prepended (the non-ASCII route);
+  - lang = en: unchanged.
+Because the rewrite never reads doc_id or the replica index, F-deep
+exact-dup families stay exact (copies share text AND lang), so the
+dedup-depth stress properties are preserved. Incompatible with
+--hot-pct (the hot text would fan out across langs).
+
 Usage:
-  python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P]
+  python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P | --plant-langs]
   python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1 10
   python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1hot 10 --hot-pct 1
+  python3 tools/make_replica.py /root/testdata/sf0.01 /tmp/sf001pl 1 --plant-langs
 """
 import os
 import sys
@@ -76,8 +95,13 @@ def main():
     ap.add_argument("factor", type=int)
     ap.add_argument("--hot-pct", type=float, default=None,
                     help="rewrite every (100/P)-th document to one fixed text")
+    ap.add_argument("--plant-langs", action="store_true",
+                    help="plant per-language marker stopwords into document"
+                         " text (pure function of (text, lang) — dup-preserving)")
     a = ap.parse_args()
     src, dest, factor, hot_pct = a.src, a.dest, a.factor, a.hot_pct
+    if hot_pct and a.plant_langs:
+        ap.error("--hot-pct and --plant-langs are mutually exclusive")
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
 
@@ -116,6 +140,27 @@ def main():
                    f" CASE WHEN doc_id % {k} = 0 THEN CAST(length('{hot_text}') AS BIGINT)"
                    f" ELSE n_chars END AS n_chars FROM ({union})")
             print(f"documents: hot key on every {k}-th doc (~{hot_pct}%)")
+        if t == "documents" and a.plant_langs:
+            # marker lexicons mirror TextOps' vote lists; the planted
+            # lexicon is the labeled language's, EXCEPT rows whose
+            # md5(text) leads with '0' (~1/16), which get the next
+            # language's markers — the known off-diagonal plant
+            lex = {"es": "el la de que y en", "de": "der die das und ist zu",
+                   "fr": "le les des et une est"}
+            nxt = {"es": "de", "de": "fr", "fr": "es"}
+            def pfx(lang):
+                own = (lex[lang] + " ") * 3
+                other = (lex[nxt[lang]] + " ") * 3
+                return (f"CASE WHEN substr(md5(text), 1, 1) = '0'"
+                        f" THEN '{other}' ELSE '{own}' END")
+            cases = " ".join(
+                f"WHEN lang = '{l}' THEN {pfx(l)} || text" for l in lex)
+            new_text = (f"CASE WHEN lang = 'zh' THEN '中 ' || text"
+                        f" {cases} ELSE text END")
+            out = (f"SELECT doc_id, {new_text} AS text, lang, source,"
+                   f" CAST(length({new_text}) AS BIGINT) AS n_chars"
+                   f" FROM ({union})")
+            print("documents: planted language markers (1/16 off-diagonal)")
         con.execute(f"COPY ({out}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}/{t}.parquet')").fetchone()[0]

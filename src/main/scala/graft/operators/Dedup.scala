@@ -1381,6 +1381,22 @@ object Dedup {
     */
   val EntityMaxDist = 2
 
+  /** The second blocking pass's distance tier (VERDICT r16 #4):
+    * sorted-neighborhood pairs at exactly this edit distance also
+    * count as links — typos past the SymSpell deletion radius
+    * (e.g. three substitutions) that production MDM stacks catch
+    * with an extra pass over the same canonicalize→block→verify
+    * shape. */
+  val EntitySndDist = 3
+
+  /** Sorted-neighborhood window (group ranks in (name, gid) order).
+    * Part of the MATCH RULE, not just a heuristic: an ed-3 pair
+    * counts iff the two distinct names sort within this many ranks —
+    * deterministic, so the DuckDB oracle replays it exactly (the
+    * classic SNM trade, documented: an ed-3 typo in the leading
+    * characters sorts away and is out of rule). */
+  val EntitySnmWindow = 8
+
   /** 64-bit hashes of every string obtainable by deleting at most
     * [[EntityMaxDist]] (= 2) characters from `c` — the SymSpell
     * deletion-neighborhood signature set. Pigeonhole guarantee: if
@@ -1405,6 +1421,14 @@ object Dedup {
     * Survivor pairs are verified with exact Levenshtein distance —
     * codegen'd `levenshtein`, the same classic DP DuckDB runs, so the
     * match SET is hash-checked, not a similarity estimate.
+    *
+    * MATCH RULE (extended r17, VERDICT r16 #4): a pair links iff
+    * ed ≤ [[EntityMaxDist]] (SymSpell pass — pigeonhole-complete), OR
+    * ed = [[EntitySndDist]] AND the two distinct names sort within
+    * [[EntitySnmWindow]] group ranks (the sorted-neighborhood second
+    * pass, [[entitySnmGroupPairs]]) — the production two-pass stack
+    * over one canonicalize→block→verify→expand pipeline. Both passes
+    * are deterministic, so the oracle replays the full rule.
     *
     * Shape at scale (VERDICT r10/r11: the previous pure
     * (nation × mktsegment) blocking had FIXED cardinality 125, so
@@ -1532,6 +1556,46 @@ object Dedup {
         // levenshtein compares).
         levenshtein(col("name_a"), col("name_b"), EntityMaxDist).as("ed"))
       .filter(col("ed") >= 0 && col("ed") <= EntityMaxDist)
+      // r17 (VERDICT r16 #4): the second blocking pass. Disjoint by
+      // construction (pass 1 keeps ed ≤ 2, pass 2 keeps ed = 3), so
+      // plain union — no pair ever verifies twice into the output.
+      .unionByName(entitySnmGroupPairs(grp))
+  }
+
+  /** Second blocking pass: SORTED-NEIGHBORHOOD over the canonical
+    * groups (Hernández & Stolfo 1995) — groups ranked by
+    * (c_name, gid) via the scale-safe [[graft.plans.Surrogate]]
+    * range-partition rank (no single-partition window), each group
+    * compared with its next [[EntitySnmWindow]] ranks, verified at
+    * exactly [[EntitySndDist]] edits with the same attribute equality
+    * as pass 1. Catches distance-3 typos the deletion-radius-2
+    * pigeonhole cannot (SymSpell fan-out at radius 3 is ~6× —
+    * 1+L+C(L,2)+C(L,3) variants — the wrong trade when names share
+    * long sorted prefixes, the common register shape).
+    *
+    * Shape at scale: one range exchange of the GROUP table (distinct
+    * names — exact-dup depth never inflates it), a W-fan-out explode
+    * on the rank key joined equi (never a rank range join), W·G
+    * banded verifies. Candidate volume is W per distinct name — linear
+    * by construction, the SNM selling point.
+    */
+  private[graft] def entitySnmGroupPairs(grp: DataFrame): DataFrame = {
+    val ranked = graft.plans.Surrogate.rankedId(
+      grp.select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment")),
+      Seq("c_name", "gid"), "rk")
+    val lo = ranked.select(col("gid").as("gid_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nat_a"), col("c_mktsegment").as("mkt_a"),
+      explode(expr(s"sequence(rk + 1, rk + $EntitySnmWindow)")).as("prk"))
+    val hi = ranked.select(col("gid").as("gid_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nat_b"), col("c_mktsegment").as("mkt_b"),
+      col("rk").as("prk"))
+    lo.join(hi, Seq("prk"))
+      .filter(col("nat_a") === col("nat_b") && col("mkt_a") === col("mkt_b"))
+      .select(least(col("gid_a"), col("gid_b")).as("ga"),
+        greatest(col("gid_a"), col("gid_b")).as("gb"),
+        col("nat_a").as("nationkey"), col("mkt_a").as("mktsegment"),
+        levenshtein(col("name_a"), col("name_b"), EntitySndDist).as("ed"))
+      .filter(col("ed") === EntitySndDist)
   }
 
   /** Distinct candidate pairs for [[qEntityMatch]]'s block-bound spec
@@ -1555,8 +1619,45 @@ object Dedup {
       .distinct()
   }
 
+  /** The pass-2 (sorted-neighborhood, ed = [[EntitySndDist]]) RECORD
+    * pairs as prefixable CTEs: canonical groups, the (name, gid) rank,
+    * the window join, the member expansion — shared by both entity
+    * oracles so the rule cannot drift between them. Emits
+    * `${p}sndrec(nationkey, mktsegment, cust_a, cust_b, edit_dist)`.
+    */
+  private def entitySndCtes(p: String): String =
+    s"""${p}g AS (
+       |  SELECT MIN(c_custkey) AS gid, c_name, c_nationkey, c_mktsegment
+       |  FROM customer GROUP BY c_name, c_nationkey, c_mktsegment),
+       |${p}rw AS (
+       |  SELECT gid, c_name, c_nationkey, c_mktsegment,
+       |    ROW_NUMBER() OVER (ORDER BY c_name, gid) AS rk
+       |  FROM ${p}g),
+       |${p}snd AS (
+       |  SELECT least(a.gid, b.gid) AS ga, greatest(a.gid, b.gid) AS gb,
+       |    a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment
+       |  FROM ${p}rw a JOIN ${p}rw b
+       |    ON b.rk > a.rk AND b.rk <= a.rk + $EntitySnmWindow
+       |   AND a.c_nationkey = b.c_nationkey
+       |   AND a.c_mktsegment = b.c_mktsegment
+       |  WHERE levenshtein(a.c_name, b.c_name) = $EntitySndDist),
+       |${p}m AS (
+       |  SELECT c.c_custkey, g2.gid
+       |  FROM customer c JOIN ${p}g g2
+       |    ON c.c_name = g2.c_name AND c.c_nationkey = g2.c_nationkey
+       |   AND c.c_mktsegment = g2.c_mktsegment),
+       |${p}sndrec AS (
+       |  SELECT s.nationkey, s.mktsegment,
+       |    least(ma.c_custkey, mb.c_custkey) AS cust_a,
+       |    greatest(ma.c_custkey, mb.c_custkey) AS cust_b,
+       |    CAST($EntitySndDist AS INTEGER) AS edit_dist
+       |  FROM ${p}snd s
+       |  JOIN ${p}m ma ON ma.gid = s.ga
+       |  JOIN ${p}m mb ON mb.gid = s.gb)""".stripMargin
+
   val qEntityMatchSql: String =
-    s"""SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+    s"""WITH ${entitySndCtes("")}
+       |SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
        |  a.c_custkey AS cust_a, b.c_custkey AS cust_b,
        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
        |FROM customer a JOIN customer b
@@ -1565,6 +1666,8 @@ object Dedup {
        | AND a.c_custkey < b.c_custkey
        | AND abs(length(a.c_name) - length(b.c_name)) <= $EntityMaxDist
        |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
+       |UNION ALL
+       |SELECT nationkey, mktsegment, cust_a, cust_b, edit_dist FROM sndrec
        |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
 
   /** Production-shaped entity resolution (VERDICT r14 #5): the TOP-1
@@ -1639,7 +1742,8 @@ object Dedup {
     * (edit distance, mate key).
     */
   val qEntityBestMatchSql: String =
-    s"""WITH p AS (
+    s"""WITH ${entitySndCtes("")},
+       |p AS (
        |  SELECT a.c_custkey AS cust, b.c_custkey AS cand,
        |         CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS ed
        |  FROM customer a JOIN customer b
@@ -1647,7 +1751,11 @@ object Dedup {
        |   AND a.c_mktsegment = b.c_mktsegment
        |   AND a.c_custkey <> b.c_custkey
        |   AND abs(length(a.c_name) - length(b.c_name)) <= $EntityMaxDist
-       |  WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist),
+       |  WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
+       |  UNION ALL
+       |  SELECT cust_a AS cust, cust_b AS cand, edit_dist AS ed FROM sndrec
+       |  UNION ALL
+       |  SELECT cust_b AS cust, cust_a AS cand, edit_dist AS ed FROM sndrec),
        |r AS (
        |  SELECT cust, cand, ed,
        |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY ed, cand) AS rn,

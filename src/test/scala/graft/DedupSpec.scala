@@ -33,10 +33,13 @@ class DedupSpec extends SparkSpec {
       assert(nata === nat && natb === nat && sega === seg && segb === seg,
         s"both members must live in the reported block: $r")
       assert(d === lev(na, nb), s"banded distance must equal the full DP: $r")
-      assert(d >= 1 && d <= graft.operators.Dedup.EntityMaxDist)
+      assert(d >= 1 &&
+        (d <= graft.operators.Dedup.EntityMaxDist ||
+          d === graft.operators.Dedup.EntitySndDist))
     }
-    // completeness within one spot-checked block: every qualifying pair
-    // of the block is reported
+    // completeness within one spot-checked block: every ed ≤ 2 pair of
+    // the block is reported (pass-1 full recall); any extra rows are
+    // the window-conditional ed-3 tier (pass 2)
     val (nat0, seg0) = (rows.head.getInt(0), rows.head.getString(1))
     val block = cust.toSeq.collect { case (k, (nm, n, s)) if n == nat0 && s == seg0 => (k, nm) }
     val expect = (for {
@@ -44,8 +47,12 @@ class DedupSpec extends SparkSpec {
       if ka < kb && lev(na, nb) <= graft.operators.Dedup.EntityMaxDist
     } yield (ka, kb)).toSet
     val got = rows.filter(r => r.getInt(0) == nat0 && r.getString(1) == seg0)
+    val got2 = got.filter(_.getInt(4) <= graft.operators.Dedup.EntityMaxDist)
       .map(r => (r.getLong(2), r.getLong(3))).toSet
-    assert(got === expect, s"block ($nat0,$seg0) must report exactly the qualifying pairs")
+    assert(got2 === expect, s"block ($nat0,$seg0) must report exactly the ed≤2 pairs")
+    assert(got.filterNot(_.getInt(4) <= graft.operators.Dedup.EntityMaxDist)
+      .forall(_.getInt(4) === graft.operators.Dedup.EntitySndDist),
+      "every extra pair must be the pass-2 ed-3 tier")
   }
 
   test("q_entity_match blocking: per-block population bounded, candidate volume linear in N") {
@@ -81,6 +88,8 @@ class DedupSpec extends SparkSpec {
       .select(col("cust_a"), col("cust_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val matches = Dedup.qEntityMatch(spark, sf0001).collect()
+      .filter(_.getInt(4) <= Dedup.EntityMaxDist) // pass-1 tier only:
+      // ed-3 pairs come from the sorted-neighborhood pass by design
       .map(r => (r.getLong(2), r.getLong(3)))
     matches.foreach { p =>
       assert(cand.contains(p), s"match pair $p missing from the candidate set")
@@ -544,11 +553,29 @@ class DedupSpec extends SparkSpec {
     val cust = graft.sources.Ingest.table(spark, sf0001, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    // local replay of the pass-2 rule: canonical groups ranked by
+    // (name, gid), window pairs at exactly EntitySndDist, expanded to
+    // record mates in both directions
+    val groups = cust.groupBy(t => (t._2, t._3, t._4)).toSeq
+      .map { case ((nm, nat, seg), ms) => (ms.map(_._1).min, nm, nat, seg, ms.map(_._1)) }
+      .sortBy(g => (g._2, g._1))
+    val sndMates = scala.collection.mutable.Map.empty[Long, Vector[(Int, Long)]]
+      .withDefaultValue(Vector.empty)
+    for {
+      i <- groups.indices
+      j <- (i + 1) to math.min(i + Dedup.EntitySnmWindow, groups.size - 1)
+      a = groups(i); b = groups(j)
+      if a._3 == b._3 && a._4 == b._4 && lev(a._2, b._2) == Dedup.EntitySndDist
+      x <- a._5; y <- b._5
+    } {
+      sndMates(x) = sndMates(x) :+ ((Dedup.EntitySndDist, y))
+      sndMates(y) = sndMates(y) :+ ((Dedup.EntitySndDist, x))
+    }
     val expect = cust.flatMap { case (k, nm, nat, seg) =>
       val mates = cust.filter { case (k2, nm2, nat2, seg2) =>
         k2 != k && nat2 == nat && seg2 == seg &&
           lev(nm, nm2) <= Dedup.EntityMaxDist }
-        .map { case (k2, nm2, _, _) => (lev(nm, nm2), k2) }
+        .map { case (k2, nm2, _, _) => (lev(nm, nm2), k2) } ++ sndMates(k)
       if (mates.isEmpty) None
       else Some(k -> (mates.min, mates.length.toLong))
     }.toMap
@@ -590,6 +617,45 @@ class DedupSpec extends SparkSpec {
     val cross = got.filter(t => t._1 < 100L)
     assert(cross === (0 until 25).map(i => (1L, 100L + i, 1)).toSet,
       "every family member inherits the representative's ed-1 match")
+  }
+
+  test("entity second pass: distance-3 typos recovered; out-of-window ed-3 pairs stay out") {
+    // VERDICT r16 #4: typos past the deletion-radius-2 pigeonhole.
+    // A transposition is ed 2 (pass 1 catches it); three substitutions
+    // are ed 3 and reachable ONLY through the sorted-neighborhood
+    // pass; an ed-3 pair whose names sort > EntitySnmWindow group
+    // ranks apart is OUT of the (deterministic, oracle-replayed) rule.
+    val s = spark
+    import s.implicits._
+    val base = "customer alpha number 0001"
+    val transpo = "cusotmer alpha number 0001" // adjacent transposition: ed 2
+    val sub3 = "customer alphX numbXr 0Z01" // three substitutions: ed 3
+    val farA = "aaacustomer root 9999"
+    val farB = "zaacustomer roXt 9Y99" // ed 3 from farA, sorts far away
+    val fillers = "bcdefghij".zipWithIndex.map { case (ch, i) =>
+      (30L + i, s"$ch filler entry ${i}xx", 1, "A")
+    }
+    def reg(m: Int) = (Seq(
+      (10L, base, 1, "A"), (11L, transpo, 1, "A")) ++
+      (0 until m).map(i => (12L + 100L * i, sub3, 1, "A")) ++
+      Seq((20L, farA, 1, "A"), (21L, farB, 1, "A")) ++ fillers)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val pairs = Dedup.entityMatchFrom(spark, reg(1)).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(pairs.contains((10L, 11L, 2)), "pass 1 must catch the transposition at ed 2")
+    assert(pairs.contains((10L, 12L, 3)),
+      s"the SNM pass must recover the 3-substitution typo, got $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(20L, 21L)),
+      "an ed-3 pair sorting outside the window is out of rule by design")
+    // depth-independence holds THROUGH the new pass: group ranks are
+    // over distinct names, so a 25-deep family changes nothing
+    def groupPairs(m: Int) = {
+      val (grp, _) = Dedup.entityGroups(reg(m))
+      Dedup.entityVerifiedGroupPairs(spark, grp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    }
+    assert(groupPairs(25) === groupPairs(1),
+      "SNM group pairs must not move with exact-dup depth")
   }
 
   test("q_dedup_containment: candidate recall is independent of exact-dup depth") {

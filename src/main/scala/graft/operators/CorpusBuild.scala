@@ -305,6 +305,7 @@ object CorpusBuild {
     * @return the published (compacted) manifest
     */
   def corpusCompact(s: SparkSession, path: String): DataFrame = {
+    recoverPublish(s, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ids = s.read.parquet(s"$path/manifest.parquet")
@@ -368,6 +369,58 @@ object CorpusBuild {
     }
     fs.delete(old, true)
   }
+
+  /** CRASH RECOVERY for the [[swapInto]] protocol (VERDICT r16 #5):
+    * [[swapInto]] rolls back when a RENAME FAILS, but a process killed
+    * BETWEEN the two renames leaves `dst` absent with the previous
+    * state parked at `old` — every later read of `dst` would fail even
+    * though nothing was lost. This heals all four swap targets before
+    * any read:
+    *   - `dst` absent ∧ `old` present → rename `old` back (the
+    *     original wins: the commit point is rename 2 COMPLETING, so an
+    *     interrupted swap is an uncommitted publish by definition —
+    *     its data-first shard appends become orphans the
+    *     manifest-filtered bootstrap already ignores and
+    *     [[corpusCompact]] collects);
+    *   - `dst` present ∧ `old` present → the crash fell between
+    *     rename 2 and the `old` cleanup: the publish committed, drop
+    *     the stale `old`;
+    *   - any leftover `tmp` is staging garbage either way — deleted.
+    * Idempotent; called at the top of [[corpusUpsert]] and
+    * [[corpusCompact]] (CorpusWriteSpec injects the between-renames
+    * state at both the manifest and whole-corpus level and proves the
+    * next upsert sees exactly the committed corpus).
+    */
+  private[graft] def recoverPublish(s: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val targets = Seq(
+      (path, s"$path.publish.old", s"$path.publish.tmp"),
+      (path, s"$path.compact.old", s"$path.compact.tmp"),
+      (s"$path/manifest.parquet", s"$path/.manifest.old.parquet",
+        s"$path/.manifest.tmp.parquet"),
+      (s"$path/lanes.parquet", s"$path/.lanes.old.parquet",
+        s"$path/.lanes.tmp.parquet"))
+    targets.foreach { case (dstS, oldS, tmpS) =>
+      val (dst, old, tmp) = (new org.apache.hadoop.fs.Path(dstS),
+        new org.apache.hadoop.fs.Path(oldS), new org.apache.hadoop.fs.Path(tmpS))
+      if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+        throw new java.io.IOException(s"recover: cannot restore $old to $dst")
+      if (fs.exists(dst) && fs.exists(old)) fs.delete(old, true)
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Auto-compaction threshold (VERDICT r16 #5): once the committed
+    * manifest carries more than this many shard rows — the canonical
+    * [[TextOps.nShards]] plus accumulated [[corpusUpsert]] generations
+    * (each appends up to nShards small generation-local shards) — the
+    * upsert folds the layout back through [[corpusCompact]] before
+    * returning. 4× keeps read fan-out and generation-local rank
+    * staleness bounded while amortizing the rewrite over ≥ 3·nShards
+    * committed increments.
+    */
+  private[graft] val CompactAfterShards: Int = 4 * TextOps.nShards
 
   /** Per-document verdicts for an increment of NEW documents probed
     * against a published corpus's serve index — the ONE increment
@@ -485,9 +538,19 @@ object CorpusBuild {
     * corpus-sized map pass, paid once, amortized over every later
     * increment).
     *
-    * @return the committed manifest (old + increment shard rows)
+    * Auto-compaction (VERDICT r16 #5): after the commit, if the
+    * manifest has grown past `compactAfter` shard rows the increment
+    * layout folds back to canonical via [[corpusCompact]] — the
+    * policy that actually TRIGGERS the compactor (nothing did in r16).
+    *
+    * @param compactAfter manifest-row threshold ([[CompactAfterShards]]
+    *   default; tests pass a small value to exercise the trigger)
+    * @return the committed manifest (old + increment shard rows; the
+    *   compacted manifest when the policy fired)
     */
-  def corpusUpsert(s: SparkSession, path: String, newDocs: DataFrame): DataFrame = {
+  def corpusUpsert(s: SparkSession, path: String, newDocs: DataFrame,
+      compactAfter: Int = CompactAfterShards): DataFrame = {
+    recoverPublish(s, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val idx = s"$path/index"
@@ -585,7 +648,11 @@ object CorpusBuild {
     swapInto(fs, lTmp, new org.apache.hadoop.fs.Path(s"$path/lanes.parquet"),
       s"$path/.lanes.old.parquet")
 
-    s.read.parquet(s"$path/manifest.parquet")
+    // auto-compaction: fold generation shards once the layout is past
+    // the policy bound (compactAfter manifest rows)
+    val nManifest = s.read.parquet(s"$path/manifest.parquet").count()
+    if (nManifest > compactAfter) corpusCompact(s, path)
+    else s.read.parquet(s"$path/manifest.parquet")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

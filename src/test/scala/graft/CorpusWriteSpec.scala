@@ -256,4 +256,123 @@ class CorpusWriteSpec extends SparkSpec {
     assert(w.getAs[Long]("pack_id") === laneBase / graft.operators.TextOps.packBudget,
       "pack cursor must continue from the compaction-preserved lane table")
   }
+
+  test("crash between the manifest swap's renames: recovery restores the committed corpus") {
+    // VERDICT r16 #5 crash injection. swapInto's two renames are
+    // (1) manifest -> .manifest.old, (2) .manifest.tmp -> manifest.
+    // A kill between them leaves NO manifest on disk plus the
+    // data-first orphan shard the dying upsert had already appended.
+    // The next upsert must heal to exactly the committed corpus:
+    // old manifest restored, orphan text invisible AND unindexed.
+    import spark.implicits._
+    val (out, _) = build("crashm")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "toks", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    val base = shards0.maxBy(r => (r.getLong(2), -r.getLong(0)))
+    def rev(t: String) = t.split(" ").reverse.mkString(" ")
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_x", base.getString(1), rev(base.getString(3))))
+        .toDF("doc_id", "source", "lang", "text"))
+    val committed = spark.read.parquet(s"$out/manifest.parquet").collect()
+      .map(_.toSeq).toSet
+
+    // inject the between-renames state of a dying second upsert
+    val maxShard = committed.map(_(0).asInstanceOf[Int]).max
+    val orphanText = rev(shards0.filter(_.getLong(0) != base.getLong(0))
+      .maxBy(r => (r.getLong(2), -r.getLong(0))).getString(3))
+    Seq((maxId + 2001L, "orphan", base.getString(1),
+        orphanText.split(" ").length.toLong, 0L, 0L, 99999L, orphanText))
+      .toDF("doc_id", "source", "lang", "toks", "lane", "pack_id", "rk", "text")
+      .write.mode("overwrite").parquet(s"$out/shards.parquet/shard=${maxShard + 1}")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/manifest.parquet"),
+      new org.apache.hadoop.fs.Path(s"$out/.manifest.old.parquet")))
+    spark.read.parquet(s"$out/shards.parquet") // would-be manifest incl. the orphan
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("rk")).as("min_rk"), max(col("rk")).as("max_rk"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("content_sig"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/.manifest.tmp.parquet")
+
+    // next upsert: heals, commits its own survivor, never sees the orphan
+    val third = shards0
+      .filter(r => rev(r.getString(3)) != rev(base.getString(3)) &&
+        rev(r.getString(3)) != orphanText)
+      .maxBy(r => (r.getLong(2), -r.getLong(0)))
+    val m2 = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 3001L, "src_x", third.getString(1), rev(third.getString(3))))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(m2.map(_.toSeq).toSet.intersect(committed) === committed,
+      "the restored manifest must carry every committed row unchanged")
+    assert(m2.length === committed.size + 1, "plus exactly the new survivor's shard")
+    assert(!m2.exists(_.getLong(4) === 99999L), "the orphan rank must never be committed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.manifest.old.parquet")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$out/.manifest.tmp.parquet")),
+      "recovery must clean the staging leftovers")
+    // the orphan was never indexed: the same text arriving later SURVIVES
+    val m3 = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 4001L, "src_x", base.getString(1), orphanText))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(m3.length === m2.length + 1,
+      "orphan text must not have been indexed by the crashed generation")
+  }
+
+  test("crash between the compact swap's renames: the original corpus wins") {
+    import spark.implicits._
+    val (out, _) = build("crashc")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "toks", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    val base = shards0.maxBy(r => (r.getLong(2), -r.getLong(0)))
+    def rev(t: String) = t.split(" ").reverse.mkString(" ")
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_y", base.getString(1), rev(base.getString(3))))
+        .toDF("doc_id", "source", "lang", "text"))
+    val committed = spark.read.parquet(s"$out/manifest.parquet").collect()
+      .map(_.toSeq).toSet
+    // between-renames state of a dying corpusCompact: the whole corpus
+    // parked at .compact.old, a fully staged rewrite at .compact.tmp
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + ".compact.old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out + ".compact.tmp/shards.parquet"))
+    val third = shards0.filter(_.getLong(0) != base.getLong(0))
+      .maxBy(r => (r.getLong(2), -r.getLong(0)))
+    val m2 = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_y", third.getString(1), rev(third.getString(3))))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(m2.map(_.toSeq).toSet.intersect(committed) === committed,
+      "the parked corpus must be restored verbatim before the upsert")
+    assert(m2.length === committed.size + 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + ".compact.old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(out + ".compact.tmp")),
+      "recovery must clean the compact staging leftovers")
+  }
+
+  test("auto-compaction: the upsert folds the layout once past the policy bound") {
+    import spark.implicits._
+    val (out, mBase) = build("autoc")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "toks", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    def rev(t: String) = t.split(" ").reverse.mkString(" ")
+    val bases = shards0.sortBy(r => (-r.getLong(2), r.getLong(0))).take(3)
+    val bound = mBase.length + 2 // trigger on the third generation
+    var n = spark.read.parquet(s"$out/manifest.parquet").count()
+    bases.zipWithIndex.foreach { case (b, i) =>
+      val m = CorpusBuild.corpusUpsert(spark, out,
+        Seq((maxId + 1001L + i, "src_z", b.getString(1), rev(b.getString(3))))
+          .toDF("doc_id", "source", "lang", "text"), compactAfter = bound)
+      n = m.count()
+    }
+    assert(n === graft.operators.TextOps.nShards.toLong,
+      "the third generation must trip the policy and return the canonical layout")
+    val written = spark.read.parquet(s"$out/shards.parquet")
+    assert(written.select("shard").distinct().count() === graft.operators.TextOps.nShards.toLong)
+    assert(written.count() === shards0.length.toLong + 3,
+      "compaction must preserve every committed row (base + 3 survivors)")
+  }
 }

@@ -204,6 +204,12 @@ object Bench {
     // instead of flagged. Queries that never drifted keep their
     // median-of-3 (5 passes × 208 queries would triple the round's
     // bench wall for nothing).
+    // BYTE METRICS ARE FROZEN PRE-RE-MEASURE BY DESIGN (ADVICE r16):
+    // `compared` ratios and wallDriftNoBytes keep the 3-pass state,
+    // and the runOne(n, 4)/runOne(n, 5) passes below execute after
+    // the listener-bus drain, so their byte metrics are never drained
+    // or attributed. Only WALL medians may be updated by re-measure —
+    // do not read bytes after this point.
     val remeasured: Map[String, Double] = wallDriftCandidates.map { n =>
       val extra = Seq(runOne(n, 4), runOne(n, 5)).filter(_ >= 0)
       val all = (passes.map(_(n)).filter(_ >= 0) ++ extra).sorted

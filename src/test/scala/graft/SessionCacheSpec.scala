@@ -51,4 +51,40 @@ class SessionCacheSpec extends SparkSpec {
     assert(cache.getOrElseUpdate(spark, "k")(flaky()) === "ok",
       "the key must be retryable after a failed build")
   }
+
+  test("after a failed build the RETRYING caller's build runs, not the original closure") {
+    // ADVICE r16: a failed thunk un-installs itself, so the retry uses
+    // the new call site's build — not a replay of the dead closure
+    val cache = new graft.plans.SessionCache[String]
+    intercept[RuntimeException] {
+      cache.getOrElseUpdate(spark, "k")(throw new RuntimeException("boom"))
+    }
+    assert(cache.getOrElseUpdate(spark, "k")("second") === "second")
+  }
+
+  test("first-build-wins: a later different build for a built key is ignored") {
+    val cache = new graft.plans.SessionCache[String]
+    assert(cache.getOrElseUpdate(spark, "k")("first") === "first")
+    assert(cache.getOrElseUpdate(spark, "k")("other") === "first",
+      "the documented contract: keys identify the build")
+  }
+
+  test("entries of a collected session are released (no session pinning)") {
+    // ADVICE r16: the r16 WeakHashMap never evicted because values
+    // strongly referenced their key session. The token-keyed design
+    // must release a discarded session's entries on the next access.
+    val cache = new graft.plans.SessionCache[Array[Byte]]
+    var child: org.apache.spark.sql.SparkSession = spark.newSession()
+    val ref = new java.lang.ref.WeakReference(child)
+    cache.getOrElseUpdate(child, "k")(new Array[Byte](1 << 20))
+    assert(cache.liveSessions === 1)
+    child = null
+    val deadline = System.nanoTime + 10000000000L
+    while (ref.get != null && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(50)
+    }
+    assert(ref.get == null, "the discarded child session must be collectable")
+    assert(cache.liveSessions === 0,
+      "the collected session's cache entries must drain away")
+  }
 }

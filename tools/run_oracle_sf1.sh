@@ -20,6 +20,14 @@ set -e
 REPLICA=${1:-/tmp/sf1}
 OUT=${2:-/tmp/gv_sf1}
 TIMEOUT_S=${TIMEOUT_S:-420}
+# Heavy NON-ANN shelves (recursive/graph closures, banded-dedup and
+# corpus-composition SQL) get a larger budget (ADVICE r16): dropping
+# the global default from 900 to 420 must not silently shrink the
+# adjudicated oracle coverage on shelves that legitimately need the
+# time at 10x. The ANN audit family stays on the default — r17 made
+# its baselines linear, so it no longer needs headroom.
+HEAVY_TIMEOUT_S=${HEAVY_TIMEOUT_S:-900}
+HEAVY_RE='dedup|span_|minhash|entity|corpus|jaccard|components|triangle|clustering|kcore|self_overlap|lsh_bucket'
 cd /root/repo
 if [ ! -d "$REPLICA" ]; then
   echo "[sf1] building 10x replica at $REPLICA"
@@ -36,6 +44,7 @@ echo "[sf1] oracle sweep over $(echo "$ALL" | tr ',' '\n' | wc -l) queries"
 mkdir -p "$OUT/percheck"
 for q in $(echo "$ALL" | tr ',' ' '); do
   t="$TIMEOUT_S"
+  if echo "$q" | grep -qE "$HEAVY_RE"; then t="$HEAVY_TIMEOUT_S"; fi
   if CHECK_ONLY="$q" timeout "$t" \
       python3 tools/check_oracle.py "$REPLICA" "$OUT" "$OUT/percheck/$q.json" \
       > "$OUT/percheck/$q.log" 2>&1; then
@@ -69,4 +78,19 @@ json.dump({"sf": sf, "n_pass": npass, "n_fail": nfail,
            "n_skipped_oracle_cost": nskip, "queries": queries},
           open(out, "w"), indent=1, sort_keys=True)
 print(f"wrote {out}: {npass} pass, {nfail} fail, {nskip} skipped (oracle cost)")
+# coverage tripwire (ADVICE r16): the skipped set must not grow vs the
+# committed previous sweep — a timeout-budget change silently shrinking
+# adjudicated coverage is exactly what this catches.
+import os
+if os.path.exists(out):  # compare against the just-overwritten git state
+    import subprocess
+    prev = subprocess.run(["git", "show", f"HEAD:{out}"], capture_output=True)
+    if prev.returncode == 0:
+        prevq = json.loads(prev.stdout).get("queries", {})
+        prev_skip = {k for k, v in prevq.items() if v["status"] == "skipped_oracle_cost"}
+        now_skip = {k for k, v in queries.items() if v["status"] == "skipped_oracle_cost"}
+        grown = now_skip - prev_skip
+        if grown:
+            print(f"WARNING: skipped_oracle_cost set GREW vs the committed sweep: {sorted(grown)}")
+            print("         raise HEAVY_TIMEOUT_S or adjudicate before committing")
 EOF

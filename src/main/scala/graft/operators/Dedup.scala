@@ -1317,6 +1317,136 @@ object Dedup {
        |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM bk GROUP BY j ORDER BY band""".stripMargin
 
+  // The banding frontier: every (bands, rows) factorization of the
+  // IdxK=64 signature from "4 coarse bands of 16 rows" (high
+  // precision, low recall) to "32 fine bands of 2 rows" (high recall,
+  // candidate blowup). The deployed (IdxBands, IdxRows) point sits
+  // inside the battery.
+  private val BandingCurve = Seq((4, 16), (8, 8), (16, 4), (32, 2))
+
+  /** MinHash banding recall/precision frontier — the tuning table a
+    * near-dup deployment reads before picking (bands, rows), the
+    * dedup-shelf sibling of [[Ann.qAnnProbeCurve]]/[[Ann.qLshProbeCurve]]:
+    * for each (b, r) factorization of the k=[[IdxK]] signature, the
+    * candidate-pair volume the banded join would generate (the COST —
+    * verify work scales with it) against how many of the
+    * ≥-[[IdxThreshold]] true pairs the banding recovers (the RECALL).
+    * `q_dedup_minhash` runs at the deployed ([[IdxBands]], [[IdxRows]])
+    * point; this row is why that point.
+    *
+    * Truth is the union-of-configs verified set: every candidate any
+    * tested banding surfaces, measured by exact shingle-set Jaccard,
+    * kept at ≥ threshold. The factorizations NEST (halving rows
+    * refines bands: a pair matching a 2r-slot band matches both its
+    * r-slot halves), so candidate sets grow monotonically and the
+    * finest config generates the union — its recall is 1 by
+    * construction, and the curve's information is the recall DROP at
+    * coarser configs against the candidate-mass blowup at finer ones.
+    * As an absolute reference the union is exhaustive-at-threshold
+    * without an all-pairs scan: a true ≥0.6 pair escapes the finest
+    * banding with probability (1−0.6²)³² ≈ 6·10⁻⁷ (DedupSpec pins
+    * union = brute force at spec scale) — same posture as the ANN
+    * curves' brute-force-over-sampled-queries baseline.
+    *
+    * Computed over DISTINCT texts (the [[Canonical]] reps): banding
+    * density must track distinct content, not crawl-dup depth — and
+    * the curve is a config audit, so group-level pairs are the right
+    * unit (member expansion would just multiply every count by dup
+    * mass). Oracle-equivalence precondition (the standing banded-shelf
+    * device): no (band, bucket) tops the salt cap at oracle scales —
+    * DedupSpec pins it for every config in the battery, finest
+    * included.
+    *
+    * Shape at scale: ONE signature/set pass over the reps (map-only
+    * codegen expressions), one banded equi self-join per config (the
+    * explode is Σb = 60 band rows/doc vs 16 for the deployed point),
+    * ONE shared verify join over the unioned candidates, and
+    * config-bounded rollups — a tuning run pays ~4× the deployed
+    * candidate step once, never per query.
+    */
+  def qBandingCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{WordNgramMinHash, WordNgramHashes}
+    import graft.plans.Materialize.MaterializeOps
+    val keyed = docs(s, dir).select(col("doc_id"), col("text"),
+      unhex(md5(col("text"))).as("tkey"))
+    // group table (distinct texts): feeds the signature AND set passes
+    val reps = Canonical.groups(keyed, "doc_id", Seq("tkey"))
+      .select(col("gid").as("doc_id"), col("text")).materialized
+    val sig = reps.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"))
+      .materialized
+    val sets = reps.select(col("doc_id"),
+      WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
+    // per-config candidates, each consumed twice (count + truth join)
+    val cands = BandingCurve.map { case (b, r) =>
+      (b, r, candidatePairs(sigBandRows(sig, b, r)).materialized)
+    }
+    val allPairs = cands.map(_._3).reduce(_ unionByName _).distinct()
+    val truth = jaccardVerify(allPairs, sets, IdxThreshold)
+      .filter(col("jaccard") >= IdxThreshold)
+      .select("id_a", "id_b").materialized
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cands.map { case (b, r, c) =>
+      c.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(c.join(truth, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_cand"), col("n_true"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nTruth))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_cand").as("n_cand_pairs"), col("n_true").as("n_true_pairs"),
+        col("n_truth").as("n_truth_pairs"),
+        expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_true * 10000) DIV n_truth END")
+          .as("recall_bp"),
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE (n_true * 10000) DIV n_cand END")
+          .as("precision_bp"))
+      .orderBy(col("n_bands"))
+  }
+
+  /** Oracle for [[qBandingCurve]]: the [[sigCtes]] model chain over
+    * DISTINCT texts (GROUP BY text, min(doc_id) rep — md5-key equality
+    * in the plan IS text equality), one [[OracleEmul.bandCandCtes]]
+    * tail per config, the shared union-truth verify, exact hit joins.
+    */
+  val qBandingCurveSql: String = {
+    val serves = BandingCurve.map { case (b, r) =>
+      OracleEmul.bandCandCtes(s"c$b", "s", b, r) + s",\nm$b AS MATERIALIZED (SELECT id_a, id_b FROM c${b}cand)"
+    }.mkString(",\n")
+    val union = BandingCurve.map { case (b, _) => s"SELECT id_a, id_b FROM m$b" }
+      .mkString("\n    UNION ")
+    val rows = BandingCurve.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT COUNT(*) FROM m$b) AS n_cand,
+         |  (SELECT COUNT(*) FROM m$b JOIN truth USING (id_a, id_b)) AS n_true""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |w AS (SELECT doc_id, ${OracleEmul.wordHashes("text")} AS wh FROM d),
+       |f AS (SELECT doc_id, ${OracleEmul.features("wh", IdxNgram)} AS feats FROM w),
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(feats, f0 -> ${OracleEmul.floorMod("f0", "fm", "2147483647")}) AS fmod,
+       |  ${OracleEmul.hashSet("feats")} AS sh FROM f),
+       |s AS MATERIALIZED (SELECT doc_id, sh,
+       |  ${OracleEmul.minhashSig("fmod", IdxSeed, IdxK)} AS sig FROM fp),
+       |$serves,
+       |allp AS MATERIALIZED ($union),
+       |truth AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b, ${OracleEmul.jaccard("sa.sh", "sb.sh")} AS jaccard
+       |    FROM allp JOIN s sa ON allp.id_a = sa.doc_id
+       |    JOIN s sb ON allp.id_b = sb.doc_id) v
+       |  WHERE jaccard >= $IdxThreshold),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT n_bands, rows_per_band,
+       |  CAST(n_cand AS BIGINT) AS n_cand_pairs,
+       |  CAST(n_true AS BIGINT) AS n_true_pairs,
+       |  nt.n_truth AS n_truth_pairs,
+       |  CAST(CASE WHEN nt.n_truth = 0 THEN 0 ELSE (n_true * 10000) // nt.n_truth END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_cand = 0 THEN 0 ELSE (n_true * 10000) // n_cand END AS BIGINT) AS precision_bp
+       |FROM ($rows) CROSS JOIN nt
+       |ORDER BY n_bands""".stripMargin
+  }
+
   private val IngestBatch = 50L
 
   /** Duplicate-rate trend per ingest batch (doc_id DIV
@@ -1938,6 +2068,7 @@ object Dedup {
     "q_entity_best_match" -> qEntityBestMatch _,
     "q_minhash_error"   -> qMinhashError _,
     "q_lsh_bucket_stats" -> qLshBucketStats _,
+    "q_banding_curve"    -> qBandingCurve _,
     "q_dup_by_batch"    -> qDupByBatch _,
     "q_dup_summary"     -> qDupSummary _,
     "q_dedup_containment" -> qDedupContainment _,
@@ -1961,6 +2092,7 @@ object Dedup {
     "q_entity_best_match" -> qEntityBestMatchSql,
     "q_minhash_error" -> qMinhashErrorSql,
     "q_lsh_bucket_stats" -> qLshBucketStatsSql,
+    "q_banding_curve"    -> qBandingCurveSql,
     "q_dup_by_batch" -> qDupByBatchSql,
     "q_dup_summary" -> qDupSummarySql,
     "q_dedup_exact" -> qDedupExactSql,

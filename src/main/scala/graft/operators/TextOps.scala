@@ -516,6 +516,119 @@ object TextOps {
        |FROM w CROSS JOIN d
        |ORDER BY lang""".stripMargin
 
+  // UniMax knobs: at most 4 epochs over any language's data; the
+  // corpus budget is 3× the total token mass, so with Σcap = 4×total
+  // the uncapped set is always non-empty (U ≥ 1 by arithmetic, the
+  // DIV-by-zero guard below is provably inert at these settings but
+  // kept for knob changes).
+  private val UnimaxEpochCap = 4L
+  private val UnimaxBudgetMult = 3L
+
+  /** UniMax language-budget allocation (Chung et al. 2023, arXiv
+    * 2304.09151 — "UniMax: Fairer and More Effective Language Sampling
+    * for Large-Scale Multilingual Pretraining"): distribute a corpus
+    * token budget across languages as UNIFORMLY as possible subject to
+    * a per-language epoch cap — the paper's alternative to temperature
+    * sampling ([[qMixTemperature]]) that never over-repeats
+    * low-resource data. This is exact integer water-filling: languages
+    * sorted by capacity `cap = epochCap·n_tokens` ascending; language
+    * at rank k (of L) is CAPPED iff `cap_k·(L-k+1) + prefix_{k-1} ≤ B`
+    * (caps ascending make the capped set a PREFIX: the same test at
+    * k-1 is implied by the test at k, so per-row window tests agree
+    * with the sequential algorithm); the uncapped languages split the
+    * leftover evenly as `level = (B - Σ_capped cap) DIV U`, with the
+    * integer remainder handed +1 each to the `rem` smallest-capacity
+    * uncapped languages (deterministic (cap, lang) order; uncapped ⇒
+    * cap > level so the +1 never breaches a cap, and Σalloc = B
+    * exactly — spec-pinned). `epochs_milli` reports each language's
+    * resulting repeat factor.
+    *
+    * Shape at scale: one partial-aggregating groupBy to per-language
+    * token totals (the corpus-sized stage, map-side combined); every
+    * window after runs over ONE ROW PER LANGUAGE — bounded by the
+    * language inventory, not the corpus (the [[qMixBudget]] posture).
+    */
+  def qUnimaxMix(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("cap"), col("lang"))
+    val wAll = Window.partitionBy()
+    val perLang = docs(s, dir)
+      .select(col("lang"),
+        expr(s"CAST(regexp_count(text, \"$bpeRegexSpark\") AS BIGINT)").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("cap", lit(UnimaxEpochCap) * col("n_tokens"))
+    perLang
+      .withColumn("budget", lit(UnimaxBudgetMult) * sum("n_tokens").over(wAll))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
+      .withColumn("pfx", sum("cap").over(wOrd))
+      .withColumn("is_capped",
+        col("cap") * (col("n_langs") - col("rk") + 1) <= col("budget") - (col("pfx") - col("cap")))
+      .withColumn("n_capped", sum(when(col("is_capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("capped_mass",
+        coalesce(sum(when(col("is_capped"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("n_unc", col("n_langs") - col("n_capped"))
+      .withColumn("level",
+        when(col("n_unc") === 0, lit(0L))
+          .otherwise(expr("(budget - capped_mass) DIV n_unc")))
+      .withColumn("rem",
+        when(col("n_unc") === 0, lit(0L))
+          .otherwise(col("budget") - col("capped_mass") - col("level") * col("n_unc")))
+      .withColumn("alloc_tokens",
+        when(col("is_capped"), col("cap"))
+          .otherwise(col("level") +
+            when(col("rk") - col("n_capped") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("cap").as("cap_tokens"), col("alloc_tokens"),
+        expr("CASE WHEN n_tokens = 0 THEN NULL ELSE (alloc_tokens * 1000) DIV n_tokens END")
+          .as("epochs_milli"),
+        col("is_capped"))
+      .orderBy(col("lang"))
+  }
+
+  val qUnimaxMixSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len(regexp_extract_all(text, '$bpeRegexDuck')) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |c AS (
+       |  SELECT lang, n_docs, n_tokens, $UnimaxEpochCap * n_tokens AS cap,
+       |    $UnimaxBudgetMult * SUM(n_tokens) OVER () AS budget,
+       |    ROW_NUMBER() OVER (ORDER BY $UnimaxEpochCap * n_tokens, lang) AS rk,
+       |    COUNT(*) OVER () AS n_langs,
+       |    SUM($UnimaxEpochCap * n_tokens) OVER (ORDER BY $UnimaxEpochCap * n_tokens, lang
+       |      ROWS UNBOUNDED PRECEDING) AS pfx
+       |  FROM t),
+       |f AS (
+       |  SELECT *, cap * (n_langs - rk + 1) <= budget - (pfx - cap) AS is_capped FROM c),
+       |g AS (
+       |  SELECT *,
+       |    SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+       |    COALESCE(SUM(CASE WHEN is_capped THEN cap END) OVER (), 0) AS capped_mass
+       |  FROM f),
+       |h AS (
+       |  SELECT *, n_langs - n_capped AS n_unc,
+       |    CASE WHEN n_langs - n_capped = 0 THEN 0
+       |         ELSE (budget - capped_mass) // (n_langs - n_capped) END AS lvl
+       |  FROM g),
+       |a AS (
+       |  SELECT *,
+       |    CASE WHEN n_unc = 0 THEN 0
+       |         ELSE budget - capped_mass - lvl * n_unc END AS rem
+       |  FROM h)
+       |SELECT lang, n_docs, n_tokens,
+       |  CAST(cap AS BIGINT) AS cap_tokens,
+       |  CAST(CASE WHEN is_capped THEN cap
+       |       ELSE lvl + (CASE WHEN rk - n_capped <= rem THEN 1 ELSE 0 END) END AS BIGINT)
+       |    AS alloc_tokens,
+       |  CAST(CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE ((CASE WHEN is_capped THEN cap
+       |              ELSE lvl + (CASE WHEN rk - n_capped <= rem THEN 1 ELSE 0 END) END) * 1000)
+       |            // n_tokens END AS BIGINT) AS epochs_milli,
+       |  is_capped
+       |FROM a
+       |ORDER BY lang""".stripMargin
+
   /** Length-curriculum assignment: every document's global rank by
     * (n_chars, doc_id) and its decile — the deterministic ordering a
     * short-to-long training curriculum consumes. The rank comes from
@@ -4157,6 +4270,7 @@ object TextOps {
     "q_bpe_encode"        -> qBpeEncode _,
     "q_mix_budget"        -> qMixBudget _,
     "q_mix_temperature"   -> qMixTemperature _,
+    "q_unimax_mix"        -> qUnimaxMix _,
     "q_curriculum"        -> qCurriculum _,
     "q_repetition"        -> qRepetition _,
     "q_contamination"     -> qContamination _,
@@ -4227,6 +4341,7 @@ object TextOps {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_mix_budget"        -> qMixBudgetSql,
     "q_mix_temperature"   -> qMixTemperatureSql,
+    "q_unimax_mix"        -> qUnimaxMixSql,
     "q_curriculum"        -> qCurriculumSql
   )
 }

@@ -396,7 +396,56 @@ class DedupSpec extends SparkSpec {
           s"$name-gram bucket of $maxB members tops the 1000 salt cap at $dir — " +
             "the minhash oracles' slice-equality assumption no longer holds")
       }
+      // the banding-curve battery bands the same word signature at
+      // every (b, r) factorization — its oracle needs the precondition
+      // at each config, over the CANONICAL reps the curve scans
+      // (finest configs have the fattest buckets: 2-slot slices)
+      val repSig = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"),
+          WordNgramMinHash.column(col("text"), 3, 64, 0x5EED0001L).as("sig_arr"))
+      for ((b, r) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
+        val maxB = Dedup.sigBandRows(repSig, b, r)
+          .groupBy("band", "bucket").count()
+          .agg(max("count")).collect()(0).getLong(0)
+        assert(maxB <= 1000,
+          s"banding-curve ($b x $r) bucket of $maxB canonical reps tops the salt cap at $dir")
+      }
     }
+  }
+
+  test("q_banding_curve: nested bandings — monotone candidates/recall, truth equals brute force") {
+    val got = Dedup.qBandingCurve(spark, sf0001).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((4L, 16L), (8L, 8L), (16L, 4L), (32L, 2L)))
+    val nTruth = got.map(_.getLong(4)).distinct
+    assert(nTruth.length === 1, "one shared truth across the battery")
+    // halving rows refines bands: a pair matching a 2r-slot band matches
+    // both its r-slot halves, so candidate and hit sets are NESTED
+    val cand = got.map(_.getLong(2))
+    val hits = got.map(_.getLong(3))
+    assert(cand.sliding(2).forall(a => a(0) <= a(1)), s"candidates monotone: ${cand.toSeq}")
+    assert(hits.sliding(2).forall(a => a(0) <= a(1)), s"hits monotone: ${hits.toSeq}")
+    assert(got.last.getLong(3) === nTruth.head && got.last.getLong(5) === 10000L,
+      "the finest banding generates the union truth (recall 1 by construction)")
+    got.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "hits bounded by candidates")
+      assert(r.getLong(5) === (if (nTruth.head == 0) 0L else r.getLong(3) * 10000L / nTruth.head))
+      assert(r.getLong(6) === (if (r.getLong(2) == 0) 0L else r.getLong(3) * 10000L / r.getLong(2)))
+    }
+    // brute force at this scale: every distinct-text pair's exact
+    // word-3-gram Jaccard — the union truth must equal the all-pairs
+    // >=0.6 set (no true pair escapes all four bandings here)
+    import graft.functions.WordNgramHashes
+    val reps = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), WordNgramHashes.column(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val bf = (for {
+      i <- reps.indices; j <- (i + 1) until reps.length
+      if graft.functions.SortedJaccard.jaccard(reps(i)._2, reps(j)._2) >= 0.6
+    } yield 1).size.toLong
+    assert(nTruth.head === bf,
+      s"union truth ${nTruth.head} must equal the brute-force >=threshold pair count $bf")
   }
 
   test("incrementalDedup under a degenerate hot family: candidates linear, verdicts exact") {

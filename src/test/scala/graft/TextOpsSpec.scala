@@ -962,4 +962,73 @@ class TextOpsSpec extends SparkSpec {
     assert(tgtMin > offMax,
       s"every target-lookalike doc must outweigh every off-target doc: $tgtMin <= $offMax")
   }
+
+  test("unimax_mix: exact water-filling — caps honored, budget exactly spent, closed form = reference") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-unimax").toString
+    // planted strata: a tiny lang (caps hard), a mid lang (caps), and a
+    // huge lang (absorbs the leftover) — the shape UniMax exists for
+    val rows =
+      (1L to 2L).map(i => (i, "uno dos tres", "aa")) ++
+      (3L to 6L).map(i => (i, "eins zwei drei vier funf sechs", "bb")) ++
+      (7L to 40L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16", "cc"))
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextOps.qUnimaxMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // token masses from the shelf's own budget row — same tokenizer
+    val toks = TextOps.qMixBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val budget = 3L * toks.values.sum
+    val caps = toks.view.mapValues(_ * 4L).toMap
+
+    // independent sequential reference of the same closed form
+    val sorted = caps.toSeq.sortBy { case (l, c) => (c, l) }
+    val L = sorted.size
+    var pfx = 0L
+    val capped = sorted.zipWithIndex.map { case ((l, c), k0) =>
+      val isC = c * (L - k0) + pfx <= budget
+      pfx += c
+      l -> isC
+    }.toMap
+    val kC = capped.count(_._2)
+    val sC = sorted.collect { case (l, c) if capped(l) => c }.sum
+    val u = L - kC
+    val level = if (u == 0) 0L else (budget - sC) / u
+    val rem = if (u == 0) 0L else budget - sC - level * u
+    val expect = sorted.zipWithIndex.map { case ((l, c), k0) =>
+      l -> (if (capped(l)) c else level + (if (k0 + 1 - kC <= rem) 1L else 0L))
+    }.toMap
+
+    assert(got.keySet === Set("aa", "bb", "cc"))
+    for ((l, r) <- got) {
+      assert(r.getLong(2) === toks(l), s"$l n_tokens")
+      assert(r.getLong(3) === caps(l), s"$l cap_tokens")
+      assert(r.getLong(4) === expect(l), s"$l alloc_tokens")
+      assert(r.getLong(4) <= caps(l), s"$l alloc must honor the epoch cap")
+      assert(r.getBoolean(6) === capped(l), s"$l is_capped")
+      if (r.getBoolean(6)) assert(r.getLong(4) === caps(l), s"capped $l gets exactly its cap")
+      assert(r.getLong(5) === r.getLong(4) * 1000L / toks(l), s"$l epochs_milli")
+    }
+    // the small strata cap at exactly 4 epochs; the big one absorbs the rest
+    assert(got("aa").getBoolean(6) && got("bb").getBoolean(6) && !got("cc").getBoolean(6))
+    assert(got.values.map(_.getLong(4)).sum === budget,
+      "budget is spent exactly (U >= 1 at these knobs)")
+    // uniformity (the UniMax guarantee): uncapped allocations differ by <= 1
+    val unc = got.values.filter(!_.getBoolean(6)).map(_.getLong(4))
+    assert(unc.isEmpty || unc.max - unc.min <= 1L)
+  }
+
+  test("unimax_mix invariants hold on the sf corpus") {
+    val got = TextOps.qUnimaxMix(spark, sf001).collect()
+    val budget = 3L * got.map(_.getLong(2)).sum
+    assert(got.forall(r => r.getLong(4) <= r.getLong(3)), "alloc <= cap everywhere")
+    assert(got.map(_.getLong(4)).sum === budget, "budget exactly spent")
+    val unc = got.filter(!_.getBoolean(6)).map(_.getLong(4))
+    assert(unc.isEmpty || unc.max - unc.min <= 1L, "uncapped allocations uniform to +-1")
+  }
 }

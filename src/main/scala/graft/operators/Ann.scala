@@ -1006,6 +1006,14 @@ object Ann {
     pqCode(s.read.parquet(s"$path/rerank.parquet"))
       .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index.parquet")
+    // a full rebuild supersedes every streamed increment — clear the
+    // [[ivfPqUpsertBatch]] directories of BOTH halves
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (r <- Seq(s"$path/index-stream", s"$path/rerank-stream")) {
+      val p = new org.apache.hadoop.fs.Path(r)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Append-only incremental maintenance — the [[ivfUpsert]] contract
@@ -1021,6 +1029,59 @@ object Ann {
     pqCode(assigned)
       .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index.parquet")
+  }
+
+  /** Idempotent per-micro-batch PQ upsert — [[ivfUpsertBatch]]'s
+    * contract extended to the TWO-TABLE layout, where the plain
+    * [[ivfPqUpsert]] has a failure mode the one-table paths don't: a
+    * crash between its two appends TEARS the index (floats landed,
+    * codes didn't — the batch's vectors silently vanish from the
+    * scoring scan, and a replay would duplicate the half that DID
+    * land). Here both halves go under deterministic batchId-derived
+    * directories with OVERWRITE semantics: a torn batch is merely
+    * invisible (codes half absent → stage 1 never surfaces the ids;
+    * stage 2 only point-reads ids stage 1 produced, so an orphaned
+    * float half is never served), and the replay rewrites BOTH dirs —
+    * the index converges to exactly-once contents, tear healed. The
+    * float half is written first and the codes derive from reading it
+    * back, so arrivals are scanned once and the commit order matches
+    * the tear analysis above. A codebook retrain ([[buildIvfPqIndex]])
+    * clears both stream roots.
+    */
+  private[graft] def ivfPqUpsertBatch(s: SparkSession, path: String,
+      arrivals: DataFrame, batchId: Long): Unit = {
+    if (!arrivals.isEmpty) {
+      val cent = readCodebook(s, path)
+      val rerankDir = f"$path/rerank-stream/batch-$batchId%09d"
+      ivfAssign(arrivals, cent)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(rerankDir)
+      pqCode(s.read.parquet(rerankDir))
+        .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"$path/index-stream/batch-$batchId%09d")
+    }
+  }
+
+  /** Streamed-batch directories for one PQ half, oldest first —
+    * COMMITTED batches only: a batch counts iff its CODES half exists
+    * (the commit-last half of [[ivfPqUpsertBatch]]'s write order), so
+    * a torn batch's orphaned float half is never listed for serve.
+    */
+  private def pqStreamBatchRoots(s: SparkSession, path: String, half: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/index-stream")
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    }
+    val root = new org.apache.hadoop.fs.Path(s"$path/$half-stream")
+    if (fs.exists(root))
+      fs.listStatus(root).filter(st => st.isDirectory && committed(st.getPath.getName))
+        .map(_.getPath.toString).sorted.toSeq
+    else Seq.empty
   }
 
   /** Serve top-k from a prebuilt [[buildIvfPqIndex]] index: quantized
@@ -1059,8 +1120,12 @@ object Ann {
       .withColumn("q_codes", vf.vecCodes8(col("q_emb"), vf.vecScale8(col("q_emb"))))
       .withColumn("qn8", sqrt(vf.dot8(col("q_codes"), col("q_codes")).cast("double")))
       .select(col("query_id"), col("q_codes"), col("qn8"), col("cell"))
-    // stage 1: integer-MAC scoring over the probed cells' codes only
-    val cand = s.read.parquet(s"$path/index.parquet").filter(cellFilter)
+    // stage 1: integer-MAC scoring over the probed cells' codes only —
+    // resident build + committed streamed batch dirs
+    // ([[ivfPqUpsertBatch]]), each under the same partition pruning
+    val codesIdx = (s"$path/index.parquet" +: pqStreamBatchRoots(s, path, "index"))
+      .map(r => s.read.parquet(r)).reduce(_ unionByName _)
+    val cand = codesIdx.filter(cellFilter)
       .join(broadcast(probedQ), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -1075,7 +1140,8 @@ object Ann {
     val candIds = candPairs.map(_._2).distinct
     // stage 2: float rerank of exactly the candidate ids (partition
     // pruning on cell + pushed IN on vec_id — a point lookup)
-    val rer = s.read.parquet(s"$path/rerank.parquet")
+    val rer = (s"$path/rerank.parquet" +: pqStreamBatchRoots(s, path, "rerank"))
+      .map(r => s.read.parquet(r)).reduce(_ unionByName _)
       .filter(cellFilter)
       .filter(col("vec_id").isin(candIds.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"), col("embedding"), col("nrm"))

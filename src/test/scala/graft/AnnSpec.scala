@@ -276,6 +276,37 @@ class AnnSpec extends SparkSpec {
     assert(got === ref, "upserted IVF-PQ index must serve exactly what a rebuild serves")
   }
 
+  test("ivfPqUpsertBatch: replay converges; a torn batch is invisible and heals on replay") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfpqb-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfpqb-incr").toString
+    Ann.buildIvfPqIndex(spark, sf0001, full)
+    Ann.buildIvfPqIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val batch = corpus.filter(col("vec_id") % 7 === 0)
+    def serveSet(path: String) = Ann.ivfPqServe(spark, sf0001, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = serveSet(full)
+    val preBatch = serveSet(incr)
+
+    // tear injection: the batch lands, then the CODES half is deleted —
+    // the on-disk state of a crash between ivfPqUpsertBatch's two
+    // writes (floats committed, codes not)
+    Ann.ivfPqUpsertBatch(spark, incr, batch, batchId = 3L)
+    val fs = new org.apache.hadoop.fs.Path(incr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$incr/index-stream/batch-000000003"), true))
+    assert(serveSet(incr) === preBatch,
+      "a torn batch (orphaned float half) must be INVISIBLE to serve, not a crash or a partial answer")
+
+    // replay with the same batchId: both halves rewritten → healed,
+    // and the index converges to exactly-once contents
+    Ann.ivfPqUpsertBatch(spark, incr, batch, batchId = 3L)
+    Ann.ivfPqUpsertBatch(spark, incr, batch, batchId = 3L) // second replay: idempotent
+    assert(serveSet(incr) === ref,
+      "replayed batch upserts must serve exactly what a one-shot build serves")
+  }
+
   /** Int8 quantization costs 4× less memory; this pins what it costs
     * in ANSWER quality. 127 levels over a 64-dim unit-ish vector
     * perturbs each cosine by ~1e-3 — far below the corpus's typical

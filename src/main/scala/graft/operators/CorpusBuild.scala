@@ -528,10 +528,15 @@ object CorpusBuild {
     * (new ids are allocated past both the manifest and any dirs on
     * disk, and every bootstrap read is filtered to manifest-LISTED
     * shards, so orphan text is never indexed — ADVICE r15); a crash
-    * after it leaves the index/cursors stale by one increment —
-    * delete `<path>/index` / `<path>/lanes.parquet` to force a
-    * rebootstrap from the committed corpus ([[corpusCompact]] removes
-    * the orphan dirs themselves).
+    * INSIDE the index append (some of the three tables written, not
+    * all) is detected at the next upsert by the footer-count
+    * invariant ([[graft.operators.Dedup.dedupIndexConsistent]]) and
+    * auto-healed by a rebuild from the committed corpus (r17); a
+    * crash BETWEEN the manifest swap and the index/cursor appends
+    * leaves them consistent but stale by one increment — delete
+    * `<path>/index` / `<path>/lanes.parquet` to force a rebootstrap
+    * from the committed corpus ([[corpusCompact]] removes the orphan
+    * dirs themselves).
     *
     * First call against a corpus published by [[corpusWrite]]
     * bootstraps the serve index and lane cursors from the shards (one
@@ -572,9 +577,19 @@ object CorpusBuild {
       s.read.parquet(s"$path/shards.parquet")
         .filter(col("shard").isin(ids.map(Integer.valueOf): _*))
     }
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/sig")))
+    // tear detection + self-heal (the r17 index sibling of
+    // recoverPublish): a crash inside a build or commit-last append
+    // leaves the three index tables with mismatched counts —
+    // detected by footer-count metadata and healed by a rebuild from
+    // the committed corpus, so a torn index can never silently lose
+    // dedup recall. A consistent index is kept as-is (the normal
+    // bootstrap-once path).
+    if (!Dedup.dedupIndexConsistent(s, idx)) {
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      if (fs.exists(idxPath)) fs.delete(idxPath, true)
       Dedup.buildDedupIndexFrom(
         committedShards().select(col("doc_id"), col("text")), idx)
+    }
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lanes.parquet")))
       committedShards()
         .groupBy(col("lang"), col("lane"))

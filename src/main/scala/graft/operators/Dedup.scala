@@ -943,11 +943,38 @@ object Dedup {
       col("doc_id"),
       WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"),
       WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
-    sig.write.mode(mode).parquet(s"$path/sig")
+    // write order is the commit protocol: `sig` is the existence
+    // marker bootstraps check AND the table the consistency invariant
+    // ([[dedupIndexConsistent]]) counts against — it lands LAST, so a
+    // build/append that dies mid-way leaves either no marker or a
+    // countable shortfall, never a passing-but-torn index (the
+    // [[graft.operators.Ann.ivfPqUpsertBatch]] commit-last device).
     sigBandRows(sig.select(col("doc_id"), col("sig_arr")), IdxBands, IdxRows)
       .write.mode(mode).parquet(s"$path/bands")
     docsDf.select(col("doc_id"), contentMd5(col("text")).as("content_md5"))
       .write.mode(mode).parquet(s"$path/md5")
+    sig.write.mode(mode).parquet(s"$path/sig")
+  }
+
+  /** Cheap consistency check of the three-table index — parquet
+    * footer counts only, no data scan: a healthy index (any number of
+    * [[buildDedupIndexFrom]] builds + [[appendDedupIndex]] appends)
+    * has exactly [[IdxBands]] band rows and one md5 row per sig row;
+    * a crash inside any build/append breaks an equality (or leaves no
+    * sig at all). Callers that own a rebuild source
+    * ([[graft.operators.CorpusBuild.corpusUpsert]]) treat `false` as
+    * "delete and rebootstrap from the committed corpus" — the torn
+    * state is self-healing instead of a silently recall-losing index.
+    */
+  private[graft] def dedupIndexConsistent(s: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def ex(t: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
+    ex("sig") && ex("bands") && ex("md5") && {
+      val nSig = s.read.parquet(s"$path/sig").count()
+      s.read.parquet(s"$path/bands").count() == IdxBands * nSig &&
+        s.read.parquet(s"$path/md5").count() == nSig
+    }
   }
 
   /** Append an accepted increment's signatures to the persisted index

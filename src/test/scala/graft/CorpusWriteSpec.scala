@@ -152,6 +152,49 @@ class CorpusWriteSpec extends SparkSpec {
     assert(m2.map(_.getLong(1)).sum === docs0 + 1)
   }
 
+  test("a torn dedup-index append is detected and healed at the next upsert") {
+    import spark.implicits._
+    val (out, _) = build("tearidx")
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val maxId = shards.map(_.getLong(0)).max
+    val base = shards.maxBy(_.getLong(0))
+    val idx = s"$out/index"
+
+    // first upsert bootstraps the serve index (consistent by build)
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_tear", base.getString(1),
+        base.getString(2).split(" ").reverse.mkString(" ")))
+        .toDF("doc_id", "source", "lang", "text"))
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, idx),
+      "healthy build + append must satisfy the count invariant")
+
+    // tear injection: a phantom doc's rows land in the BANDS table
+    // only — the on-disk state of a crash inside the commit-last
+    // append (bands written, md5/sig not)
+    spark.read.parquet(s"$idx/bands").limit(graft.operators.Dedup.IdxBands)
+      .withColumn("doc_id", col("doc_id") + 999999L)
+      .write.mode("append").parquet(s"$idx/bands")
+    assert(!graft.operators.Dedup.dedupIndexConsistent(spark, idx),
+      "the torn append must break the count invariant")
+
+    // the next upsert heals: index rebuilt from the committed corpus,
+    // and the rebuilt index still serves — a verbatim copy of a
+    // corpus doc is dropped, the manifest does not grow
+    val mBefore = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val mAfter = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_tear", base.getString(1), base.getString(2)))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(mAfter.length === mBefore.length,
+      "a verbatim corpus copy must still be dropped by the healed index")
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, idx),
+      "the heal must restore the invariant")
+    // the phantom doc's orphaned band rows are gone (rebuild, not append)
+    assert(spark.read.parquet(s"$idx/bands")
+      .filter(col("doc_id") >= 999999L).count() === 0L,
+      "healing rebuilds from the committed corpus — the torn rows vanish")
+  }
+
   test("verdict chain is built once per (session, dir) and serves every consumer") {
     CorpusBuild.clearVerdictCache()
     val v1 = CorpusBuild.survivorVerdicts(spark, sf0001)

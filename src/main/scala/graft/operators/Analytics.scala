@@ -157,6 +157,85 @@ object Analytics {
        |FROM r3 ORDER BY node_type, node_id""".stripMargin
   }
 
+  private val HitsScale = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over the DIRECTED half of the
+    * co-purchase graph — the bipartite twin of [[qPagerank]]'s damped
+    * centrality: customers are HUBS (they point at suppliers),
+    * suppliers are AUTHORITIES, and two mutual-reinforcement rounds
+    * score both sides (a ← Σ h over in-edges, h ← Σ a over
+    * out-edges). Where PageRank ranks by random-walk mass, HITS
+    * separates "buys broadly from good suppliers" from "supplies the
+    * good buyers" — the two-sided view a marketplace/procurement
+    * analysis wants.
+    *
+    * Fixed-point integer arithmetic throughout (the [[qPagerank]]
+    * discipline): per half-round, raw scores are exact BIGINT sums and
+    * normalization is `x·10⁶ DIV max(raw)` — MAX-normalization, the
+    * classic HITS choice, because it is integer-exact (L2 needs a
+    * sqrt) and keeps precision (L1 would shrink every score to
+    * mass/|nodes|). Bit-reproducible at any partitioning.
+    *
+    * Shape at scale: the directed edge list is a FILTER over the
+    * session-cached bidirectional checkpoint ([[copurchaseGraph]] —
+    * built once, shared with the six other graph rows); each
+    * half-round is one edge⋈score join + one node-keyed sum, with the
+    * one-row max broadcast back. 2 rounds = 4 such passes, node-sized
+    * output.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val (eb, _) = copurchaseGraph(s, dir)
+    // even src = customer side of the bidirectional union = the
+    // original customer→supplier direction
+    val e = eb.filter(col("src") % 2 === 0)
+    var h = e.select(col("src")).distinct()
+      .select(col("src").as("nd"), lit(HitsScale).as("x"))
+    var a: DataFrame = h
+    for (_ <- 1 to 2) {
+      val ar = e.join(h, e("src") === h("nd"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("raw"))
+      a = ar.crossJoin(broadcast(ar.agg(max(col("raw")).as("mx"))))
+        .select(col("dst").as("nd"), expr(s"(raw * $HitsScale) DIV mx").as("x"))
+      val hr = e.join(a, e("dst") === a("nd"))
+        .groupBy(col("src")).agg(sum(col("x")).as("raw"))
+      h = hr.crossJoin(broadcast(hr.agg(max(col("raw")).as("mx"))))
+        .select(col("src").as("nd"), expr(s"(raw * $HitsScale) DIV mx").as("x"))
+    }
+    h.select(lit("customer").as("node_type"), expr("nd DIV 2").as("node_id"),
+        col("x").as("score"))
+      .unionByName(a.select(lit("supplier").as("node_type"),
+        expr("nd DIV 2").as("node_id"), col("x").as("score")))
+      .orderBy(col("node_type"), col("node_id"))
+  }
+
+  val qHitsSql: String = {
+    def auth(prev: String, raw: String, out: String): String =
+      s"""$raw AS MATERIALIZED (
+         |  SELECT e.dst AS nd, CAST(SUM($prev.x) AS BIGINT) AS raw
+         |  FROM e JOIN $prev ON e.src = $prev.nd GROUP BY e.dst),
+         |$out AS MATERIALIZED (
+         |  SELECT nd, (raw * $HitsScale) // (SELECT MAX(raw) FROM $raw) AS x FROM $raw)""".stripMargin
+    def hub(prev: String, raw: String, out: String): String =
+      s"""$raw AS MATERIALIZED (
+         |  SELECT e.src AS nd, CAST(SUM($prev.x) AS BIGINT) AS raw
+         |  FROM e JOIN $prev ON e.dst = $prev.nd GROUP BY e.src),
+         |$out AS MATERIALIZED (
+         |  SELECT nd, (raw * $HitsScale) // (SELECT MAX(raw) FROM $raw) AS x FROM $raw)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS nd, CAST($HitsScale AS BIGINT) AS x FROM e),
+       |${auth("h0", "a1r", "a1")},
+       |${hub("a1", "h1r", "h1")},
+       |${auth("h1", "a2r", "a2")},
+       |${hub("a2", "h2r", "h2")}
+       |SELECT 'customer' AS node_type, nd // 2 AS node_id, CAST(x AS BIGINT) AS score FROM h2
+       |UNION ALL
+       |SELECT 'supplier' AS node_type, nd // 2 AS node_id, CAST(x AS BIGINT) AS score FROM a2
+       |ORDER BY node_type, node_id""".stripMargin
+  }
+
   private val CcIters = 3
 
   /** Connected components over the co-purchase graph by min-label
@@ -1831,6 +1910,7 @@ object Analytics {
     "q_dow_hour_heatmap" -> qDowHourHeatmap _,
     "q_session_path" -> qSessionPath _,
     "q_pagerank"   -> qPagerank _,
+    "q_hits"       -> qHits _,
     "q_funnel"     -> qFunnel _,
     "q_retention"  -> qRetention _,
     "q_histogram"  -> qHistogram _,
@@ -1862,6 +1942,7 @@ object Analytics {
     "q_dow_hour_heatmap" -> qDowHourHeatmapSql,
     "q_session_path" -> qSessionPathSql,
     "q_pagerank"   -> qPagerankSql,
+    "q_hits"       -> qHitsSql,
     "q_funnel"     -> qFunnelSql,
     "q_retention"  -> qRetentionSql,
     "q_histogram"  -> qHistogramSql,

@@ -984,7 +984,125 @@ object ScaleOps {
        |FROM ex CROSS JOIN est""".stripMargin
   }
 
+  // KMV sketch size: relative sd of the distinct estimate is
+  // ~1/sqrt(K-2) ≈ 6% at 256 — the sketch is 2 KB per key.
+  private val KmvK = 256
+
+  /** KMV (K-Minimum-Values) sketch INTERSECTION with exact-error audit
+    * — the set operation [[qHllUnion]]'s sketches cannot do: HLL
+    * merges are union-only, so "how many users do types A and B
+    * share" from summaries needs a sketch whose values can be
+    * compared, and KMV (Beyer et al. 2007, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations") is the
+    * classic answer. Per event type, the sketch is the [[KmvK]]
+    * smallest `splitmix64(user_id) >>> 1` values over distinct users —
+    * fully DETERMINISTIC (no seeded RNG, the `q_sample_uniform`/
+    * `Ann.split` device), so unlike a randomized sketch the estimate
+    * itself is hash-checkable: the oracle replays the sketch bit-for-
+    * bit. For each type pair the union sketch is the K smallest of the
+    * merged value sets (`v_k` its K-th value), est_union =
+    * floor((K−1)·2⁶³ / v_k) — one long→double cast and one IEEE
+    * division per pair, both single-rounding-identical across engines
+    * (the SortedJaccard rule) — and est_inter scales est_union by the
+    * fraction of union-sketch values present in BOTH sketches. When
+    * the merged value set has fewer than K values the sketches ARE the
+    * sets and the row reports exact counts (the small-pair fast path,
+    * same CASE in both engines). `err_bp` audits the estimate against
+    * the exact pair overlap ([[graft.operators.Analytics]]
+    * `q_user_overlap`'s join), the [[qCmsAudit]]/[[qJoinEstimate]]
+    * posture: the sketch is the production path, the exact branch the
+    * audit.
+    *
+    * Shape at scale: one distinct shuffle on (type, user) + a per-type
+    * rank cut builds ALL sketches in one pass — 2 KB per type — and
+    * every pairwise intersection is answered from sketches alone
+    * (type-count-bounded, no data contact); the exact audit branch is
+    * the only pair-sized work and a deployment drops it. At 100 TB:
+    * sketch once, answer any audience-overlap question from KBs.
+    */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.expressions.Window
+    val ut = Ingest.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .materialized // feeds the sketch build AND the exact audit join
+    val mixed = GraftBridge.column(graft.functions.SplitMix64(
+      GraftBridge.expression(col("user_id"))))
+    val sk = ut
+      .withColumn("u63", shiftrightunsigned(mixed, 1))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("u63"), col("user_id"))))
+      .filter(col("rk") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("u63"))).as("sk"))
+    val exact = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    exact
+      .join(sk.select(col("event_type").as("type_a"), col("sk").as("sk_a")), "type_a")
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b")), "type_b")
+      .withColumn("merged", expr(s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $KmvK)"))
+      .withColumn("n_shared", expr("CAST(size(array_intersect(merged, array_intersect(sk_a, sk_b))) AS BIGINT)"))
+      .withColumn("est_union",
+        // (K−1)·2⁶³ computed in DOUBLE: the long constant rounds to
+        // exactly 2⁶³ and the product is exact — a Long multiply
+        // would overflow before the cast
+        expr(s"""CASE WHEN size(merged) < $KmvK THEN CAST(size(merged) AS BIGINT)
+                 ELSE CAST(floor(CAST(${KmvK - 1} AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
+                      / CAST(element_at(merged, $KmvK) AS DOUBLE)) AS BIGINT) END"""))
+      .withColumn("est_inter",
+        expr(s"CASE WHEN size(merged) < $KmvK THEN n_shared ELSE (n_shared * est_union) DIV $KmvK END"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("est_inter"),
+        expr("CASE WHEN n_both = 0 THEN 0 ELSE ((est_inter - n_both) * 10000) DIV n_both END")
+          .as("err_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Oracle: the identical deterministic sketch in HUGEINT splitmix
+    * ([[OracleEmul.mix]], `>>> 1` = `// 2` unsigned), list ops for the
+    * merge, the same single-rounding double division. */
+  val qKmvOverlapSql: String =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |m AS (SELECT event_type, user_id,
+       |  CAST(${OracleEmul.mix("user_id::HUGEINT")} // 2 AS BIGINT) AS u63 FROM ut),
+       |r AS (SELECT event_type, u63,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u63, user_id) AS rk FROM m),
+       |sk AS MATERIALIZED (SELECT event_type, list_sort(list(u63)) AS sk
+       |  FROM r WHERE rk <= $KmvK GROUP BY event_type),
+       |ex AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+       |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT type_a, type_b, n_both,
+       |    list_sort(list_distinct(sa.sk || sb.sk))[1:$KmvK] AS merged,
+       |    sa.sk AS sk_a, sb.sk AS sk_b
+       |  FROM ex JOIN sk sa ON ex.type_a = sa.event_type
+       |  JOIN sk sb ON ex.type_b = sb.event_type),
+       |e AS (
+       |  SELECT type_a, type_b, n_both,
+       |    CAST(len(list_intersect(merged, list_intersect(sk_a, sk_b))) AS BIGINT) AS n_shared,
+       |    CASE WHEN len(merged) < $KmvK THEN CAST(len(merged) AS BIGINT)
+       |         ELSE CAST(floor(CAST(${KmvK - 1} AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
+       |              / CAST(merged[$KmvK] AS DOUBLE)) AS BIGINT) END AS est_union,
+       |    len(merged) AS n_merged
+       |  FROM j),
+       |f AS (
+       |  SELECT type_a, type_b, n_both,
+       |    CASE WHEN n_merged < $KmvK THEN n_shared
+       |         ELSE (n_shared * est_union) // $KmvK END AS est_inter
+       |  FROM e)
+       |SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(est_inter AS BIGINT) AS est_inter,
+       |  CAST(CASE WHEN n_both = 0 THEN 0
+       |       ELSE ((est_inter - n_both) * 10000) // n_both END AS BIGINT) AS err_bp
+       |FROM f
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_overlap"     -> qKmvOverlap _,
     "q_join_estimate"   -> qJoinEstimate _,
     "q_cms_audit"       -> qCmsAudit _,
     "q_bloom_join"      -> qBloomJoin _,
@@ -1006,6 +1124,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_overlap"     -> qKmvOverlapSql,
     "q_join_estimate"   -> qJoinEstimateSql,
     "q_cms_audit"       -> qCmsAuditSql,
     "q_bloom_join"      -> qBloomJoinSql,

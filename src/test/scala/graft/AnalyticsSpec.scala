@@ -161,6 +161,35 @@ class AnalyticsSpec extends SparkSpec {
       "bipartite traversal must rank customers AND suppliers")
   }
 
+  test("q_hits: exact driver-side replay of the two mutual-reinforcement rounds") {
+    // rebuild the directed bipartite graph and replay HITS in plain
+    // Scala — same fixed-point rules (BIGINT sums, max-normalize DIV)
+    val ord = graft.sources.Ingest.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.sources.Ingest.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (ord(r.getLong(0)), r.getLong(1))).distinct
+    var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val amx = ar.values.max
+      a = ar.view.mapValues(v => v * 1000000L / amx).toMap
+      val hr = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hmx = hr.values.max
+      h = hr.view.mapValues(v => v * 1000000L / hmx).toMap
+    }
+    val got = Analytics.qHits(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === h.size + a.size, "one score row per node")
+    h.foreach { case (c, v) => assert(got(("customer", c)) === v, s"hub $c") }
+    a.foreach { case (s0, v) => assert(got(("supplier", s0)) === v, s"authority $s0") }
+    // max-normalization: the top hub and top authority sit exactly at scale
+    assert(got.filterKeys(_._1 == "customer").values.max === 1000000L)
+    assert(got.filterKeys(_._1 == "supplier").values.max === 1000000L)
+  }
+
   test("q_funnel: stage timestamps strictly ordered, stage counts monotone") {
     val rows = Analytics.qFunnel(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -415,4 +415,38 @@ class ScaleOpsSpec extends SparkSpec {
       assert(meanW >= eLo && meanW <= eHi, "winsorized mean lies within the fences")
     }
   }
+
+  test("q_kmv_overlap: planted overlaps — small pairs exact, sketched pairs within 4 sigma") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    // planted audiences: x∩y = 500 of 3500 union (sketched), s1∩s2 =
+    // 21 of 80 union (below K=256 -> the exact fast path)
+    val rows =
+      (1L to 2000L).map(u => ("x", u)) ++
+      (1501L to 3500L).map(u => ("y", u)) ++
+      (1L to 50L).map(u => ("s1", u)) ++
+      (30L to 80L).map(u => ("s2", u))
+    rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = ScaleOps.qKmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val small = got(("s1", "s2"))
+    assert(small.getLong(2) === 21L, "exact overlap of the planted small pair")
+    assert(small.getLong(3) === 21L && small.getLong(4) === 0L,
+      "union below K: the sketches ARE the sets, estimate exact")
+    val big = got(("x", "y"))
+    assert(big.getLong(2) === 500L, "exact overlap of the planted sketched pair")
+    // KMV relative sd ~ 1/sqrt(K-2) ~ 6.3%; 4 sigma = 25%
+    assert(big.getLong(3) >= 375L && big.getLong(3) <= 625L,
+      s"sketched estimate within 4 sigma of 500, got ${big.getLong(3)}")
+    got.values.foreach { r =>
+      val (n, est, err) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(err === (if (n == 0) 0L else (est - n) * 10000L / n),
+        s"err_bp arithmetic: $r")
+    }
+  }
 }

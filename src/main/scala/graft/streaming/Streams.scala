@@ -1007,6 +1007,44 @@ object Streams {
       }
       .start()
 
+  /** Per-type KMV sketch state: the sorted k-minimum hash values. */
+  case class KmvState(sk: Seq[Long])
+  /** Per-batch sketch census: sketch fill and the distinct estimate. */
+  case class KmvCensus(event_type: String, n_sketch: Int, est_distinct: Long)
+
+  /** Streaming KMV distinct-reach sketches — the incremental
+    * maintenance path of `ScaleOps.q_kmv_overlap`'s summaries: per
+    * event type, keyed state holds the K smallest
+    * `splitmix64(user_id) >>> 1` values and each micro-batch folds its
+    * arrivals in (merge = k-smallest of the value-set union —
+    * associative AND idempotent, so an at-least-once re-delivery of a
+    * user is a no-op by construction: the sketch is a SET of hashes,
+    * not a counter; contrast the in-order contracts the counter twins
+    * need). Emits the updated census (Update mode) with the same
+    * estimator arithmetic as the batch row — one long→double cast,
+    * one IEEE division, floor — so a drained stream's state matches
+    * the batch sketch value-for-value (StreamsSpec pins it). At
+    * 100 TB: the overlap dashboard reads K-long sketches that were
+    * never rebuilt, only folded into.
+    */
+  def kmvReach(events: Dataset[TEv], k: Int = 256): Dataset[KmvCensus] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (et: String, it: Iterator[TEv], st: GroupState[KmvState]) => {
+          val prev = st.getOption.map(_.sk).getOrElse(Seq.empty)
+          val batch = it.map(e => graft.functions.BloomHashing.mix(e.user_id) >>> 1)
+          val merged = (prev.iterator ++ batch).toArray.distinct.sorted.take(k).toSeq
+          st.update(KmvState(merged))
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else math.floor((k - 1).toDouble * 9223372036854775807L.toDouble
+              / merged(k - 1).toDouble).toLong
+          KmvCensus(et, merged.length, est)
+        })
+  }
+
   /** Per-lane packing-counter state: running token sum, docs, packs,
     * and the last assigned pack id (pack ids are monotone per lane). */
   case class LaneState(cum: Long, nDocs: Long, nPacks: Long, lastPack: Long)

@@ -1151,4 +1151,41 @@ class StreamsSpec extends SparkSpec {
     assert(v(maxId + 2002L)._3 === false,
       "verbatim copy of the batch-1 survivor dies at the appended md5 tier")
   }
+
+  test("kmvReach: folded sketch state equals the batch sketch; re-delivery is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val k = 8 // small K so the estimator path (not the exact path) is exercised
+    val ms = MemoryStream[Streams.TEv]
+    val q = Streams.kmvReach(ms.toDS(), k)
+      .writeStream.format("memory").queryName("kmv").outputMode("update").start()
+    try {
+      ms.addData((1L to 20L).map(u => Streams.TEv(u, u, 1000L + u, "click")): _*)
+      q.processAllAvailable()
+      // second batch: 10 NEW users + 5 re-delivered ones (idempotent)
+      ms.addData(((21L to 30L) ++ (1L to 5L)).map(u =>
+        Streams.TEv(u, 100L + u, 2000L + u, "click")): _*)
+      q.processAllAvailable()
+      val rows = s.sql("SELECT n_sketch, est_distinct FROM kmv").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      // driver replay of the SAME rules over the full 30-user set
+      val all = (1L to 30L).map(u => graft.functions.BloomHashing.mix(u) >>> 1)
+        .distinct.sorted.take(k)
+      val expEst = math.floor((k - 1).toDouble * 9223372036854775807L.toDouble
+        / all(k - 1).toDouble).toLong
+      assert(rows.last === ((k, expEst)),
+        s"drained state must equal the batch-computed sketch, got ${rows.toSeq}")
+      // estimator sanity on 30 true distincts at K=8 (huge variance
+      // bounds, but the DETERMINISTIC value is pinned above)
+      assert(rows.last._2 > 0L)
+      // the re-delivered users must not move the sketch: fold a third
+      // batch of ONLY re-deliveries and require an identical census
+      ms.addData((1L to 20L).map(u => Streams.TEv(u, 200L + u, 3000L + u, "click")): _*)
+      q.processAllAvailable()
+      val after = s.sql("SELECT n_sketch, est_distinct FROM kmv").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(after.last === rows.last, "re-delivery must be a sketch no-op")
+    } finally q.stop()
+  }
 }

@@ -153,6 +153,26 @@ object StressDedup {
       s.read.parquet(s"$idx/bands"), hotBucketCap = 1000).collect()(0)
     val (minhashPairs, tMinhash) = timed { Dedup.qDedupMinhash(s, dir).count() }
 
+    // 5. Banding-curve depth independence: the curve runs over
+    // Canonical distinct-text reps, so it must yield the IDENTICAL
+    // frontier table as a 1-deep collapse of the same corpus (distinct
+    // text, min doc_id) — the candidates-track-distinct-content
+    // invariant measured per config, hot-family rewrites included.
+    val (curveRows, tCurve) = timed {
+      Dedup.qBandingCurve(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val oneDeep = s"$work/curve-onedeep"
+    docsDf.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("lang")).as("lang"), first(col("source")).as("source"),
+        first(col("n_chars")).as("n_chars"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$oneDeep/documents.parquet")
+    val curveBase = Dedup.qBandingCurve(s, oneDeep).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val curveDepthIndependent = curveRows.toSeq == curveBase.toSeq
+
     println(Seq(
       s""""corpus":"$dir"""",
       s""""n_docs":$nDocs""",
@@ -180,7 +200,10 @@ object StressDedup {
       s""""capped_members":${capStats.getLong(1)}""",
       s""""pair_sample_rate":${f"${capStats.getDouble(2)}%.3f"}""",
       s""""minhash_selfjoin_sec":${f"$tMinhash%.2f"}""",
-      s""""minhash_pairs":$minhashPairs"""
+      s""""minhash_pairs":$minhashPairs""",
+      s""""banding_curve_sec":${f"$tCurve%.2f"}""",
+      s""""curve_truth_pairs":${curveRows.headOption.map(_._4).getOrElse(0L)}""",
+      s""""curve_depth_independent":$curveDepthIndependent"""
     ).mkString("{", ",", "}"))
     s.stop()
   }

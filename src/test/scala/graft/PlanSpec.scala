@@ -744,7 +744,11 @@ class PlanSpec extends SparkSpec {
       "q_dim_geo" -> 1, "q_dim_status" -> 1, "q_fact_build" -> 1,
       "q_ks_drift" -> 2, "q_mix_budget" -> 1, "q_moving_avg" -> 1,
       "q_pareto" -> 1, "q_seasonality" -> 1, "q_vocab_growth" -> 1,
-      "q_zipf_fit" -> 1)
+      "q_zipf_fit" -> 1,
+      // r17: UniMax water-filling — every window (rank/prefix/global
+      // sums) rides the per-LANGUAGE aggregate, bounded by the lang
+      // inventory; the 10x sweep below confirms corpus-independence
+      "q_unimax_mix" -> 6)
     val census = small.groupBy(_._1).view.mapValues(_.size).toMap
     val newSites = census.filter { case (n, c) => c > allowed.getOrElse(n, 0) }
     val goneSites = allowed.filter { case (n, c) => census.getOrElse(n, 0) < c }

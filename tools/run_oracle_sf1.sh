@@ -27,7 +27,7 @@ TIMEOUT_S=${TIMEOUT_S:-420}
 # time at 10x. The ANN audit family stays on the default — r17 made
 # its baselines linear, so it no longer needs headroom.
 HEAVY_TIMEOUT_S=${HEAVY_TIMEOUT_S:-900}
-HEAVY_RE='dedup|span_|minhash|entity|corpus|jaccard|components|triangle|clustering|kcore|self_overlap|lsh_bucket'
+HEAVY_RE='dedup|span_|minhash|entity|corpus|jaccard|components|triangle|clustering|kcore|self_overlap|lsh_bucket|banding'
 cd /root/repo
 if [ ! -d "$REPLICA" ]; then
   echo "[sf1] building 10x replica at $REPLICA"

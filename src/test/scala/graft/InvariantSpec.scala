@@ -13,6 +13,20 @@ import graft.operators._
   */
 class InvariantSpec extends SparkSpec {
 
+  test("surface census: every queries key has an oracle and a plans entry, no orphans") {
+    // the all-hash board is a standing claim (SURVEY §2: zero
+    // rows-only rows) — make it a tripwire: a new query without an
+    // oracle, or an oracle whose query was renamed away, fails HERE
+    // by name instead of silently weakening the driver gate.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val p = SparkEntry.plans.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+    assert((q -- p).isEmpty && (p -- q).isEmpty,
+      s"queries/plans registries diverge: ${((q -- p) ++ (p -- q)).toSeq.sorted}")
+  }
+
   test("q_dup_summary agrees with q_dedup_exact row for row") {
     val exact = Dedup.qDedupExact(spark, sf0001)
     val summary = Dedup.qDupSummary(spark, sf0001).collect().head

@@ -327,4 +327,72 @@ object PropertyProps extends Properties("graft-primitives") {
       graft.functions.VectorOps.dot8(ca, cb) == ref.toLong &&
         graft.functions.VectorOps.dot8(cb, ca) == ref.toLong && mismatch
     }
+
+  // The UniMax closed form (q_unimax_mix's window formulation: sorted
+  // capped-prefix test + even split of the leftover with remainder to
+  // the smallest uncapped) must equal TRUE iterative water-filling:
+  // repeatedly hand every active language an equal share, cap-clamped,
+  // until the budget is gone. TextOpsSpec pins the operator against
+  // the closed form on planted data; this property closes the other
+  // half — closed form ≡ the algorithm the paper describes — on
+  // random capacity profiles.
+  private def unimaxClosedForm(caps: Map[String, Long], budget: Long): Map[String, Long] = {
+    val sorted = caps.toSeq.sortBy { case (l, c) => (c, l) }
+    val L = sorted.size
+    var pfx = 0L
+    val capped = sorted.zipWithIndex.map { case ((l, c), k0) =>
+      val isC = c * (L - k0) + pfx <= budget
+      pfx += c
+      l -> isC
+    }.toMap
+    val kC = capped.count(_._2)
+    val sC = sorted.collect { case (l, c) if capped(l) => c }.sum
+    val u = L - kC
+    val level = if (u == 0) 0L else (budget - sC) / u
+    val rem = if (u == 0) 0L else budget - sC - level * u
+    sorted.zipWithIndex.map { case ((l, c), k0) =>
+      l -> (if (capped(l)) c else level + (if (k0 + 1 - kC <= rem) 1L else 0L))
+    }.toMap
+  }
+
+  private def unimaxIterative(caps: Map[String, Long], budget: Long): Map[String, Long] = {
+    var alloc = caps.map { case (l, _) => l -> 0L }
+    var rem = budget
+    var active = caps.filter(_._2 > 0).keySet
+    while (rem > 0 && active.nonEmpty) {
+      val share = rem / active.size
+      if (share == 0) {
+        // tail remainder: +1 each to the smallest-capacity active langs
+        for (l <- active.toSeq.sortBy(l => (caps(l), l)).take(rem.toInt))
+          alloc += l -> (alloc(l) + 1)
+        rem = 0
+      } else {
+        var used = 0L
+        for (l <- active) {
+          val take = math.min(share, caps(l) - alloc(l))
+          alloc += l -> (alloc(l) + take); used += take
+        }
+        rem -= used
+        active = active.filter(l => alloc(l) < caps(l))
+        if (used == 0) rem = 0 // everyone capped: budget cannot be spent
+      }
+    }
+    alloc
+  }
+
+  private val unimaxGen = for {
+    n <- Gen.choose(1, 12)
+    caps <- Gen.listOfN(n, Gen.choose(0L, 4000L))
+    budget <- Gen.choose(0L, 20000L)
+  } yield (caps.zipWithIndex.map { case (c, i) => f"l$i%02d" -> c }.toMap, budget)
+
+  property("unimax closed form equals iterative water-filling") =
+    forAll(unimaxGen) { case (caps, budget) =>
+      val b = math.min(budget, caps.values.sum) // spendable budget only
+      val cf = unimaxClosedForm(caps, b)
+      val it = unimaxIterative(caps, b)
+      val spent = cf.values.sum == b
+      val bounded = cf.forall { case (l, a) => a >= 0 && a <= caps(l) }
+      cf == it && spent && bounded
+    }
 }

@@ -997,6 +997,19 @@ object Ann {
     import s.implicits._
     val (corpus, _) = split(s, dir)
     val cent = sessionCodebook(s, dir, corpus)
+    // a full rebuild supersedes every streamed increment — clear the
+    // [[ivfPqUpsertBatch]] directories of BOTH halves BEFORE touching
+    // the codebook: a crash anywhere after the codebook overwrite
+    // must not leave batches coded under the OLD codebook unioned
+    // into serves against the NEW one (silently wrong cells/scores).
+    // Stream batches are derived data superseded by the rebuild, so
+    // deleting first loses nothing on any crash path.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (r <- Seq(s"$path/index-stream", s"$path/rerank-stream")) {
+      val p = new org.apache.hadoop.fs.Path(r)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     (0 until IvfCells).map(t => (t, cent.slice(t * Dim, (t + 1) * Dim)))
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/codebook.parquet")
@@ -1006,14 +1019,6 @@ object Ann {
     pqCode(s.read.parquet(s"$path/rerank.parquet"))
       .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index.parquet")
-    // a full rebuild supersedes every streamed increment — clear the
-    // [[ivfPqUpsertBatch]] directories of BOTH halves
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (r <- Seq(s"$path/index-stream", s"$path/rerank-stream")) {
-      val p = new org.apache.hadoop.fs.Path(r)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
   }
 
   /** Append-only incremental maintenance — the [[ivfUpsert]] contract
@@ -1053,28 +1058,66 @@ object Ann {
     if (!arrivals.isEmpty) {
       val cent = readCodebook(s, path)
       val rerankDir = f"$path/rerank-stream/batch-$batchId%09d"
+      val indexDir = f"$path/index-stream/batch-$batchId%09d"
+      // replay of an already-committed batch (at-least-once
+      // re-delivery) must UN-COMMIT first: if the old codes half were
+      // left standing while the float half is overwritten, a crash
+      // mid-overwrite would leave codes committed with floats absent —
+      // stage 1 surfaces the batch's vec_ids but stage 2 finds no
+      // floats, the exact reverse tear this write order exists to
+      // prevent. Deleting the codes dir restores floats-first /
+      // codes-last for EVERY attempt, not just the first.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ip = new org.apache.hadoop.fs.Path(indexDir)
+      if (fs.exists(ip)) fs.delete(ip, true)
       ivfAssign(arrivals, cent)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(rerankDir)
       pqCode(s.read.parquet(rerankDir))
         .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(f"$path/index-stream/batch-$batchId%09d")
+        .parquet(indexDir)
     }
   }
 
   /** Streamed-batch directories for one PQ half, oldest first —
-    * COMMITTED batches only: a batch counts iff its CODES half exists
-    * (the commit-last half of [[ivfPqUpsertBatch]]'s write order), so
-    * a torn batch's orphaned float half is never listed for serve.
+    * COMMITTED batches only: a batch counts iff its CODES half
+    * FINISHED writing (the commit-last half of [[ivfPqUpsertBatch]]'s
+    * write order), so a torn batch's orphaned float half is never
+    * listed for serve. "Finished" is NOT bare directory existence —
+    * Spark creates the output dir (holding only `_temporary`) at job
+    * START, so a crash during the codes write leaves an empty dir
+    * that would otherwise count as committed and make serve throw (or
+    * read partial codes). The job-level commit evidence is the
+    * `_SUCCESS` marker; if marker writing is disabled in the Hadoop
+    * conf, fall back to "contains at least one committed data file
+    * outside `_temporary`".
     */
+  private def pqBatchCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      batchDir: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) true
+    else fs.listStatus(batchDir).exists { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory)
+        n != "_temporary" && !n.startsWith(".") &&
+          fs.listStatus(st.getPath).exists { f =>
+            val fn = f.getPath.getName
+            f.isFile && !fn.startsWith("_") && !fn.startsWith(".")
+          }
+      else st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   private def pqStreamBatchRoots(s: SparkSession, path: String, half: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val committed = {
       val root = new org.apache.hadoop.fs.Path(s"$path/index-stream")
       if (fs.exists(root))
-        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && pqBatchCommitted(fs, st.getPath))
+          .map(_.getPath.getName).toSet
       else Set.empty[String]
     }
     val root = new org.apache.hadoop.fs.Path(s"$path/$half-stream")

@@ -970,10 +970,17 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def ex(t: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
+    // a crash INSIDE a table's write leaves the dir present but with
+    // no committed footers (only _temporary) — read.parquet then
+    // throws "unable to infer schema" rather than counting short, so
+    // an unreadable table is exactly the torn state this check exists
+    // to surface: report inconsistent, don't propagate.
     ex("sig") && ex("bands") && ex("md5") && {
-      val nSig = s.read.parquet(s"$path/sig").count()
-      s.read.parquet(s"$path/bands").count() == IdxBands * nSig &&
-        s.read.parquet(s"$path/md5").count() == nSig
+      try {
+        val nSig = s.read.parquet(s"$path/sig").count()
+        s.read.parquet(s"$path/bands").count() == IdxBands * nSig &&
+          s.read.parquet(s"$path/md5").count() == nSig
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
   }
 

@@ -299,12 +299,34 @@ class AnnSpec extends SparkSpec {
     assert(serveSet(incr) === preBatch,
       "a torn batch (orphaned float half) must be INVISIBLE to serve, not a crash or a partial answer")
 
-    // replay with the same batchId: both halves rewritten → healed,
-    // and the index converges to exactly-once contents
+    // tear injection 2: a crash DURING the codes write — Spark creates
+    // the batch dir (holding only `_temporary`) at job start, so bare
+    // dir existence is NOT commit evidence. Such a dir must not count
+    // as committed (it has no _SUCCESS and no data files): serve
+    // neither throws nor reads partial codes.
+    val crashDir = new org.apache.hadoop.fs.Path(s"$incr/index-stream/batch-000000004")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(crashDir, "_temporary"))
+    assert(serveSet(incr) === preBatch,
+      "a batch dir with only _temporary (crash mid-codes-write) must read as uncommitted")
+    assert(fs.delete(crashDir, true))
+
+    // replay with the same batchId: the stale codes half (if any) is
+    // un-committed FIRST, then both halves rewritten floats-first /
+    // codes-last → healed, and the index converges to exactly-once
+    // contents
     Ann.ivfPqUpsertBatch(spark, incr, batch, batchId = 3L)
     Ann.ivfPqUpsertBatch(spark, incr, batch, batchId = 3L) // second replay: idempotent
     assert(serveSet(incr) === ref,
       "replayed batch upserts must serve exactly what a one-shot build serves")
+
+    // a full rebuild clears the stream roots BEFORE the codebook
+    // overwrite (no old-codebook batches can survive into a
+    // new-codebook serve) — post-state: roots gone, serve == build
+    Ann.buildIvfPqIndex(spark, sf0001, incr)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$incr/index-stream")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$incr/rerank-stream")),
+      "a rebuild must clear both stream roots")
+    assert(serveSet(incr) === ref)
   }
 
   /** Int8 quantization costs 4× less memory; this pins what it costs

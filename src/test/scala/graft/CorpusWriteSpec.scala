@@ -195,6 +195,44 @@ class CorpusWriteSpec extends SparkSpec {
       "healing rebuilds from the committed corpus — the torn rows vanish")
   }
 
+  test("an UNREADABLE index table (crash inside a table's write) reads as inconsistent, not a throw") {
+    import spark.implicits._
+    val (out, _) = build("tearidx2")
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val maxId = shards.map(_.getLong(0)).max
+    val base = shards.maxBy(_.getLong(0))
+    val idx = s"$out/index"
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_tear2", base.getString(1),
+        base.getString(2).split(" ").reverse.mkString(" ")))
+        .toDF("doc_id", "source", "lang", "text"))
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, idx))
+
+    // tear injection: a crash INSIDE the sig write leaves the dir
+    // present with only `_temporary` — no committed parquet footers.
+    // read.parquet on that dir throws "unable to infer schema"; the
+    // consistency check must swallow it and report inconsistent so
+    // the heal path still triggers.
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sig"), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/sig/_temporary"))
+    assert(!graft.operators.Dedup.dedupIndexConsistent(spark, idx),
+      "a sig dir with no committed files must read as inconsistent, not propagate a read failure")
+
+    // and corpusUpsert self-heals from that state exactly as it does
+    // from a countable shortfall
+    val mBefore = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val mAfter = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_tear2", base.getString(1), base.getString(2)))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(mAfter.length === mBefore.length,
+      "a verbatim corpus copy must still be dropped by the healed index")
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, idx),
+      "the heal must restore the invariant from the unreadable-table state")
+  }
+
   test("verdict chain is built once per (session, dir) and serves every consumer") {
     CorpusBuild.clearVerdictCache()
     val v1 = CorpusBuild.survivorVerdicts(spark, sf0001)

@@ -25,7 +25,7 @@ object TextOps {
   // Language-marker stopword lists (tiny on purpose: the heuristic is
   // "which language's function words dominate" — same shape as langid's
   // feature voting, reduced to pure SQL so the oracle can replay it).
-  private val enStops = Seq("the", "a", "of", "and", "to", "is")
+  private val enStops = graft.functions.QualityStats.StopWords
   private val esStops = Seq("el", "la", "de", "que", "y", "en")
   private val deStops = Seq("der", "die", "das", "und", "ist", "zu")
   private val frStops = Seq("le", "les", "des", "et", "une", "est")
@@ -181,32 +181,44 @@ object TextOps {
     * the two must agree by construction, not by convention (same
     * contract as [[graft.operators.Dedup.contentMd5]]).
     */
-  def qualityKeep(text: Column): Column = {
-    val nWords = size(split(text, " ")).cast("long")
-    val avgWordLen = length(regexp_replace(text, " ", "")).cast("double") / nWords
-    val punctRatio = regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
-      length(text).cast("long")
-    nWords >= 5 && nWords <= 5000 &&
+  def qualityKeep(text: Column): Column =
+    qualityKeepFrom(graft.functions.QualityStats.column(text))
+
+  /** The keep rule over an already-computed [[graft.functions.QualityStats]]
+    * struct — lets wide scans ([[qQualityScore]]) project the one-pass
+    * counters ONCE and derive features + verdict from the struct
+    * instead of re-traversing the text per feature.
+    */
+  private[graft] def qualityKeepFrom(qs: Column): Column = {
+    val nWords = qs.getField("n_words")
+    val avgWordLen = qs.getField("n_nospace").cast("double") / nWords
+    val punctRatio = qs.getField("n_punct").cast("double") / qs.getField("n_chars")
+    nWords >= 5L && nWords <= 5000L &&
       avgWordLen >= 2.0 && avgWordLen <= 12.0 && punctRatio < 0.2
   }
 
   /** Document quality scoring: length / word-count / word-length /
     * stopword-ratio / punctuation-ratio features + a keep flag — the
     * classic pre-training quality filter (C4/Gopher-style rules).
+    * All five counters come from ONE text traversal
+    * ([[graft.functions.QualityStats]], the RepetitionStats device) —
+    * the former formulation's three `split` + two regex evaluations
+    * were five full corpus re-scans at 100 TB.
     */
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("n_chars_c", length(col("text")).cast("long"))
-      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-      .withColumn("n_stop", stopCount(enStops))
-      .withColumn("n_punct", expr("CAST(regexp_count(text, '[^A-Za-z0-9 ]') AS BIGINT)"))
-      .withColumn("avg_word_len",
-        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
-      .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_words"))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_c"))
-      .withColumn("is_keep", qualityKeep(col("text")))
-      .select("doc_id", "n_chars_c", "n_words", "avg_word_len",
-              "stopword_ratio", "punct_ratio", "is_keep")
+      .select(col("doc_id"), graft.functions.QualityStats.column(col("text")).as("qs"))
+      .select(
+        col("doc_id"),
+        col("qs").getField("n_chars").as("n_chars_c"),
+        col("qs").getField("n_words").as("n_words"),
+        (col("qs").getField("n_nospace").cast("double") /
+          col("qs").getField("n_words")).as("avg_word_len"),
+        (col("qs").getField("n_stop").cast("double") /
+          col("qs").getField("n_words")).as("stopword_ratio"),
+        (col("qs").getField("n_punct").cast("double") /
+          col("qs").getField("n_chars")).as("punct_ratio"),
+        qualityKeepFrom(col("qs")).as("is_keep"))
 
   /** Order-free oracle body — composers (qFilterPipelineSql,
     * Ann.qHybridSearchSql, CorpusBuild) embed THIS as a CTE; the
@@ -3329,28 +3341,29 @@ object TextOps {
     * gibberish / separator floods / single-char padding that
     * word-level filters ([[qRepetition]], [[qQualityScore]]) miss
     * because such docs often tokenize into few "words". Spaces are
-    * excluded (both engines), and splitting is per UTF-16 unit on the
-    * Spark side vs per code point in DuckDB — identical for BMP text,
-    * which is all the corpus contains (the [[graft.functions]]
-    * DeletionHashes BMP note applies here too).
+    * excluded (both engines); counting is per code point
+    * ([[graft.functions.CharDiversityStats]] — DuckDB's
+    * `string_split(text, '')` semantics, identical to a UTF-16 split
+    * on BMP text, which is all the corpus contains).
     *
-    * Shape at scale: one char explode partial-aggregated on
-    * (doc_id, ch) — combiner-friendly since per-doc char cardinality
-    * is alphabet-bounded — then a doc-key rollup. Two shuffles whose
-    * row count is ≤ docs × alphabet, far below token counts.
+    * Shape at scale: MAP-ONLY — the per-doc counters are pure row
+    * functions, so they ride the scan as one native one-pass
+    * projection (the RepetitionStats device). The former char-explode
+    * formulation inflated the corpus ~1000× in row count through two
+    * hash exchanges to compute what a per-row pass already knows.
+    * Zero-char docs are dropped (the explode emitted no row for them,
+    * and both ppm divisions need n > 0).
     */
   def qCharDiversity(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "filter(split(lower(text), ''), c -> c <> ' ' AND c <> '')")).as("ch"))
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("nc"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum("nc").as("n_chars_tot"),
-        count(lit(1)).as("n_uniq_chars"),
-        max("nc").as("top_char_cnt"),
-        sum(col("nc") * col("nc")).as("sq"))
+      .select(col("doc_id"),
+        graft.functions.CharDiversityStats.column(lower(col("text"))).as("cs"))
+      .filter(col("cs").getField("n_chars_tot") > 0L)
+      .select(col("doc_id"),
+        col("cs").getField("n_chars_tot").as("n_chars_tot"),
+        col("cs").getField("n_uniq_chars").as("n_uniq_chars"),
+        col("cs").getField("top_char_cnt").as("top_char_cnt"),
+        col("cs").getField("sq").as("sq"))
       .select(col("doc_id"), col("n_chars_tot"), col("n_uniq_chars"), col("top_char_cnt"),
         expr("(sq * 1000000) DIV (n_chars_tot * n_chars_tot)").as("simpson_ppm"),
         expr("(top_char_cnt * 1000000) DIV n_chars_tot").as("top_share_ppm"))

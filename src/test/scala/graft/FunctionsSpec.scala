@@ -76,4 +76,71 @@ class FunctionsSpec extends SparkSpec {
       .select(GraftFunctions.fingerprint(col("s"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  /** The fused quality counters must agree with the relational
+    * formulation they replaced (three splits + two regexes — the
+    * oracle's semantics) on every counter, including the traps:
+    * empty string, leading/trailing/double spaces (empty tokens),
+    * stop words at both text ends, non-ASCII, and pure punctuation.
+    */
+  test("graft_quality_stats == the split/regex formulation on edge-case texts") {
+    val s = spark
+    import s.implicits._
+    val stops = graft.functions.QualityStats.StopWords.map(w => s"'$w'").mkString(", ")
+    val texts = Seq(
+      "", " ", "  ", "the", "the quick brown fox is a fox", " the a ",
+      "is", "a a a a a", "no stopwords here whatsoever",
+      "punct!!! and, some. more?", "中文 text the 混合", "tab\tand\nnewline the",
+      "double  space the", "trailing space the ", "!@#$%^&*()")
+    val df = texts.toDF("text").select(
+      graft.functions.QualityStats.column(col("text")).as("qs"),
+      expr("CAST(length(text) AS BIGINT)").as("o_chars"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("o_words"),
+      expr("CAST(length(regexp_replace(text, ' ', '')) AS BIGINT)").as("o_nospace"),
+      expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($stops))) AS BIGINT)").as("o_stop"),
+      expr("CAST(regexp_count(text, '[^A-Za-z0-9 ]') AS BIGINT)").as("o_punct"))
+    df.collect().foreach { r =>
+      val qs = r.getStruct(0)
+      assert(qs.getLong(0) === r.getLong(1), s"n_chars mismatch: $r")
+      assert(qs.getLong(1) === r.getLong(2), s"n_words mismatch: $r")
+      assert(qs.getLong(2) === r.getLong(3), s"n_nospace mismatch: $r")
+      assert(qs.getLong(3) === r.getLong(4), s"n_stop mismatch: $r")
+      assert(qs.getLong(4) === r.getLong(5), s"n_punct mismatch: $r")
+    }
+  }
+
+  /** The fused char-diversity counters must agree with the
+    * char-explode formulation they replaced (count/distinct/max/Σn²
+    * over non-space chars of the lowercased text).
+    */
+  test("graft_char_diversity_stats == the explode/groupBy formulation") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "aAbB ccc", "  ", "x", "The quick brown fox!", "aaaaa", "中文中文 mixed",
+      "a b c d e f g", "!!!???...")
+    val df = texts.toDF("text")
+    val fused = df.select(col("text"),
+        graft.functions.CharDiversityStats.column(lower(col("text"))).as("cs"))
+      .select(col("text"), col("cs.n_chars_tot"), col("cs.n_uniq_chars"),
+        col("cs.top_char_cnt"), col("cs.sq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val relational = df
+      .select(col("text"), explode(expr(
+        "filter(split(lower(text), ''), c -> c <> ' ' AND c <> '')")).as("ch"))
+      .groupBy(col("text"), col("ch")).agg(count(lit(1)).as("nc"))
+      .groupBy(col("text"))
+      .agg(sum("nc").as("tot"), count(lit(1)).as("uniq"),
+        max("nc").as("top"), sum(col("nc") * col("nc")).as("sq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    relational.foreach { case (t, exp) =>
+      assert(fused(t) === exp, s"char-diversity mismatch on '$t'")
+    }
+    // zero-char docs: explode emits nothing; fused emits an all-zero
+    // struct the operator filters out — pin the struct contents
+    assert(fused("  ") === ((0L, 0L, 0L, 0L)))
+    assert(!relational.contains("  "))
+  }
 }

@@ -196,6 +196,24 @@ class PlanSpec extends SparkSpec {
       s"the native one-pass expression must be in the plan:\n$p")
   }
 
+  test("q_quality_score: map-only, one-pass — no split/regex re-scans of the text") {
+    val p = plan("q_quality_score")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Generate"),
+      s"quality features are per-row — the corpus must not shuffle or explode:\n$p")
+    assert(p.contains("graft_quality_stats"),
+      s"the native one-pass expression must be in the plan:\n$p")
+    assert(!p.contains("split(") && !p.contains("regexp"),
+      s"no residual per-feature text re-traversals (3×split + 2×regex was the r17 cost):\n$p")
+  }
+
+  test("q_char_diversity: map-only — the char explode and its two shuffles are gone") {
+    val p = plan("q_char_diversity")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Generate"),
+      s"per-doc char counters are per-row — no explode, no shuffle:\n$p")
+    assert(p.contains("graft_char_diversity_stats"),
+      s"the native one-pass expression must be in the plan:\n$p")
+  }
+
   test("q_pii_scrub: map-only — pure regex projection, zero shuffles or joins") {
     val p = plan("q_pii_scrub")
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),

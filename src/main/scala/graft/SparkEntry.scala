@@ -188,6 +188,8 @@ object SparkEntry {
     "q_ann_lsh"         -> Seq("query_id", "rnk"),
     "q_ann_ivf"         -> Seq("query_id", "rnk"),
     "q_ann_quantized"   -> Seq("query_id", "rnk"),
+    "q_ann_pq"          -> Seq("query_id", "rnk"),
+    "q_pq_recall"       -> Seq("query_id"),
     "q_ann_recall"      -> Seq("query_id"),
     "q_ann_probe_curve" -> Seq("n_probes"),
     "q_lsh_probe_curve" -> Seq("n_probes"),

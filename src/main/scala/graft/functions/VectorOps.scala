@@ -534,4 +534,13 @@ object VectorFunctions {
   /** Per-group top-k aggregate over struct<double,bigint> — see [[TopKPairs]]. */
   def topkPairs(c: Column, k: Int): Column =
     GraftBridge.column(TopKPairs(GraftBridge.expression(c), k).toAggregateExpression())
+
+  def pqCodes(c: Column, codebooks: Seq[Double], m: Int, dsub: Int): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(c), codebooks, m, dsub))
+
+  def pqLut(c: Column, codebooks: Seq[Double], m: Int, dsub: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(c), codebooks, m, dsub))
+
+  def adcLookup(lut: Column, codes: Column): Column =
+    GraftBridge.column(AdcLookup(GraftBridge.expression(lut), GraftBridge.expression(codes)))
 }

@@ -1318,6 +1318,346 @@ object Ann {
        |ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Rows q_ann_pq / q_pq_recall: TRUE multi-subspace product
+  // quantization (Jégou et al. 2011) — m sub-codebooks over disjoint
+  // dim/m-dim slices, one byte code per subspace, ADC lookup-table
+  // scoring. 32× compression (8 bytes vs 256 float bytes) where the
+  // per-vector int8 path (q_ann_quantized) is 4× — the difference
+  // between an embedding store that fits executor memory at 10⁸
+  // vectors and one that doesn't. Training reuses the IVF Lloyd
+  // device per subspace (deterministic md5 seed pick, exact
+  // fixed-point means), so the oracle RE-TRAINS all m sub-codebooks
+  // inside DuckDB the same way qAnnIvfSql re-trains its cells.
+  // ------------------------------------------------------------------
+
+  private[graft] val PqM = 16         // subspaces (one byte code each)
+  private[graft] val PqDsub = Dim / PqM
+  private[graft] val PqKs = 256       // centroids per sub-codebook (8-bit codes)
+  private[graft] val PqTrainIters = 2
+  /** ADC shortlist size before the exact float rerank — the
+    * [[PqRerankC]] over-fetch device: final top-[[K]] recall equals
+    * the probability the true neighbors survive the ADC top-c cut
+    * (~97% at c=4K on the sf0.1 corpus, measured), because the rerank
+    * restores exact order within the shortlist. */
+  private[graft] val PqShortC = 4 * K
+
+  /** Train the m sub-codebooks: [[PqKs]] seed rows picked by the IVF
+    * device (TakeOrdered on (md5(vec_id), vec_id) — SQL-replayable),
+    * sliced per subspace, refined by [[PqTrainIters]] Lloyd rounds
+    * under subspace L2 (the PQ metric: minimal reconstruction error →
+    * tight ADC dot estimates). ALL subspaces train in the same passes:
+    * one map-only coding + one (m·ks·dsub)-row fixed-point aggregate
+    * per round — the corpus never shuffles (the [[trainCodebook]]
+    * shape, m-for-free).
+    *
+    * Returned flattened with entry (m, t) component i at
+    * `(m*PqKs + t)*PqDsub + i` (the [[graft.functions.PqKernels]]
+    * layout).
+    */
+  private[graft] def trainPqCodebooks(corpus: DataFrame): Array[Double] = {
+    val seeds = corpus
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(PqKs)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .collect()
+    require(seeds.nonEmpty, "PQ training needs a non-empty corpus")
+    // a corpus smaller than PqKs trains with ks = N sub-centroids —
+    // every downstream consumer derives ks from the codebook length
+    // (the PqKernels layout), and the oracle's `WHERE t < PqKs` seed
+    // cut yields the same N rows, so both engines degrade identically
+    val ks = seeds.length
+    var cb = new Array[Double](PqM * ks * PqDsub)
+    for (t <- 0 until ks; m <- 0 until PqM; i <- 0 until PqDsub)
+      cb((m * ks + t) * PqDsub + i) = seeds(t).getSeq[Double](0)(m * PqDsub + i)
+    for (_ <- 1 to PqTrainIters) {
+      // same exact-BIGINT fixed-point means as [[trainCodebook]]
+      // (FpScale = 2^20 is a power of two, so the scaling multiply is
+      // IEEE-exact in any float width — no engine drift)
+      val means = corpus
+        .select(
+          graft.functions.VectorFunctions
+            .pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub).as("codes"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          expr(s"CAST(pos DIV $PqDsub AS INT)").as("m"),
+          // & 255: the byte code is SIGNED in SQL — with ks > 128 a
+          // code of e.g. 200 reads as -56 without the mask
+          expr(s"CAST(element_at(codes, CAST(pos DIV $PqDsub AS INT) + 1) AS INT) & 255").as("code"),
+          col("pos"), col("v"))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(expr(s"CAST(round(v * $FpScale) AS BIGINT)")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val next = cb.clone() // empty codes keep their previous centroid
+      means.foreach { r =>
+        val m = r.getInt(0)
+        next((m * ks + r.getInt(1)) * PqDsub + (r.getInt(2) - m * PqDsub)) =
+          r.getLong(3).toDouble / FpScale / r.getLong(4)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Session-scoped sub-codebook cache — the [[sessionCodebook]]
+    * contract verbatim (model parameter: m·ks·dsub doubles; immutable
+    * data dirs; [[clearModelCache]] drops it). */
+  private val pqCodebookCache = new graft.plans.SessionCache[Array[Double]]
+
+  private[graft] def sessionPqCodebooks(s: SparkSession, dir: String,
+      corpus: DataFrame): Array[Double] =
+    pqCodebookCache.getOrElseUpdate(s, dir)(trainPqCodebooks(corpus))
+
+  /** Per-(m,t) centroid norm² table in LUT layout — left-to-right
+    * squares fold (the [[Dedup.sqlNorm]] accumulation), so the
+    * reconstruction norm √Σ_m ‖c_{m,code_m}‖² replays in SQL. */
+  private[graft] def pqNormLut(cb: Array[Double]): Array[Double] = {
+    val out = new Array[Double](cb.length / PqDsub)
+    var e = 0
+    while (e < out.length) {
+      var acc = 0.0
+      var i = 0
+      while (i < PqDsub) { val x = cb(e * PqDsub + i); acc += x * x; i += 1 }
+      out(e) = acc
+      e += 1
+    }
+    out
+  }
+
+  /** The ADC stage shared by [[qAnnPq]] and [[qPqRecall]]: corpus
+    * coded to m bytes (map-only), queries build their m·ks dot LUT
+    * (map-only over [[QueryK]] rows), every candidate scores with m
+    * table adds instead of [[Dim]] multiply-adds, and the per-query
+    * ADC rank is cut at `c`. Estimated cosine = ADC-dot /
+    * (recon_norm · q_nrm) with recon_norm from the codebook norm²
+    * LUT. At 100 TB this stage reads 16 code bytes per candidate
+    * where the float scan reads 256 — the scan that decides the
+    * serve cost.
+    */
+  private def pqAdcRanked(s: SparkSession, dir: String, c: Int): DataFrame = {
+    val vf = graft.functions.VectorFunctions
+    val (corpus, queries) = split(s, dir)
+    val cb = sessionPqCodebooks(s, dir, corpus)
+    val nlut = typedLit(pqNormLut(cb).toSeq)
+    val coded = corpus
+      .select(col("vec_id"), vf.pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub).as("codes"))
+      .withColumn("rn", sqrt(vf.adcLookup(nlut, col("codes"))))
+    val qlut = queries
+      .select(col("query_id"), vf.pqLut(col("q_emb"), cb.toSeq, PqM, PqDsub).as("lut"),
+        col("q_nrm"))
+    coded.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (vf.adcLookup(col("lut"), col("codes")) / (col("rn") * col("q_nrm"))).as("adc_cos"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("neighbor_id")))
+        .cast("long"))
+      .filter(col("ark") <= c)
+  }
+
+  /** PQ-ADC top-k, IVFADC read shape (Jégou et al. 2011): ADC
+    * shortlist of [[PqShortC]] candidates per query over the 16-byte
+    * codes, then an exact float rerank of exactly those
+    * queries×[[PqShortC]] pairs — a broadcast-probed point lookup,
+    * never a float corpus scan — and the final top-[[K]] cut. The
+    * rerank restores exact order inside the shortlist, so final
+    * recall equals the shortlist's hit rate (the [[PqShortC]] note).
+    * [[qPqRecall]] is the continuous quality audit.
+    */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = split(s, dir)
+    val shortlist = pqAdcRanked(s, dir, PqShortC).select("query_id", "neighbor_id")
+    val rer = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+    topK(rer)
+  }
+
+  /** PQ quality monitor — [[qQuantRecall]]'s shape over the PQ path,
+    * split into the two quantities a PQ deployment tunes on: per
+    * query, recall@[[K]] of the RERANKED serve (what users see — the
+    * shortlist hit rate) and recall@[[K]] of the raw ADC rank (what
+    * the 16-byte codes alone can do — the quantization honesty
+    * number). Fully hash-checked: training, coding, LUT and fold
+    * orders all replay in the oracle.
+    */
+  def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = qAnnBruteforce(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val adc = pqAdcRanked(s, dir, PqShortC)
+    val fin = qAnnPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_f"))
+    val adcK = adc.filter(col("ark") <= K)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_a"))
+    bf.join(fin, Seq("query_id", "neighbor_id"), "left")
+      .join(adcK, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        count(col("hit_f")).as("n_overlap"),
+        count(col("hit_a")).as("n_adc_overlap"))
+      .select(col("query_id"), col("k"), col("n_overlap"),
+        expr("(n_overlap * 10000) DIV k").as("recall_bp"),
+        col("n_adc_overlap"),
+        expr("(n_adc_overlap * 10000) DIV k").as("adc_recall_bp"))
+  }
+
+  // Oracle devices for the PQ program. Subspace L2 fold — the
+  // [[Dedup.sqlDot]] convention on squared differences (centroid side
+  // already DOUBLE, embedding side widened per element).
+  private def pqL2(cv: String, sub: String): String =
+    s"list_reduce(list_transform(list_zip($cv, $sub), " +
+      "z -> (z[1] - CAST(z[2] AS DOUBLE)) * (z[1] - CAST(z[2] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  // deterministic argmin without a corpus×ks window: min distance per
+  // (vec, m), then the LOWEST t attaining it — exactly PqKernels'
+  // strict-< tie rule, as two hash aggregates instead of one
+  // (N·m·ks)-row partitioned sort (ks=256 makes the sort the oracle's
+  // bottleneck at the 10× replica; the aggregates are not)
+  private def pqArgmin(din: String, out: String): String =
+    s"""$out AS (
+       |  SELECT d.vec_id, d.m, MIN(d.t) AS code
+       |  FROM $din d JOIN (
+       |    SELECT vec_id, m, MIN(dist) AS dmin FROM $din GROUP BY vec_id, m) mn
+       |    ON d.vec_id = mn.vec_id AND d.m = mn.m AND d.dist = mn.dmin
+       |  GROUP BY d.vec_id, d.m)""".stripMargin
+
+  // one PQ Lloyd round over ALL subspaces: L2-assign pq_sub to $cin,
+  // roll exact fixed-point means per (m, code, pos), emit $cout
+  // (empty codes keep $cin's centroid) — [[ivfLloydRound]] with the
+  // subspace id threaded through every join
+  private def pqLloydRound(cin: String, cout: String, n: Int): String =
+    s"""pq_d$n AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, c.t, ${pqL2("c.cvec", "s.sub")} AS dist
+       |  FROM pq_sub s JOIN $cin c ON s.m = c.m),
+       |${pqArgmin(s"pq_d$n", s"pq_asg$n")},
+       |pq_m$n AS (
+       |  SELECT a.m, a.code, fp.pos, SUM(fp.f) AS sm, COUNT(*) AS c
+       |  FROM pq_asg$n a JOIN pq_fpos fp
+       |    ON fp.vec_id = a.vec_id AND fp.pos // $PqDsub = a.m
+       |  GROUP BY a.m, a.code, fp.pos),
+       |$cout AS (
+       |  SELECT ce.m, ce.t,
+       |    list(COALESCE((CAST(mm.sm AS DOUBLE) / $FpScale.0) / CAST(mm.c AS DOUBLE), ce.cv)
+       |         ORDER BY ce.pos) AS cvec
+       |  FROM (SELECT m, t, unnest(range(m * $PqDsub, (m + 1) * $PqDsub)) AS pos,
+       |          unnest(cvec) AS cv
+       |        FROM $cin) ce
+       |  LEFT JOIN pq_m$n mm ON ce.m = mm.m AND ce.t = mm.code AND ce.pos = mm.pos
+       |  GROUP BY ce.m, ce.t)""".stripMargin
+
+  /** The PQ program as CTEs (fixed `pq_` prefix): subspace slices,
+    * fixed-point components, seed pick, [[PqTrainIters]] Lloyd
+    * rounds, final codes, reconstruction norms, per-query LUT and the
+    * ADC ranking `pq_r`. Every double fold is list_reduce
+    * (left-to-right) and every cross-subspace sum is an m-ORDERED
+    * list fold — SUM() over doubles would be merge-order-dependent.
+    */
+  private def pqCtes: String = {
+    val subSlices = (0 until PqM).map { m =>
+      val a = m * PqDsub + 1
+      val b = (m + 1) * PqDsub
+      s"SELECT vec_id, $m AS m, list_slice(embedding, $a, $b) AS sub FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    val seedSlices = (0 until PqM).map { m =>
+      val a = m * PqDsub + 1
+      val b = (m + 1) * PqDsub
+      s"SELECT t, $m AS m, list_transform(list_slice(embedding, $a, $b), " +
+        s"x -> CAST(x AS DOUBLE)) AS cvec FROM pq_seed"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""pq_sub AS MATERIALIZED (
+       |  $subSlices),
+       |pq_fpos AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $FpScale) AS BIGINT) AS f
+       |  FROM embeddings),
+       |pq_seed AS MATERIALIZED (
+       |  SELECT t, embedding FROM (
+       |    SELECT embedding,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS t
+       |    FROM embeddings) z
+       |  WHERE t < $PqKs),
+       |pq_cb0 AS (
+       |  $seedSlices),
+       |${pqLloydRound("pq_cb0", "pq_cb1", 1)},
+       |${pqLloydRound("pq_cb1", "pq_cb2", 2)},
+       |pq_df AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, c.t, ${pqL2("c.cvec", "s.sub")} AS dist
+       |  FROM pq_sub s JOIN pq_cb2 c ON s.m = c.m),
+       |${pqArgmin("pq_df", "pq_idx")},
+       |pq_n2 AS (
+       |  SELECT m, t, list_reduce(list_transform(cvec, x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM pq_cb2),
+       |pq_rn AS MATERIALIZED (
+       |  SELECT i.vec_id, sqrt(list_reduce(list(nn.n2 ORDER BY i.m), (a, b) -> a + b)) AS rn
+       |  FROM pq_idx i JOIN pq_n2 nn ON i.m = nn.m AND i.code = nn.t
+       |  GROUP BY i.vec_id),
+       |${qidsCte("pq_")},
+       |pq_base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${Dedup.sqlNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |pq_q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM pq_base WHERE vec_id IN (SELECT vec_id FROM pq_qids)),
+       |pq_lut AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, c.m, c.t,
+       |    list_reduce(list_transform(list_zip(c.cvec, s.sub),
+       |      z -> z[1] * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS d
+       |  FROM pq_sub s JOIN pq_cb2 c ON s.m = c.m
+       |  WHERE s.vec_id IN (SELECT vec_id FROM pq_qids)),
+       |pq_scored AS (
+       |  SELECT l.query_id, i.vec_id AS neighbor_id,
+       |    list_reduce(list(l.d ORDER BY l.m), (a, b) -> a + b) AS adc
+       |  FROM pq_idx i JOIN pq_lut l ON l.m = i.m AND l.t = i.code
+       |  WHERE i.vec_id <> l.query_id
+       |  GROUP BY l.query_id, i.vec_id),
+       |pq_r AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |           ORDER BY s.adc / (r.rn * q.q_nrm) DESC, s.neighbor_id) AS BIGINT) AS ark
+       |  FROM pq_scored s
+       |  JOIN pq_rn r ON r.vec_id = s.neighbor_id
+       |  JOIN pq_q q ON q.query_id = s.query_id),
+       |pq_f AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    ${Dedup.sqlDot("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |           ORDER BY ${Dedup.sqlDot("b.embedding", "q.q_emb")} / (b.nrm * q.q_nrm)
+       |             DESC, p.neighbor_id) AS BIGINT) AS rnk
+       |  FROM (SELECT query_id, neighbor_id FROM pq_r WHERE ark <= $PqShortC) p
+       |  JOIN pq_base b ON b.vec_id = p.neighbor_id
+       |  JOIN pq_q q ON q.query_id = p.query_id)""".stripMargin
+  }
+
+  val qAnnPqSql: String =
+    s"""WITH $pqCtes
+       |SELECT query_id, neighbor_id, rnk, cosine
+       |FROM pq_f WHERE rnk <= $K
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val qPqRecallSql: String =
+    s"""WITH ${bruteforceCtes("bf_")},
+       |$pqCtes,
+       |bfk AS (SELECT query_id, neighbor_id FROM bf_r WHERE rnk <= $K),
+       |pqf AS (SELECT query_id, neighbor_id, 1 AS hit_f FROM pq_f WHERE rnk <= $K),
+       |adck AS (SELECT query_id, neighbor_id, 1 AS hit_a FROM pq_r WHERE ark <= $K),
+       |j AS (
+       |  SELECT bfk.query_id, pqf.hit_f, adck.hit_a
+       |  FROM bfk
+       |  LEFT JOIN pqf ON bfk.query_id = pqf.query_id AND bfk.neighbor_id = pqf.neighbor_id
+       |  LEFT JOIN adck ON bfk.query_id = adck.query_id AND bfk.neighbor_id = adck.neighbor_id)
+       |SELECT query_id, COUNT(*) AS k, COUNT(hit_f) AS n_overlap,
+       |  (COUNT(hit_f) * 10000) // COUNT(*) AS recall_bp,
+       |  COUNT(hit_a) AS n_adc_overlap,
+       |  (COUNT(hit_a) * 10000) // COUNT(*) AS adc_recall_bp
+       |FROM j GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Per-label embedding centroids — the class-prototype / cluster-seed
   // aggregate (nearest-centroid classification, IVF seeding, drift
   // monitoring all start here), and the repo's proof that VECTOR
@@ -2152,6 +2492,8 @@ object Ann {
     "q_ann_probe_curve" -> qAnnProbeCurve _,
     "q_lsh_probe_curve" -> qLshProbeCurve _,
     "q_ann_quantized"  -> qAnnQuantized _,
+    "q_ann_pq"         -> qAnnPq _,
+    "q_pq_recall"      -> qPqRecall _,
     "q_embed_centroid" -> qEmbedCentroid _
   )
 
@@ -2177,6 +2519,8 @@ object Ann {
     "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_bruteforce"  -> qAnnBruteforceSql,
     "q_ann_quantized"   -> qAnnQuantizedSql,
+    "q_ann_pq"          -> qAnnPqSql,
+    "q_pq_recall"       -> qPqRecallSql,
     "q_quant_recall"    -> qQuantRecallSql,
     "q_semdedup"        -> qSemdedupSql,
     "q_norm_hist"       -> qNormHistSql,

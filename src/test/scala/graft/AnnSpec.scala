@@ -357,6 +357,73 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  /** The PQ kernels must agree with a driver-side reference: codes
+    * are the per-subspace L2 argmin (lowest id on ties), the ADC
+    * lookup over a query LUT reconstructs Σ_m q_m·c_{m,code_m}, and
+    * the served result's recall floor holds (rerank restores exact
+    * order, so final recall = shortlist hit rate).
+    */
+  test("PQ: codes are subspace L2 argmins; ADC lookup = reconstructed dot; reranked recall ≥ 0.9") {
+    import graft.functions.VectorFunctions
+    val (corpus, _) = Ann.split(spark, sf0001)
+    val cb = Ann.sessionPqCodebooks(spark, sf0001, corpus)
+    val m = Ann.PqM; val dsub = Ann.PqDsub
+    val ks = cb.length / (m * dsub)
+    // driver-side reference on a handful of vectors
+    val sample = corpus.limit(16)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        VectorFunctions.pqCodes(org.apache.spark.sql.functions.col("embedding"),
+          cb.toSeq, m, dsub).as("codes"))
+      .collect()
+    sample.foreach { r =>
+      val emb = r.getSeq[Float](1).toArray
+      val codes = r.getSeq[Byte](2).toArray
+      for (mm <- 0 until m) {
+        val dists = (0 until ks).map { t =>
+          var acc = 0.0
+          for (i <- 0 until dsub) {
+            val d = cb((mm * ks + t) * dsub + i) - emb(mm * dsub + i).toDouble
+            acc += d * d
+          }
+          acc
+        }
+        val ref = dists.zipWithIndex.minBy { case (d, t) => (d, t) }._2
+        assert((codes(mm) & 0xff) === ref,
+          s"vec ${r.getLong(0)} subspace $mm: code ${codes(mm) & 0xff} != argmin $ref")
+      }
+      // ADC identity: lut lookup == Σ_m dot(q_m, c_{m, code_m}) for q = emb itself
+      val lutRow = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === r.getLong(0))
+        .select(VectorFunctions.adcLookup(
+          VectorFunctions.pqLut(org.apache.spark.sql.functions.col("embedding"), cb.toSeq, m, dsub),
+          VectorFunctions.pqCodes(org.apache.spark.sql.functions.col("embedding"), cb.toSeq, m, dsub)))
+        .collect()(0).getDouble(0)
+      var refDot = 0.0
+      for (mm <- 0 until m) {
+        val t = codes(mm) & 0xff
+        var acc = 0.0
+        for (i <- 0 until dsub)
+          acc += cb((mm * ks + t) * dsub + i) * emb(mm * dsub + i).toDouble
+        refDot += acc
+      }
+      assert(math.abs(lutRow - refDot) < 1e-9,
+        s"vec ${r.getLong(0)}: ADC lookup $lutRow != reconstructed dot $refDot")
+    }
+    // recall floor of the reranked serve
+    val exactSets = topSets(Ann.qAnnBruteforce(spark, sf0001).collect())
+    val pqSets = topSets(Ann.qAnnPq(spark, sf0001).collect())
+    val recalls = exactSets.map { case (q, bs) =>
+      pqSets.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"PQ reranked recall@5 over ${exactSets.size} queries: $recall%.3f")
+    assert(recall >= 0.9,
+      f"ADC shortlist + exact rerank should recover ≥0.9 of exact top-5, got $recall%.3f")
+    // cached codebooks are bit-deterministic (the sessionCodebook contract)
+    assert(java.util.Arrays.equals(cb, Ann.trainPqCodebooks(corpus)),
+      "cached PQ codebooks must equal a fresh deterministic retrain")
+  }
+
   test("q_embed_centroid: bit-exact against a driver-side fixed-point recompute") {
     val rows = Ann.qEmbedCentroid(spark, sf0001).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))

@@ -949,25 +949,29 @@ object Ann {
   }
 
   // ------------------------------------------------------------------
-  // IVF-PQ: int8 codes INSIDE the persisted IVF index (VERDICT r16
-  // #2) — the standard 100 TB layout (Jégou et al. 2011's IVFADC
-  // shape, with the repo's per-vector symmetric int8 quantizer as the
-  // code stage): the SCANNED half of the index stores 1-byte codes
-  // (4× more corpus per executor-GB, integer-MAC scoring), and the
-  // full-precision floats live in a rerank half that is read only for
-  // the top-c candidate ids per query. [[buildIvfIndex]] keeps floats
-  // in the scanned rows; this triad is the compressed successor.
+  // IVF-PQ: PRODUCT-QUANTIZED codes inside the persisted IVF index
+  // (VERDICT r16 #2, upgraded r18 from per-vector int8 to true
+  // multi-subspace PQ) — the full IVFADC layout of Jégou et al. 2011:
+  // the SCANNED half of the index stores [[PqM]] one-byte codes plus
+  // one reconstruction norm (16× more corpus per executor-GB than
+  // float32, where the r17 int8 codes gave 4×), scored via per-query
+  // ADC lookup tables; the full-precision floats live in a rerank
+  // half that is read only for the top-c candidate ids per query.
+  // [[buildIvfIndex]] keeps floats in the scanned rows; this triad is
+  // the compressed successor.
   //
   // Layout:
-  //   <path>/codebook.parquet       (cell, centroid)         — frozen model
-  //   <path>/index.parquet/cell=N/  (vec_id, codes, n8)      — int8, scanned
-  //   <path>/rerank.parquet/cell=N/ (vec_id, embedding, nrm) — floats, point-read
+  //   <path>/codebook.parquet       (cell, centroid)           — IVF cells, frozen
+  //   <path>/pq_codebook.parquet    (pos, v)                   — PQ sub-codebooks, frozen
+  //   <path>/index.parquet/cell=N/  (vec_id, codes[16B], rn)   — PQ codes, scanned
+  //   <path>/rerank.parquet/cell=N/ (vec_id, embedding, nrm)   — floats, point-read
   //
   // Serve cost shape: the scoring scan reads nProbe/k of the CODES
-  // (¼ the bytes of the float index); the float half is touched only
-  // through (a) the same probed-cell partition pruning and (b) a
-  // pushed `vec_id IN (…)` filter over the queries×c candidate ids —
-  // a bounded point-lookup, never a probed-cell float scan. Both
+  // (~1/11 the bytes of the float index) and spends [[PqM]] table
+  // adds per candidate; the float half is touched only through (a)
+  // the same probed-cell partition pruning and (b) a pushed
+  // `vec_id IN (…)` filter over the queries×c candidate ids — a
+  // bounded point-lookup, never a probed-cell float scan. Both
   // prunings are AnnSpec-asserted on the executed plan.
   // ------------------------------------------------------------------
 
@@ -976,14 +980,29 @@ object Ann {
     * the recall floor vs the float [[ivfServe]]. */
   private[graft] val PqRerankC = 4 * K
 
-  /** Map-only int8 coding pass: symmetric per-vector quantization
-    * (scale = max|x|/127) + the integer self-norm — the
-    * [[qAnnQuantized]] arithmetic as a persisted-index projection. */
-  private def pqCode(df: DataFrame): DataFrame = {
+  /** Map-only PQ coding pass: [[PqM]] byte codes per vector plus the
+    * reconstruction norm √Σ_m ‖c_{m,code_m}‖² (the [[qAnnPq]]
+    * arithmetic as a persisted-index projection, against a FROZEN
+    * sub-codebook array). */
+  private def pqCode(df: DataFrame, cb: Array[Double]): DataFrame = {
     val vf = graft.functions.VectorFunctions
-    df.withColumn("codes", vf.vecCodes8(col("embedding"), vf.vecScale8(col("embedding"))))
-      .withColumn("n8", sqrt(vf.dot8(col("codes"), col("codes")).cast("double")))
+    df.withColumn("codes", vf.pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub))
+      .withColumn("rn", sqrt(vf.adcLookup(typedLit(pqNormLut(cb).toSeq), col("codes"))))
   }
+
+  /** Persist / read the PQ sub-codebooks as a flat (pos, v) model
+    * table — the [[readCodebook]] device for the second frozen model
+    * of the triad. */
+  private def writePqCodebook(s: SparkSession, path: String, cb: Array[Double]): Unit = {
+    import s.implicits._
+    cb.toSeq.zipWithIndex.map { case (v, p) => (p, v) }
+      .toDF("pos", "v")
+      .write.mode("overwrite").parquet(s"$path/pq_codebook.parquet")
+  }
+
+  private[graft] def readPqCodebook(s: SparkSession, path: String): Array[Double] =
+    s.read.parquet(s"$path/pq_codebook.parquet")
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
 
   /** Build the IVF-PQ index. One corpus pass writes the float rerank
     * half (cell-partitioned); the codes half derives from reading
@@ -1013,11 +1032,17 @@ object Ann {
     (0 until IvfCells).map(t => (t, cent.slice(t * Dim, (t + 1) * Dim)))
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    // the PQ sub-codebooks are the triad's second frozen model — like
+    // the cell codebook they train on the DIR corpus (deterministic,
+    // session-cached), so a partial build + upserts and a one-shot
+    // build code identically (the AnnSpec serve-equivalence contract)
+    val pqCb = sessionPqCodebooks(s, dir, corpus)
+    writePqCodebook(s, path, pqCb)
     ivfAssign(corpus.filter(indexFilter), cent)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/rerank.parquet")
-    pqCode(s.read.parquet(s"$path/rerank.parquet"))
-      .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
+    pqCode(s.read.parquet(s"$path/rerank.parquet"), pqCb)
+      .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index.parquet")
   }
 
@@ -1028,11 +1053,12 @@ object Ann {
     */
   private[graft] def ivfPqUpsert(s: SparkSession, path: String, arrivals: DataFrame): Unit = {
     val cent = readCodebook(s, path)
+    val pqCb = readPqCodebook(s, path)
     val assigned = ivfAssign(arrivals, cent)
     assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/rerank.parquet")
-    pqCode(assigned)
-      .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
+    pqCode(assigned, pqCb)
+      .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index.parquet")
   }
 
@@ -1057,6 +1083,7 @@ object Ann {
       arrivals: DataFrame, batchId: Long): Unit = {
     if (!arrivals.isEmpty) {
       val cent = readCodebook(s, path)
+      val pqCb = readPqCodebook(s, path)
       val rerankDir = f"$path/rerank-stream/batch-$batchId%09d"
       val indexDir = f"$path/index-stream/batch-$batchId%09d"
       // replay of an already-committed batch (at-least-once
@@ -1074,8 +1101,8 @@ object Ann {
       ivfAssign(arrivals, cent)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(rerankDir)
-      pqCode(s.read.parquet(rerankDir))
-        .select(col("vec_id"), col("codes"), col("n8"), col("cell"))
+      pqCode(s.read.parquet(rerankDir), pqCb)
+        .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(indexDir)
     }
@@ -1158,24 +1185,26 @@ object Ann {
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
     val probedCells = probed.select("cell").distinct().collect().map(_.getInt(0))
     val cellFilter = col("cell").isin(probedCells.map(Integer.valueOf): _*)
-    // quantized query side (the queries×probes broadcast, plus codes)
+    // ADC query side (the queries×probes broadcast, plus the per-query
+    // m·ks lookup table built once against the frozen sub-codebooks)
+    val pqCb = readPqCodebook(s, path)
     val probedQ = probed
-      .withColumn("q_codes", vf.vecCodes8(col("q_emb"), vf.vecScale8(col("q_emb"))))
-      .withColumn("qn8", sqrt(vf.dot8(col("q_codes"), col("q_codes")).cast("double")))
-      .select(col("query_id"), col("q_codes"), col("qn8"), col("cell"))
-    // stage 1: integer-MAC scoring over the probed cells' codes only —
-    // resident build + committed streamed batch dirs
-    // ([[ivfPqUpsertBatch]]), each under the same partition pruning
+      .withColumn("lut", vf.pqLut(col("q_emb"), pqCb.toSeq, PqM, PqDsub))
+      .select(col("query_id"), col("lut"), col("q_nrm"), col("cell"))
+    // stage 1: ADC table-lookup scoring over the probed cells' codes
+    // only ([[PqM]] adds per candidate) — resident build + committed
+    // streamed batch dirs ([[ivfPqUpsertBatch]]), each under the same
+    // partition pruning
     val codesIdx = (s"$path/index.parquet" +: pqStreamBatchRoots(s, path, "index"))
       .map(r => s.read.parquet(r)).reduce(_ unionByName _)
     val cand = codesIdx.filter(cellFilter)
       .join(broadcast(probedQ), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (vf.dot8(col("codes"), col("q_codes")).cast("double") / (col("n8") * col("qn8")))
-          .as("cos8"))
+        (vf.adcLookup(col("lut"), col("codes")) / (col("rn") * col("q_nrm")))
+          .as("adc_cos"))
       .withColumn("crk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos8").desc, col("vec_id"))))
+        Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("vec_id"))))
       .filter(col("crk") <= rerankC)
       .select(col("query_id"), col("vec_id"))
     // queries × rerankC rows — driver-safe by construction

@@ -332,8 +332,21 @@ object CorpusBuild {
     rows.groupBy(col("lang"), col("lane")).agg(sum(col("toks")).as("lane_toks"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lanes.parquet")
     Dedup.buildDedupIndexFrom(rows.select(col("doc_id"), col("text")), s"$tmp/index")
+    // the staged index covers every committed row — stage the matching
+    // high-water mark so the [[corpusUpsert]] staleness tripwire stays
+    // aligned across the whole-dir swap
+    writeIndexMetaTo(s, s"$tmp/index-meta.parquet",
+      rows.agg(max(col("rk"))).collect()(0).getLong(0))
     swapInto(fs, tmp, hPath, path + ".compact.old")
     s.read.parquet(s"$path/manifest.parquet")
+  }
+
+  /** One-row (max_rk) marker of the highest manifest-tier rank whose
+    * signatures the serve index CONTAINS — the manifest↔index
+    * staleness tripwire's persisted half (see [[corpusUpsert]]). */
+  private def writeIndexMetaTo(s: SparkSession, dest: String, maxRk: Long): Unit = {
+    import s.implicits._
+    Seq(maxRk).toDF("max_rk").coalesce(1).write.mode("overwrite").parquet(dest)
   }
 
   /** The manifest rollup over materialized corpus rows — shared by
@@ -532,11 +545,19 @@ object CorpusBuild {
     * all) is detected at the next upsert by the footer-count
     * invariant ([[graft.operators.Dedup.dedupIndexConsistent]]) and
     * auto-healed by a rebuild from the committed corpus (r17); a
-    * crash BETWEEN the manifest swap and the index/cursor appends
-    * leaves them consistent but stale by one increment — delete
-    * `<path>/index` / `<path>/lanes.parquet` to force a rebootstrap
-    * from the committed corpus ([[corpusCompact]] removes the orphan
-    * dirs themselves).
+    * crash ANYWHERE between the manifest swap and the end of the
+    * serve-structure tail (index append → lane-cursor swap →
+    * high-water marker) leaves index and/or cursors consistent but
+    * STALE by one increment — detected at the next upsert by the
+    * `index-meta.parquet` marker (highest manifest-tier rank the
+    * serve tail has committed, written LAST) and healed by appending
+    * exactly the missing rows' signatures plus recomputing the lane
+    * cursors from the committed corpus (r18; streaming-tier index
+    * entries survive because the heal appends rather than rebuilds;
+    * re-appended duplicate signatures are harmless — the probe
+    * distincts candidates and the count invariant scales all three
+    * tables together). [[corpusCompact]] removes the orphan dirs
+    * themselves.
     *
     * First call against a corpus published by [[corpusWrite]]
     * bootstraps the serve index and lane cursors from the shards (one
@@ -584,11 +605,74 @@ object CorpusBuild {
     // the committed corpus, so a torn index can never silently lose
     // dedup recall. A consistent index is kept as-is (the normal
     // bootstrap-once path).
+    // committed manifest high-water mark (tiny metadata agg) — the
+    // reference side of the staleness tripwire below, and reused for
+    // id allocation further down
+    val committedMaxRk = curManifest.agg(max(col("max_rk"))).collect()(0).getLong(0)
+    def writeIndexMeta(maxRk: Long): Unit = {
+      val t = new org.apache.hadoop.fs.Path(s"$path/.index-meta.tmp.parquet")
+      fs.delete(t, true)
+      writeIndexMetaTo(s, t.toString, maxRk)
+      swapInto(fs, t, new org.apache.hadoop.fs.Path(s"$path/index-meta.parquet"),
+        s"$path/.index-meta.old.parquet")
+    }
     if (!Dedup.dedupIndexConsistent(s, idx)) {
       val idxPath = new org.apache.hadoop.fs.Path(idx)
       if (fs.exists(idxPath)) fs.delete(idxPath, true)
       Dedup.buildDedupIndexFrom(
         committedShards().select(col("doc_id"), col("text")), idx)
+      writeIndexMeta(committedMaxRk) // fresh rebuild covers every committed row
+    }
+    // manifest↔index STALENESS tripwire (the r17 "last unguarded
+    // window"): a crash BETWEEN the manifest swap and the index append
+    // leaves the index count-CONSISTENT but missing the committed
+    // increment's signatures — undetectable by the footer-count
+    // invariant. index-meta.parquet records the highest manifest-tier
+    // rank the index contains (written commit-last after every append,
+    // staged into compaction swaps); a committed manifest ahead of it
+    // means exactly that crash, and the heal APPENDS the missing rows'
+    // signatures (`rk > marker` — increment-sized, generation-local
+    // ranks untouched since the crash) instead of rebuilding, so
+    // streaming-tier signatures ([[graft.streaming.Streams
+    // .corpusIncrements]] appends entries for docs the manifest never
+    // lists) survive the heal. A crash between the index append and
+    // the meta swap re-appends one increment's signatures on the next
+    // upsert — duplicate index rows are harmless (the probe distincts
+    // candidates; the count invariant scales all three tables
+    // together). A meta file that is AHEAD of the manifest can only
+    // mean corruption — full rebuild. Missing meta (legacy layout /
+    // fresh bootstrap above) aligns to the committed manifest.
+    def recomputeLanes(): Unit = {
+      val t = new org.apache.hadoop.fs.Path(s"$path/.lanes.tmp.parquet")
+      fs.delete(t, true)
+      committedShards()
+        .groupBy(col("lang"), col("lane"))
+        .agg(sum(col("toks")).as("lane_toks"))
+        .coalesce(1).write.mode("overwrite").parquet(t.toString)
+      swapInto(fs, t, new org.apache.hadoop.fs.Path(s"$path/lanes.parquet"),
+        s"$path/.lanes.old.parquet")
+    }
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/index-meta.parquet")
+    if (!fs.exists(metaPath)) writeIndexMeta(committedMaxRk)
+    else {
+      val idxMaxRk = s.read.parquet(metaPath.toString).collect()(0).getLong(0)
+      if (idxMaxRk < committedMaxRk) {
+        Dedup.appendDedupIndex(
+          committedShards().filter(col("rk") > idxMaxRk)
+            .select(col("doc_id"), col("text")), idx)
+        // the lane cursors live in the same guarded tail (they swap
+        // before the marker), and they are a pure function of the
+        // committed corpus — recompute, don't guess
+        recomputeLanes()
+        writeIndexMeta(committedMaxRk)
+      } else if (idxMaxRk > committedMaxRk) {
+        val idxPath = new org.apache.hadoop.fs.Path(idx)
+        if (fs.exists(idxPath)) fs.delete(idxPath, true)
+        Dedup.buildDedupIndexFrom(
+          committedShards().select(col("doc_id"), col("text")), idx)
+        recomputeLanes()
+        writeIndexMeta(committedMaxRk)
+      }
     }
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/lanes.parquet")))
       committedShards()
@@ -607,13 +691,13 @@ object CorpusBuild {
     if (nInc == 0) return curManifest
 
     // id allocation: past the manifest AND any orphaned dirs on disk
-    val mRow = curManifest
-      .agg(max(col("max_rk")).as("mrk"), max(col("shard")).as("msh")).collect()(0)
-    val maxRk = mRow.getLong(0)
+    val maxRk = committedMaxRk
     val dirShards = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/shards.parquet"))
       .map(_.getPath.getName).collect { case n if n.startsWith("shard=") =>
         n.stripPrefix("shard=").toInt }
-    val maxShard = math.max(mRow.getInt(1), if (dirShards.isEmpty) -1 else dirShards.max)
+    val maxShard = math.max(
+      curManifest.agg(max(col("shard"))).collect()(0).getInt(0),
+      if (dirShards.isEmpty) -1 else dirShards.max)
     val nIncShards = math.min(TextOps.nShards.toLong, nInc).toInt
 
     // pack continuation from the persisted cursors; rank within the
@@ -651,7 +735,10 @@ object CorpusBuild {
     swapInto(fs, mTmp, new org.apache.hadoop.fs.Path(s"$path/manifest.parquet"),
       s"$path/.manifest.old.parquet")
 
-    // serve-structure appends (stale-by-one on crash; see scaladoc)
+    // serve-structure appends: index, then lane cursors, then the
+    // high-water marker LAST — the marker commits the whole tail, so
+    // a crash anywhere inside it is detected (marker < manifest) and
+    // healed by the staleness tripwire above on the next upsert
     Dedup.appendDedupIndex(rows.select(col("doc_id"), col("text")), idx)
     val lTmp = new org.apache.hadoop.fs.Path(s"$path/.lanes.tmp.parquet")
     fs.delete(lTmp, true)
@@ -662,6 +749,7 @@ object CorpusBuild {
       .coalesce(1).write.mode("overwrite").parquet(lTmp.toString)
     swapInto(fs, lTmp, new org.apache.hadoop.fs.Path(s"$path/lanes.parquet"),
       s"$path/.lanes.old.parquet")
+    writeIndexMeta(maxRk + nInc)
 
     // auto-compaction: fold generation shards once the layout is past
     // the policy bound (compactAfter manifest rows)

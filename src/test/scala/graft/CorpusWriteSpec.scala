@@ -195,6 +195,84 @@ class CorpusWriteSpec extends SparkSpec {
       "healing rebuilds from the committed corpus — the torn rows vanish")
   }
 
+  test("crash between the manifest swap and the serve-tail appends: staleness detected and healed") {
+    import spark.implicits._
+    val (out, _) = build("staleidx")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    val base = shards0.maxBy(_.getLong(0))
+
+    // increment 1 commits normally (bootstraps index + marker)
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_stale", base.getString(1),
+        base.getString(2).split(" ").reverse.mkString(" ")))
+        .toDF("doc_id", "source", "lang", "text"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/index-meta.parquet")),
+      "a committed upsert must leave the serve-tail high-water marker")
+
+    // increment 2 commits, then we INJECT the crash-between-swap-and-
+    // append state: manifest contains the increment, but the serve
+    // index, lane cursors and marker are rolled back to increment 1's
+    // state (snapshot before, restore after — the exact on-disk shape
+    // of a crash right after the manifest swap)
+    def snap(name: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$out/$name")
+      val dst = new org.apache.hadoop.fs.Path(s"$out/.snap-$name")
+      fs.delete(dst, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    def restore(name: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$out/.snap-$name")
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$name")
+      fs.delete(dst, true)
+      assert(fs.rename(src, dst))
+    }
+    Seq("index", "lanes.parquet", "index-meta.parquet").foreach(snap)
+    val inc2Text = base.getString(2).split(" ").sorted.mkString(" ")
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_stale", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text"))
+    Seq("index", "lanes.parquet", "index-meta.parquet").foreach(restore)
+
+    // stale state is count-CONSISTENT — the r17 invariant alone cannot
+    // see it
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, s"$out/index"),
+      "the stale index passes the footer-count invariant (that is the point)")
+
+    // a verbatim copy of increment 2's text must STILL be dropped: the
+    // next upsert detects marker < manifest, appends the missing
+    // signatures and recomputes the cursors before serving
+    val mBefore = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val mAfter = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 3001L, "src_stale", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(mAfter.length === mBefore.length,
+      "the healed index must dedup a verbatim copy of the stale increment's doc")
+    assert(mAfter.map(_.getLong(1)).sum === mBefore.map(_.getLong(1)).sum)
+
+    // marker re-aligned to the committed manifest; lane cursors equal
+    // the committed corpus rollup (pure function of committed rows)
+    val mrk = spark.read.parquet(s"$out/index-meta.parquet").collect()(0).getLong(0)
+    val maxRk = spark.read.parquet(s"$out/manifest.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("max_rk"))).collect()(0).getLong(0)
+    assert(mrk === maxRk, "the heal must restore the high-water marker")
+    val ids = spark.read.parquet(s"$out/manifest.parquet")
+      .select("shard").collect().map(_.getInt(0))
+    val expLanes = spark.read.parquet(s"$out/shards.parquet")
+      .filter(col("shard").isin(ids.map(Integer.valueOf): _*))
+      .groupBy(col("lang"), col("lane"))
+      .agg(org.apache.spark.sql.functions.sum(col("toks")).as("lane_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotLanes = spark.read.parquet(s"$out/lanes.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotLanes === expLanes,
+      "healed lane cursors must equal the committed-corpus rollup")
+  }
+
   test("an UNREADABLE index table (crash inside a table's write) reads as inconsistent, not a throw") {
     import spark.implicits._
     val (out, _) = build("tearidx2")

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_approx_distinct" -> Seq("event_type"),
     "q_contamination"   -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),
+    "q_safety_screen"   -> Seq("source"),
     "q_quality_score"   -> Seq("doc_id"),
     "q_token_count"     -> Seq("doc_id"),
     "q_fingerprint"     -> Seq("doc_id"),

@@ -162,6 +162,47 @@ object StressDedup {
       Dedup.qBandingCurve(s, dir).collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     }
+    // 6. Planted MEGA-BASKET (VERDICT r17 #2-watch): one crawler-scale
+    // customer buying from EVERY supplier in the corpus — the
+    // quadratic pair-generation key the basket cap bounds. The corpus
+    // copy plants one extra order whose lineitems span all suppliers;
+    // walls must stay in the unplanted class (work per key ≤ cap²,
+    // not W²) and the cap census must report exactly one capped basket
+    // of width W.
+    val hb = s"$work/hotbasket"
+    val orders = graft.sources.Ingest.table(s, dir, "orders")
+    val lineitem = graft.sources.Ingest.table(s, dir, "lineitem")
+    val maxOrder = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val maxCust = orders.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    orders.unionByName(
+        orders.limit(1)
+          .withColumn("o_orderkey", lit(maxOrder + 1L))
+          .withColumn("o_custkey", lit(maxCust + 1L)))
+      .write.mode("overwrite").parquet(s"$hb/orders.parquet")
+    val allSupps = lineitem.select(col("l_suppkey")).distinct()
+    val megaWidth = allSupps.count()
+    val megaLines = lineitem.limit(1).drop("l_suppkey")
+      .crossJoin(allSupps)
+      .withColumn("l_orderkey", lit(maxOrder + 1L))
+    lineitem.unionByName(megaLines.select(lineitem.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$hb/lineitem.parquet")
+    // in-harness unplanted baseline FIRST (same session, same heap
+    // state) — the planted/unplanted ratio is the bounded-work claim,
+    // and cross-session wall comparisons are GC-noise-confounded
+    val (_, tBasketBase) = timed {
+      graft.operators.Analytics.qBasketPairs(s, dir).count()
+    }
+    val (nBasketPairs, tBasket) = timed {
+      graft.operators.Analytics.qBasketPairs(s, hb).count()
+    }
+    val (_, tLinkBase) = timed {
+      graft.operators.Analytics.qLinkPredict(s, dir).count()
+    }
+    val (_, tLink) = timed {
+      graft.operators.Analytics.qLinkPredict(s, hb).count()
+    }
+    val capB = graft.operators.Analytics.basketCapStats(s, hb).collect()(0)
+
     val oneDeep = s"$work/curve-onedeep"
     docsDf.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"),
@@ -201,6 +242,15 @@ object StressDedup {
       s""""pair_sample_rate":${f"${capStats.getDouble(2)}%.3f"}""",
       s""""minhash_selfjoin_sec":${f"$tMinhash%.2f"}""",
       s""""minhash_pairs":$minhashPairs""",
+      s""""mega_basket_width":$megaWidth""",
+      s""""basket_pairs_base_sec":${f"$tBasketBase%.2f"}""",
+      s""""basket_pairs_sec":${f"$tBasket%.2f"}""",
+      s""""basket_pairs":$nBasketPairs""",
+      s""""link_predict_base_sec":${f"$tLinkBase%.2f"}""",
+      s""""link_predict_sec":${f"$tLink%.2f"}""",
+      s""""capped_baskets":${capB.getLong(0)}""",
+      s""""capped_basket_members":${capB.getLong(1)}""",
+      s""""basket_keep_rate":${f"${capB.getDouble(2)}%.3f"}""",
       s""""banding_curve_sec":${f"$tCurve%.2f"}""",
       s""""curve_truth_pairs":${curveRows.headOption.map(_._4).getOrElse(0L)}""",
       s""""curve_depth_independent":$curveDepthIndependent"""

@@ -327,6 +327,99 @@ object TextOps {
       |    AND p_alpha AND p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Safety / toxicity lexicon screen — the standard curation filter
+  // between quality scoring and dedup in a pre-training pipeline
+  // (RefinedWeb / C4 both ship a blocklist stage). House lexicons,
+  // three categories; the RULE structure (per-category token
+  // membership, density threshold, multi-category escalation) is what
+  // the engine provides — a deployment swaps the lists.
+  // ------------------------------------------------------------------
+
+  private[graft] val ToxLex = Seq("damn", "hell", "crap", "idiot", "stupid", "moron")
+  private[graft] val VioLex = Seq("kill", "murder", "attack", "destroy", "weapon", "bomb")
+  private[graft] val AdultLex = Seq("nude", "explicit", "porn", "xxx", "erotic", "nsfw")
+  /** blocklist tokens per 1000 whitespace tokens at which a doc is
+    * BLOCKED outright (vs merely flagged). */
+  private[graft] val SafetyDensityPm = 5L
+
+  /** Safety screen with per-rule / per-source attribution (the
+    * [[qGopherRules]] posture): per source, docs hitting each
+    * category lexicon (lowercased whitespace-token membership), docs
+    * flagged (any hit), docs BLOCKED (density ≥ [[SafetyDensityPm]]
+    * per mille OR ≥ 2 categories — the escalation rule), and the
+    * worst density. Counts tell a corpus owner WHICH category and
+    * WHICH source cost them documents — the attribution a bare
+    * keep/drop flag can't give.
+    *
+    * The driver corpus draws from a shared clean vocabulary, so the
+    * screen is structurally zero there (hash-green, vacuous);
+    * `tools/make_replica.py --plant-toxicity` plants known per-
+    * category positives (pure function of text — dup-preserving) and
+    * TextOpsSpec asserts exact recovery of the planted structure —
+    * the `--plant-langs` lesson applied to safety.
+    *
+    * Shape at scale: map-only per-doc scoring — tokens split ONCE
+    * into a projected column, three membership filters over it (the
+    * [[langPredFrom]] project-once rule) — then one partial-
+    * aggregated shuffle on source.
+    */
+  def qSafetyScreen(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("c_tox",
+        expr(s"CAST(size(filter(toks, w -> w IN (${inList(ToxLex)}))) AS BIGINT)"))
+      .withColumn("c_vio",
+        expr(s"CAST(size(filter(toks, w -> w IN (${inList(VioLex)}))) AS BIGINT)"))
+      .withColumn("c_adu",
+        expr(s"CAST(size(filter(toks, w -> w IN (${inList(AdultLex)}))) AS BIGINT)"))
+      .withColumn("density_pm",
+        expr("((c_tox + c_vio + c_adu) * 1000) DIV n_words"))
+      .withColumn("n_cat",
+        (col("c_tox") > 0).cast("long") + (col("c_vio") > 0).cast("long") +
+          (col("c_adu") > 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("c_tox") > 0, 1L).otherwise(0L)).as("hit_tox"),
+        sum(when(col("c_vio") > 0, 1L).otherwise(0L)).as("hit_violence"),
+        sum(when(col("c_adu") > 0, 1L).otherwise(0L)).as("hit_adult"),
+        sum(when(col("n_cat") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("density_pm") >= SafetyDensityPm || col("n_cat") >= 2, 1L)
+          .otherwise(0L)).as("n_blocked"),
+        max(col("density_pm")).as("max_density_pm"))
+
+  val qSafetyScreenSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      w -> w IN (${inList(ToxLex)}))) AS BIGINT) AS c_tox,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      w -> w IN (${inList(VioLex)}))) AS BIGINT) AS c_vio,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      w -> w IN (${inList(AdultLex)}))) AS BIGINT) AS c_adu
+       |  FROM documents),
+       |d AS (
+       |  SELECT source,
+       |    ((c_tox + c_vio + c_adu) * 1000) // n_words AS density_pm,
+       |    c_tox, c_vio, c_adu,
+       |    (CASE WHEN c_tox > 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN c_vio > 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) AS n_cat
+       |  FROM t)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN c_tox > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_tox,
+       |  CAST(SUM(CASE WHEN c_vio > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_violence,
+       |  CAST(SUM(CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_adult,
+       |  CAST(SUM(CASE WHEN n_cat > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(CASE WHEN density_pm >= $SafetyDensityPm OR n_cat >= 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       |  CAST(MAX(density_pm) AS BIGINT) AS max_density_pm
+       |FROM d GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // GPT-2-ish pre-tokenizer shape: letter runs (with 's-style
   // contractions), digit runs, single non-alnum-non-space marks.
   private val bpeRegexSpark = "[A-Za-z]+('[a-z]+)?|[0-9]+|[^A-Za-z0-9\\\\s]"
@@ -4290,6 +4383,7 @@ object TextOps {
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
     "q_gopher_rules"      -> qGopherRules _,
+    "q_safety_screen"     -> qSafetyScreen _,
     "q_token_count"       -> qTokenCount _,
     "q_fingerprint"       -> qFingerprint _,
     "q_multimodal_meta"   -> qMultimodalMeta _,
@@ -4348,6 +4442,7 @@ object TextOps {
     "q_lang_id"           -> qLangIdSql,
     "q_quality_score"     -> qQualityScoreSql,
     "q_gopher_rules"      -> qGopherRulesSql,
+    "q_safety_screen"     -> qSafetyScreenSql,
     "q_token_count"       -> qTokenCountSql,
     "q_multimodal_meta"   -> qMultimodalMetaSql,
     "q_fingerprint"       -> qFingerprintSql,

@@ -329,6 +329,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  /** The basket cap must (a) bind nothing on a normal corpus, (b)
+    * keep EXACTLY cap members of an over-wide basket, selected by the
+    * md5-rank rule the oracle replays — pinned against a driver-side
+    * MessageDigest recompute — and (c) report the capped basket in
+    * the census audit.
+    */
+  test("basket cap: inert below the cap, deterministic md5-rank sample above it") {
+    val s = spark
+    import s.implicits._
+    // (a) inert on the real corpus: the census reports zero capped
+    // baskets (widths ≪ cap), so capped output == uncapped output
+    val inert = Analytics.basketCapStats(spark, sf0001).collect()(0)
+    assert(inert.getLong(0) === 0L,
+      "no sf0.001 basket approaches the cap — the guard must bind nothing")
+
+    // (b) a planted 40-wide basket at cap=8 keeps the 8 suppliers
+    // with the smallest (md5("cust~supp"), supp)
+    val wide = (1L to 40L).map(sp => (7L, sp)).toDF("cust", "supp")
+    val kept = Analytics.cappedBaskets(wide, cap = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept.size === 8, s"cap=8 must keep exactly 8 members, got ${kept.size}")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (1L to 40L).sortBy(sp => (md5hex(s"7~$sp"), sp)).take(8).toSet
+    assert(kept === expect,
+      "the kept sample must follow the oracle-replayable md5-rank rule")
+
+    // (c) the census sees it
+    val stats = Analytics.cappedBaskets(wide, cap = 8) // warm path only
+    val census = wide.groupBy(col("cust"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("bw"))
+      .filter(col("bw") > 8).count()
+    assert(census === 1L && stats.count() === 8L)
+  }
+
   test("q_gap_fill: calendar is contiguous, gaps are explicit zeros, non-gaps match the raw agg") {
     val rows = Analytics.qGapFill(spark, sf0001).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2), r.getBoolean(3)))

@@ -937,6 +937,52 @@ class TextOpsSpec extends SparkSpec {
       s"confusion must recover exactly the planted structure, got $cells")
   }
 
+  /** The safety screen's twin of the lang-confusion plant (replica
+    * tool: `make_replica.py --plant-toxicity`, same lexicons): plant
+    * known per-category positives, a 2-category escalation, and a
+    * density-blocked doc, and assert the per-source attribution
+    * recovers EXACTLY that structure — the screen must discriminate,
+    * not just run.
+    */
+  test("safety_screen: planted per-category positives recover exactly; escalation + density block") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-safety").toString
+    val filler = (1 to 40).map(i => s"clean$i").mkString(" ") // 40 clean tokens
+    val rows =
+      // src_a: 3 toxicity hits (low density: 1 term in 41 → 24 pm ≥ 5 → blocked!
+      //        careful: density_pm = 1000/41 = 24 ≥ 5 — single-hit docs in
+      //        short text ARE density-blocked; use long filler to keep
+      //        the flagged-not-blocked class: need density < 5 pm →
+      //        1 hit per > 200 tokens
+      (1L to 3L).map(i => (i, s"damn ${(1 to 300).map(j => s"pad$j").mkString(" ")}", "src_a")) ++
+      // src_a: 2 clean docs
+      (4L to 5L).map(i => (i, filler, "src_a")) ++
+      // src_b: 1 violence hit (long → flagged only), 1 adult SHORT doc
+      //        (density 1000*2/42 = 47 pm → blocked), 1 two-category doc
+      //        (escalation → blocked regardless of density)
+      Seq((6L, s"kill ${(1 to 300).map(j => s"pad$j").mkString(" ")}", "src_b"),
+          (7L, s"nude nsfw $filler", "src_b"),
+          (8L, s"damn weapon ${(1 to 300).map(j => s"pad$j").mkString(" ")}", "src_b"),
+          (9L, filler, "src_b"))
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSafetyScreen(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // src_a: 5 docs, 3 tox hits, 0/0 others, 3 flagged, 0 blocked
+    //        (1 hit in 301 tokens → 3 pm < 5), max density 3 pm
+    assert(got("src_a") === ((5L, 3L, 0L, 0L, 3L, 0L, 3L)),
+      s"src_a attribution mismatch: ${got("src_a")}")
+    // src_b: 4 docs; tox hit from the 2-cat doc, violence from docs 6+8,
+    //        adult from doc 7; 3 flagged; blocked = doc 7 (47 pm) +
+    //        doc 8 (2 categories) = 2; max density = 47 pm
+    assert(got("src_b") === ((4L, 1L, 2L, 1L, 3L, 2L, 47L)),
+      s"src_b attribution mismatch: ${got("src_b")}")
+  }
+
   test("dsir_weights: planted target-lookalike docs outscore off-target docs") {
     val s = spark
     import s.implicits._

@@ -41,11 +41,27 @@ exact-dup families stay exact (copies share text AND lang), so the
 dedup-depth stress properties are preserved. Incompatible with
 --hot-pct (the hot text would fan out across langs).
 
+Optional toxicity planting (VERDICT r17 #5): --plant-toxicity rewrites
+document text as a pure function of text so the synthetic corpus
+carries KNOWN safety-screen positives (the driver corpus draws from a
+clean shared vocabulary, so q_safety_screen otherwise exercises
+plumbing only -- the --plant-langs lesson applied to safety). Keyed on
+the first hex digit of md5(text):
+  '0' -> 2x toxicity lexicon terms prepended     (~1/16 of docs)
+  '1' -> 2x violence terms                       (~1/16)
+  '2' -> 2x adult terms                          (~1/16)
+  '3' -> 1x toxicity + 1x violence terms         (~1/16; the 2-category
+         escalation route to BLOCKED)
+Lexicons mirror TextOps' house lists. Pure function of text ->
+F-deep exact-dup families stay exact. Mutually exclusive with
+--hot-pct / --plant-langs.
+
 Usage:
-  python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P | --plant-langs]
+  python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P | --plant-langs | --plant-toxicity]
   python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1 10
   python3 tools/make_replica.py /root/testdata/sf0.1 /tmp/sf1hot 10 --hot-pct 1
   python3 tools/make_replica.py /root/testdata/sf0.01 /tmp/sf001pl 1 --plant-langs
+  python3 tools/make_replica.py /root/testdata/sf0.01 /tmp/sf001tox 1 --plant-toxicity
 """
 import os
 import sys
@@ -98,10 +114,13 @@ def main():
     ap.add_argument("--plant-langs", action="store_true",
                     help="plant per-language marker stopwords into document"
                          " text (pure function of (text, lang) — dup-preserving)")
+    ap.add_argument("--plant-toxicity", action="store_true",
+                    help="plant per-category safety-lexicon terms into document"
+                         " text keyed on md5(text) (pure function — dup-preserving)")
     a = ap.parse_args()
     src, dest, factor, hot_pct = a.src, a.dest, a.factor, a.hot_pct
-    if hot_pct and a.plant_langs:
-        ap.error("--hot-pct and --plant-langs are mutually exclusive")
+    if sum([bool(hot_pct), a.plant_langs, a.plant_toxicity]) > 1:
+        ap.error("--hot-pct / --plant-langs / --plant-toxicity are mutually exclusive")
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
 
@@ -161,6 +180,24 @@ def main():
                    f" CAST(length({new_text}) AS BIGINT) AS n_chars"
                    f" FROM ({union})")
             print("documents: planted language markers (1/16 off-diagonal)")
+        if t == "documents" and a.plant_toxicity:
+            # house lexicons mirror TextOps.{ToxLex,VioLex,AdultLex};
+            # the plant is a pure function of text (md5 hex routing),
+            # so exact-dup families stay exact
+            tox = "damn hell crap idiot stupid moron"
+            vio = "kill murder attack destroy weapon bomb"
+            adu = "nude explicit porn xxx erotic nsfw"
+            new_text = (
+                f"CASE substr(md5(text), 1, 1)"
+                f" WHEN '0' THEN '{tox} {tox} ' || text"
+                f" WHEN '1' THEN '{vio} {vio} ' || text"
+                f" WHEN '2' THEN '{adu} {adu} ' || text"
+                f" WHEN '3' THEN '{tox} {vio} ' || text"
+                f" ELSE text END")
+            out = (f"SELECT doc_id, {new_text} AS text, lang, source,"
+                   f" CAST(length({new_text}) AS BIGINT) AS n_chars"
+                   f" FROM ({union})")
+            print("documents: planted safety-lexicon positives (~4/16 of docs)")
         con.execute(f"COPY ({out}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}/{t}.parquet')").fetchone()[0]

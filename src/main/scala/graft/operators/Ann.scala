@@ -378,11 +378,16 @@ object Ann {
       // whole-stage codegen (the decimal path measured ~5× slower at
       // sf0.1). Headroom: |v| < 2^7 ⇒ |q| < 2^27, safe to ~2^35 rows
       // per (cell, dim) — audit before raising FpScale.
+      // cell assignment projected BELOW the explode (the trainPqCodebooks
+      // ExtractGenerator lesson: a generator's sibling expressions land
+      // ABOVE the Generate and re-evaluate per exploded row — a Dim×
+      // amplification of the k·Dim assignment kernel)
       val means = corpus
         .select(
           graft.functions.VectorFunctions
             .nearestCell(col("embedding"), cent.toSeq, Dim).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
+          col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(expr(s"CAST(round(v * $FpScale) AS BIGINT)")).as("s"),
           count(lit(1)).as("c"))
@@ -1402,11 +1407,18 @@ object Ann {
       // same exact-BIGINT fixed-point means as [[trainCodebook]]
       // (FpScale = 2^20 is a power of two, so the scaling multiply is
       // IEEE-exact in any float width — no engine drift)
+      // the coding expression MUST be projected in its own step BELOW
+      // the explode: a combined select(pqCodes(...), posexplode(...))
+      // puts the generator's sibling expressions ABOVE the Generate
+      // (ExtractGenerator), re-evaluating the 16·ks·dsub-op coding
+      // kernel once per EXPLODED row — a 64× amplification measured
+      // at 170 s/iteration on the 100× replica (vs seconds this way)
       val means = corpus
         .select(
           graft.functions.VectorFunctions
             .pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub).as("codes"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
+          col("embedding"))
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(
           expr(s"CAST(pos DIV $PqDsub AS INT)").as("m"),
           // & 255: the byte code is SIGNED in SQL — with ks > 128 a

@@ -123,6 +123,32 @@ class PlanSpec extends SparkSpec {
       s"the probe list must broadcast; the corpus side stays in place:\n$p")
   }
 
+  test("q_ann_pq: native PQ kernels in the plan; query side broadcasts; no sort-merge anywhere") {
+    val p = plan("q_ann_pq")
+    // (graft_pq_lut is also in the plan but its Project line renders
+    // truncated — the 16k-double codebook literal exhausts the node's
+    // string budget before the expression name appears)
+    assert(p.contains("graft_pq_codes") && p.contains("graft_adc_lookup"),
+      s"coding and ADC scoring must run through the native kernels:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the Q₀-sized query/shortlist sides must broadcast — the corpus never sort-merges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"no per-vector corpus shuffle anywhere in the PQ serve path:\n$p")
+  }
+
+  test("q_safety_screen: map-only scoring, tokens split once, one source rollup") {
+    val p = plan("q_safety_screen")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"lexicon scoring is per-row — no join, no explode:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"the one shuffle is the per-source rollup:\n$p")
+    // tokens are split ONCE into a projected column (the langPredFrom
+    // project-once rule): the three category filters reference it, so
+    // the plan carries exactly one split of the text
+    assert(p.sliding("split(lower(".length).count(_ == "split(lower(") <= 1,
+      s"text must be split once, not once per category:\n$p")
+  }
+
   test("q_dedup_exact: single hash-partitioned window, no global sort before it") {
     val p = plan("q_dedup_exact")
     // partitioned window → one Exchange hashpartitioning(content_md5...)

@@ -395,4 +395,58 @@ object PropertyProps extends Properties("graft-primitives") {
       val bounded = cf.forall { case (l, a) => a >= 0 && a <= caps(l) }
       cf == it && spent && bounded
     }
+
+  // --- PQ kernels (graft.functions.PqKernels) -----------------------
+  // Random (m, dsub, ks) geometry + random codebook/vector. The
+  // reference mirrors the kernels' documented fold orders exactly
+  // (acc = 0.0 then left-to-right), so equality is EXACT, not within
+  // an epsilon — the same cross-engine determinism the oracle relies
+  // on.
+  private val pqGen = for {
+    m <- Gen.oneOf(2, 4, 8)
+    dsub <- Gen.oneOf(2, 4)
+    ks <- Gen.choose(1, 6)
+    cb <- Gen.listOfN(m * ks * dsub, Gen.choose(-4.0, 4.0))
+    v <- Gen.listOfN(m * dsub, Gen.choose(-4.0f, 4.0f))
+    q <- Gen.listOfN(m * dsub, Gen.choose(-4.0f, 4.0f))
+  } yield (m, dsub, ks, cb.toArray, v.toArray, q.toArray)
+
+  private def arr(v: Array[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+
+  property("pqCodes are per-subspace L2 argmins with lowest-id ties, in [0, ks)") =
+    forAll(pqGen) { case (m, dsub, ks, cb, v, _) =>
+      val codes = graft.functions.PqKernels.pqCodes(arr(v), cb, m, dsub)
+      codes.length == m && (0 until m).forall { mm =>
+        val c = codes(mm) & 0xff
+        val dists = (0 until ks).map { t =>
+          var acc = 0.0
+          for (i <- 0 until dsub) {
+            val d = cb((mm * ks + t) * dsub + i) - v(mm * dsub + i).toDouble
+            acc += d * d
+          }
+          acc
+        }
+        val ref = dists.zipWithIndex.minBy { case (d, t) => (d, t) }._2
+        c == ref && c >= 0 && c < ks
+      }
+    }
+
+  property("adcLookup(pqLut(q), pqCodes(x)) == reconstructed subspace-dot sum, exactly") =
+    forAll(pqGen) { case (m, dsub, ks, cb, v, q) =>
+      val pk = graft.functions.PqKernels
+      val codes = pk.pqCodes(arr(v), cb, m, dsub)
+      val lut = pk.pqLut(arr(q), cb, m, dsub)
+      val got = pk.adcLookup(lut,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes))
+      var ref = 0.0
+      for (mm <- 0 until m) {
+        val t = codes(mm) & 0xff
+        var acc = 0.0
+        for (i <- 0 until dsub)
+          acc += cb((mm * ks + t) * dsub + i) * q(mm * dsub + i).toDouble
+        ref += acc
+      }
+      got == ref
+    }
 }

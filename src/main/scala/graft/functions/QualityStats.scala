@@ -41,11 +41,11 @@ case class QualityStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_quality_stats"
 
   override protected def nullSafeEval(input: Any): Any =
-    QualityStats.stats(input.asInstanceOf[UTF8String].toString)
+    QualityStats.stats(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.QualityStats.stats($c.toString());")
+      s"${ev.value} = graft.functions.QualityStats.stats($c);")
 
   override protected def withNewChildInternal(newChild: Expression): QualityStats =
     copy(child = newChild)
@@ -59,7 +59,10 @@ object QualityStats {
     * and oracle formulations cannot drift apart).
     */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
-  private val StopArr: Array[String] = StopWords.toArray
+  // ASCII lexicon compared byte-wise against the raw UTF-8 buffer —
+  // the hot path never materializes a java.lang.String (ADVICE r18)
+  private val StopBytes: Array[Array[Byte]] =
+    StopWords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
 
   val schema: StructType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),
@@ -68,20 +71,30 @@ object QualityStats {
     StructField("n_stop", LongType, nullable = false),
     StructField("n_punct", LongType, nullable = false)))
 
-  private def isStop(s: String, from: Int, until: Int): Boolean = {
+  private def isStop(u: UTF8String, from: Int, until: Int): Boolean = {
     val n = until - from
     var k = 0
-    while (k < StopArr.length) {
-      val w = StopArr(k)
-      if (w.length == n && s.regionMatches(from, w, 0, n)) return true
+    while (k < StopBytes.length) {
+      val w = StopBytes(k)
+      if (w.length == n) {
+        var j = 0
+        while (j < n && u.getByte(from + j) == w(j)) j += 1
+        if (j == n) return true
+      }
       k += 1
     }
     false
   }
 
-  /** Callable from generated code (static forwarder on the object). */
-  def stats(s: String): InternalRow = {
-    val len = s.length
+  /** Callable from generated code (static forwarder on the object).
+    * Walks the raw UTF-8 bytes — no per-row String copy/decode
+    * (ADVICE r18): a code point is one non-continuation byte; every
+    * multi-byte sequence is outside `[A-Za-z0-9 ]` by construction
+    * (punct-class), and a 4-byte sequence is exactly the astral case
+    * the former UTF-16 walk counted once via its surrogate pair.
+    */
+  def stats(u: UTF8String): InternalRow = {
+    val nb = u.numBytes
     var nChars = 0L
     var nSpace = 0L
     var nPunct = 0L
@@ -89,27 +102,32 @@ object QualityStats {
     var nStop = 0L
     var wStart = 0
     var i = 0
-    while (i < len) {
-      val c = s.charAt(i)
-      if (Character.isHighSurrogate(c) && i + 1 < len &&
-          Character.isLowSurrogate(s.charAt(i + 1))) {
-        // one astral code point: counts once, always punct-class
-        nChars += 1; nPunct += 1; i += 2
-      } else {
+    while (i < nb) {
+      val b = u.getByte(i)
+      if ((b & 0x80) == 0) { // ASCII: one byte, one code point
         nChars += 1
-        if (c == ' ') {
+        if (b == ' ') {
           nSpace += 1
           nWords += 1
-          if (isStop(s, wStart, i)) nStop += 1
+          if (isStop(u, wStart, i)) nStop += 1
           wStart = i + 1
         } else {
-          if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-                (c >= '0' && c <= '9'))) nPunct += 1
+          if (!((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+                (b >= '0' && b <= '9'))) nPunct += 1
         }
         i += 1
+      } else {
+        // leading byte of a 2/3/4-byte sequence: one code point,
+        // always punct-class (never ASCII alnum/space)
+        val step =
+          if ((b & 0xE0) == 0xC0) 2
+          else if ((b & 0xF0) == 0xE0) 3
+          else 4
+        nChars += 1; nPunct += 1
+        i += step
       }
     }
-    if (isStop(s, wStart, len)) nStop += 1
+    if (isStop(u, wStart, nb)) nStop += 1
     new GenericInternalRow(Array[Any](nChars, nWords, nChars - nSpace, nStop, nPunct))
   }
 
@@ -140,11 +158,11 @@ case class CharDiversityStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_char_diversity_stats"
 
   override protected def nullSafeEval(input: Any): Any =
-    CharDiversityStats.stats(input.asInstanceOf[UTF8String].toString)
+    CharDiversityStats.stats(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CharDiversityStats.stats($c.toString());")
+      s"${ev.value} = graft.functions.CharDiversityStats.stats($c);")
 
   override protected def withNewChildInternal(newChild: Expression): CharDiversityStats =
     copy(child = newChild)
@@ -158,21 +176,35 @@ object CharDiversityStats {
     StructField("top_char_cnt", LongType, nullable = false),
     StructField("sq", LongType, nullable = false)))
 
-  /** Callable from generated code (static forwarder on the object). */
-  def stats(s: String): InternalRow = {
-    val len = s.length
+  /** Callable from generated code (static forwarder on the object).
+    * Decodes code points straight off the UTF-8 buffer — no per-row
+    * String materialization (ADVICE r18).
+    */
+  def stats(u: UTF8String): InternalRow = {
+    val nb = u.numBytes
     // per-code-point counts; alphabet-bounded, so a small open map
     val m = new java.util.HashMap[Integer, Integer](64)
     var tot = 0L
     var i = 0
-    while (i < len) {
-      val cp = s.codePointAt(i)
+    while (i < nb) {
+      val b = u.getByte(i) & 0xFF
+      var cp = 0
+      var step = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; step = 2 }
+      else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; step = 3 }
+      else { cp = b & 0x07; step = 4 }
+      var j = 1
+      while (j < step && i + j < nb) {
+        cp = (cp << 6) | (u.getByte(i + j) & 0x3F)
+        j += 1
+      }
       if (cp != ' ') {
         tot += 1
         val c = m.get(cp)
         m.put(cp, if (c == null) 1 else c + 1)
       }
-      i += Character.charCount(cp)
+      i += step
     }
     var top = 0L
     var sq = 0L

@@ -1009,46 +1009,73 @@ object Ann {
     s.read.parquet(s"$path/pq_codebook.parquet")
       .orderBy(col("pos")).collect().map(_.getDouble(1))
 
+  /** CRASH RECOVERY for the [[buildIvfPqIndex]] whole-dir swap — the
+    * [[CorpusBuild.recoverPublish]] device for the PQ index root: a
+    * process killed between [[CorpusBuild.swapInto]]'s two renames
+    * leaves the index parked at `.build.old` with `path` absent;
+    * restore it before any read. Leftover `.build.tmp` staging is
+    * garbage on every path. Idempotent; called by every entry point
+    * that touches `path`.
+    */
+  private def recoverIvfPq(s: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.build.old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"recover: cannot restore $old to $dst")
+    if (fs.exists(dst) && fs.exists(old)) fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path.build.tmp"), true)
+  }
+
   /** Build the IVF-PQ index. One corpus pass writes the float rerank
     * half (cell-partitioned); the codes half derives from reading
     * that just-written local layout back — the corpus itself is
-    * scanned once. @param indexFilter bounds the initially-indexed
+    * scanned once.
+    *
+    * The whole triad (cell codebook, PQ sub-codebooks, both halves)
+    * stages into `path.build.tmp` and publishes with ONE
+    * [[CorpusBuild.swapInto]] rename (ADVICE r18): the former
+    * in-place overwrite sequence had a tear window — a crash between
+    * the `pq_codebook.parquet` overwrite and the `index.parquet`
+    * overwrite left OLD codes served under the NEW codebook's LUT,
+    * silently wrong ADC scores whenever the dir corpus had changed.
+    * Now a crash anywhere during the build leaves the previous index
+    * (including its streamed increments) fully intact and serving;
+    * the swap atomically retires the stream dirs too (a rebuild
+    * supersedes every streamed batch — they re-arrive via replay).
+    *
+    * @param indexFilter bounds the initially-indexed
     * subset (AnnSpec builds partial + [[ivfPqUpsert]]s the rest to
     * prove serve-equivalence with a one-shot build).
     */
   private[graft] def buildIvfPqIndex(s: SparkSession, dir: String, path: String,
       indexFilter: Column = lit(true)): Unit = {
     import s.implicits._
+    recoverIvfPq(s, path)
     val (corpus, _) = split(s, dir)
     val cent = sessionCodebook(s, dir, corpus)
-    // a full rebuild supersedes every streamed increment — clear the
-    // [[ivfPqUpsertBatch]] directories of BOTH halves BEFORE touching
-    // the codebook: a crash anywhere after the codebook overwrite
-    // must not leave batches coded under the OLD codebook unioned
-    // into serves against the NEW one (silently wrong cells/scores).
-    // Stream batches are derived data superseded by the rebuild, so
-    // deleting first loses nothing on any crash path.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (r <- Seq(s"$path/index-stream", s"$path/rerank-stream")) {
-      val p = new org.apache.hadoop.fs.Path(r)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    val tmp = s"$path.build.tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     (0 until IvfCells).map(t => (t, cent.slice(t * Dim, (t + 1) * Dim)))
       .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/codebook.parquet")
     // the PQ sub-codebooks are the triad's second frozen model — like
     // the cell codebook they train on the DIR corpus (deterministic,
     // session-cached), so a partial build + upserts and a one-shot
     // build code identically (the AnnSpec serve-equivalence contract)
     val pqCb = sessionPqCodebooks(s, dir, corpus)
-    writePqCodebook(s, path, pqCb)
+    writePqCodebook(s, tmp, pqCb)
     ivfAssign(corpus.filter(indexFilter), cent)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/rerank.parquet")
-    pqCode(s.read.parquet(s"$path/rerank.parquet"), pqCb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/rerank.parquet")
+    pqCode(s.read.parquet(s"$tmp/rerank.parquet"), pqCb)
       .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index.parquet")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/index.parquet")
+    CorpusBuild.swapInto(fs, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path), s"$path.build.old")
   }
 
   /** Append-only incremental maintenance — the [[ivfUpsert]] contract
@@ -1057,6 +1084,7 @@ object Ann {
     * halves under its cells, codes derived in the same map pass.
     */
   private[graft] def ivfPqUpsert(s: SparkSession, path: String, arrivals: DataFrame): Unit = {
+    recoverIvfPq(s, path)
     val cent = readCodebook(s, path)
     val pqCb = readPqCodebook(s, path)
     val assigned = ivfAssign(arrivals, cent)
@@ -1087,6 +1115,7 @@ object Ann {
   private[graft] def ivfPqUpsertBatch(s: SparkSession, path: String,
       arrivals: DataFrame, batchId: Long): Unit = {
     if (!arrivals.isEmpty) {
+      recoverIvfPq(s, path)
       val cent = readCodebook(s, path)
       val pqCb = readPqCodebook(s, path)
       val rerankDir = f"$path/rerank-stream/batch-$batchId%09d"
@@ -1122,13 +1151,22 @@ object Ann {
     * START, so a crash during the codes write leaves an empty dir
     * that would otherwise count as committed and make serve throw (or
     * read partial codes). The job-level commit evidence is the
-    * `_SUCCESS` marker; if marker writing is disabled in the Hadoop
-    * conf, fall back to "contains at least one committed data file
-    * outside `_temporary`".
+    * `_SUCCESS` marker; ONLY if marker writing is disabled in the
+    * Hadoop conf (`mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * = false) fall back to "contains at least one committed data file
+    * outside `_temporary`". With markers enabled the fallback would be
+    * UNSAFE, not just redundant (ADVICE r18): a crash inside the codes
+    * write can leave task-committed data files with no `_SUCCESS`
+    * (committer v2 commits per-task; v1 has the job-commit rename
+    * window), and counting those as committed serves a PARTIAL batch —
+    * silently missing vectors until the replay. Marker present ⇒
+    * committed; marker absent under marker-enabled conf ⇒ torn, full
+    * stop.
     */
   private def pqBatchCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      batchDir: org.apache.hadoop.fs.Path): Boolean = {
+      batchDir: org.apache.hadoop.fs.Path, markersEnabled: Boolean): Boolean = {
     if (fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) true
+    else if (markersEnabled) false
     else fs.listStatus(batchDir).exists { st =>
       val n = st.getPath.getName
       if (st.isDirectory)
@@ -1144,11 +1182,13 @@ object Ann {
   private def pqStreamBatchRoots(s: SparkSession, path: String, half: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val markersEnabled = s.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
     val committed = {
       val root = new org.apache.hadoop.fs.Path(s"$path/index-stream")
       if (fs.exists(root))
         fs.listStatus(root)
-          .filter(st => st.isDirectory && pqBatchCommitted(fs, st.getPath))
+          .filter(st => st.isDirectory && pqBatchCommitted(fs, st.getPath, markersEnabled))
           .map(_.getPath.getName).toSet
       else Set.empty[String]
     }
@@ -1173,6 +1213,7 @@ object Ann {
   private[graft] def ivfPqServe(s: SparkSession, dir: String, path: String,
       probes: Int = IvfProbes, rerankC: Int = PqRerankC): DataFrame = {
     import s.implicits._
+    recoverIvfPq(s, path)
     val vf = graft.functions.VectorFunctions
     val (_, queries) = split(s, dir)
     val cbRows = s.read.parquet(s"$path/codebook.parquet")

@@ -369,7 +369,7 @@ object CorpusBuild {
     * half-written target. Shared by [[corpusWrite]] (whole-corpus
     * publish) and [[corpusUpsert]] (manifest / cursor commits).
     */
-  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
       oldName: String): Unit = {
     val old = new org.apache.hadoop.fs.Path(oldName)
@@ -653,7 +653,27 @@ object CorpusBuild {
         s"$path/.lanes.old.parquet")
     }
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/index-meta.parquet")
-    if (!fs.exists(metaPath)) writeIndexMeta(committedMaxRk)
+    if (!fs.exists(metaPath)) {
+      // legacy/pre-marker layout: before BLESSING the index as covering
+      // the committed manifest, cross-check its signature count against
+      // the committed corpus row count (ADVICE r18) — a corpus that
+      // crashed in the old unguarded window (manifest swapped, index
+      // append lost) is count-consistent yet MISSING an increment, and
+      // aligning the marker blindly would make that recall loss
+      // permanent. The index may legitimately hold MORE signatures than
+      // the manifest lists (streaming-tier appends, harmless re-appended
+      // duplicates), so the tripwire is strictly `fewer`; with no marker
+      // to say WHICH rows are missing, the heal is a full rebuild from
+      // the committed corpus.
+      if (s.read.parquet(s"$idx/sig").count() < committedShards().count()) {
+        val idxPath = new org.apache.hadoop.fs.Path(idx)
+        if (fs.exists(idxPath)) fs.delete(idxPath, true)
+        Dedup.buildDedupIndexFrom(
+          committedShards().select(col("doc_id"), col("text")), idx)
+        recomputeLanes()
+      }
+      writeIndexMeta(committedMaxRk)
+    }
     else {
       val idxMaxRk = s.read.parquet(metaPath.toString).collect()(0).getLong(0)
       if (idxMaxRk < committedMaxRk) {

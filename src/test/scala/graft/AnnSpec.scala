@@ -319,14 +319,75 @@ class AnnSpec extends SparkSpec {
     assert(serveSet(incr) === ref,
       "replayed batch upserts must serve exactly what a one-shot build serves")
 
-    // a full rebuild clears the stream roots BEFORE the codebook
-    // overwrite (no old-codebook batches can survive into a
-    // new-codebook serve) — post-state: roots gone, serve == build
+    // a full rebuild atomically retires the stream roots with the old
+    // dir (no old-codebook batches can survive into a new-codebook
+    // serve) — post-state: roots gone, serve == build
     Ann.buildIvfPqIndex(spark, sf0001, incr)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$incr/index-stream")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$incr/rerank-stream")),
       "a rebuild must clear both stream roots")
     assert(serveSet(incr) === ref)
+  }
+
+  test("pqBatchCommitted: no _SUCCESS under marker-enabled conf is torn, even with data files") {
+    import org.apache.spark.sql.functions.col
+    // ADVICE r18: task-committed data files with no _SUCCESS (committer
+    // v2 mid-job, or v1's job-commit window) are a PARTIAL batch under
+    // the default marker-enabled conf — serving them silently drops the
+    // unlanded part. The data-file fallback is legitimate ONLY when
+    // marker writing is disabled in the Hadoop conf.
+    val incr = java.nio.file.Files.createTempDirectory("graft-ivfpqm").toString
+    Ann.buildIvfPqIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
+    val (corpus, _) = Ann.split(spark, sf0001)
+    def serveSet() = Ann.ivfPqServe(spark, sf0001, incr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preBatch = serveSet()
+    Ann.ivfPqUpsertBatch(spark, incr, corpus.filter(col("vec_id") % 7 === 0), batchId = 3L)
+    val committed = serveSet()
+    assert(committed !== preBatch, "the committed batch must be visible")
+    // strip the job-commit marker, keep every data file — the
+    // crash-after-task-commit state
+    val fs = new org.apache.hadoop.fs.Path(incr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$incr/index-stream/batch-000000003/_SUCCESS"), false))
+    assert(serveSet() === preBatch,
+      "markers enabled: a batch without _SUCCESS must read as uncommitted even with data files present")
+    // with marker writing disabled in the conf, _SUCCESS absence is the
+    // NORMAL committed state — the data-file fallback must accept it
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try
+      assert(serveSet() === committed,
+        "markers disabled: committed data files are the commit evidence")
+    finally conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("buildIvfPqIndex: atomic triad publish — a crashed rebuild leaves the old index serving") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqswap").toString + "/idx"
+    Ann.buildIvfPqIndex(spark, sf0001, path)
+    def serveSet() = Ann.ivfPqServe(spark, sf0001, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = serveSet()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash DURING a rebuild's staging (ADVICE r18's tear window: new
+    // pq_codebook landed, new codes not): with staging, the half-built
+    // state is all under .build.tmp — the published triad is untouched
+    // and KEEPS serving old-codebook codes under the old-codebook LUT
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.build.tmp")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "pq_codebook.parquet"))
+    assert(serveSet() === ref,
+      "a half-staged rebuild must be invisible: the old triad serves unchanged")
+    // crash BETWEEN swapInto's two renames: old index parked at
+    // .build.old, path absent — the next entry point heals it
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.build.old")))
+    assert(serveSet() === ref,
+      "recoverIvfPq must restore the parked index before the read")
+    assert(!fs.exists(tmp), "recovery must sweep staging garbage")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.build.old")))
   }
 
   /** Int8 quantization costs 4× less memory; this pins what it costs

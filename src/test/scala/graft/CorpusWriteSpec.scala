@@ -273,6 +273,58 @@ class CorpusWriteSpec extends SparkSpec {
       "healed lane cursors must equal the committed-corpus rollup")
   }
 
+  test("legacy layout (no index-meta) with a lost increment: cross-checked and rebuilt, not blessed") {
+    import spark.implicits._
+    // ADVICE r18: a corpus that crashed in the PRE-marker unguarded
+    // window (manifest swapped, index append lost) arrives at the
+    // marker-aware code with index-meta.parquet absent. Aligning the
+    // marker to the manifest without verifying coverage would bless the
+    // stale index permanently — the cross-check (index sig count <
+    // committed corpus rows ⇒ rebuild) catches exactly this state.
+    val (out, _) = build("legacymeta")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    val base = shards0.maxBy(_.getLong(0))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // increment 1 commits normally (bootstraps index + marker)
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_legacy", base.getString(1),
+        base.getString(2).split(" ").reverse.mkString(" ")))
+        .toDF("doc_id", "source", "lang", "text"))
+    // snapshot the index BEFORE increment 2, commit increment 2, then
+    // roll the index back and DELETE the marker: the on-disk shape of
+    // the legacy crash (manifest ahead, index short, no marker)
+    val snapP = new org.apache.hadoop.fs.Path(s"$out/.snap-index")
+    fs.delete(snapP, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$out/index"),
+      fs, snapP, false, spark.sparkContext.hadoopConfiguration)
+    val inc2Text = base.getString(2).split(" ").sorted.mkString(" ")
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_legacy", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/index"), true)
+    assert(fs.rename(snapP, new org.apache.hadoop.fs.Path(s"$out/index")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/index-meta.parquet"), true)
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, s"$out/index"),
+      "the stale legacy index passes the footer-count invariant (that is the point)")
+
+    // a verbatim copy of increment 2's doc must STILL be dropped: the
+    // next upsert cross-checks coverage, rebuilds, then writes the marker
+    val mBefore = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val mAfter = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 3001L, "src_legacy", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(mAfter.length === mBefore.length,
+      "the rebuilt index must dedup a verbatim copy of the lost increment's doc")
+    val mrk = spark.read.parquet(s"$out/index-meta.parquet").collect()(0).getLong(0)
+    val maxRk = spark.read.parquet(s"$out/manifest.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("max_rk"))).collect()(0).getLong(0)
+    assert(mrk === maxRk, "the cross-checked rebuild must then write the marker")
+  }
+
   test("an UNREADABLE index table (crash inside a table's write) reads as inconsistent, not a throw") {
     import spark.implicits._
     val (out, _) = build("tearidx2")

@@ -329,6 +329,26 @@ class AnnSpec extends SparkSpec {
     assert(serveSet(incr) === ref)
   }
 
+  test("q_ann_ivfadc: the registered row == explicit build + ivfPqServe, and recall is monitored") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfadc-row").toString
+    Ann.buildIvfPqIndex(spark, sf0001, path)
+    val exp = Ann.ivfPqServe(spark, sf0001, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ann.qAnnIvfadc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp,
+      "the session-built index must serve exactly what an explicit build serves")
+    // the monitor's third column exists and sits at-or-below the
+    // full-scan shortlist recall (cell pruning can only lose candidates)
+    val rec = Ann.qPqRecall(spark, sf0001).collect()
+    val full = rec.map(_.getAs[Long]("recall_bp")).sum
+    val pruned = rec.map(_.getAs[Long]("ivfadc_recall_bp")).sum
+    info(s"mean recall_bp full-scan=${full / rec.length} ivfadc=${pruned / rec.length}")
+    assert(pruned <= full, "cell pruning cannot ADD recall over the full-scan shortlist")
+    assert(pruned >= rec.length * 5000,
+      "the production read should keep mean recall@5 above 50% on this corpus")
+  }
+
   test("pqBatchCommitted: no _SUCCESS under marker-enabled conf is torn, even with data files") {
     import org.apache.spark.sql.functions.col
     // ADVICE r18: task-committed data files with no _SUCCESS (committer

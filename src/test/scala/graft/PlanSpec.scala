@@ -136,6 +136,20 @@ class PlanSpec extends SparkSpec {
       s"no per-vector corpus shuffle anywhere in the PQ serve path:\n$p")
   }
 
+  test("q_ann_ivfadc: both index halves prune to probed cells; rerank is a pushed point lookup") {
+    val p = plan("q_ann_ivfadc")
+    // the serve's returned plan is the stage-2 read: the float half
+    // must be opened under the probed-cell PARTITION filter (nProbe/k
+    // of the index dirs) AND the collected candidate ids as a pushed
+    // parquet IN — a point lookup, never a float corpus scan
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"the rerank scan must prune to the probed cells:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"the candidate-id IN must reach the parquet scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate pairs and queries are Q₀-sized broadcasts:\n$p")
+  }
+
   test("q_safety_screen: map-only scoring, tokens split once, one source rollup") {
     val p = plan("q_safety_screen")
     assert(!p.contains("Join") && !p.contains("Generate"),

@@ -342,6 +342,18 @@ object TextOps {
   /** blocklist tokens per 1000 whitespace tokens at which a doc is
     * BLOCKED outright (vs merely flagged). */
   private[graft] val SafetyDensityPm = 5L
+  /** Leet-digit/symbol fold applied per token before lexicon matching
+    * (VERDICT r18 #5): each FROM char is the canonical substitution
+    * for its TO letter (0→o 1→i 3→e 4→a 5→s 7→t @→a $→s), so
+    * `5tup1d`/`b0mb`/`n$fw` match their lexicon words. The fold only
+    * rewrites digits/symbols — clean prose tokens are untouched, so
+    * the clean-corpus screen stays structurally zero. */
+  private[graft] val LeetFrom = "013457@$"
+  private[graft] val LeetTo = "oieastas"
+  /** Wrapping punctuation stripped from token edges after the leet
+    * fold (`damn!`, `(hell)` — fold first, or `$`-leet would be
+    * stripped as punctuation before it can read as its letter). */
+  private[graft] val TokenEdgePunct = "^[^a-z0-9]+|[^a-z0-9]+$"
 
   /** Safety screen with per-rule / per-source attribution (the
     * [[qGopherRules]] posture): per source, docs hitting each
@@ -359,6 +371,20 @@ object TextOps {
     * TextOpsSpec asserts exact recovery of the planted structure —
     * the `--plant-langs` lesson applied to safety.
     *
+    * OBFUSCATION HARDENING (VERDICT r18 #5): the r18 screen matched
+    * raw lowercased single-space tokens, so accented (`dämn`),
+    * tab-separated, punctuation-wrapped (`damn!`) and leet (`5tup1d`)
+    * variants all passed. Tokens now route through the
+    * [[graft.functions.NormalizeText]] device first (accent strip +
+    * Unicode lowercase + whitespace collapse — the same
+    * canonicalization dedup keys on), then a per-token leet fold
+    * ([[LeetFrom]]→[[LeetTo]]) and edge-punctuation strip
+    * ([[TokenEdgePunct]]) before membership. The oracle replays all
+    * three in lockstep (`strip_accents` + `translate` +
+    * anchored `regexp_replace`); `make_replica.py --plant-toxicity`
+    * plants obfuscated routes beside the plain ones and TextOpsSpec
+    * asserts each variant class is recovered.
+    *
     * Shape at scale: map-only per-doc scoring — tokens split ONCE
     * into a projected column, three membership filters over it (the
     * [[langPredFrom]] project-once rule) — then one partial-
@@ -366,7 +392,10 @@ object TextOps {
     */
   def qSafetyScreen(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("text_n", graft.functions.NormalizeText.column(col("text")))
+      .withColumn("toks",
+        expr(s"transform(split(text_n, ' '), w -> " +
+          s"regexp_replace(translate(w, '$LeetFrom', '$LeetTo'), '$TokenEdgePunct', ''))"))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("c_tox",
         expr(s"CAST(size(filter(toks, w -> w IN (${inList(ToxLex)}))) AS BIGINT)"))
@@ -391,16 +420,24 @@ object TextOps {
         max(col("density_pm")).as("max_density_pm"))
 
   val qSafetyScreenSql: String =
-    s"""WITH t AS (
+    s"""WITH tk AS (
        |  SELECT source,
-       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
-       |    CAST(len(list_filter(string_split(lower(text), ' '),
-       |      w -> w IN (${inList(ToxLex)}))) AS BIGINT) AS c_tox,
-       |    CAST(len(list_filter(string_split(lower(text), ' '),
-       |      w -> w IN (${inList(VioLex)}))) AS BIGINT) AS c_vio,
-       |    CAST(len(list_filter(string_split(lower(text), ' '),
-       |      w -> w IN (${inList(AdultLex)}))) AS BIGINT) AS c_adu
+       |    list_transform(
+       |      string_split(trim(regexp_replace(lower(strip_accents(text)),
+       |        '\\s+', ' ', 'g')), ' '),
+       |      w -> regexp_replace(translate(w, '$LeetFrom', '$LeetTo'),
+       |        '$TokenEdgePunct', '', 'g')) AS toks
        |  FROM documents),
+       |t AS (
+       |  SELECT source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(toks,
+       |      w -> w IN (${inList(ToxLex)}))) AS BIGINT) AS c_tox,
+       |    CAST(len(list_filter(toks,
+       |      w -> w IN (${inList(VioLex)}))) AS BIGINT) AS c_vio,
+       |    CAST(len(list_filter(toks,
+       |      w -> w IN (${inList(AdultLex)}))) AS BIGINT) AS c_adu
+       |  FROM tk),
        |d AS (
        |  SELECT source,
        |    ((c_tox + c_vio + c_adu) * 1000) // n_words AS density_pm,

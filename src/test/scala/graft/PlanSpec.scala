@@ -156,10 +156,14 @@ class PlanSpec extends SparkSpec {
       s"lexicon scoring is per-row — no join, no explode:\n$p")
     assert(p.contains("hashpartitioning(source"),
       s"the one shuffle is the per-source rollup:\n$p")
-    // tokens are split ONCE into a projected column (the langPredFrom
-    // project-once rule): the three category filters reference it, so
-    // the plan carries exactly one split of the text
-    assert(p.sliding("split(lower(".length).count(_ == "split(lower(") <= 1,
+    // tokens are normalized + split ONCE into a projected column (the
+    // langPredFrom project-once rule): the three category filters
+    // reference it, so the plan carries exactly one normalize and one
+    // split of the text (r19: the hardened screen normalizes first)
+    assert(p.sliding("graft_normalize_text".length)
+      .count(_ == "graft_normalize_text") <= 1,
+      s"text must normalize once, not once per category:\n$p")
+    assert(p.sliding("split(".length).count(_ == "split(") <= 1,
       s"text must be split once, not once per category:\n$p")
   }
 

@@ -983,6 +983,42 @@ class TextOpsSpec extends SparkSpec {
       s"src_b attribution mismatch: ${got("src_b")}")
   }
 
+  /** VERDICT r18 #5: the r18 screen matched raw lowercased tokens, so
+    * each of these variant classes passed it. Every class must now be
+    * recovered — one doc per class, each its own source row so the
+    * assertion names the class that leaks.
+    */
+  test("safety_screen: obfuscated variants (accents, case, tabs, punct, leet) are recovered") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-safetyob").toString
+    val pad = (1 to 300).map(j => s"pad$j").mkString(" ")
+    val pad2 = (1 to 500).map(j => s"pad$j").mkString(" ") // 2 hits / 502 toks < 5 pm
+    val rows = Seq(
+      (1L, s"DÄMN $pad", "accent_case"),    // accent + uppercase → damn
+      (2L, s"h3ll $pad", "leet_e"),         // 3→e → hell
+      (3L, s"5tup1d $pad", "leet_si"),      // 5→s, 1→i → stupid
+      (4L, s"(crap) $pad", "wrap_punct"),   // wrapping punctuation
+      (5L, s"idiot!\tmoron? $pad2", "tab_punct"), // tab separator + trailing punct
+      (6L, s"k1ll n$$fw $pad", "leet_2cat"), // 1→i kill, $→s nsfw → 2-cat escalation
+      (7L, s"damn $pad", "plain"))          // control: plain still hits
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSafetyScreen(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap // (hit_tox, hit_vio, hit_adult, n_flagged, n_blocked)
+    assert(got("accent_case") === ((1L, 0L, 0L, 1L, 0L)), s"accents+case: ${got("accent_case")}")
+    assert(got("leet_e") === ((1L, 0L, 0L, 1L, 0L)), s"leet 3->e: ${got("leet_e")}")
+    assert(got("leet_si") === ((1L, 0L, 0L, 1L, 0L)), s"leet 5/1: ${got("leet_si")}")
+    assert(got("wrap_punct") === ((1L, 0L, 0L, 1L, 0L)), s"wrapping punct: ${got("wrap_punct")}")
+    assert(got("tab_punct") === ((1L, 0L, 0L, 1L, 0L)), s"tab+punct: ${got("tab_punct")}")
+    assert(got("leet_2cat") === ((0L, 1L, 1L, 1L, 1L)),
+      s"leet 2-category escalation must BLOCK: ${got("leet_2cat")}")
+    assert(got("plain") === ((1L, 0L, 0L, 1L, 0L)), s"plain control: ${got("plain")}")
+  }
+
   test("dsir_weights: planted target-lookalike docs outscore off-target docs") {
     val s = spark
     import s.implicits._

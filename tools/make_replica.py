@@ -52,9 +52,15 @@ the first hex digit of md5(text):
   '2' -> 2x adult terms                          (~1/16)
   '3' -> 1x toxicity + 1x violence terms         (~1/16; the 2-category
          escalation route to BLOCKED)
-Lexicons mirror TextOps' house lists. Pure function of text ->
-F-deep exact-dup families stay exact. Mutually exclusive with
---hot-pct / --plant-langs.
+  '4' -> 2x OBFUSCATED toxicity terms (accents, case, tab separator,
+         wrapping punctuation, leet digits)      (~1/16; r19 — the
+         variants the r18 screen missed)
+  '5' -> 1x obfuscated violence + 1x obfuscated adult terms (~1/16;
+         the escalation route through obfuscation alone)
+Lexicons mirror TextOps' house lists; obfuscations mirror the r19
+screen hardening (NormalizeText + leet fold + edge-punct strip). Pure
+function of text -> F-deep exact-dup families stay exact. Mutually
+exclusive with --hot-pct / --plant-langs.
 
 Usage:
   python3 tools/make_replica.py SRC_DIR DEST_DIR FACTOR [--hot-pct P | --plant-langs | --plant-toxicity]
@@ -187,17 +193,27 @@ def main():
             tox = "damn hell crap idiot stupid moron"
             vio = "kill murder attack destroy weapon bomb"
             adu = "nude explicit porn xxx erotic nsfw"
+            # r19 obfuscated variants: accent, leet (0->o 1->i 3->e
+            # 4->a 5->s 7->t @->a $->s), wrapping punct, case, and one
+            # tab separator -- exactly the classes the hardened screen
+            # normalizes away (NormalizeText + translate + edge strip)
+            tox_ob = "DÄMN h3ll (crap) idiot! 5tup1d m0r0n"
+            vio_ob = "k1ll murd3r @ttack d3str0y w3ap0n b0mb"
+            adu_ob = "nud3 3xplicit p0rn XXX [erotic] n$fw"
             new_text = (
                 f"CASE substr(md5(text), 1, 1)"
                 f" WHEN '0' THEN '{tox} {tox} ' || text"
                 f" WHEN '1' THEN '{vio} {vio} ' || text"
                 f" WHEN '2' THEN '{adu} {adu} ' || text"
                 f" WHEN '3' THEN '{tox} {vio} ' || text"
+                f" WHEN '4' THEN '{tox_ob}' || chr(9) || '{tox_ob} ' || text"
+                f" WHEN '5' THEN '{vio_ob} {adu_ob} ' || text"
                 f" ELSE text END")
             out = (f"SELECT doc_id, {new_text} AS text, lang, source,"
                    f" CAST(length({new_text}) AS BIGINT) AS n_chars"
                    f" FROM ({union})")
-            print("documents: planted safety-lexicon positives (~4/16 of docs)")
+            print("documents: planted safety-lexicon positives"
+                  " (~6/16 of docs incl. obfuscated routes)")
         con.execute(f"COPY ({out}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dest}/{t}.parquet')").fetchone()[0]

@@ -248,6 +248,18 @@ object Analytics {
     * "labels changed this round" count hits zero — same plan per
     * round, driver-controlled stop like [[Ann.trainCodebook]]).
     *
+    * CONVERGENCE CENSUS (VERDICT r18 #6): the bounded-round contract
+    * is only honest if a run can SEE when the bound was too small —
+    * the inline fixpoint ([[graft.operators.Dedup.connectedComponents]])
+    * refuses loudly at non-convergence; this row now carries the same
+    * observability as per-round moved-label counts (`moved_r1..3`,
+    * the [[qKcore]] census posture pivoted onto the node rows): a
+    * final-round count of zero PROVES the labels are the fixpoint; a
+    * nonzero count names exactly how unfinished the bound left them.
+    * Hash-checked — the oracle recomputes each round's moved count
+    * from its own CTE chain. The per-round count is one node-sized
+    * aggregate over the label checkpoint the loop materializes anyway.
+    *
     * Pure integer MIN arithmetic — associative, partial-aggregated,
     * bit-reproducible (contrast: hash-based CC labels drift across
     * engines). Each round is ONE shuffle join (edges ⋈ labels on src)
@@ -258,6 +270,7 @@ object Analytics {
     val (eb, deg) = copurchaseGraph(s, dir)
     // node list comes from the tiny degree table, not a full-edge distinct
     var lab = deg.select(col("nd"), col("nd").as("lab"))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to CcIters) {
       val nbr = eb.join(lab, eb("src") === lab("nd"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
@@ -268,34 +281,43 @@ object Analytics {
       // sf0.1). The label table is node-sized, so the eager per-round
       // checkpoint is a tiny job; GraphX/Pregel does the same per-round
       // materialization for the same reason.
-      lab = lab.join(nbr, Seq("nd"), "left")
-        .select(col("nd"),
+      val next = lab.join(nbr, Seq("nd"), "left")
+        .select(col("nd"), col("lab").as("old_lab"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
         .materialized
+      moved += next.filter(col("lab") =!= col("old_lab")).count()
+      lab = next.select(col("nd"), col("lab"))
     }
-    lab.select(
+    val out = lab.select(
       when(col("nd") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
       expr("nd DIV 2").as("node_id"), col("lab").as("comp"))
+    moved.zipWithIndex.foldLeft(out) { case (df, (m, i)) =>
+      df.withColumn(s"moved_r${i + 1}", lit(m))
+    }
   }
 
   val qComponentsSql: String = {
     def step(prev: String, out: String): String =
-      s"""$out AS (
-         |  SELECT l.nd, LEAST(l.lab, COALESCE(m.nlab, l.lab)) AS lab
+      s"""$out AS MATERIALIZED (
+         |  SELECT l.nd, l.lab AS old_lab, LEAST(l.lab, COALESCE(m.nlab, l.lab)) AS lab
          |  FROM $prev l LEFT JOIN (
          |    SELECT eb.dst AS nd, MIN(p.lab) AS nlab
          |    FROM eb JOIN $prev p ON eb.src = p.nd GROUP BY eb.dst) m
          |  ON l.nd = m.nd)""".stripMargin
+    val movedCols = (1 to CcIters).map(r =>
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM l$r WHERE lab <> old_lab) AS moved_r$r")
+      .mkString(",\n  ")
     s"""WITH e AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |eb AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |eb AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |l0 AS (SELECT DISTINCT src AS nd, src AS lab FROM eb),
        |${step("l0", "l1")},
        |${step("l1", "l2")},
        |${step("l2", "l3")}
        |SELECT CASE WHEN nd % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
-       |  nd // 2 AS node_id, lab AS comp
+       |  nd // 2 AS node_id, lab AS comp,
+       |  $movedCols
        |FROM l3 ORDER BY node_type, node_id""".stripMargin
   }
 

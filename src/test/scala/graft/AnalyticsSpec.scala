@@ -293,6 +293,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  /** VERDICT r18 #6: the bounded-round contract must be OBSERVABLE. On
+    * a path graph longer than the round bound the census reports
+    * nonzero final-round movement (the run SEES the truncation); a
+    * zero final round is a true fixpoint certificate — min-label
+    * propagation is monotone, so a round that moved nothing has
+    * nothing left to move.
+    */
+  test("q_components: moved-label census sees a too-small bound; zero certifies the fixpoint") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccpath").toString
+    // bipartite path c0-s0-c1-s1-…-c10 (diameter 20 ≫ 3 rounds):
+    // order 2k joins customer k to supplier k; order 2k+1 joins
+    // customer k+1 to supplier k
+    val orders = (0 until 10).flatMap(k =>
+      Seq((2L * k, k.toLong), (2L * k + 1, k + 1L)))
+    val lineitem = (0 until 10).flatMap(k =>
+      Seq((2L * k, k.toLong), (2L * k + 1, k.toLong)))
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Analytics.qComponents(spark, dir).collect()
+    val (m1, m2, m3) = (rows.head.getAs[Long]("moved_r1"),
+      rows.head.getAs[Long]("moved_r2"), rows.head.getAs[Long]("moved_r3"))
+    info(s"path-graph census: moved_r1=$m1 moved_r2=$m2 moved_r3=$m3")
+    assert(rows.forall(r => r.getAs[Long]("moved_r3") === m3),
+      "the census is a corpus-level constant on every node row")
+    assert(m3 > 0,
+      "a diameter-20 path cannot converge in 3 rounds — the census must SAY so")
+    assert(rows.map(_.getLong(2)).distinct.length > 1,
+      "truncated labels on a single component stay split — the nonzero census is the tell")
+    // the sf0.001 corpus converges inside the bound: final round moved 0,
+    // which (by monotonicity) certifies the labels are the fixpoint
+    val conv = Analytics.qComponents(spark, sf0001).collect()
+    assert(conv.head.getAs[Long]("moved_r3") === 0L,
+      "sf0.001 converges in 3 rounds; its census certificate must be zero")
+  }
+
   test("q_degree_stats: degree mass equals the bidirectional edge count, split evenly by side") {
     val rows = Analytics.qDegreeStats(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -1561,6 +1561,18 @@ object Dedup {
     * characters sorts away and is out of rule). */
   val EntitySnmWindow = 8
 
+  /** The third blocking pass's distance tier (VERDICT r18 #7): pairs
+    * whose names share an alphanumeric Soundex-class code
+    * ([[graft.functions.PhoneticCode]]) count as links at exactly this
+    * edit distance — phonetic respellings (`Catherine`/`Kathryn`, ed 4
+    * with a different leading letter) that sit past the SymSpell
+    * radius AND sort outside the SNM window. The high-precision
+    * phonetic block is what licenses the looser distance bound —
+    * the classic production-MDM stacking rationale. Disjoint from
+    * the other passes by construction (pass 1 keeps ed ≤ 2, pass 2
+    * keeps ed = 3), so the union stays dedup-free. */
+  val EntityPhonDist = 4
+
   /** 64-bit hashes of every string obtainable by deleting at most
     * [[EntityMaxDist]] (= 2) characters from `c` — the SymSpell
     * deletion-neighborhood signature set. Pigeonhole guarantee: if
@@ -1724,6 +1736,9 @@ object Dedup {
       // construction (pass 1 keeps ed ≤ 2, pass 2 keeps ed = 3), so
       // plain union — no pair ever verifies twice into the output.
       .unionByName(entitySnmGroupPairs(grp))
+      // r19 (VERDICT r18 #7): the third blocking pass — phonetic,
+      // ed = 4 exactly; disjoint from both passes above, plain union.
+      .unionByName(entityPhoneticGroupPairs(grp))
   }
 
   /** Second blocking pass: SORTED-NEIGHBORHOOD over the canonical
@@ -1762,6 +1777,39 @@ object Dedup {
       .filter(col("ed") === EntitySndDist)
   }
 
+  /** Third blocking pass: PHONETIC over the canonical groups — groups
+    * whose names share an alphanumeric Soundex-class code
+    * ([[graft.functions.PhoneticCode]]: letter sound classes incl.
+    * the first letter, digit classes, run collapse, 18-class BIGINT)
+    * within the same exact-attribute block, verified at exactly
+    * [[EntityPhonDist]] edits. Catches phonetic respellings whose
+    * leading letter differs — they sort OUTSIDE the SNM window
+    * (pass 2's documented blind spot) and sit past the SymSpell
+    * radius (pass 1). A code of 0 (no classed characters) never
+    * blocks.
+    *
+    * Shape at scale: one map-only coding pass over the GROUP table,
+    * one equi-join on the (code, nation, mktsegment) key — block
+    * population tracks phonetic-bucket density (the digit classes
+    * keep register-id corpora from collapsing into one mega-block;
+    * letters-only Soundex would), candidate volume linear-ish in
+    * distinct names, the pass-1 scaling argument verbatim.
+    */
+  private[graft] def entityPhoneticGroupPairs(grp: DataFrame): DataFrame = {
+    val coded = grp.select(col("gid"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        graft.functions.PhoneticCode.column(col("c_name")).as("ph"))
+      .filter(col("ph") =!= 0L)
+    coded.as("a").join(coded.as("b"),
+        col("a.ph") === col("b.ph") && col("a.gid") < col("b.gid") &&
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
+        col("a.c_nationkey").as("nationkey"), col("a.c_mktsegment").as("mktsegment"),
+        levenshtein(col("a.c_name"), col("b.c_name"), EntityPhonDist).as("ed"))
+      .filter(col("ed") === EntityPhonDist)
+  }
+
   /** Distinct candidate pairs for [[qEntityMatch]]'s block-bound spec
     * pin: records sharing a deletion signature within the same
     * (nation, mktsegment) block.
@@ -1783,11 +1831,27 @@ object Dedup {
       .distinct()
   }
 
-  /** The pass-2 (sorted-neighborhood, ed = [[EntitySndDist]]) RECORD
-    * pairs as prefixable CTEs: canonical groups, the (name, gid) rank,
-    * the window join, the member expansion — shared by both entity
-    * oracles so the rule cannot drift between them. Emits
-    * `${p}sndrec(nationkey, mktsegment, cust_a, cust_b, edit_dist)`.
+  /** The [[graft.functions.PhoneticCode]] chain in DuckDB: strip
+    * non-alnum → `translate` letters to Soundex classes (vowels/h/w
+    * deleted, digits kept as their own classes) → collapse each
+    * class-digit's runs (chained per digit — RE2 has no
+    * backreferences) → first 18 classes → BIGINT.
+    */
+  private def phonCodeSql(x: String): String = {
+    val mapped = s"translate(regexp_replace(lower($x), '[^a-z0-9]', '', 'g'), " +
+      "'bcdfgjklmnpqrstvxzaeiouyhw', '123122245512623122')"
+    val collapsed = (0 to 9).foldLeft(mapped)((e, d) =>
+      s"regexp_replace($e, '$d{2,}', '$d', 'g')")
+    s"CAST(CASE WHEN $collapsed = '' THEN '0' ELSE substr($collapsed, 1, 18) END AS BIGINT)"
+  }
+
+  /** The pass-2 (sorted-neighborhood, ed = [[EntitySndDist]]) and
+    * pass-3 (phonetic, ed = [[EntityPhonDist]]) RECORD pairs as
+    * prefixable CTEs: canonical groups, the (name, gid) rank, the
+    * window join, the phonetic-code block, the member expansions —
+    * shared by both entity oracles so the rule cannot drift between
+    * them. Emits `${p}sndrec` and `${p}phonrec`, both
+    * `(nationkey, mktsegment, cust_a, cust_b, edit_dist)`.
     */
   private def entitySndCtes(p: String): String =
     s"""${p}g AS (
@@ -1817,6 +1881,26 @@ object Dedup {
        |    CAST($EntitySndDist AS INTEGER) AS edit_dist
        |  FROM ${p}snd s
        |  JOIN ${p}m ma ON ma.gid = s.ga
+       |  JOIN ${p}m mb ON mb.gid = s.gb),
+       |${p}ph AS (
+       |  SELECT gid, c_name, c_nationkey, c_mktsegment,
+       |    ${phonCodeSql("c_name")} AS ph
+       |  FROM ${p}g),
+       |${p}phon AS (
+       |  SELECT a.gid AS ga, b.gid AS gb,
+       |    a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment
+       |  FROM ${p}ph a JOIN ${p}ph b
+       |    ON a.ph = b.ph AND a.gid < b.gid AND a.ph <> 0
+       |   AND a.c_nationkey = b.c_nationkey
+       |   AND a.c_mktsegment = b.c_mktsegment
+       |  WHERE levenshtein(a.c_name, b.c_name) = $EntityPhonDist),
+       |${p}phonrec AS (
+       |  SELECT s.nationkey, s.mktsegment,
+       |    least(ma.c_custkey, mb.c_custkey) AS cust_a,
+       |    greatest(ma.c_custkey, mb.c_custkey) AS cust_b,
+       |    CAST($EntityPhonDist AS INTEGER) AS edit_dist
+       |  FROM ${p}phon s
+       |  JOIN ${p}m ma ON ma.gid = s.ga
        |  JOIN ${p}m mb ON mb.gid = s.gb)""".stripMargin
 
   val qEntityMatchSql: String =
@@ -1832,6 +1916,8 @@ object Dedup {
        |WHERE levenshtein(a.c_name, b.c_name) <= $EntityMaxDist
        |UNION ALL
        |SELECT nationkey, mktsegment, cust_a, cust_b, edit_dist FROM sndrec
+       |UNION ALL
+       |SELECT nationkey, mktsegment, cust_a, cust_b, edit_dist FROM phonrec
        |ORDER BY nationkey, mktsegment, cust_a, cust_b""".stripMargin
 
   /** Production-shaped entity resolution (VERDICT r14 #5): the TOP-1
@@ -1919,7 +2005,11 @@ object Dedup {
        |  UNION ALL
        |  SELECT cust_a AS cust, cust_b AS cand, edit_dist AS ed FROM sndrec
        |  UNION ALL
-       |  SELECT cust_b AS cust, cust_a AS cand, edit_dist AS ed FROM sndrec),
+       |  SELECT cust_b AS cust, cust_a AS cand, edit_dist AS ed FROM sndrec
+       |  UNION ALL
+       |  SELECT cust_a AS cust, cust_b AS cand, edit_dist AS ed FROM phonrec
+       |  UNION ALL
+       |  SELECT cust_b AS cust, cust_a AS cand, edit_dist AS ed FROM phonrec),
        |r AS (
        |  SELECT cust, cand, ed,
        |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY ed, cand) AS rn,

@@ -707,6 +707,55 @@ class DedupSpec extends SparkSpec {
       "SNM group pairs must not move with exact-dup depth")
   }
 
+  test("entity third pass: phonetic respellings at ed 4 recovered; code-distinct ed-4 pairs stay out") {
+    // VERDICT r18 #7: Catherine/Kathryn is the canonical case BOTH
+    // prior passes miss — ed 4 (past the SymSpell radius AND past the
+    // SNM tier's ed=3 rule) with a different leading letter (sorts
+    // away). The phonetic block recovers it; an ed-4 pair whose codes
+    // differ stays out (the tier's precision comes from the block);
+    // a phonetic-equal pair at ed 5 is out of rule (ed = 4 exactly).
+    val s = spark
+    import s.implicits._
+    val cath = "catherine jones" // code 2365252
+    val kath = "kathryn jones"   // code 2365252, ed 4 from cath
+    val kath5 = "kathryn jonnes" // code 2365252, ed 5 from cath
+    val edA = "customer abcd"    // code 2356123
+    val edB = "customer wxyz"    // code 23562 — ed 4 from edA, code differs
+    val fillers = "bcdefghij".zipWithIndex.map { case (ch, i) =>
+      (30L + i, s"$ch filler entry ${i}xx", 1, "A")
+    }
+    def reg(m: Int) = (Seq(
+      (10L, cath, 1, "A"), (11L, kath, 1, "A"), (12L, kath5, 1, "A"),
+      (20L, edA, 1, "A"), (21L, edB, 1, "A")) ++
+      (0 until m).map(i => (100L + 100L * i, kath, 1, "A")) ++ fillers)
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val pairs = Dedup.entityMatchFrom(spark, reg(0)).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(pairs.contains((10L, 11L, 4)),
+      s"the phonetic pass must recover Catherine/Kathryn at ed 4, got $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(20L, 21L)),
+      "an ed-4 pair with DIFFERENT phonetic codes is out of rule")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(10L, 12L)),
+      "a phonetic-equal pair at ed 5 is out of rule (the tier is ed = 4 exactly)")
+    // native code == the oracle chain's documented values
+    val codes = reg(0).select(col("c_name"),
+        graft.functions.PhoneticCode.column(col("c_name")).as("ph"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(codes(cath) === 2365252L && codes(kath) === 2365252L,
+      s"Catherine/Kathryn must share code 2365252: $codes")
+    assert(codes(edA) !== codes(edB))
+    // depth-independence holds THROUGH the phonetic pass too: the
+    // block is over distinct names, so a deep exact-dup family of
+    // kathryn changes no group pair
+    def groupPairs(m: Int) = {
+      val (grp, _) = Dedup.entityGroups(reg(m))
+      Dedup.entityVerifiedGroupPairs(spark, grp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    }
+    assert(groupPairs(25) === groupPairs(0),
+      "phonetic group pairs must not move with exact-dup depth")
+  }
+
   test("q_dedup_containment: candidate recall is independent of exact-dup depth") {
     // VERDICT r16 #1 (the q_dedup_minhash depth pin's containment
     // twin): under the old per-DOCUMENT df rule, 25 verbatim copies of

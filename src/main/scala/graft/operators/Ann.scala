@@ -993,13 +993,26 @@ object Ann {
   private[graft] val PqRerankC = 4 * K
 
   /** Map-only PQ coding pass: [[PqM]] byte codes per vector plus the
-    * reconstruction norm √Σ_m ‖c_{m,code_m}‖² (the [[qAnnPq]]
-    * arithmetic as a persisted-index projection, against a FROZEN
-    * sub-codebook array). */
-  private def pqCode(df: DataFrame, cb: Array[Double]): DataFrame = {
+    * reconstruction norm (the [[qAnnPq]] arithmetic as a
+    * persisted-index projection, against FROZEN model arrays).
+    *
+    * r19 residual coding: codes are the subspace argmins of the CELL
+    * RESIDUAL ([[withResidual]] — `df` must carry `cell`), and the
+    * reconstruction x̂ = c_cell + r̂ decomposes per disjoint subspace,
+    * so `rn = sqrt(adcLookup(nlut_cell, codes))` against the per-cell
+    * [[cellNlut]] table (16 × m·ks doubles, broadcast).
+    */
+  private def pqCode(s: SparkSession, df: DataFrame, cb: Array[Double],
+      cent: Array[Double]): DataFrame = {
+    import s.implicits._
     val vf = graft.functions.VectorFunctions
-    df.withColumn("codes", vf.pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub))
-      .withColumn("rn", sqrt(vf.adcLookup(typedLit(pqNormLut(cb).toSeq), col("codes"))))
+    val nl = cellNlut(cent, cb).zipWithIndex
+      .map { case (a, c) => (c, a.toSeq) }.toSeq.toDF("cell", "nlut")
+    withResidual(s, df, cent)
+      .withColumn("codes", vf.pqCodes(col("remb"), cb.toSeq, PqM, PqDsub))
+      .join(broadcast(nl), Seq("cell"))
+      .withColumn("rn", sqrt(vf.adcLookup(col("nlut"), col("codes"))))
+      .drop("remb", "nlut")
   }
 
   /** Persist / read the PQ sub-codebooks as a flat (pos, v) model
@@ -1078,7 +1091,7 @@ object Ann {
     ivfAssign(corpus.filter(indexFilter), cent)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/rerank.parquet")
-    pqCode(s.read.parquet(s"$tmp/rerank.parquet"), pqCb)
+    pqCode(s, s.read.parquet(s"$tmp/rerank.parquet"), pqCb, cent)
       .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/index.parquet")
     CorpusBuild.swapInto(fs, new org.apache.hadoop.fs.Path(tmp),
@@ -1097,7 +1110,7 @@ object Ann {
     val assigned = ivfAssign(arrivals, cent)
     assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/rerank.parquet")
-    pqCode(assigned, pqCb)
+    pqCode(s, assigned, pqCb, cent)
       .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index.parquet")
   }
@@ -1142,7 +1155,7 @@ object Ann {
       ivfAssign(arrivals, cent)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(rerankDir)
-      pqCode(s.read.parquet(rerankDir), pqCb)
+      pqCode(s, s.read.parquet(rerankDir), pqCb, cent)
         .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(indexDir)
@@ -1239,11 +1252,23 @@ object Ann {
     val probedCells = probed.select("cell").distinct().collect().map(_.getInt(0))
     val cellFilter = col("cell").isin(probedCells.map(Integer.valueOf): _*)
     // ADC query side (the queries×probes broadcast, plus the per-query
-    // m·ks lookup table built once against the frozen sub-codebooks)
+    // m·ks lookup table built once against the frozen sub-codebooks;
+    // r19 residual coding adds the per-(query, cell) coarse dot
+    // qc = q·c_cell — the estimated dot is qc + Σ_m lut[code_m])
     val pqCb = readPqCodebook(s, path)
+    val centArr = {
+      val a = new Array[Double](IvfCells * Dim)
+      cbRows.foreach { case (c, v) =>
+        var i = 0
+        while (i < Dim) { a(c * Dim + i) = v(i); i += 1 }
+      }
+      a
+    }
     val probedQ = probed
       .withColumn("lut", vf.pqLut(col("q_emb"), pqCb.toSeq, PqM, PqDsub))
-      .select(col("query_id"), col("lut"), col("q_nrm"), col("cell"))
+      .withColumn("qc",
+        element_at(vf.pqLut(col("q_emb"), centArr.toSeq, 1, Dim), col("cell") + 1))
+      .select(col("query_id"), col("lut"), col("qc"), col("q_nrm"), col("cell"))
     // stage 1: ADC table-lookup scoring over the probed cells' codes
     // only ([[PqM]] adds per candidate) — resident build + committed
     // streamed batch dirs ([[ivfPqUpsertBatch]]), each under the same
@@ -1254,7 +1279,7 @@ object Ann {
       .join(broadcast(probedQ), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (vf.adcLookup(col("lut"), col("codes")) / (col("rn") * col("q_nrm")))
+        ((col("qc") + vf.adcLookup(col("lut"), col("codes"))) / (col("rn") * col("q_nrm")))
           .as("adc_cos"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("vec_id"))))
@@ -1423,6 +1448,57 @@ object Ann {
     * restores exact order within the shortlist. */
   private[graft] val PqShortC = 4 * K
 
+  /** The cell-centroid table as a broadcastable (cell, cvec) frame —
+    * the residualization lookup side. */
+  private def cellCentDf(s: SparkSession, cent: Array[Double]): DataFrame = {
+    import s.implicits._
+    (0 until IvfCells).map(t => (t, cent.slice(t * Dim, (t + 1) * Dim)))
+      .toDF("cell", "cvec")
+  }
+
+  /** RESIDUAL view of a celled frame (r19 — Jégou et al. 2011 §IV's
+    * "multiple quantization with residuals", the recall lever that
+    * replaced the judged OPQ-lite permutation, see BASELINE.md r19):
+    * `remb[i] = float(double(embedding[i]) − c_cell[i])`. One exact
+    * IEEE subtraction + one float rounding per component — both
+    * engines perform the identical ops, so residuals are
+    * bit-identical cross-engine. Requires a `cell` column (the frozen
+    * [[sessionCodebook]] assignment).
+    */
+  private def withResidual(s: SparkSession, df: DataFrame, cent: Array[Double]): DataFrame =
+    df.join(broadcast(cellCentDf(s, cent)), Seq("cell"))
+      .withColumn("remb",
+        expr("zip_with(embedding, cvec, (x, c) -> CAST(CAST(x AS DOUBLE) - c AS FLOAT))"))
+      .drop("cvec")
+
+  /** Per-CELL reconstruction-norm² LUT in ADC layout: entry
+    * `(m·ks + t)` of cell c is ‖c_sub(c,m) + cb_{m,t}‖² — the norm of
+    * the RESIDUAL-coded reconstruction x̂ = c_cell + r̂ decomposes per
+    * disjoint subspace, so `rn = sqrt(adcLookup(nlut_cell, codes))`.
+    * Left-to-right component fold (the oracle's list_reduce order).
+    */
+  private[graft] def cellNlut(cent: Array[Double], cb: Array[Double]): Array[Array[Double]] = {
+    val entries = cb.length / PqDsub // m*ks
+    val ks = entries / PqM
+    (0 until IvfCells).map { c =>
+      val out = new Array[Double](entries)
+      var e = 0
+      while (e < entries) {
+        val m = e / ks
+        var acc = 0.0
+        var i = 0
+        while (i < PqDsub) {
+          val x = cent(c * Dim + m * PqDsub + i) + cb(e * PqDsub + i)
+          acc += x * x
+          i += 1
+        }
+        out(e) = acc
+        e += 1
+      }
+      out
+    }.toArray
+  }
+
   /** Train the m sub-codebooks: [[PqKs]] seed rows picked by the IVF
     * device (TakeOrdered on (md5(vec_id), vec_id) — SQL-replayable),
     * sliced per subspace, refined by [[PqTrainIters]] Lloyd rounds
@@ -1432,12 +1508,27 @@ object Ann {
     * per round — the corpus never shuffles (the [[trainCodebook]]
     * shape, m-for-free).
     *
+    * r19: trains on CELL RESIDUALS (x − c_cell under the frozen
+    * [[sessionCodebook]] assignment — [[withResidual]]), the IVFADC
+    * coding of Jégou et al. 2011 §IV: residual magnitudes are a
+    * fraction of raw components, so the same 16×256 codebook budget
+    * spends its resolution on the informative part. Measured on the
+    * fixed query sample: raw-ADC recall@5 63.3→66.1% at sf0.1,
+    * 78.6→81.6% at sf0.01 (numpy replica of the full deterministic
+    * chain; the shipped chain's gain is pinned by `q_pq_recall`).
+    *
     * Returned flattened with entry (m, t) component i at
     * `(m*PqKs + t)*PqDsub + i` (the [[graft.functions.PqKernels]]
     * layout).
     */
-  private[graft] def trainPqCodebooks(corpus: DataFrame): Array[Double] = {
-    val seeds = corpus
+  private[graft] def trainPqCodebooks(s: SparkSession, corpus: DataFrame,
+      cent: Array[Double]): Array[Double] = {
+    val rcorpus = withResidual(s,
+        corpus.withColumn("cell", graft.functions.VectorFunctions
+          .nearestCell(col("embedding"), cent.toSeq, Dim)),
+        cent)
+      .select(col("vec_id"), col("remb").as("embedding"))
+    val seeds = rcorpus
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(PqKs)
       .select(col("embedding").cast("array<double>").as("e"))
@@ -1461,7 +1552,7 @@ object Ann {
       // (ExtractGenerator), re-evaluating the 16·ks·dsub-op coding
       // kernel once per EXPLODED row — a 64× amplification measured
       // at 170 s/iteration on the 100× replica (vs seconds this way)
-      val means = corpus
+      val means = rcorpus
         .select(
           graft.functions.VectorFunctions
             .pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub).as("codes"),
@@ -1495,23 +1586,8 @@ object Ann {
 
   private[graft] def sessionPqCodebooks(s: SparkSession, dir: String,
       corpus: DataFrame): Array[Double] =
-    pqCodebookCache.getOrElseUpdate(s, dir)(trainPqCodebooks(corpus))
-
-  /** Per-(m,t) centroid norm² table in LUT layout — left-to-right
-    * squares fold (the [[Dedup.sqlNorm]] accumulation), so the
-    * reconstruction norm √Σ_m ‖c_{m,code_m}‖² replays in SQL. */
-  private[graft] def pqNormLut(cb: Array[Double]): Array[Double] = {
-    val out = new Array[Double](cb.length / PqDsub)
-    var e = 0
-    while (e < out.length) {
-      var acc = 0.0
-      var i = 0
-      while (i < PqDsub) { val x = cb(e * PqDsub + i); acc += x * x; i += 1 }
-      out(e) = acc
-      e += 1
-    }
-    out
-  }
+    pqCodebookCache.getOrElseUpdate(s, dir)(
+      trainPqCodebooks(s, corpus, sessionCodebook(s, dir, corpus)))
 
   /** The ADC stage shared by [[qAnnPq]] and [[qPqRecall]]: corpus
     * coded to m bytes (map-only), queries build their m·ks dot LUT
@@ -1526,18 +1602,27 @@ object Ann {
   private def pqAdcRanked(s: SparkSession, dir: String, c: Int): DataFrame = {
     val vf = graft.functions.VectorFunctions
     val (corpus, queries) = split(s, dir)
+    val cent = sessionCodebook(s, dir, corpus)
     val cb = sessionPqCodebooks(s, dir, corpus)
-    val nlut = typedLit(pqNormLut(cb).toSeq)
-    val coded = corpus
-      .select(col("vec_id"), vf.pqCodes(col("embedding"), cb.toSeq, PqM, PqDsub).as("codes"))
-      .withColumn("rn", sqrt(vf.adcLookup(nlut, col("codes"))))
+    val coded = pqCode(s,
+        corpus.withColumn("cell",
+          vf.nearestCell(col("embedding"), cent.toSeq, Dim)),
+        cb, cent)
+      .select(col("vec_id"), col("cell"), col("codes"), col("rn"))
+    // query side: the residual-codebook dot LUT plus the 16-entry
+    // cell-dot array (q·c_cell — pqLut with ONE subspace of width Dim
+    // over the cell codebook; same fold as the oracle's ivfDDot), so
+    // the estimated dot q·x̂ = qc[cell] + Σ_m lut[code_m]
     val qlut = queries
       .select(col("query_id"), vf.pqLut(col("q_emb"), cb.toSeq, PqM, PqDsub).as("lut"),
+        vf.pqLut(col("q_emb"), cent.toSeq, 1, Dim).as("qc_arr"),
         col("q_nrm"))
     coded.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (vf.adcLookup(col("lut"), col("codes")) / (col("rn") * col("q_nrm"))).as("adc_cos"))
+        ((element_at(col("qc_arr"), col("cell") + 1) +
+          vf.adcLookup(col("lut"), col("codes"))) / (col("rn") * col("q_nrm")))
+          .as("adc_cos"))
       .withColumn("ark", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("neighbor_id")))
         .cast("long"))
@@ -1648,36 +1733,59 @@ object Ann {
        |  LEFT JOIN pq_m$n mm ON ce.m = mm.m AND ce.t = mm.code AND ce.pos = mm.pos
        |  GROUP BY ce.m, ce.t)""".stripMargin
 
-  /** The PQ program as CTEs (fixed `pq_` prefix): subspace slices,
-    * fixed-point components, seed pick, [[PqTrainIters]] Lloyd
-    * rounds, final codes, reconstruction norms, per-query LUT and the
+  /** The PQ program as CTEs (fixed `pq_` prefix): cell residuals,
+    * subspace slices, fixed-point components, seed pick,
+    * [[PqTrainIters]] Lloyd rounds, final codes, per-cell
+    * reconstruction norms, per-query LUT + coarse cell dots and the
     * ADC ranking `pq_r`. Every double fold is list_reduce
     * (left-to-right) and every cross-subspace sum is an m-ORDERED
     * list fold — SUM() over doubles would be merge-order-dependent.
+    *
+    * r19: the program quantizes CELL RESIDUALS (x − c_cell), so it
+    * REQUIRES [[ivfTrainCtes]] in the same WITH (for `base`, `idx`
+    * and `cent2` — the retrained cell codebook); every consumer
+    * ([[qAnnPqSql]], [[qPqRecallSql]], [[qAnnIvfadcSql]]) composes
+    * both chains.
     */
   private def pqCtes: String = {
     val subSlices = (0 until PqM).map { m =>
       val a = m * PqDsub + 1
       val b = (m + 1) * PqDsub
-      s"SELECT vec_id, $m AS m, list_slice(embedding, $a, $b) AS sub FROM embeddings"
+      s"SELECT vec_id, $m AS m, list_slice(remb, $a, $b) AS sub FROM pq_remb"
     }.mkString("\n  UNION ALL\n  ")
     val seedSlices = (0 until PqM).map { m =>
       val a = m * PqDsub + 1
       val b = (m + 1) * PqDsub
-      s"SELECT t, $m AS m, list_transform(list_slice(embedding, $a, $b), " +
+      s"SELECT t, $m AS m, list_transform(list_slice(remb, $a, $b), " +
         s"x -> CAST(x AS DOUBLE)) AS cvec FROM pq_seed"
     }.mkString("\n  UNION ALL\n  ")
-    s"""pq_sub AS MATERIALIZED (
+    val qSlices = (0 until PqM).map { m =>
+      val a = m * PqDsub + 1
+      val b = (m + 1) * PqDsub
+      s"SELECT query_id, $m AS m, list_slice(q_emb, $a, $b) AS sub FROM pq_q"
+    }.mkString("\n  UNION ALL\n  ")
+    val centSlices = (0 until PqM).map { m =>
+      val a = m * PqDsub + 1
+      val b = (m + 1) * PqDsub
+      s"SELECT cell, $m AS m, list_slice(cvec, $a, $b) AS csub FROM cent2"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""pq_remb AS MATERIALIZED (
+       |  SELECT b.vec_id, i.cell,
+       |    list_transform(list_zip(b.embedding, c.cvec),
+       |      z -> CAST(CAST(z[1] AS DOUBLE) - z[2] AS FLOAT)) AS remb
+       |  FROM base b JOIN idx i ON i.vec_id = b.vec_id
+       |  JOIN cent2 c ON c.cell = i.cell),
+       |pq_sub AS MATERIALIZED (
        |  $subSlices),
        |pq_fpos AS MATERIALIZED (
        |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
-       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $FpScale) AS BIGINT) AS f
-       |  FROM embeddings),
+       |    CAST(round(CAST(unnest(remb) AS DOUBLE) * $FpScale) AS BIGINT) AS f
+       |  FROM pq_remb),
        |pq_seed AS MATERIALIZED (
-       |  SELECT t, embedding FROM (
-       |    SELECT embedding,
+       |  SELECT t, remb FROM (
+       |    SELECT remb,
        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS t
-       |    FROM embeddings) z
+       |    FROM pq_remb) z
        |  WHERE t < $PqKs),
        |pq_cb0 AS (
        |  $seedSlices),
@@ -1687,12 +1795,18 @@ object Ann {
        |  SELECT s.vec_id, s.m, c.t, ${pqL2("c.cvec", "s.sub")} AS dist
        |  FROM pq_sub s JOIN pq_cb2 c ON s.m = c.m),
        |${pqArgmin("pq_df", "pq_idx")},
-       |pq_n2 AS (
-       |  SELECT m, t, list_reduce(list_transform(cvec, x -> x * x), (a, b) -> a + b) AS n2
-       |  FROM pq_cb2),
+       |pq_csub AS (
+       |  $centSlices),
+       |pq_n2 AS MATERIALIZED (
+       |  SELECT cs.cell, cb.m, cb.t,
+       |    list_reduce(list_transform(list_zip(cs.csub, cb.cvec),
+       |      z -> (z[1] + z[2]) * (z[1] + z[2])), (a, b) -> a + b) AS n2
+       |  FROM pq_csub cs JOIN pq_cb2 cb ON cs.m = cb.m),
        |pq_rn AS MATERIALIZED (
        |  SELECT i.vec_id, sqrt(list_reduce(list(nn.n2 ORDER BY i.m), (a, b) -> a + b)) AS rn
-       |  FROM pq_idx i JOIN pq_n2 nn ON i.m = nn.m AND i.code = nn.t
+       |  FROM pq_idx i
+       |  JOIN idx ic ON ic.vec_id = i.vec_id
+       |  JOIN pq_n2 nn ON nn.cell = ic.cell AND i.m = nn.m AND i.code = nn.t
        |  GROUP BY i.vec_id),
        |${qidsCte("pq_")},
        |pq_base AS MATERIALIZED (
@@ -1701,12 +1815,18 @@ object Ann {
        |pq_q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
        |  FROM pq_base WHERE vec_id IN (SELECT vec_id FROM pq_qids)),
+       |pq_qsub AS (
+       |  $qSlices),
        |pq_lut AS MATERIALIZED (
-       |  SELECT s.vec_id AS query_id, c.m, c.t,
+       |  SELECT s.query_id, c.m, c.t,
        |    list_reduce(list_transform(list_zip(c.cvec, s.sub),
        |      z -> z[1] * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS d
-       |  FROM pq_sub s JOIN pq_cb2 c ON s.m = c.m
-       |  WHERE s.vec_id IN (SELECT vec_id FROM pq_qids)),
+       |  FROM pq_qsub s JOIN pq_cb2 c ON s.m = c.m),
+       |pq_qc AS MATERIALIZED (
+       |  SELECT q.query_id, c.cell,
+       |    list_reduce(list_transform(list_zip(c.cvec, q.q_emb),
+       |      z -> z[1] * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS qc
+       |  FROM pq_q q CROSS JOIN cent2 c),
        |pq_scored AS (
        |  SELECT l.query_id, i.vec_id AS neighbor_id,
        |    list_reduce(list(l.d ORDER BY l.m), (a, b) -> a + b) AS adc
@@ -1716,8 +1836,11 @@ object Ann {
        |pq_r AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
-       |           ORDER BY s.adc / (r.rn * q.q_nrm) DESC, s.neighbor_id) AS BIGINT) AS ark
+       |           ORDER BY (qq.qc + s.adc) / (r.rn * q.q_nrm) DESC, s.neighbor_id) AS BIGINT)
+       |      AS ark
        |  FROM pq_scored s
+       |  JOIN idx ic ON ic.vec_id = s.neighbor_id
+       |  JOIN pq_qc qq ON qq.query_id = s.query_id AND qq.cell = ic.cell
        |  JOIN pq_rn r ON r.vec_id = s.neighbor_id
        |  JOIN pq_q q ON q.query_id = s.query_id),
        |pq_f AS (
@@ -1732,7 +1855,8 @@ object Ann {
   }
 
   val qAnnPqSql: String =
-    s"""WITH $pqCtes
+    s"""WITH $ivfTrainCtes,
+       |$pqCtes
        |SELECT query_id, neighbor_id, rnk, cosine
        |FROM pq_f WHERE rnk <= $K
        |ORDER BY query_id, rnk""".stripMargin
@@ -1816,7 +1940,7 @@ object Ann {
     */
   private def ivfadcCtes: String =
     s"""va_s AS (
-       |  SELECT l.query_id, i.vec_id AS neighbor_id,
+       |  SELECT l.query_id, i.vec_id AS neighbor_id, ci.cell,
        |    list_reduce(list(l.d ORDER BY l.m), (a, b) -> a + b) AS adc
        |  FROM pq_idx i
        |  JOIN idx ci ON ci.vec_id = i.vec_id
@@ -1824,12 +1948,14 @@ object Ann {
        |    ON p.cell = ci.cell
        |  JOIN pq_lut l ON l.m = i.m AND l.t = i.code AND l.query_id = p.query_id
        |  WHERE i.vec_id <> l.query_id
-       |  GROUP BY l.query_id, i.vec_id),
+       |  GROUP BY l.query_id, i.vec_id, ci.cell),
        |va_r AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
-       |           ORDER BY s.adc / (r.rn * q.q_nrm) DESC, s.neighbor_id) AS BIGINT) AS ark
+       |           ORDER BY (qq.qc + s.adc) / (r.rn * q.q_nrm) DESC, s.neighbor_id) AS BIGINT)
+       |      AS ark
        |  FROM va_s s
+       |  JOIN pq_qc qq ON qq.query_id = s.query_id AND qq.cell = s.cell
        |  JOIN pq_rn r ON r.vec_id = s.neighbor_id
        |  JOIN pq_q q ON q.query_id = s.query_id),
        |va_f AS (

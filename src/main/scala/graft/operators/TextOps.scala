@@ -4120,7 +4120,15 @@ object TextOps {
       val mis = margins.filter(col("y") * col("margin") <= 0L)
         .select("doc_id", "y").materialized
       val nm = mis.agg(count(lit(1)).as("nm"))
-      val delta = feats.join(mis.select("doc_id"), Seq("doc_id"))
+      // the misclassified set is CORPUS-derived (epoch 1 misclassifies
+      // EVERYTHING under w=0, so it is exactly corpus-sized) — left to
+      // itself Spark auto-broadcasts it while it fits, which is an OOM
+      // at scale, not a plan property (caught by the r19 100× spot-run:
+      // a 16 GB driver died building this broadcast at 500k docs; at
+      // 100 TB it would be billions of rows). Pin the shuffle side:
+      // both sides are doc-keyed, so the semi-join hashes on doc_id.
+      val delta = feats.join(mis.select("doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
         .groupBy(col("f"))
         .agg(sum(col("y") * col("cnt")).as("sraw"))
         .crossJoin(broadcast(nm))

@@ -501,7 +501,8 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9,
       f"ADC shortlist + exact rerank should recover ≥0.9 of exact top-5, got $recall%.3f")
     // cached codebooks are bit-deterministic (the sessionCodebook contract)
-    assert(java.util.Arrays.equals(cb, Ann.trainPqCodebooks(corpus)),
+    assert(java.util.Arrays.equals(cb,
+      Ann.trainPqCodebooks(spark, corpus, Ann.sessionCodebook(spark, sf0001, corpus))),
       "cached PQ codebooks must equal a fresh deterministic retrain")
   }
 

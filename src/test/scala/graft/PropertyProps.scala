@@ -449,4 +449,89 @@ object PropertyProps extends Properties("graft-primitives") {
       }
       got == ref
     }
+
+  // ------------------------------------------------------------------
+  // r19 byte-walk kernels vs straightforward String references: the
+  // production code walks raw UTF-8 (PhoneticCode, QualityStats); the
+  // references below implement the DOCUMENTED character-level chains.
+  // Divergence = a multi-byte stepping or classing bug.
+  // ------------------------------------------------------------------
+
+  /** The PhoneticCode contract as its documented string chain:
+    * strip non-[a-z0-9] (after lowercase), map letters to classes /
+    * drop vowels+hw, collapse adjacent equal class chars, first 18,
+    * parse as Long ('' → 0).
+    */
+  private def phoneticRef(s: String): Long = {
+    val classOf = "abcdefghijklmnopqrstuvwxyz".map {
+      case c if "bfpv".contains(c) => '1'
+      case c if "cgjkqsxz".contains(c) => '2'
+      case c if "dt".contains(c) => '3'
+      case 'l' => '4'
+      case c if "mn".contains(c) => '5'
+      case 'r' => '6'
+      case _ => ' ' // vowel/h/w: dropped
+    }
+    val mapped = s.toLowerCase.flatMap {
+      case c if c >= 'a' && c <= 'z' =>
+        val d = classOf(c - 'a'); if (d == ' ') "" else d.toString
+      case c if c >= '0' && c <= '9' => c.toString
+      case _ => ""
+    }
+    val collapsed = mapped.foldLeft(new StringBuilder) { (sb, c) =>
+      if (sb.nonEmpty && sb.last == c) sb else sb.append(c)
+    }.toString.take(18)
+    if (collapsed.isEmpty) 0L else collapsed.toLong
+  }
+
+  // mix ASCII words, digits, punctuation and non-ASCII into one string
+  private val messyText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf(" ", "\t", "#", "!", "(", ")", "$", "@", "ä", "é", "中", "𝔘"),
+    Gen.choose(0, 999999999).map(_.toString))).map(_.mkString)
+
+  property("PhoneticCode byte walk == documented string chain") =
+    forAll(messyText) { s =>
+      graft.functions.PhoneticCode.code(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == phoneticRef(s)
+    }
+
+  property("PhoneticCode: Catherine/Kathryn-class respellings share a code") =
+    Prop(phoneticRef("catherine jones") == 2365252L &&
+      phoneticRef("kathryn jones") == 2365252L &&
+      graft.functions.PhoneticCode.code(
+        org.apache.spark.unsafe.types.UTF8String.fromString("Kathryn Jones")) == 2365252L)
+
+  /** QualityStats' documented character-level contract (code points;
+    * single-space word split keeping empties; astral/punct classes).
+    */
+  private def qualityRef(s: String): (Long, Long, Long, Long, Long) = {
+    val cps = s.codePoints().toArray
+    val nChars = cps.length.toLong
+    val nSpace = cps.count(_ == ' ').toLong
+    val words = {
+      // split on ' ' keeping empty tokens (DuckDB string_split semantics)
+      val sb = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+      cps.foreach { cp =>
+        if (cp == ' ') sb += new StringBuilder else sb.last.appendAll(Character.toChars(cp))
+      }
+      sb.map(_.toString).toSeq
+    }
+    val stop = graft.functions.QualityStats.StopWords.toSet
+    val nStop = words.count(stop).toLong
+    val nPunct = cps.count(cp => cp > 0xFFFF ||
+      !(cp == ' ' || (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9'))).toLong
+    (nChars, words.length.toLong, nChars - nSpace, nStop, nPunct)
+  }
+
+  property("QualityStats byte walk == documented code-point contract") =
+    forAll(messyText) { s0 =>
+      val s = s0 + " the a of " // guarantee some stopword mass
+      val row = graft.functions.QualityStats.stats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val (c, w, ns, st, p) = qualityRef(s)
+      row.getLong(0) == c && row.getLong(1) == w && row.getLong(2) == ns &&
+        row.getLong(3) == st && row.getLong(4) == p
+    }
 }

@@ -236,7 +236,7 @@ object Analytics {
        |ORDER BY node_type, node_id""".stripMargin
   }
 
-  private val CcIters = 3
+  private val CcIters = 5
 
   /** Connected components over the co-purchase graph by min-label
     * propagation, [[CcIters]] fixed rounds (the bounded-round flavor of
@@ -252,13 +252,24 @@ object Analytics {
     * is only honest if a run can SEE when the bound was too small —
     * the inline fixpoint ([[graft.operators.Dedup.connectedComponents]])
     * refuses loudly at non-convergence; this row now carries the same
-    * observability as per-round moved-label counts (`moved_r1..3`,
+    * observability as per-round moved-label counts (`moved_r1..5`,
     * the [[qKcore]] census posture pivoted onto the node rows): a
     * final-round count of zero PROVES the labels are the fixpoint; a
     * nonzero count names exactly how unfinished the bound left them.
     * Hash-checked — the oracle recomputes each round's moved count
     * from its own CTE chain. The per-round count is one node-sized
     * aggregate over the label checkpoint the loop materializes anyway.
+    *
+    * BOUND = 5 (VERDICT r19 #1): the r19 census measured the
+    * co-purchase graph's convergence profile — 3 rounds at sf0.001,
+    * 4 at sf0.01, 5 at sf0.1 (the bound grows ≈ log of graph size) —
+    * so the former `CcIters = 3` handed out round-3 propagation
+    * states, not components, at every scale above toy. Five rounds
+    * puts a ZERO census certificate on every tested scale point; the
+    * two extra rounds are node-sized label checkpoints + one
+    * edge-linear join each (+~0.9 s at sf0.1, costed in BASELINE.md).
+    * The census stays in the output precisely so a future scale step
+    * that needs round 6 is VISIBLE in the committed hash, not silent.
     *
     * Pure integer MIN arithmetic — associative, partial-aggregated,
     * bit-reproducible (contrast: hash-based CC labels drift across
@@ -307,18 +318,19 @@ object Analytics {
     val movedCols = (1 to CcIters).map(r =>
       s"(SELECT CAST(COUNT(*) AS BIGINT) FROM l$r WHERE lab <> old_lab) AS moved_r$r")
       .mkString(",\n  ")
+    // the step chain unrolls from the SAME CcIters constant as the plan,
+    // so the bound cannot drift between engine and oracle
+    val steps = (1 to CcIters).map(r => step(s"l${r - 1}", s"l$r")).mkString(",\n")
     s"""WITH e AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |eb AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |l0 AS (SELECT DISTINCT src AS nd, src AS lab FROM eb),
-       |${step("l0", "l1")},
-       |${step("l1", "l2")},
-       |${step("l2", "l3")}
+       |$steps
        |SELECT CASE WHEN nd % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        |  nd // 2 AS node_id, lab AS comp,
        |  $movedCols
-       |FROM l3 ORDER BY node_type, node_id""".stripMargin
+       |FROM l$CcIters ORDER BY node_type, node_id""".stripMargin
   }
 
   /** Trailing 7-day moving average of daily order volume — the

@@ -685,4 +685,38 @@ class InvariantSpec extends SparkSpec {
     // the fixture must actually exercise the dedup stages
     assert(got(7L)._4 > 0L, "sf0.001 plants near-dup families — the near stage must drop")
   }
+
+  test("q_components: a zero census certifies labels equal the unbounded fixpoint") {
+    // VERDICT r19 #1 done-criterion: tie the census zero to
+    // fixpoint-path label equality. Min-label propagation's fixpoint
+    // is per-component minimum node id — recompute it independently
+    // (union-find over the same co-purchase edge rule) and require the
+    // bounded-round labels to be EXACTLY that whenever moved_r5 = 0.
+    val rows = Analytics.qComponents(spark, sf0001).collect()
+    assert(rows.head.getAs[Long]("moved_r5") === 0L,
+      "sf0.001 must carry a zero census certificate at CcIters = 5")
+    val got = rows.map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val edges = spark.read.parquet(s"$sf0001/orders.parquet")
+      .join(spark.read.parquet(s"$sf0001/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("CAST(o_custkey * 2 AS BIGINT) AS src",
+        "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val minOfComp = parent.keys.toSeq.groupBy(find).map { case (root, ns) => root -> ns.min }
+    parent.keys.foreach { nd =>
+      val key = if (nd % 2 == 0) ("customer", nd / 2) else ("supplier", nd / 2)
+      assert(got(key) === minOfComp(find(nd)),
+        s"node $nd: bounded-round label must equal the component minimum")
+    }
+    assert(got.size === parent.size, "node inventories must agree")
+  }
 }

@@ -8,20 +8,24 @@ import graft.plans.Materialize._
 import graft.sources.Ingest
 
 /** SURVEY §2 — the end-to-end corpus-build composition (VERDICT r13
-  * #8): ingest → normalize → lang-ID → quality → repetition → exact
-  * dedup → near dedup → pack → shard → dataset card, registered as ONE
-  * program whose output is the per-stage census (docs in, tokens in,
-  * stage-specific units) — the funnel table a training-data build run
-  * publishes next to its artifacts.
+  * #8): ingest → normalize → lang-ID → quality → safety → repetition
+  * → exact dedup → near dedup → pack → shard → dataset card,
+  * registered as ONE program whose output is the per-stage census
+  * (docs in, tokens in, stage-specific units) — the funnel table a
+  * training-data build run publishes next to its artifacts.
   *
   * Every stage verdict comes from the ALREADY-VERIFIED standalone
   * operator (qLangId / qQualityScore / qRepetition / qDedupExact /
-  * qDedupMinhash / qNormalizeText), composed doc-keyed; this row
+  * qDedupMinhash / qNormalizeText) or shared column rule
+  * ([[TextOps.safetyBlocked]] — VERDICT r19 #2: the safety screen's
+  * BLOCK verdict now gates the funnel between quality and repetition,
+  * so a corpus built through the composition can no longer ship
+  * safety-blocked documents), composed doc-keyed; this row
   * proves they compose without semantic drift. HASH-CHECKED (VERDICT
   * r14 #1, the r14 q_ann_recall/q_hybrid_search promotion device):
   * the oracle composes the constituents' order-free CTE bodies
   * doc-keyed, replays the keep-first near-drop rule, the pack
-  * running sums, the shard rank modulo and the 10-row census — so
+  * running sums, the shard rank modulo and the 11-row census — so
   * the whole funnel is engine-exact, not just stage-reconciled.
   * InvariantSpec additionally recomputes every stage drop from the
   * standalone outputs (the composition-vs-constituents gate the
@@ -38,7 +42,8 @@ import graft.sources.Ingest
   *   - lang-ID keeps predicted-English docs (`q_lang_id`'s argmax).
   *   - exact dedup uses the GLOBAL `q_dedup_exact` min-id
   *     survivorship: hash-twins share identical text, hence identical
-  *     lang/quality/repetition fates, so global survivorship equals
+  *     lang/quality/safety/repetition fates (every rule is a pure
+  *     function of text), so global survivorship equals
   *     stage-local survivorship exactly — the reconciliation
   *     InvariantSpec pins.
   *   - near dedup drops the larger id of each verified
@@ -83,9 +88,13 @@ object CorpusBuild {
 
   private def buildSurvivorVerdicts(s: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.packToks
+    // the safety BLOCK verdict is a pure per-doc column rule
+    // ([[TextOps.safetyBlocked]] — the qualityKeep/langPred precedent),
+    // evaluated inside the same base scan: no extra operator join
     val base = Ingest.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), toks.as("toks"),
-        md5(col("text").cast("binary")).as("raw_md5"))
+        md5(col("text").cast("binary")).as("raw_md5"),
+        TextOps.safetyBlocked(col("text")).as("is_blocked"))
     val lang = TextOps.qLangId(s, dir).select(col("doc_id"), col("lang_pred"))
     val qual = TextOps.qQualityScore(s, dir).select(col("doc_id"), col("is_keep"))
     val rep  = TextOps.qRepetition(s, dir).select(col("doc_id"), col("is_repetitive"))
@@ -95,7 +104,8 @@ object CorpusBuild {
       .join(dup, "doc_id").join(norm, "doc_id")
       .withColumn("alive_lang", col("lang_pred") === "en")
       .withColumn("alive_quality", col("alive_lang") && col("is_keep"))
-      .withColumn("alive_rep", col("alive_quality") && !col("is_repetitive"))
+      .withColumn("alive_safety", col("alive_quality") && !col("is_blocked"))
+      .withColumn("alive_rep", col("alive_safety") && !col("is_repetitive"))
       .withColumn("alive_exact", col("alive_rep") && !col("is_dup"))
       .materialized
     val nearDrops = Dedup.qDedupMinhash(s, dir)
@@ -118,6 +128,8 @@ object CorpusBuild {
       sum(when(col("alive_lang"), col("toks")).otherwise(0L)).as("t1"),
       sum(when(col("alive_quality"), 1L).otherwise(0L)).as("d2"),
       sum(when(col("alive_quality"), col("toks")).otherwise(0L)).as("t2"),
+      sum(when(col("alive_safety"), 1L).otherwise(0L)).as("d2s"),
+      sum(when(col("alive_safety"), col("toks")).otherwise(0L)).as("t2s"),
       sum(when(col("alive_rep"), 1L).otherwise(0L)).as("d3"),
       sum(when(col("alive_rep"), col("toks")).otherwise(0L)).as("t3"),
       sum(when(col("alive_exact"), 1L).otherwise(0L)).as("d4"),
@@ -156,17 +168,19 @@ object CorpusBuild {
           |         d1 AS n_docs, t1 AS n_tokens, d0 - d1 AS n_units),
           |  struct(CAST(4 AS BIGINT) AS stage_id, 'quality' AS stage,
           |         d2 AS n_docs, t2 AS n_tokens, d1 - d2 AS n_units),
-          |  struct(CAST(5 AS BIGINT) AS stage_id, 'repetition' AS stage,
-          |         d3 AS n_docs, t3 AS n_tokens, d2 - d3 AS n_units),
-          |  struct(CAST(6 AS BIGINT) AS stage_id, 'dedup_exact' AS stage,
+          |  struct(CAST(5 AS BIGINT) AS stage_id, 'safety' AS stage,
+          |         d2s AS n_docs, t2s AS n_tokens, d2 - d2s AS n_units),
+          |  struct(CAST(6 AS BIGINT) AS stage_id, 'repetition' AS stage,
+          |         d3 AS n_docs, t3 AS n_tokens, d2s - d3 AS n_units),
+          |  struct(CAST(7 AS BIGINT) AS stage_id, 'dedup_exact' AS stage,
           |         d4 AS n_docs, t4 AS n_tokens, d3 - d4 AS n_units),
-          |  struct(CAST(7 AS BIGINT) AS stage_id, 'dedup_near' AS stage,
+          |  struct(CAST(8 AS BIGINT) AS stage_id, 'dedup_near' AS stage,
           |         d5 AS n_docs, t5 AS n_tokens, d4 - d5 AS n_units),
-          |  struct(CAST(8 AS BIGINT) AS stage_id, 'pack' AS stage,
+          |  struct(CAST(9 AS BIGINT) AS stage_id, 'pack' AS stage,
           |         d5 AS n_docs, pack_tokens AS n_tokens, n_packs AS n_units),
-          |  struct(CAST(9 AS BIGINT) AS stage_id, 'shard' AS stage,
+          |  struct(CAST(10 AS BIGINT) AS stage_id, 'shard' AS stage,
           |         d5 AS n_docs, t5 AS n_tokens, n_shards AS n_units),
-          |  struct(CAST(10 AS BIGINT) AS stage_id, 'dataset_card' AS stage,
+          |  struct(CAST(11 AS BIGINT) AS stage_id, 'dataset_card' AS stage,
           |         d5 AS n_docs, t5 AS n_tokens, CAST(n_sources AS BIGINT) AS n_units))""".stripMargin))
         .as("r"))
       .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
@@ -472,6 +486,7 @@ object CorpusBuild {
         col("text"), TextOps.packToks.as("toks"),
         Dedup.contentMd5(col("text")).as("content_md5"),
         ((TextOps.langPred === "en") && TextOps.qualityKeep(col("text")) &&
+          !TextOps.safetyBlocked(col("text")) &&
           !TextOps.repetitive(col("text"))).as("alive_rules"))
       .materialized
     val ruleAlive = v.filter(col("alive_rules"))
@@ -512,7 +527,8 @@ object CorpusBuild {
     * published ids — the same in-order arrival contract as the
     * streaming census's pack cursors):
     *
-    *   - funnel verdicts (normalize / lang-ID / quality / repetition)
+    *   - funnel verdicts (normalize / lang-ID / quality / safety /
+    *     repetition)
     *     via the SAME shared column rules as [[survivorVerdicts]] and
     *     `Streams.corpusVerdicts` — one map-only pass.
     *   - exact tier: first-wins within the increment, then an
@@ -785,7 +801,7 @@ object CorpusBuild {
   /** Oracle for [[qCorpusBuild]] — fully hash-checked (VERDICT r14
     * #1): the six constituents' order-free CTE bodies composed
     * doc-keyed, the keep-first near-drop replay, the pack running-sum
-    * window, the shard rank modulo, and the 10-row census expansion.
+    * window, the shard rank modulo, and the 11-row census expansion.
     */
   /** The verdict pipeline as order-free CTEs ending at `cb_v` — shared
     * by [[qCorpusBuildSql]] and [[qCorpusManifestSql]] so the census
@@ -801,20 +817,24 @@ object CorpusBuild {
        |cb_rep AS (${TextOps.qRepetitionBody}),
        |cb_dex AS (${Dedup.qDedupExactBody}),
        |cb_norm AS (${TextOps.qNormalizeTextBody}),
+       |cb_safe AS (${TextOps.safetyDocBody}),
        |cb_mh AS (${Dedup.qDedupMinhashBody}),
        |cb_v0 AS MATERIALIZED (
        |  SELECT b.doc_id, b.source, b.lang, b.toks, b.raw_md5, n.norm_md5,
        |    (l.lang_pred = 'en') AS alive_lang,
        |    (l.lang_pred = 'en' AND q.is_keep) AS alive_quality,
-       |    (l.lang_pred = 'en' AND q.is_keep AND NOT r.is_repetitive) AS alive_rep,
-       |    (l.lang_pred = 'en' AND q.is_keep AND NOT r.is_repetitive
-       |       AND NOT d.is_dup) AS alive_exact
+       |    (l.lang_pred = 'en' AND q.is_keep AND NOT sf.is_blocked) AS alive_safety,
+       |    (l.lang_pred = 'en' AND q.is_keep AND NOT sf.is_blocked
+       |       AND NOT r.is_repetitive) AS alive_rep,
+       |    (l.lang_pred = 'en' AND q.is_keep AND NOT sf.is_blocked
+       |       AND NOT r.is_repetitive AND NOT d.is_dup) AS alive_exact
        |  FROM cb_base b
        |  JOIN cb_lang l ON b.doc_id = l.doc_id
        |  JOIN cb_qual q ON b.doc_id = q.doc_id
        |  JOIN cb_rep r ON b.doc_id = r.doc_id
        |  JOIN cb_dex d ON b.doc_id = d.doc_id
-       |  JOIN cb_norm n ON b.doc_id = n.doc_id),
+       |  JOIN cb_norm n ON b.doc_id = n.doc_id
+       |  JOIN cb_safe sf ON b.doc_id = sf.doc_id),
        |cb_near AS (
        |  SELECT DISTINCT m.id_b AS doc_id
        |  FROM cb_mh m JOIN cb_v0 v ON m.id_a = v.doc_id AND v.alive_exact),
@@ -834,6 +854,8 @@ object CorpusBuild {
        |    CAST(COALESCE(SUM(CASE WHEN alive_lang THEN toks END), 0) AS BIGINT) AS t1,
        |    CAST(COALESCE(SUM(CASE WHEN alive_quality THEN 1 END), 0) AS BIGINT) AS d2,
        |    CAST(COALESCE(SUM(CASE WHEN alive_quality THEN toks END), 0) AS BIGINT) AS t2,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_safety THEN 1 END), 0) AS BIGINT) AS d2s,
+       |    CAST(COALESCE(SUM(CASE WHEN alive_safety THEN toks END), 0) AS BIGINT) AS t2s,
        |    CAST(COALESCE(SUM(CASE WHEN alive_rep THEN 1 END), 0) AS BIGINT) AS d3,
        |    CAST(COALESCE(SUM(CASE WHEN alive_rep THEN toks END), 0) AS BIGINT) AS t3,
        |    CAST(COALESCE(SUM(CASE WHEN alive_exact THEN 1 END), 0) AS BIGINT) AS d4,
@@ -865,14 +887,15 @@ object CorpusBuild {
        |  UNION ALL SELECT CAST(2 AS BIGINT), 'normalize', d0, t0, n_changed FROM cb_census
        |  UNION ALL SELECT CAST(3 AS BIGINT), 'lang_id', d1, t1, d0 - d1 FROM cb_census
        |  UNION ALL SELECT CAST(4 AS BIGINT), 'quality', d2, t2, d1 - d2 FROM cb_census
-       |  UNION ALL SELECT CAST(5 AS BIGINT), 'repetition', d3, t3, d2 - d3 FROM cb_census
-       |  UNION ALL SELECT CAST(6 AS BIGINT), 'dedup_exact', d4, t4, d3 - d4 FROM cb_census
-       |  UNION ALL SELECT CAST(7 AS BIGINT), 'dedup_near', d5, t5, d4 - d5 FROM cb_census
-       |  UNION ALL SELECT CAST(8 AS BIGINT), 'pack', d5, pack_tokens, n_packs
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'safety', d2s, t2s, d2 - d2s FROM cb_census
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'repetition', d3, t3, d2s - d3 FROM cb_census
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'dedup_exact', d4, t4, d3 - d4 FROM cb_census
+       |  UNION ALL SELECT CAST(8 AS BIGINT), 'dedup_near', d5, t5, d4 - d5 FROM cb_census
+       |  UNION ALL SELECT CAST(9 AS BIGINT), 'pack', d5, pack_tokens, n_packs
        |    FROM cb_census CROSS JOIN cb_pk
-       |  UNION ALL SELECT CAST(9 AS BIGINT), 'shard', d5, t5, n_shards
+       |  UNION ALL SELECT CAST(10 AS BIGINT), 'shard', d5, t5, n_shards
        |    FROM cb_census CROSS JOIN cb_sh
-       |  UNION ALL SELECT CAST(10 AS BIGINT), 'dataset_card', d5, t5, n_sources FROM cb_census)
+       |  UNION ALL SELECT CAST(11 AS BIGINT), 'dataset_card', d5, t5, n_sources FROM cb_census)
        |ORDER BY stage_id""".stripMargin
   }
 

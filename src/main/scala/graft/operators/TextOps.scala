@@ -355,6 +355,61 @@ object TextOps {
     * stripped as punctuation before it can read as its letter). */
   private[graft] val TokenEdgePunct = "^[^a-z0-9]+|[^a-z0-9]+$"
 
+  /** Either-form lexicon membership (ADVICE r19): a normalized token
+    * hits when its LEET-FOLDED edge-stripped form OR its PLAIN
+    * edge-stripped (unfolded) form is a member. Fold-only matching
+    * (r18) let `$`/`@` used as genuine trailing punctuation defeat the
+    * match (`bomb$` folded to `bombs`, never read as `bomb`) and
+    * rewrote every digit-bearing token before membership; matching
+    * both forms recovers the leet routes AND the plain-word-with-
+    * symbol-punctuation routes. A clean prose token (no digits or
+    * symbols) is bit-identical under both forms, so the clean-corpus
+    * screen stays structurally zero.
+    */
+  private def lexHit(w: Column, lex: Seq[String]): Column =
+    regexp_replace(translate(w, LeetFrom, LeetTo), TokenEdgePunct, "")
+      .isin(lex: _*) ||
+      regexp_replace(w, TokenEdgePunct, "").isin(lex: _*)
+
+  /** The safety screen's tokenization — [[graft.functions.NormalizeText]]
+    * (accent strip + Unicode lowercase + whitespace collapse) then a
+    * single-space split; shared by [[qSafetyScreen]] and the funnel
+    * gate [[safetyBlocked]] so the screen row and the corpus build
+    * cannot tokenize differently. */
+  private def safetyToks(text: Column): Column =
+    split(graft.functions.NormalizeText.column(text), " ")
+
+  private def lexHitCount(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, w => lexHit(w, lex))).cast("long")
+
+  /** The BLOCK verdict over the per-category counts — cross-multiplied
+    * integers (`(hits·1000) DIV n ≥ p ⇔ hits·1000 ≥ p·n` for n ≥ 1),
+    * so the rule needs no division yet agrees bit-exactly with
+    * [[qSafetyScreen]]'s `density_pm` column. */
+  private def safetyBlockedFrom(cTox: Column, cVio: Column, cAdu: Column,
+      nWords: Column): Column = {
+    val nCat = (cTox > 0).cast("int") + (cVio > 0).cast("int") +
+      (cAdu > 0).cast("int")
+    ((cTox + cVio + cAdu) * lit(1000L) >= lit(SafetyDensityPm) * nWords) ||
+      nCat >= 2
+  }
+
+  /** The safety BLOCK rule as a pure function of the text column —
+    * the corpus-build funnel's stage gate (VERDICT r19 #2), SHARED by
+    * the batch composition ([[graft.operators.CorpusBuild]]), the
+    * increment chain and the streaming twin (the [[qualityKeep]] /
+    * [[repetitive]] contract: agreement by construction, not
+    * convention). Flag-only hits (density below the per-mille bound,
+    * single category) pass the funnel — production pipelines drop on
+    * BLOCK and keep flags as metadata; [[qSafetyScreen]] remains the
+    * attribution row that says what the gate cost per source.
+    */
+  def safetyBlocked(text: Column): Column = {
+    val toks = safetyToks(text)
+    safetyBlockedFrom(lexHitCount(toks, ToxLex), lexHitCount(toks, VioLex),
+      lexHitCount(toks, AdultLex), size(toks).cast("long"))
+  }
+
   /** Safety screen with per-rule / per-source attribution (the
     * [[qGopherRules]] posture): per source, docs hitting each
     * category lexicon (lowercased whitespace-token membership), docs
@@ -377,11 +432,13 @@ object TextOps {
     * variants all passed. Tokens now route through the
     * [[graft.functions.NormalizeText]] device first (accent strip +
     * Unicode lowercase + whitespace collapse — the same
-    * canonicalization dedup keys on), then a per-token leet fold
-    * ([[LeetFrom]]→[[LeetTo]]) and edge-punctuation strip
-    * ([[TokenEdgePunct]]) before membership. The oracle replays all
-    * three in lockstep (`strip_accents` + `translate` +
-    * anchored `regexp_replace`); `make_replica.py --plant-toxicity`
+    * canonicalization dedup keys on), then membership under the
+    * EITHER-FORM rule ([[lexHit]], ADVICE r19): leet-folded
+    * ([[LeetFrom]]→[[LeetTo]]) + edge-stripped, OR plain edge-stripped
+    * ([[TokenEdgePunct]]) — so `5tup1d` (fold route) and `bomb$`
+    * (punctuation route) both hit. The oracle replays the same chain
+    * in lockstep (`strip_accents` + `translate` + anchored
+    * `regexp_replace`); `make_replica.py --plant-toxicity`
     * plants obfuscated routes beside the plain ones and TextOpsSpec
     * asserts each variant class is recovered.
     *
@@ -392,22 +449,18 @@ object TextOps {
     */
   def qSafetyScreen(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("text_n", graft.functions.NormalizeText.column(col("text")))
-      .withColumn("toks",
-        expr(s"transform(split(text_n, ' '), w -> " +
-          s"regexp_replace(translate(w, '$LeetFrom', '$LeetTo'), '$TokenEdgePunct', ''))"))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("c_tox",
-        expr(s"CAST(size(filter(toks, w -> w IN (${inList(ToxLex)}))) AS BIGINT)"))
-      .withColumn("c_vio",
-        expr(s"CAST(size(filter(toks, w -> w IN (${inList(VioLex)}))) AS BIGINT)"))
-      .withColumn("c_adu",
-        expr(s"CAST(size(filter(toks, w -> w IN (${inList(AdultLex)}))) AS BIGINT)"))
+      .withColumn("rt", safetyToks(col("text")))
+      .withColumn("n_words", size(col("rt")).cast("long"))
+      .withColumn("c_tox", lexHitCount(col("rt"), ToxLex))
+      .withColumn("c_vio", lexHitCount(col("rt"), VioLex))
+      .withColumn("c_adu", lexHitCount(col("rt"), AdultLex))
       .withColumn("density_pm",
         expr("((c_tox + c_vio + c_adu) * 1000) DIV n_words"))
       .withColumn("n_cat",
         (col("c_tox") > 0).cast("long") + (col("c_vio") > 0).cast("long") +
           (col("c_adu") > 0).cast("long"))
+      .withColumn("is_blocked", safetyBlockedFrom(col("c_tox"), col("c_vio"),
+        col("c_adu"), col("n_words")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -415,44 +468,54 @@ object TextOps {
         sum(when(col("c_vio") > 0, 1L).otherwise(0L)).as("hit_violence"),
         sum(when(col("c_adu") > 0, 1L).otherwise(0L)).as("hit_adult"),
         sum(when(col("n_cat") > 0, 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("density_pm") >= SafetyDensityPm || col("n_cat") >= 2, 1L)
-          .otherwise(0L)).as("n_blocked"),
+        sum(when(col("is_blocked"), 1L).otherwise(0L)).as("n_blocked"),
         max(col("density_pm")).as("max_density_pm"))
 
-  val qSafetyScreenSql: String =
-    s"""WITH tk AS (
-       |  SELECT source,
-       |    list_transform(
-       |      string_split(trim(regexp_replace(lower(strip_accents(text)),
-       |        '\\s+', ' ', 'g')), ' '),
+  /** The either-form per-token membership as a DuckDB hit-count
+    * expression — the SQL twin of [[lexHitCount]]. */
+  private def duckHitCount(lex: Seq[String]): String =
+    s"""CAST(len(list_filter(toks,
        |      w -> regexp_replace(translate(w, '$LeetFrom', '$LeetTo'),
-       |        '$TokenEdgePunct', '', 'g')) AS toks
-       |  FROM documents),
-       |t AS (
-       |  SELECT source,
-       |    CAST(len(toks) AS BIGINT) AS n_words,
-       |    CAST(len(list_filter(toks,
-       |      w -> w IN (${inList(ToxLex)}))) AS BIGINT) AS c_tox,
-       |    CAST(len(list_filter(toks,
-       |      w -> w IN (${inList(VioLex)}))) AS BIGINT) AS c_vio,
-       |    CAST(len(list_filter(toks,
-       |      w -> w IN (${inList(AdultLex)}))) AS BIGINT) AS c_adu
-       |  FROM tk),
-       |d AS (
-       |  SELECT source,
-       |    ((c_tox + c_vio + c_adu) * 1000) // n_words AS density_pm,
-       |    c_tox, c_vio, c_adu,
-       |    (CASE WHEN c_tox > 0 THEN 1 ELSE 0 END
+       |             '$TokenEdgePunct', '', 'g') IN (${inList(lex)})
+       |        OR regexp_replace(w, '$TokenEdgePunct', '', 'g')
+       |             IN (${inList(lex)}))) AS BIGINT)""".stripMargin
+
+  /** Per-doc safety verdict as a DuckDB CTE body (doc_id, source,
+    * n_words, category counts, density, n_cat, is_blocked) — SHARED
+    * by [[qSafetyScreenSql]] and the corpus-build funnel oracle
+    * ([[graft.operators.CorpusBuild]]), the SQL face of
+    * [[safetyBlocked]]: the screen row and the funnel stage replay
+    * one rule. */
+  private[graft] val safetyDocBody: String =
+    s"""SELECT doc_id, source, n_words, c_tox, c_vio, c_adu,
+       |  ((c_tox + c_vio + c_adu) * 1000) // n_words AS density_pm,
+       |  (CASE WHEN c_tox > 0 THEN 1 ELSE 0 END
+       |   + CASE WHEN c_vio > 0 THEN 1 ELSE 0 END
+       |   + CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) AS n_cat,
+       |  ((c_tox + c_vio + c_adu) * 1000 >= $SafetyDensityPm * n_words
+       |   OR (CASE WHEN c_tox > 0 THEN 1 ELSE 0 END
        |     + CASE WHEN c_vio > 0 THEN 1 ELSE 0 END
-       |     + CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) AS n_cat
-       |  FROM t)
+       |     + CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) >= 2) AS is_blocked
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    ${duckHitCount(ToxLex)} AS c_tox,
+       |    ${duckHitCount(VioLex)} AS c_vio,
+       |    ${duckHitCount(AdultLex)} AS c_adu
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      string_split(trim(regexp_replace(lower(strip_accents(text)),
+       |        '\\s+', ' ', 'g')), ' ') AS toks
+       |    FROM documents))""".stripMargin
+
+  val qSafetyScreenSql: String =
+    s"""WITH d AS ($safetyDocBody)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN c_tox > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_tox,
        |  CAST(SUM(CASE WHEN c_vio > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_violence,
        |  CAST(SUM(CASE WHEN c_adu > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_adult,
        |  CAST(SUM(CASE WHEN n_cat > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-       |  CAST(SUM(CASE WHEN density_pm >= $SafetyDensityPm OR n_cat >= 2
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       |  CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
        |  CAST(MAX(density_pm) AS BIGINT) AS max_density_pm
        |FROM d GROUP BY source
        |ORDER BY source""".stripMargin

@@ -861,21 +861,22 @@ object Streams {
     * census columns ([[corpusBuild]] consumes these). */
   case class CorpusDocIn(doc_id: Long, lang: String, source: String,
       content_md5: String, toks: Long, changed: Boolean, lang_en: Boolean,
-      is_keep: Boolean, is_repetitive: Boolean)
+      is_keep: Boolean, is_blocked: Boolean, is_repetitive: Boolean)
   case class CorpusVerdict(doc_id: Long, lang: String, source: String,
       toks: Long, changed: Boolean, alive_lang: Boolean, alive_quality: Boolean,
-      alive_rep: Boolean, alive_exact: Boolean)
+      alive_safety: Boolean, alive_rep: Boolean, alive_exact: Boolean)
 
   /** Streaming per-doc corpus-build verdicts — [[corpusFilter]] widened
     * to the FULL funnel `q_corpus_build` censuses: every stage rule is
     * the SAME shared column function the batch composition runs
     * ([[graft.operators.TextOps.langPred]] / `qualityKeep` /
-    * `repetitive` / `packToks` / [[graft.functions.NormalizeText]] /
+    * `safetyBlocked` / `repetitive` / `packToks` / [[graft.functions.NormalizeText]] /
     * [[graft.operators.Dedup.contentMd5]]), evaluated map-side; exact
     * dedup is the [[corpusFilter]] first-wins keyed state (in-order
     * feed ≡ the batch min-id survivorship — StreamsSpec pins it).
     * Stage gating replays CorpusBuild's cascade: hash-twins share
-    * identical text, hence identical lang/quality/repetition fates, so
+    * identical text, hence identical lang/quality/safety/repetition
+    * fates, so
     * first-wins survivorship composes with the upstream gates exactly
     * like the batch global rule.
     */
@@ -891,6 +892,7 @@ object Streams {
           md5(col("text").cast("binary"))).as("changed"),
         (graft.operators.TextOps.langPred === "en").as("lang_en"),
         graft.operators.TextOps.qualityKeep(col("text")).as("is_keep"),
+        graft.operators.TextOps.safetyBlocked(col("text")).as("is_blocked"),
         graft.operators.TextOps.repetitive(col("text")).as("is_repetitive"))
       .as[CorpusDocIn]
       .groupByKey(_.content_md5)
@@ -912,9 +914,10 @@ object Streams {
             rows.map { d =>
               val aLang = d.lang_en
               val aQual = aLang && d.is_keep
-              val aRep = aQual && !d.is_repetitive
+              val aSafe = aQual && !d.is_blocked
+              val aRep = aSafe && !d.is_repetitive
               CorpusVerdict(d.doc_id, d.lang, d.source, d.toks, d.changed,
-                aLang, aQual, aRep, aRep && d.doc_id == survivor)
+                aLang, aQual, aSafe, aRep, aRep && d.doc_id == survivor)
             }
           }
         })
@@ -933,10 +936,10 @@ object Streams {
     * distinct-source card count (distinct aggregation is unsupported
     * on streams; HLL would break batch parity). Those stages remain
     * the batch composition's; StreamsSpec pins this census ≡ the
-    * batch stage rows 1-6 over a two-batch in-order MemoryStream.
+    * batch stage rows 1-7 over a two-batch in-order MemoryStream.
     *
     * Shape at scale: the verdict operator's content-hash exchange,
-    * then a partial-aggregated global rollup — 11 counters per
+    * then a partial-aggregated global rollup — 13 counters per
     * partition, one merged row of state.
     */
   def corpusBuild(docs: DataFrame): DataFrame = {
@@ -950,6 +953,7 @@ object Streams {
         sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
         aliveD("alive_lang").as("d1"), aliveT("alive_lang").as("t1"),
         aliveD("alive_quality").as("d2"), aliveT("alive_quality").as("t2"),
+        aliveD("alive_safety").as("d2s"), aliveT("alive_safety").as("t2s"),
         aliveD("alive_rep").as("d3"), aliveT("alive_rep").as("t3"),
         aliveD("alive_exact").as("d4"), aliveT("alive_exact").as("t4"))
   }

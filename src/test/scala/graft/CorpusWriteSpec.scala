@@ -20,15 +20,15 @@ class CorpusWriteSpec extends SparkSpec {
     val (out, manifest) = build("recon")
     val census = CorpusBuild.qCorpusBuild(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    val (d5, t5, _) = census(7L) // dedup_near: final survivors
+    val (d5, t5, _) = census(8L) // dedup_near: final survivors
     assert(manifest.map(_.getLong(1)).sum === d5, "manifest docs = census survivors")
     assert(manifest.map(_.getLong(2)).sum === t5, "manifest token mass = census survivor mass")
-    assert(manifest.length.toLong === census(9L)._3, "manifest rows = shard-stage n_units")
+    assert(manifest.length.toLong === census(10L)._3, "manifest rows = shard-stage n_units")
 
     val written = spark.read.parquet(s"$out/shards.parquet")
     assert(written.count() === d5)
     assert(written.select(countDistinct(struct(col("lang"), col("lane"), col("pack_id"))))
-      .head.getLong(0) === census(8L)._3, "distinct packs in the corpus = pack-stage n_units")
+      .head.getLong(0) === census(9L)._3, "distinct packs in the corpus = pack-stage n_units")
 
     // per-shard signature round-trip: recompute from the written data
     val recomputed = written.groupBy(col("shard"))
@@ -585,5 +585,27 @@ class CorpusWriteSpec extends SparkSpec {
     assert(written.select("shard").distinct().count() === graft.operators.TextOps.nShards.toLong)
     assert(written.count() === shards0.length.toLong + 3,
       "compaction must preserve every committed row (base + 3 survivors)")
+  }
+
+  test("safety-blocked documents never reach the published shards (VERDICT r19 #2)") {
+    // the 2-category escalation doc passes lang-ID and quality but must
+    // die at the funnel's new safety stage — and with it, the WRITE:
+    // a corpus built through the composition ships zero blocked docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a perfectly ordinary sentence with enough words here to pass"),
+      (3L, "the damn weapon sat on the table next to the door"))
+    val dir = docsDir(docs)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-safe-shards").toString + "/corpus"
+    CorpusBuild.corpusWrite(spark, dir, out)
+    val written = spark.read.parquet(s"$out/shards.parquet").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(written === Set(1L, 2L), s"blocked doc 3 must not be shipped: $written")
+    val census = CorpusBuild.qCorpusBuild(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(census(4L) === (("quality", 3L, 0L)), "all three docs pass quality")
+    assert(census(5L) === (("safety", 2L, 1L)),
+      "safety stage: 2 survivors, exactly the planted doc dropped")
   }
 }

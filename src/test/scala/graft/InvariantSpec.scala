@@ -647,10 +647,27 @@ class InvariantSpec extends SparkSpec {
       .select(col("id_a"), col("id_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
 
+    // the safety gate has no standalone per-doc operator (the screen
+    // row aggregates per source) — recompute the per-doc verdict with
+    // the shared column rule, then cross-check its per-source totals
+    // against q_safety_screen's INDEPENDENT n_blocked attribution
+    val blockedBySrc = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select(col("source"),
+        TextOps.safetyBlocked(col("text")).as("b"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val blocked = blockedBySrc.collect { case (_, true, id) => id }.toSet
+    val screenBlocked = TextOps.qSafetyScreen(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    blockedBySrc.groupBy(_._1).foreach { case (src, rs) =>
+      assert(screenBlocked(src) === rs.count(_._2).toLong,
+        s"$src: shared block rule must agree with the screen's attribution")
+    }
+
     val all = toks.keySet
     val a1 = all.filter(pred(_) == "en")
     val a2 = a1.filter(keep)
-    val a3 = a2.filterNot(rep)
+    val a2s = a2 -- blocked
+    val a3 = a2s.filterNot(rep)
     val a4 = a3.filterNot(dup)
     val nearDrop = pairs.collect { case (a, b) if a4(a) => b }.toSet
     val a5 = a4 -- nearDrop
@@ -659,13 +676,14 @@ class InvariantSpec extends SparkSpec {
     val got = CorpusBuild.qCorpusBuild(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got.size === 10)
+    assert(got.size === 11)
     assert(got(1L) === (("ingest", all.size.toLong, mass(all), all.size.toLong)))
     assert(got(3L) === (("lang_id", a1.size.toLong, mass(a1), (all.size - a1.size).toLong)))
     assert(got(4L) === (("quality", a2.size.toLong, mass(a2), (a1.size - a2.size).toLong)))
-    assert(got(5L) === (("repetition", a3.size.toLong, mass(a3), (a2.size - a3.size).toLong)))
-    assert(got(6L) === (("dedup_exact", a4.size.toLong, mass(a4), (a3.size - a4.size).toLong)))
-    assert(got(7L) === (("dedup_near", a5.size.toLong, mass(a5), (a4.size - a5.size).toLong)))
+    assert(got(5L) === (("safety", a2s.size.toLong, mass(a2s), (a2.size - a2s.size).toLong)))
+    assert(got(6L) === (("repetition", a3.size.toLong, mass(a3), (a2s.size - a3.size).toLong)))
+    assert(got(7L) === (("dedup_exact", a4.size.toLong, mass(a4), (a3.size - a4.size).toLong)))
+    assert(got(8L) === (("dedup_near", a5.size.toLong, mass(a5), (a4.size - a5.size).toLong)))
     // pack conserves the survivor token mass; pack count recomputed
     // with the q_pack_sequences rule ((lang, lane) lanes, doc order)
     val expPacks = a5.toSeq.map(id => (toks(id)._1, id % 4L, id, toks(id)._2))
@@ -675,15 +693,15 @@ class InvariantSpec extends SparkSpec {
         laneDocs.sortBy(_._3).foreach { case (_, _, _, t) => ids += cum / 256L; cum += t }
         ids.size.toLong
       }.sum
-    assert(got(8L) === (("pack", a5.size.toLong, mass(a5), expPacks)))
-    assert(got(9L)._4 === math.min(8L, a5.size.toLong), "shards used")
-    assert(got(10L)._2 === a5.size.toLong, "card docs = final survivors")
-    assert(got(10L)._3 === mass(a5), "card token mass = final survivors")
+    assert(got(9L) === (("pack", a5.size.toLong, mass(a5), expPacks)))
+    assert(got(10L)._4 === math.min(8L, a5.size.toLong), "shards used")
+    assert(got(11L)._2 === a5.size.toLong, "card docs = final survivors")
+    assert(got(11L)._3 === mass(a5), "card token mass = final survivors")
     // monotone funnel
-    val docsSeq = (1L to 7L).map(got(_)._2)
+    val docsSeq = (1L to 8L).map(got(_)._2)
     assert(docsSeq === docsSeq.sorted.reverse, "doc counts never increase down the funnel")
     // the fixture must actually exercise the dedup stages
-    assert(got(7L)._4 > 0L, "sf0.001 plants near-dup families — the near stage must drop")
+    assert(got(8L)._4 > 0L, "sf0.001 plants near-dup families — the near stage must drop")
   }
 
   test("q_components: a zero census certifies labels equal the unbounded fixpoint") {

@@ -524,13 +524,14 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("corpusBuild: cumulative census == batch q_corpus_build stages 1-6 over two batches") {
+  test("corpusBuild: cumulative census == batch q_corpus_build stages 1-7 over two batches") {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
-    // a quality-fail, a repetitive doc, an exact dup, plain survivors —
-    // and nothing that minhash-pairs WITHOUT being an exact dup, so the
-    // batch alive_near == alive_exact and the streamed census (which
+    // a quality-fail, a repetitive doc, an exact dup, a safety-BLOCKED
+    // doc (2-category escalation), plain survivors — and nothing that
+    // minhash-pairs WITHOUT being an exact dup, so the batch
+    // alive_near == alive_exact and the streamed census (which
     // excludes near dedup by design) is comparable stage for stage
     val batch1 = Seq(
       1L -> "the quick brown fox jumps over the lazy dog today",
@@ -539,11 +540,13 @@ class StreamsSpec extends SparkSpec {
     val batch2 = Seq(
       4L -> "ok",                                                 // too short
       5L -> "a perfectly ordinary sentence with enough words here to pass",
-      6L -> "completely different content about streaming census rollups")
+      6L -> "completely different content about streaming census rollups",
+      7L -> "the damn weapon sat on the table next to the door")  // 2-cat safety block
     val dir = docsDir(batch1 ++ batch2)
     val expected = graft.operators.CorpusBuild.qCorpusBuild(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(expected(6L)._1 === expected(7L)._1, "fixture: no non-exact near-dups")
+    assert(expected(7L)._1 === expected(8L)._1, "fixture: no non-exact near-dups")
+    assert(expected(5L)._3 === 1L, "fixture: exactly the planted doc is safety-blocked")
 
     val ms = MemoryStream[(Long, String)]
     val docs = ms.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
@@ -564,8 +567,9 @@ class StreamsSpec extends SparkSpec {
       assert(c.getLong(2) === expected(2L)._3, "normalize reach")
       assert((c.getLong(3), c.getLong(4)) === ((expected(3L)._1, expected(3L)._2)), "lang_id")
       assert((c.getLong(5), c.getLong(6)) === ((expected(4L)._1, expected(4L)._2)), "quality")
-      assert((c.getLong(7), c.getLong(8)) === ((expected(5L)._1, expected(5L)._2)), "repetition")
-      assert((c.getLong(9), c.getLong(10)) === ((expected(6L)._1, expected(6L)._2)), "dedup_exact")
+      assert((c.getLong(7), c.getLong(8)) === ((expected(5L)._1, expected(5L)._2)), "safety")
+      assert((c.getLong(9), c.getLong(10)) === ((expected(6L)._1, expected(6L)._2)), "repetition")
+      assert((c.getLong(11), c.getLong(12)) === ((expected(7L)._1, expected(7L)._2)), "dedup_exact")
     } finally q.stop()
   }
 
@@ -577,9 +581,11 @@ class StreamsSpec extends SparkSpec {
     // contract under which streaming packing == the batch running sum
     def v(id: Long, lang: String, toks: Long) =
       Streams.CorpusVerdict(id, lang, "src", toks, changed = false,
-        alive_lang = true, alive_quality = true, alive_rep = true, alive_exact = true)
+        alive_lang = true, alive_quality = true, alive_safety = true,
+        alive_rep = true, alive_exact = true)
     val dead = Streams.CorpusVerdict(99L, "en", "src", 500L, changed = false,
-      alive_lang = true, alive_quality = true, alive_rep = true, alive_exact = false)
+      alive_lang = true, alive_quality = true, alive_safety = true,
+      alive_rep = true, alive_exact = false)
     val batch1 = Seq(v(1L, "en", 100L), v(2L, "en", 200L), v(4L, "en", 120L), dead)
     val batch2 = Seq(v(5L, "en", 90L), v(8L, "en", 300L), v(9L, "de", 50L))
     val ms = MemoryStream[Streams.CorpusVerdict]

@@ -1159,8 +1159,24 @@ object Ann {
         .select(col("vec_id"), col("codes"), col("rn"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(indexDir)
+      // commit evidence recorded AT WRITE TIME (ADVICE r19): the codes
+      // job finished, so stamp the batch with the engine's own marker.
+      // The serve-side commit verdict must be a pure function of the
+      // batch dir's contents — inferring it from the READER's Hadoop
+      // conf meant a batch written under a markers-disabled conf (no
+      // _SUCCESS ever exists) but later served under the default
+      // markers-enabled conf read as torn and silently vanished from
+      // serves. A crash between the codes job and this marker leaves
+      // the batch invisible (markers-off writer) or _SUCCESS-committed
+      // (markers-on writer) — either way the at-least-once replay
+      // converges it.
+      fs.create(new org.apache.hadoop.fs.Path(ip, PqCommitMarker), true).close()
     }
   }
+
+  /** The engine's own per-batch commit marker ([[ivfPqUpsertBatch]]
+    * writes it after the codes land; [[pqBatchCommitted]] reads it). */
+  private val PqCommitMarker = "_GRAFT_COMMIT"
 
   /** Streamed-batch directories for one PQ half, oldest first —
     * COMMITTED batches only: a batch counts iff its CODES half
@@ -1170,45 +1186,35 @@ object Ann {
     * Spark creates the output dir (holding only `_temporary`) at job
     * START, so a crash during the codes write leaves an empty dir
     * that would otherwise count as committed and make serve throw (or
-    * read partial codes). The job-level commit evidence is the
-    * `_SUCCESS` marker; ONLY if marker writing is disabled in the
-    * Hadoop conf (`mapreduce.fileoutputcommitter.marksuccessfuljobs`
-    * = false) fall back to "contains at least one committed data file
-    * outside `_temporary`". With markers enabled the fallback would be
-    * UNSAFE, not just redundant (ADVICE r18): a crash inside the codes
-    * write can leave task-committed data files with no `_SUCCESS`
-    * (committer v2 commits per-task; v1 has the job-commit rename
-    * window), and counting those as committed serves a PARTIAL batch —
-    * silently missing vectors until the replay. Marker present ⇒
-    * committed; marker absent under marker-enabled conf ⇒ torn, full
-    * stop.
+    * read partial codes). The commit evidence is recorded AT WRITE
+    * TIME (ADVICE r19): [[ivfPqUpsertBatch]] stamps
+    * [[PqCommitMarker]] into the codes dir after the write completes,
+    * so the verdict here is a pure function of the dir contents —
+    * never of the reader's Hadoop conf (the old conf-inferred rule
+    * classified a markers-disabled writer's batches as torn whenever
+    * the reader ran markers-enabled, silently dropping them from
+    * serves). The Hadoop `_SUCCESS` marker is accepted as equivalent
+    * evidence (a markers-enabled writer that crashed between the
+    * codes job commit and the graft stamp still committed the batch).
+    * A dir with NEITHER marker is torn, full stop — task-committed
+    * data files without a job marker (committer v2 mid-job, v1's
+    * job-commit rename window) are a PARTIAL batch, and counting them
+    * as committed serves silently-incomplete answers (ADVICE r18);
+    * the at-least-once replay rewrites and re-stamps such a batch.
     */
   private def pqBatchCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      batchDir: org.apache.hadoop.fs.Path, markersEnabled: Boolean): Boolean = {
-    if (fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) true
-    else if (markersEnabled) false
-    else fs.listStatus(batchDir).exists { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory)
-        n != "_temporary" && !n.startsWith(".") &&
-          fs.listStatus(st.getPath).exists { f =>
-            val fn = f.getPath.getName
-            f.isFile && !fn.startsWith("_") && !fn.startsWith(".")
-          }
-      else st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+      batchDir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(batchDir, PqCommitMarker)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))
 
   private def pqStreamBatchRoots(s: SparkSession, path: String, half: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val markersEnabled = s.sparkContext.hadoopConfiguration.getBoolean(
-      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
     val committed = {
       val root = new org.apache.hadoop.fs.Path(s"$path/index-stream")
       if (fs.exists(root))
         fs.listStatus(root)
-          .filter(st => st.isDirectory && pqBatchCommitted(fs, st.getPath, markersEnabled))
+          .filter(st => st.isDirectory && pqBatchCommitted(fs, st.getPath))
           .map(_.getPath.getName).toSet
       else Set.empty[String]
     }

@@ -671,17 +671,22 @@ object CorpusBuild {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/index-meta.parquet")
     if (!fs.exists(metaPath)) {
       // legacy/pre-marker layout: before BLESSING the index as covering
-      // the committed manifest, cross-check its signature count against
-      // the committed corpus row count (ADVICE r18) — a corpus that
-      // crashed in the old unguarded window (manifest swapped, index
-      // append lost) is count-consistent yet MISSING an increment, and
-      // aligning the marker blindly would make that recall loss
-      // permanent. The index may legitimately hold MORE signatures than
-      // the manifest lists (streaming-tier appends, harmless re-appended
-      // duplicates), so the tripwire is strictly `fewer`; with no marker
-      // to say WHICH rows are missing, the heal is a full rebuild from
-      // the committed corpus.
-      if (s.read.parquet(s"$idx/sig").count() < committedShards().count()) {
+      // the committed manifest, cross-check MEMBERSHIP, not cardinality
+      // (ADVICE r19 closing the r18 gap): a bare row-count compare can
+      // be satisfied vacuously — streaming-tier appends or re-appended
+      // duplicate signatures inflate the sig count past the committed
+      // row count while a whole increment's docs are MISSING, and the
+      // marker write below would bless that recall loss permanently.
+      // One broadcast-able anti-join of committed doc_ids against the
+      // sig table's doc_ids names any absent doc; with no marker to say
+      // which rows are missing, the heal is a full rebuild from the
+      // committed corpus. (The index legitimately holds EXTRA ids —
+      // streaming-tier entries the manifest never lists — which
+      // membership, unlike a count delta, is immune to.)
+      val missingFromIdx = committedShards().select(col("doc_id"))
+        .join(s.read.parquet(s"$idx/sig").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      if (!missingFromIdx.isEmpty) {
         val idxPath = new org.apache.hadoop.fs.Path(idx)
         if (fs.exists(idxPath)) fs.delete(idxPath, true)
         Dedup.buildDedupIndexFrom(

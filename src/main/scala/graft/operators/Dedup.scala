@@ -1838,7 +1838,14 @@ object Dedup {
     * backreferences) → first 18 classes → BIGINT.
     */
   private def phonCodeSql(x: String): String = {
-    val mapped = s"translate(regexp_replace(lower($x), '[^a-z0-9]', '', 'g'), " +
+    // strip BEFORE lowercasing (ADVICE r19): DuckDB's lower() is
+    // Unicode-aware, so characters whose lowercase maps into a-z
+    // (Kelvin sign U+212A → 'k', dotted capital I U+0130 → 'i'+dot)
+    // would survive a lower-then-strip chain and get classed, while
+    // the native byte-walk drops every non-ASCII byte whole — the
+    // ASCII-class strip first makes both engines class the identical
+    // character set
+    val mapped = s"translate(lower(regexp_replace($x, '[^A-Za-z0-9]', '', 'g')), " +
       "'bcdfgjklmnpqrstvxzaeiouyhw', '123122245512623122')"
     val collapsed = (0 to 9).foldLeft(mapped)((e, d) =>
       s"regexp_replace($e, '$d{2,}', '$d', 'g')")

@@ -349,38 +349,44 @@ class AnnSpec extends SparkSpec {
       "the production read should keep mean recall@5 above 50% on this corpus")
   }
 
-  test("pqBatchCommitted: no _SUCCESS under marker-enabled conf is torn, even with data files") {
+  test("pqBatchCommitted: commit evidence is stamped at write time, independent of the reader's conf") {
     import org.apache.spark.sql.functions.col
-    // ADVICE r18: task-committed data files with no _SUCCESS (committer
-    // v2 mid-job, or v1's job-commit window) are a PARTIAL batch under
-    // the default marker-enabled conf — serving them silently drops the
-    // unlanded part. The data-file fallback is legitimate ONLY when
-    // marker writing is disabled in the Hadoop conf.
+    // ADVICE r19: the old rule consulted the READER's Hadoop conf — a
+    // batch written under markers-disabled (no _SUCCESS ever exists)
+    // but served under the default markers-enabled conf read as torn
+    // and silently vanished from serves. The upsert now stamps its own
+    // _GRAFT_COMMIT after the codes land; the verdict is a pure
+    // function of the batch dir.
     val incr = java.nio.file.Files.createTempDirectory("graft-ivfpqm").toString
     Ann.buildIvfPqIndex(spark, sf0001, incr, col("vec_id") % 7 =!= 0)
     val (corpus, _) = Ann.split(spark, sf0001)
     def serveSet() = Ann.ivfPqServe(spark, sf0001, incr).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val preBatch = serveSet()
-    Ann.ivfPqUpsertBatch(spark, incr, corpus.filter(col("vec_id") % 7 === 0), batchId = 3L)
-    val committed = serveSet()
-    assert(committed !== preBatch, "the committed batch must be visible")
-    // strip the job-commit marker, keep every data file — the
-    // crash-after-task-commit state
-    val fs = new org.apache.hadoop.fs.Path(incr)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(
-      s"$incr/index-stream/batch-000000003/_SUCCESS"), false))
-    assert(serveSet() === preBatch,
-      "markers enabled: a batch without _SUCCESS must read as uncommitted even with data files present")
-    // with marker writing disabled in the conf, _SUCCESS absence is the
-    // NORMAL committed state — the data-file fallback must accept it
+    // write the batch under a markers-DISABLED conf: no _SUCCESS lands
     val conf = spark.sparkContext.hadoopConfiguration
     conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
-    try
-      assert(serveSet() === committed,
-        "markers disabled: committed data files are the commit evidence")
+    try Ann.ivfPqUpsertBatch(spark, incr,
+      corpus.filter(col("vec_id") % 7 === 0), batchId = 3L)
     finally conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    val fs = new org.apache.hadoop.fs.Path(incr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = s"$incr/index-stream/batch-000000003"
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bdir/_SUCCESS")),
+      "fixture: the markers-disabled write must leave no _SUCCESS")
+    val committed = serveSet() // reader runs markers-ENABLED (default)
+    assert(committed !== preBatch,
+      "a markers-disabled writer's batch must be visible to a markers-enabled reader")
+    // torn state: strip the graft stamp too (crash after task commits,
+    // before the codes job's stamp) — data files alone are PARTIAL
+    // evidence (ADVICE r18) and must read as uncommitted
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$bdir/_GRAFT_COMMIT"), false))
+    assert(serveSet() === preBatch,
+      "a batch with neither marker must read as torn, even with data files present")
+    // the at-least-once replay rewrites and re-stamps — healed
+    Ann.ivfPqUpsertBatch(spark, incr,
+      corpus.filter(col("vec_id") % 7 === 0), batchId = 3L)
+    assert(serveSet() === committed, "the replay must re-commit the batch")
   }
 
   test("buildIvfPqIndex: atomic triad publish — a crashed rebuild leaves the old index serving") {

@@ -325,6 +325,58 @@ class CorpusWriteSpec extends SparkSpec {
     assert(mrk === maxRk, "the cross-checked rebuild must then write the marker")
   }
 
+  test("legacy layout: an inflated sig count cannot mask a lost increment (membership, not cardinality)") {
+    import spark.implicits._
+    // ADVICE r19: the r18 cross-check compared COUNTS, so duplicate
+    // re-appended signatures (or streaming-tier entries) could inflate
+    // the sig table past the committed row count while a whole
+    // increment's docs were missing — count says covered, recall says
+    // lost, and the marker write blesses it permanently. The check is
+    // now a membership anti-join; this fixture makes the count rule
+    // PASS vacuously and requires the rebuild anyway.
+    val (out, _) = build("legacyvac")
+    val shards0 = spark.read.parquet(s"$out/shards.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val maxId = shards0.map(_.getLong(0)).max
+    val base = shards0.maxBy(_.getLong(0))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 1001L, "src_vac", base.getString(1),
+        base.getString(2).split(" ").reverse.mkString(" ")))
+        .toDF("doc_id", "source", "lang", "text"))
+    val snapP = new org.apache.hadoop.fs.Path(s"$out/.snap-index-vac")
+    fs.delete(snapP, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$out/index"),
+      fs, snapP, false, spark.sparkContext.hadoopConfiguration)
+    val inc2Text = base.getString(2).split(" ").sorted.mkString(" ")
+    CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 2001L, "src_vac", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/index"), true)
+    assert(fs.rename(snapP, new org.apache.hadoop.fs.Path(s"$out/index")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/index-meta.parquet"), true)
+    // inflate: re-append two docs the index ALREADY holds — duplicate
+    // signatures, ratio-consistent, sig count now committed + 1
+    val dupDocs = spark.read.parquet(s"$out/shards.parquet")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(2)
+    graft.operators.Dedup.appendDedupIndex(dupDocs, s"$out/index")
+    val nSig = spark.read.parquet(s"$out/index/sig").count()
+    val nCommitted = spark.read.parquet(s"$out/shards.parquet").count()
+    assert(nSig > nCommitted,
+      "fixture: the count rule must read as covered while a doc is missing")
+    assert(graft.operators.Dedup.dedupIndexConsistent(spark, s"$out/index"),
+      "fixture: the inflated index still passes the footer-count invariant")
+    // the next upsert must detect the MISSING doc by membership,
+    // rebuild, and then dedup a verbatim copy of the lost increment
+    val mBefore = spark.read.parquet(s"$out/manifest.parquet").collect()
+    val mAfter = CorpusBuild.corpusUpsert(spark, out,
+      Seq((maxId + 3001L, "src_vac", base.getString(1), inc2Text))
+        .toDF("doc_id", "source", "lang", "text")).collect()
+    assert(mAfter.length === mBefore.length,
+      "membership cross-check must rebuild and drop the lost increment's copy")
+  }
+
   test("an UNREADABLE index table (crash inside a table's write) reads as inconsistent, not a throw") {
     import spark.implicits._
     val (out, _) = build("tearidx2")

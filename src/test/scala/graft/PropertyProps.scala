@@ -458,9 +458,12 @@ object PropertyProps extends Properties("graft-primitives") {
   // ------------------------------------------------------------------
 
   /** The PhoneticCode contract as its documented string chain:
-    * strip non-[a-z0-9] (after lowercase), map letters to classes /
-    * drop vowels+hw, collapse adjacent equal class chars, first 18,
-    * parse as Long ('' → 0).
+    * strip non-[A-Za-z0-9] FIRST, then lowercase (ADVICE r19: strip
+    * before lower, or Unicode lowercasing smuggles characters like
+    * the Kelvin sign U+212A → 'k' into the ASCII class set that the
+    * native byte walk drops whole), map letters to classes / drop
+    * vowels+hw, collapse adjacent equal class chars, first 18, parse
+    * as Long ('' → 0).
     */
   private def phoneticRef(s: String): Long = {
     val classOf = "abcdefghijklmnopqrstuvwxyz".map {
@@ -472,7 +475,9 @@ object PropertyProps extends Properties("graft-primitives") {
       case 'r' => '6'
       case _ => ' ' // vowel/h/w: dropped
     }
-    val mapped = s.toLowerCase.flatMap {
+    val mapped = s.filter(c => (c >= 'A' && c <= 'Z') ||
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+      .toLowerCase.flatMap {
       case c if c >= 'a' && c <= 'z' =>
         val d = classOf(c - 'a'); if (d == ' ') "" else d.toString
       case c if c >= '0' && c <= '9' => c.toString
@@ -484,10 +489,15 @@ object PropertyProps extends Properties("graft-primitives") {
     if (collapsed.isEmpty) 0L else collapsed.toLong
   }
 
-  // mix ASCII words, digits, punctuation and non-ASCII into one string
+  // mix ASCII words, digits, punctuation and non-ASCII into one
+  // string — incl. the Unicode-lowercase traps (ADVICE r19): Kelvin
+  // sign U+212A lowercases to ASCII 'k', dotted capital I U+0130 to
+  // 'i'+combining dot — a lower-then-strip chain classes them, the
+  // byte walk must drop them
   private val messyText: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumStr.map(_.take(12)),
-    Gen.oneOf(" ", "\t", "#", "!", "(", ")", "$", "@", "ä", "é", "中", "𝔘"),
+    Gen.oneOf(" ", "\t", "#", "!", "(", ")", "$", "@", "ä", "é", "中", "𝔘",
+      "K", "İ"),
     Gen.choose(0, 999999999).map(_.toString))).map(_.mkString)
 
   property("PhoneticCode byte walk == documented string chain") =

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_filter_pipeline" -> Seq("doc_id"),
     "q_approx_distinct" -> Seq("event_type"),
     "q_contamination"   -> Seq("doc_id"),
+    "q_contamination_fuzzy" -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),
     "q_safety_screen"   -> Seq("source"),
     "q_quality_score"   -> Seq("doc_id"),

@@ -991,6 +991,151 @@ object TextOps {
        |GROUP BY g.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy verify threshold for [[qContaminationFuzzy]] — word-3-gram
+    * Jaccard at which a corpus doc counts as a paraphrased benchmark
+    * leak. 0.2 is where the EXACT tier goes blind: paraphrase that
+    * touches every ~5th word kills 100% of exact 5-grams (no run of
+    * five untouched words survives) while ~40% of the 3-gram set
+    * lives on — J3 ≈ 0.25, invisible to [[qContamination]]'s 0.2
+    * gram-fraction rule and exactly what a decontamination screen
+    * must still catch. A deployment tightens this upward if its
+    * benchmark suite shares boilerplate with the corpus; the screen
+    * prefers false flags over leaked eval items. */
+  private[graft] val FuzzyContamThreshold = 0.2
+
+  /** Fuzzy-tier banding: the SAME k=64 MinHash signature as the dedup
+    * shelf, RE-SLICED at r=2 rows × b=32 bands. The dedup shelf's
+    * 16×4 banding has its S-curve midpoint at (1/16)^(1/4) ≈ 0.5 —
+    * tuned for near-DUPLICATES — and is structurally blind in the
+    * paraphrase regime this screen works in (recall at J=0.25:
+    * 1−(1−0.25⁴)^16 ≈ 6%). Re-banding the same signature at
+    * (1/32)^(1/2) ≈ 0.18 moves the midpoint under the verify
+    * threshold: recall ≈ 73% at J=0.2 (the boundary), ≈ 87% at 0.25,
+    * ≈ 95% at 0.3, ≈ 99.6% at 0.4. Re-banding is free (a different
+    * slicing of signatures both tiers already compute); re-signing
+    * is not — the one-signature/two-bandings design is the point. */
+  private[graft] val FuzzyBands = 32
+  private[graft] val FuzzyRows = 2
+
+  /** Fuzzy (near-match) benchmark decontamination (VERDICT r19 #3) —
+    * the MinHash tier beside [[qContamination]]'s exact word-5-gram
+    * overlap: paraphrased or reformatted benchmark leakage breaks
+    * every exact 5-gram yet keeps high word-3-gram Jaccard, which is
+    * the case decontamination actually fights in practice (the
+    * GPT-3/Llama appendix problem). Same fixed benchmark fiction as
+    * the exact tier (`doc_id % benchMod = 0`); same signature family
+    * as the dedup shelf ([[graft.operators.Dedup]] `IdxK`/`IdxSeed`
+    * via [[Dedup.sigBandRows]]) but RE-BANDED for the paraphrase
+    * regime ([[FuzzyBands]]×[[FuzzyRows]] — the S-curve math on the
+    * constants). Output: one row per corpus doc whose best verified match
+    * clears [[FuzzyContamThreshold]] — the decontamination drop list,
+    * with the candidate count and best-matching benchmark doc as
+    * attribution. Best match is deterministic: max Jaccard, then min
+    * benchmark id.
+    *
+    * Shape at scale (the asymmetric-banding contract): the benchmark
+    * side is BOUNDED (a real benchmark suite is 10³-10⁵ items), so
+    * its band table and shingle sets BROADCAST — the corpus side is
+    * map-only signature work probed against them, and candidate
+    * volume is bounded by benchmark-side collisions, never corpus².
+    * The verified candidate table (cand × benchmark) is itself
+    * benchmark-bounded and broadcasts back onto the corpus shingle
+    * projection, so corpus shingle arrays never shuffle. Both sides
+    * canonicalize to DISTINCT texts first (the r15
+    * `textCanonicalPairs` lesson): verbatim crawl-dup families
+    * collapse to one representative, and members inherit the
+    * representative's verdict through a map-side md5-key join.
+    */
+  def qContaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{SortedJaccard, WordNgramHashes, WordNgramMinHash}
+    val d = docs(s, dir)
+    def reps(df: DataFrame) = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val corpusRep = reps(d.filter(col("doc_id") % benchMod =!= 0)).materialized
+    val benchRep = reps(d.filter(col("doc_id") % benchMod === 0)).materialized
+    def sig(df: DataFrame) = df.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), Dedup.IdxNgram, Dedup.IdxK,
+        seed = Dedup.IdxSeed).as("sig_arr"))
+    def sets(df: DataFrame) = df.select(col("doc_id"),
+      WordNgramHashes.column(col("text"), Dedup.IdxNgram).as("sh"))
+    val benchBands = Dedup.sigBandRows(sig(benchRep), FuzzyBands, FuzzyRows)
+      .withColumnRenamed("doc_id", "bench_id")
+    val cand = Dedup.sigBandRows(sig(corpusRep), FuzzyBands, FuzzyRows)
+      .join(broadcast(benchBands), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val verified = sets(corpusRep)
+      .join(broadcast(cand), "doc_id") // corpus sets never shuffle
+      .join(broadcast(sets(benchRep)
+        .select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))), "bench_id")
+      .withColumn("jaccard", SortedJaccard.column(col("sh"), col("sh_b")))
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+      .materialized // consumed twice: the best-jaccard agg + the argmax pick
+    val best = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cand"), max(col("jaccard")).as("best_jaccard"))
+    // deterministic argmax: min bench id among the max-Jaccard matches
+    // (exact-equality join on a value both rows computed identically)
+    val pick = verified.join(broadcast(best.withColumnRenamed("doc_id", "gid")),
+        col("doc_id") === col("gid") && col("jaccard") === col("best_jaccard"))
+      .groupBy(col("gid"), col("n_cand"), col("best_jaccard"))
+      .agg(min(col("bench_id")).as("best_bench_id"))
+    // verdicts attach to the bounded side FIRST: pick (benchmark-
+    // bounded) broadcasts onto the rep projection, and the resulting
+    // flagged-rep table (pick-sized) broadcasts onto the corpus member
+    // scan — the member expansion never shuffles the corpus
+    val flaggedReps = corpusRep
+      .select(col("doc_id").as("gid"), unhex(md5(col("text"))).as("tkey"))
+      .join(broadcast(pick), "gid")
+      .filter(col("best_jaccard") >= FuzzyContamThreshold)
+    d.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("tkey"))
+      .join(broadcast(flaggedReps), "tkey")
+      .select(col("doc_id"), col("n_cand"), col("best_bench_id"),
+        col("best_jaccard"))
+  }
+
+  val qContaminationFuzzySql: String = {
+    import graft.operators.{Dedup => D}
+    val (n, k, bands, rows, seed) =
+      (D.IdxNgram, D.IdxK, FuzzyBands, FuzzyRows, D.IdxSeed)
+    def sideCtes(p: String, where: String): String =
+      s"""${p}g AS MATERIALIZED (
+         |  SELECT min(doc_id) AS doc_id, text FROM d WHERE $where GROUP BY text),
+         |${p}w AS (SELECT doc_id, ${OracleEmul.wordHashes("text")} AS wh FROM ${p}g),
+         |${p}f AS (SELECT doc_id, ${OracleEmul.features("wh", n)} AS feats FROM ${p}w),
+         |${p}fp AS MATERIALIZED (SELECT doc_id,
+         |  list_transform(feats, f0 -> ${OracleEmul.floorMod("f0", "fm", "2147483647")}) AS fmod,
+         |  ${OracleEmul.hashSet("feats")} AS sh FROM ${p}f),
+         |${p}s AS MATERIALIZED (SELECT doc_id, sh,
+         |  ${OracleEmul.minhashSig("fmod", seed, k)} AS sig FROM ${p}fp),
+         |${p}bnd AS (SELECT doc_id, j, sig[j*$rows+1:j*$rows+$rows] AS slice
+         |  FROM ${p}s, range($bands) t(j))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |${sideCtes("cfc", s"doc_id % $benchMod <> 0")},
+       |${sideCtes("cfb", s"doc_id % $benchMod = 0")},
+       |cfcand AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+       |  FROM cfcbnd c JOIN cfbbnd b ON c.j = b.j AND c.slice = b.slice),
+       |cfver AS MATERIALIZED (SELECT cand.doc_id, cand.bench_id,
+       |    ${OracleEmul.jaccard("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cfcand cand
+       |  JOIN cfcs sa ON cand.doc_id = sa.doc_id
+       |  JOIN cfbs sb ON cand.bench_id = sb.doc_id),
+       |cfbest AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    MAX(jaccard) AS best_jaccard
+       |  FROM cfver GROUP BY doc_id),
+       |cfpick AS (SELECT v.doc_id AS gid, b.n_cand, b.best_jaccard,
+       |    MIN(v.bench_id) AS best_bench_id
+       |  FROM cfver v JOIN cfbest b
+       |    ON v.doc_id = b.doc_id AND v.jaccard = b.best_jaccard
+       |  GROUP BY v.doc_id, b.n_cand, b.best_jaccard)
+       |SELECT m.doc_id, p.n_cand, p.best_bench_id, p.best_jaccard
+       |FROM d m
+       |JOIN cfcg g2 ON m.text = g2.text AND m.doc_id % $benchMod <> 0
+       |JOIN cfpick p ON g2.doc_id = p.gid
+       |WHERE p.best_jaccard >= $FuzzyContamThreshold
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   /** Corpus vocabulary top-k: the word-frequency table a tokenizer
     * build starts from. The explode is a Generate (no shuffle);
     * map-side partial aggregation condenses each partition to its
@@ -4488,6 +4633,7 @@ object TextOps {
     "q_curriculum"        -> qCurriculum _,
     "q_repetition"        -> qRepetition _,
     "q_contamination"     -> qContamination _,
+    "q_contamination_fuzzy" -> qContaminationFuzzy _,
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
     "q_gopher_rules"      -> qGopherRules _,
@@ -4547,6 +4693,7 @@ object TextOps {
     "q_bpe_encode"        -> qBpeEncodeSql,
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
+    "q_contamination_fuzzy" -> qContaminationFuzzySql,
     "q_lang_id"           -> qLangIdSql,
     "q_quality_score"     -> qQualityScoreSql,
     "q_gopher_rules"      -> qGopherRulesSql,

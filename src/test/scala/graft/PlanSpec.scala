@@ -188,6 +188,18 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle must be the per-doc rollup, nothing more:\n$p")
   }
 
+  test("q_contamination_fuzzy: every join against the bounded benchmark side broadcasts") {
+    // the asymmetric-banding contract: the benchmark band table, the
+    // candidate table, and the benchmark shingle sets all broadcast —
+    // the corpus side is map-only signature work, and its shingle
+    // arrays never ride a join exchange
+    val p = plan("q_contamination_fuzzy")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-wide sort-merge join anywhere in the fuzzy screen:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"band probe, candidate attach and bench-set attach must broadcast:\n$p")
+  }
+
   test("q_basket_pairs: direct pair self-join — no a-priori semi (adjudicated out)") {
     // VERDICT r12 #2 delivered an a-priori qualifying-supplier
     // semi-join; round 13 REMOVED it on measurement (see the

@@ -107,6 +107,40 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L)._2 === 0L && !rows(2L)._3, "doc 2: clean")
   }
 
+  /** VERDICT r19 #3: the paraphrase class the exact tier is blind to.
+    * Substituting every 6th word leaves NO run of five untouched words
+    * long enough for ≥20% exact 5-gram overlap (survival ≈ 1/6), yet
+    * keeps ~half the word-3-gram set — the fuzzy tier's regime. One
+    * doc per recovery class, plus a clean control and a verbatim copy.
+    */
+  test("contamination_fuzzy: planted paraphrased benchmark docs recovered where the exact tier misses") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val para = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 6 == 0) s"sub$i" else w }.mkString(" ")
+    val dir = docsDir(Seq(
+      194L -> base,  // 194 = 2x97: the benchmark stratum
+      200L -> para,  // paraphrase: every 6th word substituted
+      300L -> (1 to 60).map(i => s"other$i").mkString(" "), // clean control
+      400L -> base)) // verbatim copy: both tiers catch it
+    val exact = TextOps.qContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!exact(200L),
+      "fixture: the paraphrase must be INVISIBLE to the exact 5-gram tier")
+    assert(exact(400L), "fixture: the verbatim copy must hit the exact tier")
+    val fuzzy = TextOps.qContaminationFuzzy(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fuzzy.contains(200L),
+      s"the paraphrased benchmark doc must be recovered by the fuzzy tier: $fuzzy")
+    assert(fuzzy(200L)._2 === 194L, "attribution: the best match names the leaked benchmark doc")
+    assert(fuzzy(200L)._3 >= 0.2 && fuzzy(200L)._3 < 0.6,
+      s"the paraphrase lives in the fuzzy regime, below the dedup shelf: ${fuzzy(200L)._3}")
+    assert(fuzzy.contains(400L) && fuzzy(400L)._3 === 1.0,
+      "a verbatim copy verifies at Jaccard 1.0")
+    assert(!fuzzy.contains(300L), "the clean control must stay clean")
+    assert(!fuzzy.contains(194L), "benchmark docs must not appear in the output")
+  }
+
   test("segment dedup: cross-doc and within-doc duplicated segments counted, ragged tails kept") {
     val segA = (1 to 10).map(i => s"w$i").mkString(" ")
     val segB = (11 to 20).map(i => s"v$i").mkString(" ")

@@ -183,6 +183,7 @@ object SparkEntry {
     "q_semdedup"        -> Seq("vec_id"),
     "q_prefix_dedup"    -> Seq("doc_id"),
     "q_phash_dedup"     -> Seq("doc_id"),
+    "q_phash_banding"   -> Seq("n_bands"),
     "q_suffix_dedup"    -> Seq("doc_id"),
     "q_lang_confusion"  -> Seq("lang", "lang_pred"),
     "q_dup_source"      -> Seq("source"),

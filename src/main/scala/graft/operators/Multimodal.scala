@@ -303,9 +303,12 @@ object Multimodal {
     * the doc-keyed mate rollup. Verify joins ship 4-long band arrays,
     * not payloads.
     */
-  def qPhashDedup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The documents table reinterpreted as typed media payloads — the
+    * fixture rule shared by [[qPhashDedup]] and [[qPhashBanding]]. */
+  private def mediaOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    val media = graft.sources.Ingest.table(s, dir, "documents")
+    graft.sources.Ingest.table(s, dir, "documents")
       .select(
         col("doc_id"),
         col("text").cast("binary").as("media"),
@@ -313,6 +316,10 @@ object Multimodal {
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("media_type"))
       .as[MediaRow]
+  }
+
+  def qPhashDedup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val media = mediaOf(s, dir)
     import graft.plans.Materialize._
     val fp = fingerprintBands(media).toDF()
       .select(col("doc_id"), col("media_type"),
@@ -386,8 +393,12 @@ object Multimodal {
     * in both fold length and values; a byte-true oracle would need
     * DuckDB-side blob iteration over encode(text)).
     */
-  val qPhashDedupSql: String =
-    s"""WITH codes AS (
+  /** The stub-decode -> 64-block -> aHash-bit -> band-pack chain as
+    * DuckDB CTEs ending at `fp` (doc_id, media_type, bands) — SHARED
+    * by [[qPhashDedupSql]] and [[qPhashBandingSql]] so the dedup row
+    * and its banding frontier replay ONE fingerprint model. */
+  private val phashFpCtes: String =
+    s"""codes AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
@@ -414,7 +425,10 @@ object Multimodal {
        |    list_transform(range(0, $PhashBands), j ->
        |      CAST(list_sum(list_transform(range(0, $PhashBandBits),
        |        k -> bits[j * $PhashBandBits + k + 1] * (1 << k))) AS BIGINT)) AS bands
-       |  FROM c3),
+       |  FROM c3)""".stripMargin
+
+  val qPhashDedupSql: String =
+    s"""WITH $phashFpCtes,
        |hexed AS (
        |  SELECT doc_id, media_type, bands,
        |    lower(list_aggregate(list_transform(bands,
@@ -456,11 +470,145 @@ object Multimodal {
        |LEFT JOIN bm ON h.doc_id = bm.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  /** Band counts for the [[qPhashBanding]] frontier — each splits the
+    * 64 aHash bits evenly (bits_per_band = 64 / n_bands). The shipped
+    * dedup banding is the [[PhashBands]] = 4 point. */
+  private[graft] val PhashBandingConfigs = Seq(2, 4, 8, 16)
+
+  /** Banding recall/candidate-volume frontier of the phash shelf
+    * (VERDICT r19 #6 — the media twin of `q_banding_curve`): per band
+    * count b ∈ [[PhashBandingConfigs]], re-slice the SAME 64-bit aHash
+    * fingerprint into b equal bands, surface candidates through the
+    * salted band join, and score against hamming truth at ≤
+    * [[PhashHamThresh]]. Banding here is PIGEONHOLE, not
+    * probabilistic: h bit flips can dirty at most h bands, so every
+    * pair with hamming ≤ b − 1 keeps a clean band — recall is exactly
+    * 10000 bp for b > [[PhashHamThresh]] (MultimodalSpec pins it, and
+    * pins candidate NESTING: a clean 2w-bit band is two clean w-bit
+    * bands, so each config's candidates contain the coarser one's).
+    * What the frontier PRICES is the b=2 point (32-bit bands cannot
+    * guarantee hamming-3 recall — the measured shortfall) versus the
+    * candidate-volume cost of finer bands (shorter band words collide
+    * more often on near-miss fingerprints). Truth is the union-of-
+    * configs device (the `q_banding_curve` contract): complete here,
+    * because the b=16 config's pigeonhole guarantee surfaces every
+    * hamming ≤ 3 pair.
+    *
+    * Canonical DISTINCT fingerprints throughout (the r15 device):
+    * byte-identical re-uploads collapse before banding, so candidate
+    * volume tracks distinct media, never crawl depth; hamming-0 pairs
+    * are definitionally within-group and excluded — the frontier
+    * measures the NEAR tier (1 ≤ hamming ≤ 3) that banding exists for.
+    *
+    * Shape at scale: fingerprint map pass → distinct-fingerprint
+    * aggregate → per-config salted band self-joins (the only corpus
+    * shuffles, each bounded by bucket collisions) → pair-sized truth
+    * verify → 4-row report.
+    */
+  def qPhashBanding(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize._
+    val fp = fingerprintBands(mediaOf(s, dir)).toDF()
+      .select(col("doc_id"), col("bands"))
+    val reps = Canonical.groups(fp, "doc_id", Seq("bands"))
+      .select(col("gid").as("doc_id"), col("bands"))
+      .withColumn("bits", expr(
+        "flatten(transform(bands, b -> transform(sequence(0, 15), k -> (b >> k) & 1)))"))
+      .materialized
+    val cands = PhashBandingConfigs.map { b =>
+      val w = 64 / b
+      val bandRows = reps.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${b - 1}), j ->
+           |  aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT),
+           |    (acc, k) -> acc + element_at(bits, j * $w + k + 1) * shiftleft(CAST(1 AS BIGINT), k)))""".stripMargin))
+        .as(Seq("band", "bucket")))
+      (b, Dedup.candidatePairs(bandRows).materialized)
+    }
+    val allPairs = cands.map(_._2).reduce(_ unionByName _).distinct()
+    val truth = allPairs
+      .join(reps.select(col("doc_id").as("id_a"), col("bands").as("ba")), "id_a")
+      .join(reps.select(col("doc_id").as("id_b"), col("bands").as("bb")), "id_b")
+      .withColumn("hamming", expr(
+        "CAST(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v) AS BIGINT)"))
+      .filter(col("hamming") <= PhashHamThresh)
+      .select("id_a", "id_b").materialized
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cands.map { case (b, c) =>
+      c.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(c.join(truth, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(b.toLong).as("n_bands"), lit((64 / b).toLong).as("bits_per_band"),
+          col("n_cand"), col("n_true"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nTruth))
+      .select(col("n_bands"), col("bits_per_band"),
+        col("n_cand").as("n_cand_pairs"), col("n_true").as("n_true_pairs"),
+        col("n_truth").as("n_truth_pairs"),
+        expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_true * 10000) DIV n_truth END")
+          .as("recall_bp"),
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE (n_true * 10000) DIV n_cand END")
+          .as("precision_bp"))
+  }
+
+  /** Oracle for [[qPhashBanding]] — the shared [[phashFpCtes]]
+    * fingerprint model over DISTINCT fingerprints, one band-slice +
+    * candidate self-join per config, union truth at hamming ≤
+    * [[PhashHamThresh]], exact hit joins (the `q_banding_curve`
+    * oracle shape). */
+  val qPhashBandingSql: String = {
+    val serves = PhashBandingConfigs.map { b =>
+      val w = 64 / b
+      s"""pb$b AS (
+         |  SELECT doc_id, j,
+         |    CAST(list_sum(list_transform(range(0, $w),
+         |      k -> gbits[j * $w + k + 1] * (1::BIGINT << k))) AS BIGINT) AS bucket
+         |  FROM gb, range(0, $b) t(j)),
+         |m$b AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pb$b a JOIN pb$b b
+         |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val union = PhashBandingConfigs.map(b => s"SELECT id_a, id_b FROM m$b")
+      .mkString("\n    UNION ")
+    val rows = PhashBandingConfigs.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST(${64 / b} AS BIGINT) AS bits_per_band,
+         |  (SELECT COUNT(*) FROM m$b) AS n_cand,
+         |  (SELECT COUNT(*) FROM m$b JOIN truth USING (id_a, id_b)) AS n_true""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $phashFpCtes,
+       |g AS MATERIALIZED (SELECT min(doc_id) AS doc_id, bands FROM fp GROUP BY bands),
+       |gb AS MATERIALIZED (
+       |  SELECT doc_id, bands, flatten(list_transform(bands,
+       |    b -> list_transform(range(0, 16), k -> (b // (1::BIGINT << k)) % 2))) AS gbits
+       |  FROM g),
+       |$serves,
+       |allp AS MATERIALIZED ($union),
+       |truth AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT p.id_a, p.id_b,
+       |      CAST(list_sum(list_transform(range(0, $PhashBands),
+       |        j -> bit_count(xor(fa.bands[j + 1], fb.bands[j + 1])))) AS BIGINT) AS hamming
+       |    FROM allp p
+       |    JOIN g fa ON fa.doc_id = p.id_a
+       |    JOIN g fb ON fb.doc_id = p.id_b) v
+       |  WHERE hamming <= $PhashHamThresh),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT n_bands, bits_per_band,
+       |  CAST(n_cand AS BIGINT) AS n_cand_pairs,
+       |  CAST(n_true AS BIGINT) AS n_true_pairs,
+       |  nt.n_truth AS n_truth_pairs,
+       |  CAST(CASE WHEN nt.n_truth = 0 THEN 0 ELSE (n_true * 10000) // nt.n_truth END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN n_cand = 0 THEN 0 ELSE (n_true * 10000) // n_cand END AS BIGINT) AS precision_bp
+       |FROM ($rows) CROSS JOIN nt
+       |ORDER BY n_bands""".stripMargin
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "q_media_pipeline" -> qMediaPipeline _,
-    "q_phash_dedup"    -> qPhashDedup _)
+    "q_phash_dedup"    -> qPhashDedup _,
+    "q_phash_banding"  -> qPhashBanding _)
 
   val oracle: Map[String, String] = Map(
     "q_media_pipeline" -> qMediaPipelineSql,
-    "q_phash_dedup"    -> qPhashDedupSql)
+    "q_phash_dedup"    -> qPhashDedupSql,
+    "q_phash_banding"  -> qPhashBandingSql)
 }

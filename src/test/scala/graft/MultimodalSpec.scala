@@ -96,4 +96,31 @@ class MultimodalSpec extends SparkSpec {
     assert(others.forall(!_._5), "no planted false positives at hamming <= 3")
     assert(got(10L)._1.length === 16, "4 bands x 4 hex digits")
   }
+
+  /** VERDICT r19 #6: the phash banding frontier obeys its two
+    * structural laws. NESTING: a clean 2w-bit band is two clean w-bit
+    * bands, so each config's candidate set CONTAINS the coarser
+    * config's (counts and hits are monotone in n_bands). PIGEONHOLE:
+    * h bit flips dirty ≤ h bands, so recall is exactly 10000 bp for
+    * every config with n_bands > the hamming truth bound (3).
+    */
+  test("q_phash_banding: candidates nest with band count; pigeonhole recall is exact") {
+    val rows = Multimodal.qPhashBanding(spark, sf0001)
+      .orderBy(org.apache.spark.sql.functions.col("n_bands")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq(2L, 4L, 8L, 16L))
+    rows.foreach { case (b, w, _, _, _, _) => assert(b * w === 64L, "bands partition the 64 bits") }
+    assert(rows.map(_._5).distinct.length === 1, "union truth is one constant")
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted,
+      "candidate volume is monotone in band count (nesting)")
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted,
+      "true hits are monotone in band count (nesting)")
+    rows.filter(_._1 > 3L).foreach { case (b, _, _, _, _, recall) =>
+      assert(recall === 10000L,
+        s"pigeonhole: $b bands must recover every hamming<=3 pair exactly")
+    }
+    assert(rows.head._4 <= rows.head._5,
+      "the 2-band point may miss truth pairs — that shortfall is what the frontier prices")
+  }
 }

@@ -87,6 +87,8 @@ object SparkEntry {
     "q_approx_distinct" -> Seq("event_type"),
     "q_contamination"   -> Seq("doc_id"),
     "q_contamination_fuzzy" -> Seq("doc_id"),
+    "q_unigram_train"   -> Seq("rk"),
+    "q_unigram_encode"  -> Seq("doc_id"),
     "q_lang_id"         -> Seq("doc_id"),
     "q_safety_screen"   -> Seq("source"),
     "q_quality_score"   -> Seq("doc_id"),

@@ -1386,6 +1386,7 @@ object TextOps {
     * contract on [[sessionBpeMerges]]). */
   def clearModelCache(): Unit = {
     bpeMergeCache.clear()
+    uniModelCache.clear()
     lmModelCache.clear()
     dsirModelCache.clear()
     hashedModelCache.clear()
@@ -1506,6 +1507,290 @@ object TextOps {
       .withColumn("tokens_per_word_bp", expr("(n_tokens * 10000) DIV n_words"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-class) tokenizer (VERDICT r19 #7) — the
+  // tokenizer shelf's second member beside BPE. Kudo 2018 trains a
+  // piece vocabulary by EM over segmentation likelihood and PRUNES a
+  // large seed vocabulary down to target size; this is that loop in
+  // the repo's exact-integer house style: hard-EM (each E-step commits
+  // to ONE deterministic segmentation — greedy longest-match-first,
+  // the WordPiece inference rule, transcendental-free where true
+  // soft-EM marginals need float log-likelihood forward-backward),
+  // corpus-weighted piece-usage counts as the M-step statistic, and a
+  // fixed prune schedule (the q_kcore bounded-iteration device) so the
+  // oracle can unroll one CTE block battery per round.
+  // ------------------------------------------------------------------
+
+  /** Longest piece length tried by the greedy segmenter. */
+  private[graft] val UniPieceMax = 4
+  /** Seed vocabulary size (multi-char pieces; single chars are always
+    * implicitly in-vocab — the completeness fallback, exactly
+    * SentencePiece's required-character rule). */
+  private[graft] val UniSeedMulti = 48
+  /** Multi-char pieces kept after each prune round — FIXED schedule so
+    * the oracle unrolls (production prunes a percentage per round to a
+    * vocab-size target with the same loop). */
+  private[graft] val UniKeepSchedule = Seq(32, 24, 16)
+  /** Oracle walk unroll bound: the greedy walk advances ≥ 1 char per
+    * step, so [[UniMaxWalk]] blocks cover every word up to that many
+    * chars. TextOpsSpec pins corpus max word length ≤ this (the
+    * phash ASCII-contract posture — the engine fold handles any
+    * length; the ORACLE's unroll is what the bound protects). */
+  private[graft] val UniMaxWalk = 16
+
+  /** Greedy longest-match-first segmentation of a word under a frozen
+    * multi-char piece set, single-char fallback — ONE sequential
+    * `aggregate` fold (the [[bpeMergeFold]] device): the fold steps
+    * char-count times; steps before the cursor are no-ops, and at the
+    * cursor the longest matching piece wins ([[UniPieceMax]] down to
+    * 2, else one char). Pieces ship as expression literals (the
+    * `NearestCell` model-as-literals pattern), so the segmenter is a
+    * stateless projection — map-only in batch, streaming-legal in
+    * append mode.
+    */
+  private[graft] def uniSegTokens(w: Column, pieces: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{aggregate => arrFold}
+    def step(p: Column, acc: Column): Column = {
+      val single = struct((p + 1).as("pos"),
+        concat(acc.getField("ps"), array(w.substr(p, lit(1)))).as("ps"))
+      (UniPieceMax to 2 by -1).foldRight(single) { (n, rest) =>
+        val ps = pieces.filter(_.length == n)
+        if (ps.isEmpty) rest
+        else {
+          val sub = w.substr(p, lit(n))
+          when(sub.isin(ps: _*),
+            struct((p + n).as("pos"),
+              concat(acc.getField("ps"), array(sub)).as("ps")))
+            .otherwise(rest)
+        }
+      }
+    }
+    val zero = struct(lit(1).as("pos"), array().cast("array<string>").as("ps"))
+    when(length(w) === 0, array().cast("array<string>")).otherwise(
+      arrFold(sequence(lit(1), length(w)), zero,
+        (acc, _) => {
+          val p = acc.getField("pos")
+          when(p > length(w), acc).otherwise(step(p, acc))
+        },
+        acc => acc.getField("ps")))
+  }
+
+  /** The [[UniKeepSchedule]]-round train loop shared by
+    * [[qUnigramTrain]] and [[qUnigramEncode]]: seed → hard-EM usage →
+    * prune, then one final E-step under the frozen pieces for the
+    * reported usage table. Returns (pieces kept, final (piece, uses)
+    * rows in (uses DESC, piece) order — single chars included).
+    *
+    * Shape at scale: the ONLY corpus-sized stage is the
+    * word-frequency aggregate (the [[trainBpe]] contract — Zipf-safe
+    * partial-agg shuffle); seeding and every E-step are vocab-sized
+    * map passes + bounded-key aggregates; every collect is the
+    * model (≤ [[UniSeedMulti]] + alphabet rows).
+    */
+  private[graft] def trainUnigram(s: SparkSession,
+      dir: String): (Seq[String], Seq[(String, Long)]) = {
+    val wf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .materialized
+    // seed: every 2..UniPieceMax-char substring occurrence, corpus
+    // weighted; top UniSeedMulti by (count DESC, piece)
+    var pieces: Seq[String] = wf
+      .select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(2, $UniPieceMax), L ->
+           |  CASE WHEN char_length(w) >= L
+           |       THEN transform(sequence(1, char_length(w) - L + 1), i -> substr(w, i, L))
+           |       ELSE CAST(array() AS ARRAY<STRING>) END))""".stripMargin)).as("p"))
+      .groupBy("p").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("p")).limit(UniSeedMulti)
+      .select("p").collect().map(_.getString(0)).toSeq
+    for (k <- UniKeepSchedule) {
+      pieces = wf
+        .select(col("f"), explode(uniSegTokens(col("w"), pieces)).as("p"))
+        .groupBy("p").agg(sum("f").as("n"))
+        .filter(length(col("p")) >= 2)
+        .orderBy(col("n").desc, col("p")).limit(k)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val report = wf
+      .select(col("f"), explode(uniSegTokens(col("w"), pieces)).as("piece"))
+      .groupBy("piece").agg(sum("f").as("n_uses"))
+      .orderBy(col("n_uses").desc, col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (pieces, report)
+  }
+
+  /** Session-scoped trained unigram model (the [[sessionBpeMerges]]
+    * contract verbatim: one train per (session, dir), deterministic,
+    * model-sized). */
+  private val uniModelCache =
+    new graft.plans.SessionCache[(Seq[String], Seq[(String, Long)])]
+
+  private[graft] def sessionUnigramModel(s: SparkSession,
+      dir: String): (Seq[String], Seq[(String, Long)]) =
+    uniModelCache.getOrElseUpdate(s, dir)(trainUnigram(s, dir))
+
+  /** The trained piece table — one row per piece (single chars
+    * included) with its corpus-weighted usage under the frozen
+    * vocabulary and its (usage DESC, piece) rank: exactly the
+    * artifact a unigram tokenizer ships. */
+  def qUnigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionUnigramModel(s, dir)._2.zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, p.length.toLong, n) }
+      .toDF("rk", "piece", "piece_len", "n_uses")
+  }
+
+  /** Corpus tokenization with the trained unigram pieces — the APPLY
+    * half ([[qBpeEncode]]'s shape and scale story verbatim): pieces
+    * apply to the DISTINCT-word table (vocab-sized, one map pass —
+    * never a per-row corpus re-segmentation), the corpus pays one
+    * explode + one equi-join + one doc rollup. */
+  def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val pieces = sessionUnigramModel(s, dir)._1
+    val enc = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .select(col("w"), size(uniSegTokens(col("w"), pieces)).cast("long").as("n_toks"))
+      .materialized
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
+      .withColumn("tokens_per_word_bp", expr("(n_tokens * 10000) DIV n_words"))
+  }
+
+  /** Persist the trained piece table (the [[buildBpeModel]] contract:
+    * train offline once, every encode job reads the frozen model). */
+  private[graft] def buildUnigramModel(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val (_, report) = sessionUnigramModel(s, dir)
+    report.zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+      .toDF("rk", "piece", "n_uses")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The persisted [[buildUnigramModel]] pieces (multi-char — the
+    * segmenter's match lists; single chars are the implicit
+    * fallback). Driver-sized frozen model. */
+  private[graft] def readUnigramModel(s: SparkSession, modelPath: String): Seq[String] =
+    s.read.parquet(modelPath)
+      .filter(length(col("piece")) >= 2)
+      .orderBy("rk").collect().map(_.getString(1)).toSeq
+
+  /** MAP-ONLY per-document unigram encode against frozen pieces — the
+    * [[bpeEncodeMapOnly]] twin: one stateless projection (model as
+    * literals), streaming-legal in append mode; per-word semantics
+    * are IDENTICAL to the batch path by construction (same fold), so
+    * per-doc outputs match row-for-row — StreamsSpec pins the parity.
+    */
+  private[graft] def uniEncodeMapOnly(docs: DataFrame, pieces: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate => arrFold}
+    val words = split(col("text"), " ")
+    docs
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        arrFold(transform(words, w => size(uniSegTokens(w, pieces)).cast("long")),
+          lit(0L), _ + _).as("n_tokens"))
+      .withColumn("tokens_per_word_bp", expr("(n_tokens * 10000) DIV n_words"))
+  }
+
+  /** One greedy-walk pass as unrolled DuckDB CTEs: blocks
+    * `${tag}s1..s[[UniMaxWalk]]` step the cursor (each advances ≥ 1
+    * char, so the unroll covers words ≤ [[UniMaxWalk]] chars —
+    * TextOpsSpec pins the corpus inside the bound), `${tag}seg` is
+    * the union of emitted pieces. `pieceTbl` must expose column `p`.
+    */
+  private def uniWalkCtes(tag: String, srcTbl: String, pieceTbl: String,
+      carryF: Boolean): String = {
+    val carry = if (carryF) ", f" else ""
+    val caseExpr = ((UniPieceMax to 2 by -1).map(n =>
+      s"WHEN substr(w, pos, $n) IN (SELECT p FROM $pieceTbl WHERE len(p) = $n) THEN $n")
+      .mkString("CASE ", "\n       ", "\n       ELSE 1 END"))
+    val first =
+      s"""${tag}s1 AS MATERIALIZED (
+         |  SELECT w$carry, pos, $caseExpr AS plen
+         |  FROM (SELECT w$carry, 1 AS pos FROM $srcTbl))""".stripMargin
+    val rest = (2 to UniMaxWalk).map { j =>
+      s"""${tag}s$j AS MATERIALIZED (
+         |  SELECT w$carry, pos, $caseExpr AS plen
+         |  FROM (SELECT w$carry, pos + plen AS pos FROM ${tag}s${j - 1}
+         |        WHERE pos + plen <= len(w)))""".stripMargin
+    }
+    val union = (1 to UniMaxWalk)
+      .map(j => s"SELECT w$carry, pos, plen FROM ${tag}s$j")
+      .mkString("\n    UNION ALL ")
+    (Seq(first) ++ rest).mkString(",\n") +
+      s""",
+         |${tag}seg AS MATERIALIZED (
+         |  SELECT w$carry, substr(w, pos, plen) AS piece FROM ($union))""".stripMargin
+  }
+
+  /** Seed + prune-round CTE chain ending at the frozen piece table
+    * `ps[[UniKeepSchedule]].size` — shared by the train and encode
+    * oracles (the [[bpeTrainCtes]] precedent). */
+  private def uniTrainCtes: String = {
+    val rounds = UniKeepSchedule.zipWithIndex.map { case (k, idx) =>
+      val r = idx + 1
+      uniWalkCtes(s"u$r", "wf", s"ps${r - 1}", carryF = true) +
+        s""",
+           |us$r AS MATERIALIZED (
+           |  SELECT piece, CAST(SUM(f) AS BIGINT) AS n FROM u${r}seg GROUP BY piece),
+           |ps$r AS MATERIALIZED (
+           |  SELECT piece AS p FROM us$r WHERE len(piece) >= 2
+           |  ORDER BY n DESC, piece LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |seedc AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS p,
+       |    CAST(SUM(f) AS BIGINT) AS n
+       |  FROM wf, unnest(range(2, ${UniPieceMax + 1})) tl(L),
+       |       unnest(range(1, len(w) - L + 2)) ti(i)
+       |  GROUP BY 1),
+       |ps0 AS MATERIALIZED (SELECT p FROM seedc ORDER BY n DESC, p LIMIT $UniSeedMulti),
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle for [[qUnigramTrain]]: seed top-[[UniSeedMulti]], one
+    * unrolled walk battery + usage rollup + prune per round, final
+    * frozen-vocab walk for the reported usage, ROW_NUMBER rank. */
+  val qUnigramTrainSql: String =
+    s"""WITH $uniTrainCtes,
+       |${uniWalkCtes("fin", "wf", s"ps${UniKeepSchedule.size}", carryF = true)},
+       |usf AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS n_uses FROM finseg GROUP BY piece)
+       |SELECT ROW_NUMBER() OVER (ORDER BY n_uses DESC, piece) AS rk,
+       |  piece, CAST(len(piece) AS BIGINT) AS piece_len, n_uses
+       |FROM usf
+       |ORDER BY rk""".stripMargin
+
+  /** Oracle for [[qUnigramEncode]]: the train chain (for the frozen
+    * pieces), a walk battery over ALL distinct words, per-doc rollup
+    * (LEFT JOIN + COALESCE restores empty words' zero token count —
+    * the [[qBpeEncodeSql]] device). */
+  val qUnigramEncodeSql: String =
+    s"""WITH $uniTrainCtes,
+       |aw AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |awn AS (SELECT w FROM aw WHERE len(w) > 0),
+       |${uniWalkCtes("enc", "awn", s"ps${UniKeepSchedule.size}", carryF = false)},
+       |encn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_toks FROM encseg GROUP BY w),
+       |stream AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(COALESCE(e.n_toks, 0)) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(COALESCE(e.n_toks, 0)) AS BIGINT) * 10000) // COUNT(*)
+       |    AS tokens_per_word_bp
+       |FROM stream s LEFT JOIN encn e ON s.w = e.w
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   /** One greedy-merge application block: re-segment `prev`'s symbol
     * arrays with the pair in `best`, emitting `out`. Window
@@ -4634,6 +4919,8 @@ object TextOps {
     "q_repetition"        -> qRepetition _,
     "q_contamination"     -> qContamination _,
     "q_contamination_fuzzy" -> qContaminationFuzzy _,
+    "q_unigram_train"     -> qUnigramTrain _,
+    "q_unigram_encode"    -> qUnigramEncode _,
     "q_lang_id"           -> qLangId _,
     "q_quality_score"     -> qQualityScore _,
     "q_gopher_rules"      -> qGopherRules _,
@@ -4694,6 +4981,8 @@ object TextOps {
     "q_repetition"        -> qRepetitionSql,
     "q_contamination"     -> qContaminationSql,
     "q_contamination_fuzzy" -> qContaminationFuzzySql,
+    "q_unigram_train"     -> qUnigramTrainSql,
+    "q_unigram_encode"    -> qUnigramEncodeSql,
     "q_lang_id"           -> qLangIdSql,
     "q_quality_score"     -> qQualityScoreSql,
     "q_gopher_rules"      -> qGopherRulesSql,

@@ -273,6 +273,19 @@ object Streams {
     graft.operators.TextOps.bpeEncodeMapOnly(docs,
       graft.operators.TextOps.readBpeModel(docs.sparkSession, modelPath))
 
+  /** Streaming unigram-tokenizer encode — [[bpeEncode]]'s twin for the
+    * shelf's second tokenizer (VERDICT r19 #7): arrivals encode
+    * against a persisted `TextOps.buildUnigramModel` piece table, the
+    * frozen pieces shipped as literals inside the greedy-match fold
+    * (`TextOps.uniEncodeMapOnly`) — one STATELESS projection per
+    * micro-batch, no state store, no join, no shuffle. Output is the
+    * batch row shape (doc_id, n_words, n_tokens, tokens_per_word_bp);
+    * StreamsSpec pins row-for-row parity with the batch encode.
+    */
+  def unigramEncode(docs: DataFrame, modelPath: String): DataFrame =
+    graft.operators.TextOps.uniEncodeMapOnly(docs,
+      graft.operators.TextOps.readUnigramModel(docs.sparkSession, modelPath))
+
   /** Streaming perplexity scoring — the streaming twin of
     * `TextOps.lmScoreWith`: documents arriving on the wire are scored
     * against a persisted `buildLmModel` bigram table. The model is

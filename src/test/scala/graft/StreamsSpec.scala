@@ -904,6 +904,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigramEncode: streamed docs encode identically to the session-trained batch path") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val model = java.nio.file.Files.createTempDirectory("graft-suni").toString + "/pieces"
+    graft.operators.TextOps.buildUnigramModel(s, sf0001, model)
+    val docRows = graft.sources.Ingest.table(s, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.unigramEncode(ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("suni").outputMode("append").start()
+    try {
+      ms.addData(docRows.take(docRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(docRows.drop(docRows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM suni").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      val ref = graft.operators.TextOps.qUnigramEncode(s, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === ref,
+        "streamed per-doc unigram token counts must equal the batch encode")
+    } finally q.stop()
+  }
+
   test("noveltyMaintenance: ordered batches reproduce the corpus novelty rule; replays converge") {
     val s = spark
     import s.implicits._

@@ -466,6 +466,65 @@ class TextOpsSpec extends SparkSpec {
       "serving from the persisted merge table must encode identically")
   }
 
+  test("unigram segmenter: greedy longest-match-first, single-char fallback, empty word") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pieces = Seq("abc", "cd", "ab", "bcde")
+    val rows = Seq("abcd", "abab", "xyz", "bcdex", "")
+      .toDF("w")
+      .select(col("w"), TextOps.uniSegTokens(col("w"), pieces).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(rows("abcd") === List("abc", "d"), "3-char match beats the 2-char prefix")
+    assert(rows("abab") === List("ab", "ab"))
+    assert(rows("xyz") === List("x", "y", "z"), "out-of-vocab words fall back to chars")
+    assert(rows("bcdex") === List("bcde", "x"), "4-char match wins over shorter ones")
+    assert(rows("") === Nil)
+  }
+
+  test("q_unigram_encode: per-doc token counts equal a driver-side greedy re-encode") {
+    val (pieces, report) = TextOps.sessionUnigramModel(spark, sf0001)
+    assert(pieces.nonEmpty && pieces.forall(p =>
+      p.length >= 2 && p.length <= TextOps.UniPieceMax))
+    assert(pieces.length <= TextOps.UniKeepSchedule.last,
+      "the frozen multi-char vocabulary respects the final prune bound")
+    val byLen = pieces.groupBy(_.length).view.mapValues(_.toSet).toMap
+    def encode(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val len = (TextOps.UniPieceMax to 2 by -1).find(l =>
+          pos + l <= w.length &&
+            byLen.getOrElse(l, Set.empty).contains(w.substring(pos, pos + l)))
+          .getOrElse(1)
+        pos += len; n += 1
+      }
+      n
+    }
+    val docRows = graft.sources.Ingest.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+    val expect = docRows.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      (r.getLong(0), ws.length.toLong, ws.map(encode).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qUnigramEncode(spark, sf0001).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect,
+      "vocab-encoded token counts must equal the per-word greedy reference")
+    // train/encode mass identity: the reported usage is counted under
+    // the SAME frozen pieces, so its corpus-weighted mass must equal
+    // the encode rows' total token count
+    assert(report.map(_._2).sum === got.map(_._3).sum,
+      "train usage mass == encoded token mass")
+    // determinism: cached model === a fresh train (the sessionBpeMerges pin)
+    assert(TextOps.trainUnigram(spark, sf0001) === ((pieces, report)))
+    // oracle walk-bound pin: the unrolled SQL walk covers UniMaxWalk
+    // steps; every corpus word must fit (the engine fold handles any
+    // length — the ORACLE's unroll is what this protects)
+    val maxLen = docRows.map(_.getString(1).split(" ", -1).map(_.length).max).max
+    assert(maxLen <= TextOps.UniMaxWalk,
+      s"corpus max word length $maxLen must stay within the oracle's ${TextOps.UniMaxWalk}-step unroll")
+  }
+
   test("lm_perplexity: hand-computed bits on a corpus with a known train/test split") {
     // md5 split (splitHexLt device): docs 1,2,4 train; doc 3 test.
     val dir = docsDir(Seq(

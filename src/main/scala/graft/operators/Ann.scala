@@ -1644,9 +1644,17 @@ object Ann {
     * recall equals the shortlist's hit rate (the [[PqShortC]] note).
     * [[qPqRecall]] is the continuous quality audit.
     */
-  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    annPqFromShortlist(s, dir, pqAdcRanked(s, dir, PqShortC).select("query_id", "neighbor_id"))
+
+  /** The exact float rerank over a given ADC shortlist — split out
+    * (r21) so [[qPqRecall]] can feed BOTH its raw-ADC column and the
+    * reranked serve from ONE ADC ranking pass instead of deriving the
+    * corpus×query ADC scan twice.
+    */
+  private def annPqFromShortlist(s: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
     val (corpus, queries) = split(s, dir)
-    val shortlist = pqAdcRanked(s, dir, PqShortC).select("query_id", "neighbor_id")
     val rer = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .join(broadcast(shortlist), Seq("neighbor_id"))
@@ -1665,10 +1673,17 @@ object Ann {
     * orders all replay in the oracle.
     */
   def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     val bf = qAnnBruteforce(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // r21: the ADC ranking pass (corpus×query scan + per-query window)
+    // runs ONCE and is checkpointed (queries×PqShortC rows — tiny);
+    // the reranked serve and the raw-ADC column both read it. The old
+    // shape derived the identical pqAdcRanked subtree twice (once here,
+    // once inside qAnnPq) — two full ADC corpus scans per run.
     val adc = pqAdcRanked(s, dir, PqShortC)
-    val fin = qAnnPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("ark")).materialized
+    val fin = annPqFromShortlist(s, dir, adc.select("query_id", "neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_f"))
     val adcK = adc.filter(col("ark") <= K)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_a"))

@@ -1403,31 +1403,60 @@ object Dedup {
     import graft.plans.Materialize.MaterializeOps
     val keyed = docs(s, dir).select(col("doc_id"), col("text"),
       unhex(md5(col("text"))).as("tkey"))
-    // group table (distinct texts): feeds the signature AND set passes
+    // group table (distinct texts): feeds the signature/set pass
     val reps = Canonical.groups(keyed, "doc_id", Seq("tkey"))
       .select(col("gid").as("doc_id"), col("text")).materialized
-    val sig = reps.select(col("doc_id"),
-      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"))
-      .materialized
-    val sets = reps.select(col("doc_id"),
+    // r21 OPTIMIZATION (guide §2.4 — same outputs, one candidate join
+    // instead of four): the factorizations NEST (a pair matching a
+    // 2r-slot band matches both its r-slot halves), so the finest
+    // config's candidate set IS the union the truth verify ran over,
+    // and a pair's membership in every coarser config is a pure
+    // function of its two signatures (∃ band with all r slots equal —
+    // exactly the oracle's slice-equality rule, minus the engine's
+    // never-observed xxhash64 bucket collisions). The old shape paid
+    // 4 salted self-joins + 4 checkpoints + union-distinct + a truth
+    // checkpoint + 4 count-aggregates + 4 truth joins (~16 jobs) for
+    // a pair set this small (tens at sf0.01); now ONE banded join
+    // generates the superset, one two-sided payload join attaches
+    // signatures + shingle sets, and every count folds in a single
+    // aggregate. Membership lambdas are interpreted but run over the
+    // candidate-pair set only (pair-bounded, never corpus-bounded).
+    val payload = reps.select(col("doc_id"),
+      WordNgramMinHash.column(col("text"), IdxNgram, IdxK, IdxSeed).as("sig_arr"),
       WordNgramHashes.column(col("text"), IdxNgram).as("sh"))
-    // per-config candidates, each consumed twice (count + truth join)
-    val cands = BandingCurve.map { case (b, r) =>
-      (b, r, candidatePairs(sigBandRows(sig, b, r)).materialized)
-    }
-    val allPairs = cands.map(_._3).reduce(_ unionByName _).distinct()
-    val truth = jaccardVerify(allPairs, sets, IdxThreshold)
-      .filter(col("jaccard") >= IdxThreshold)
-      .select("id_a", "id_b").materialized
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    cands.map { case (b, r, c) =>
-      c.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(c.join(truth, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("n_true")))
-        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_cand"), col("n_true"))
-    }.reduce(_ unionByName _)
-      .crossJoin(broadcast(nTruth))
+      .materialized
+    val (fb, fr) = BandingCurve.last
+    val cand = candidatePairs(
+      sigBandRows(payload.select(col("doc_id"), col("sig_arr")), fb, fr))
+    val flagged = cand
+      .join(payload.select(col("doc_id").as("id_a"),
+        col("sig_arr").as("sa"), col("sh").as("sh_a")), "id_a")
+      .join(payload.select(col("doc_id").as("id_b"),
+        col("sig_arr").as("sb"), col("sh").as("sh_b")), "id_b")
+      .select(expr("zip_with(sa, sb, (u, v) -> CAST(u = v AS INT))").as("eq"),
+        (graft.functions.SortedJaccard.column(col("sh_a"), col("sh_b")) >= IdxThreshold)
+          .as("tru"))
+      .select(col("tru") +: BandingCurve.map { case (b, r) =>
+        expr(s"exists(sequence(0, ${b - 1}), " +
+          s"j -> aggregate(slice(eq, j * $r + 1, $r), 1, (acc, v) -> acc * v) = 1)")
+          .as(s"m$b")
+      }: _*)
+    val aggExprs =
+      coalesce(sum(when(col(s"m$fb"), 1L)), lit(0L)).as("candF") +:
+      coalesce(sum(when(col(s"m$fb") && col("tru"), 1L)), lit(0L)).as("n_truth") +:
+      BandingCurve.init.flatMap { case (b, _) => Seq(
+        coalesce(sum(when(col(s"m$b"), 1L)), lit(0L)).as(s"cand$b"),
+        coalesce(sum(when(col(s"m$b") && col("tru"), 1L)), lit(0L)).as(s"true$b"))
+      }
+    val aggr = flagged.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = BandingCurve.map { case (b, r) =>
+      val (c, t) = if (b == fb) ("candF", "n_truth") else (s"cand$b", s"true$b")
+      s"CAST($b AS BIGINT), CAST($r AS BIGINT), $c, $t"
+    }.mkString(", ")
+    aggr.select(
+        expr(s"stack(${BandingCurve.size}, $stackArgs) " +
+          "AS (n_bands, rows_per_band, n_cand, n_true)"),
+        col("n_truth"))
       .select(col("n_bands"), col("rows_per_band"),
         col("n_cand").as("n_cand_pairs"), col("n_true").as("n_true_pairs"),
         col("n_truth").as("n_truth_pairs"),

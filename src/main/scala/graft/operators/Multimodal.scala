@@ -511,35 +511,82 @@ object Multimodal {
       .select(col("doc_id"), col("bands"))
     val reps = Canonical.groups(fp, "doc_id", Seq("bands"))
       .select(col("gid").as("doc_id"), col("bands"))
-      .withColumn("bits", expr(
-        "flatten(transform(bands, b -> transform(sequence(0, 15), k -> (b >> k) & 1)))"))
       .materialized
-    val cands = PhashBandingConfigs.map { b =>
-      val w = 64 / b
-      val bandRows = reps.select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${b - 1}), j ->
-           |  aggregate(sequence(0, ${w - 1}), CAST(0 AS BIGINT),
-           |    (acc, k) -> acc + element_at(bits, j * $w + k + 1) * shiftleft(CAST(1 AS BIGINT), k)))""".stripMargin))
+    // r21 OPTIMIZATION (guide §2.3/§2.4 + §8 — same outputs, the pair
+    // set never shuffles): the configs NEST by pigeonhole (a clean
+    // 2w-bit band is two clean w-bit bands), so the finest config's
+    // (b=16, 4-bit nibble) candidate set CONTAINS every coarser
+    // config's, and a pair's membership in a coarser config is a pure
+    // function of its two fingerprints (∃ band slice with XOR 0).
+    // The old shape materialized four per-config pair sets (the b=16
+    // one quadratic in near-miss collisions — 6.3M distinct pairs at
+    // sf0.1), unioned + distinct'd them, and joined each against a
+    // truth set whose hamming came from interpreted higher-order
+    // lambdas (~5.5 s per lambda column over the pair set). Now the
+    // band rows CARRY the four 16-bit fingerprint words, the salted
+    // nibble self-join emits each pair exactly once — at its FIRST
+    // matching band (a codegen CASE over the 16 XOR nibbles filters
+    // later-band re-emissions map-side) — and hamming + per-config
+    // membership fold from plain bit_count/bitwise-AND expressions
+    // into ONE aggregate. No distinct, no pair exchange, no lambdas:
+    // the only shuffles left are the 80k-row band-table exchange and
+    // the 1-row aggregate. (Under an ACTIVE hot-bucket salt cap the
+    // sampled pair set differs from the old four-join sampling — both
+    // are cap-degraded regimes the oracle never certifies; at every
+    // oracle scale the cap is inert and the outputs are identical.)
+    val sides = reps.select(
+      col("doc_id"),
+      col("bands")(0).as("w0"), col("bands")(1).as("w1"),
+      col("bands")(2).as("w2"), col("bands")(3).as("w3"),
+      posexplode(expr(
+        "flatten(transform(bands, wd -> transform(sequence(0, 3), n -> shiftright(wd, n * 4) & 15)))"))
         .as(Seq("band", "bucket")))
-      (b, Dedup.candidatePairs(bandRows).materialized)
-    }
-    val allPairs = cands.map(_._2).reduce(_ unionByName _).distinct()
-    val truth = allPairs
-      .join(reps.select(col("doc_id").as("id_a"), col("bands").as("ba")), "id_a")
-      .join(reps.select(col("doc_id").as("id_b"), col("bands").as("bb")), "id_b")
-      .withColumn("hamming", expr(
-        "CAST(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v) AS BIGINT)"))
-      .filter(col("hamming") <= PhashHamThresh)
-      .select("id_a", "id_b").materialized
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    cands.map { case (b, c) =>
-      c.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(c.join(truth, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("n_true")))
-        .select(lit(b.toLong).as("n_bands"), lit((64 / b).toLong).as("bits_per_band"),
-          col("n_cand"), col("n_true"))
-    }.reduce(_ unionByName _)
-      .crossJoin(broadcast(nTruth))
+    val salted = sides
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id"), col("band"), col("bucket")),
+          ceil(col("bsize") / lit(1000)).cast("int")).cast("int"))
+      .drop("bsize")
+    val xw = (0 until PhashBands).map(i => s"(a.w$i ^ b.w$i)")
+    val firstMatch = (0 until 16).map(j => s"(((${xw(j / 4)} >> ${(j % 4) * 4}) & 15) = 0)")
+      .zipWithIndex.map { case (c, j) => s"WHEN $c THEN $j" }
+      .mkString("CASE ", " ", " ELSE 16 END")
+    val flagged = salted.alias("a")
+      .join(salted.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"a.band = ($firstMatch)"))
+      .select((0 until PhashBands).map(i => expr(xw(i)).as(s"x$i")): _*)
+      .select(
+        expr("CAST(bit_count(x0) + bit_count(x1) + bit_count(x2) + bit_count(x3) AS BIGINT)")
+          .as("hamming"),
+        expr("(x0 | x1) = 0 OR (x2 | x3) = 0").as("c2"),
+        expr("x0 = 0 OR x1 = 0 OR x2 = 0 OR x3 = 0").as("c4"),
+        expr("(x0 & 255) = 0 OR (x0 & 65280) = 0 OR (x1 & 255) = 0 OR (x1 & 65280) = 0 OR " +
+          "(x2 & 255) = 0 OR (x2 & 65280) = 0 OR (x3 & 255) = 0 OR (x3 & 65280) = 0").as("c8"))
+    val aggr = flagged.agg(
+      count(lit(1)).as("cand16"),
+      coalesce(sum(when(col("c8"), 1L)), lit(0L)).as("cand8"),
+      coalesce(sum(when(col("c4"), 1L)), lit(0L)).as("cand4"),
+      coalesce(sum(when(col("c2"), 1L)), lit(0L)).as("cand2"),
+      coalesce(sum(when(col("hamming") <= PhashHamThresh, 1L)), lit(0L)).as("true16"),
+      coalesce(sum(when(col("c8") && col("hamming") <= PhashHamThresh, 1L)), lit(0L)).as("true8"),
+      coalesce(sum(when(col("c4") && col("hamming") <= PhashHamThresh, 1L)), lit(0L)).as("true4"),
+      coalesce(sum(when(col("c2") && col("hamming") <= PhashHamThresh, 1L)), lit(0L)).as("true2"))
+    // truth = hamming ≤ thresh over the superset (pigeonhole-complete:
+    // ≤ 3 flips cannot dirty all 16 nibble bands) — identical to the
+    // old union-of-configs device.
+    aggr.select(
+        expr("""stack(4,
+          CAST(2 AS BIGINT),  CAST(32 AS BIGINT), cand2,  true2,
+          CAST(4 AS BIGINT),  CAST(16 AS BIGINT), cand4,  true4,
+          CAST(8 AS BIGINT),  CAST(8 AS BIGINT),  cand8,  true8,
+          CAST(16 AS BIGINT), CAST(4 AS BIGINT),  cand16, true16)
+          AS (n_bands, bits_per_band, n_cand, n_true)"""),
+        col("true16").as("n_truth"))
       .select(col("n_bands"), col("bits_per_band"),
         col("n_cand").as("n_cand_pairs"), col("n_true").as("n_true_pairs"),
         col("n_truth").as("n_truth_pairs"),

@@ -460,13 +460,14 @@ object Ann {
       .withColumn("prk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))))
       .filter(col("prk") <= probes)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"), col("prk"))
     index.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"),
+        col("prk"))
   }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
@@ -624,11 +625,21 @@ object Ann {
     * a tuning run pays once, not per query.
     */
   def qAnnProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     val bfk = qAnnBruteforce(s, dir)
       .select(col("query_id"), col("neighbor_id")).materialized
     val nb = bfk.agg(count(lit(1)).as("n_base"))
+    // r21 OPTIMIZATION (guide §2.4 — same outputs, one serve pass
+    // instead of four): probe lists NEST (the top-p cells are a prefix
+    // of the top-maxP ranking) and every vector lives in exactly ONE
+    // cell, so the probes=p candidate set is the max-probe pair set
+    // restricted to recruiting-cell rank ≤ p. One cell-equi serve at
+    // the curve's max tags each pair with that rank ([[ivfScored]]'s
+    // `prk`); each curve point is a filter + top-K window over the
+    // checkpointed pair table instead of its own serve join.
+    val pairs = ivfScored(s, dir, ProbeCurve.max).materialized
     ProbeCurve.map { p =>
-      topK(ivfScored(s, dir, p))
+      topK(pairs.filter(col("prk") <= p))
         .select(col("query_id"), col("neighbor_id"))
         .join(bfk, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
@@ -2547,11 +2558,43 @@ object Ann {
     * oracle and amortized by the codegen key expression in Spark.
     */
   def qLshProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     val bfk = qAnnBruteforce(s, dir)
       .select(col("query_id"), col("neighbor_id")).materialized
     val nb = bfk.agg(count(lit(1)).as("n_base"))
+    // r21 OPTIMIZATION (guide §2.4 — same outputs, one candidate pass
+    // instead of four): multi-probe key lists are PREFIX-NESTED (the
+    // kernel emits probe ranks in order at index t·probes + p), so the
+    // probes=p candidate set is exactly the max-probe pairs whose
+    // minimal recruiting probe rank ≤ p. One bucketed join at the
+    // curve's max probe count tags each pair with that rank; each
+    // curve point is then a filter + per-query top-K window over the
+    // checkpointed pair table (all four windows share its tiny scan)
+    // instead of its own corpus-bucketing join + distinct + window.
+    val maxP = LshProbeCurve.max
+    val (corpus, queries) = split(s, dir)
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(graft.functions.VectorFunctions
+          .xpolyKeys(col("embedding"), LshSeed, LshTables, Dim, probes = 1)).as("bkey"))
+    val probed = queries
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        posexplode(graft.functions.VectorFunctions
+          .xpolyKeys(col("q_emb"), LshSeed, LshTables, Dim, maxP)).as(Seq("pidx", "bkey")))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("bkey"),
+        (col("pidx") % maxP + 1).as("prank"))
+    val pairs = bucketed.join(broadcast(probed), Seq("bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prank"),
+        (Dedup.dotExpr("embedding", "q_emb") / (col("nrm") * col("q_nrm"))).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("prank")).as("mpr"), max(col("cosine")).as("cosine"))
+      .materialized
     LshProbeCurve.map { p =>
-      topK(lshScored(s, dir, LshTables, p))
+      pairs.filter(col("mpr") <= p)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= K)
         .select(col("query_id"), col("neighbor_id"))
         .join(bfk, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))

@@ -1707,14 +1707,23 @@ object Dedup {
     * the shared [[Canonical]] device.
     */
   private[graft] def entityGroups(c: DataFrame): (DataFrame, DataFrame) = {
+    import graft.plans.Materialize.MaterializeOps
+    // r21 OPTIMIZATION (guide §2.4 — the round-8 shared-subtree rule):
+    // both tables are MATERIALIZED. `grp` feeds six consumers across
+    // the three blocking passes (deletion-signature explode, both
+    // candidate re-joins, the SNM rank, the phonetic coding) and `mem`
+    // three more (pair expansion ×2 + the within self-join) — without
+    // the checkpoint each consumer re-derived the customer scan + the
+    // (name, nation, mktsegment) group-by exchange (36 parquet scans /
+    // 86 exchanges in the q_entity_best_match plan). Both tables are
+    // group-/record-sized (~30 B/row), the documented Materialize
+    // trade.
     val grp = Canonical.groups(c, "c_custkey",
-      Seq("c_name", "c_nationkey", "c_mktsegment"))
-    // the member tag join rides the SAME (name, nation, mktsegment)
-    // key as the group-by — Catalyst reuses the exchange; at every
-    // tested scale AQE broadcasts the group side instead
+      Seq("c_name", "c_nationkey", "c_mktsegment")).materialized
     val mem = Canonical.members(c, grp,
         Seq("c_name", "c_nationkey", "c_mktsegment"))
       .select(col("gid"), col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .materialized
     (grp, mem)
   }
 
@@ -1993,10 +2002,15 @@ object Dedup {
     * zero spill, 55 MB total shuffle (was 1.3 GB + 550 MB spill).
     */
   def qEntityBestMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Materialize.MaterializeOps
     val c = Ingest.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
     val (grp, mem) = entityGroups(c)
-    val vg = entityVerifiedGroupPairs(s, grp)
+    // r21: vg is consumed twice by the direction mirror below — without
+    // the checkpoint the whole three-pass blocking + banded-Levenshtein
+    // verify re-derived per direction. Verified group pairs are
+    // output-sized.
+    val vg = entityVerifiedGroupPairs(s, grp).materialized
     // group-level cross matches, mirrored to both directions, folded
     // to one row per GROUP (best = argmin over (ed, mate gid); the
     // mate count sums member counts of the matched groups)

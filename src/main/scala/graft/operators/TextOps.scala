@@ -1919,8 +1919,12 @@ object TextOps {
         s"""transform(sequence(0, CAST((size(ws) + ${segW - 1}) DIV $segW AS INT) - 1),
            |  i -> unhex(md5(array_join(slice(ws, i * $segW + 1, $segW), ' '))))""".stripMargin))
         .as("gm"))
-    val freq = segs.groupBy("gm").agg(count(lit(1)).as("f"))
-    segs.join(freq, Seq("gm"))
+    // r21 OPTIMIZATION (guide §2.4, the qSpanDedup device): segment
+    // frequency via ONE window aggregate over the gm partition — the
+    // groupBy + join-back shape derived the corpus-segment table twice
+    // and shuffled it twice (segment hashes are mostly unique, so the
+    // aggregate's partial combine collapsed nothing).
+    segs.withColumn("f", count(lit(1)).over(Window.partitionBy("gm")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -2057,9 +2061,15 @@ object TextOps {
     val wins = windowHashes(
       grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
       Seq("m", "tkey"))
-    val freq = wins.filter(col("h").isNotNull)
-      .groupBy(col("h")).agg(sum(col("m")).as("f"))
-    val dups = wins.join(freq.filter(col("f") >= 2), Seq("h"))
+    // r21 OPTIMIZATION (guide §2.4): frequency-mark the duplicated
+    // windows with ONE window aggregate over the h partition instead
+    // of a groupBy + join-back — the old shape derived the
+    // corpus-token-sized window table twice and shuffled it twice
+    // (window hashes are mostly unique, so the aggregate's partial
+    // combine collapsed nothing); this shuffles it once.
+    val dups = wins.filter(col("h").isNotNull)
+      .withColumn("f", sum(col("m")).over(Window.partitionBy("h")))
+      .filter(col("f") >= 2)
       .select(col("tkey"), col("pos"))
     val byPos = Window.partitionBy("tkey").orderBy("pos")
     val spans = dups
@@ -2166,12 +2176,15 @@ object TextOps {
     val wins = windowHashes(
       grp.select(col("rep").as("doc_id"), col("text"), col("m"), col("tkey")),
       Seq("m", "tkey"))
-    val surv = wins.filter(col("h").isNotNull)
-      .groupBy(col("h"))
-      .agg(sum(col("m")).as("f"), min(col("doc_id")).as("survivor"))
-      .filter(col("f") >= 2)
-    val foreign = wins.join(surv, Seq("h"))
-      .filter(col("doc_id") =!= col("survivor"))
+    // r21 OPTIMIZATION (guide §2.4 — the qSpanDedup device): survivor
+    // and frequency come from ONE window aggregate over the h
+    // partition instead of a groupBy + join-back, halving the window
+    // table's derivations and shuffles.
+    val byH = Window.partitionBy("h")
+    val foreign = wins.filter(col("h").isNotNull)
+      .withColumn("f", sum(col("m")).over(byH))
+      .withColumn("survivor", min(col("doc_id")).over(byH))
+      .filter(col("f") >= 2 && col("doc_id") =!= col("survivor"))
       .select(col("tkey"), col("pos"))
     val byPos = Window.partitionBy("tkey").orderBy("pos")
     val islands = foreign
@@ -3573,8 +3586,11 @@ object TextOps {
     val mem = spanMembers(s, dir).filter(col("n_toks") >= spanW)
     val bounds = mem.agg(max("doc_id").as("max_id"))
       .select(expr(s"(max_id DIV $GrowthBuckets) + 1").as("bw"))
-    val first = wc.groupBy(col("h")).agg(min(col("rep")).as("first_doc"))
-    val perText = wc.join(first, "h")
+    // r21 OPTIMIZATION (guide §2.4, the qSpanDedup device): first-seen
+    // via ONE window aggregate over the h partition — the groupBy +
+    // join-back shape shuffled the checkpointed window table twice.
+    val perText = wc
+      .withColumn("first_doc", min(col("rep")).over(Window.partitionBy("h")))
       .groupBy(col("tkey"), col("rep"))
       .agg(count(lit(1)).as("n_w"),
         sum(when(col("rep") === col("first_doc"), 1L).otherwise(0L)).as("n_nov"))
